@@ -1,0 +1,137 @@
+"""YAML config model.
+
+Parity: reference ConfigParser.scala + ValidatorConfig.scala. Global
+settings (numKeyCols, numErrorsToReport, detailedErrors, vars, email,
+outputs) + `tables:` each with a source, keyColumns, condition and a
+`checks:` list.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import yaml
+
+from data_validator_spark.sources import TableSource, source_from_dict
+from data_validator_spark.substitution import VarSubstitution, build_dict
+from data_validator_spark.validators import Check, check_from_dict
+
+
+@dataclass
+class OutputSpec:
+    """`outputs:` entry — filename (with append) or pipe. Parity:
+    ValidatorOutput in IO.scala."""
+
+    filename: Optional[str] = None
+    append: bool = False
+    pipe: Optional[str] = None
+    ignore_error: bool = False
+
+
+@dataclass
+class EmailConfig:
+    smtp_host: str = ""
+    subject: str = ""
+    from_addr: str = ""
+    to: list[str] = field(default_factory=list)
+    cc: list[str] = field(default_factory=list)
+    bcc: list[str] = field(default_factory=list)
+
+
+@dataclass
+class TableConfig:
+    source_dict: dict[str, Any]
+    checks_dicts: list[dict[str, Any]]
+
+    def build(self) -> tuple[TableSource, list[Check]]:
+        return source_from_dict(self.source_dict), [check_from_dict(c) for c in self.checks_dicts]
+
+
+@dataclass
+class ValidatorConfig:
+    num_key_cols: int = 2
+    num_errors_to_report: int = 5
+    detailed_errors: bool = True
+    tables: list[TableConfig] = field(default_factory=list)
+    outputs: list[OutputSpec] = field(default_factory=list)
+    email: Optional[EmailConfig] = None
+    var_specs: list[dict[str, Any]] = field(default_factory=list)
+
+    def build_runners(self) -> list["ValidatorTableRunner"]:
+        from data_validator_spark.runner import ValidatorTableRunner
+
+        runners = []
+        for t in self.tables:
+            src, checks = t.build()
+            runners.append(
+                ValidatorTableRunner(
+                    src,
+                    checks,
+                    num_key_cols=self.num_key_cols,
+                    num_errors_to_report=self.num_errors_to_report,
+                    detailed_errors=self.detailed_errors,
+                )
+            )
+        return runners
+
+
+def parse_config(
+    text: str,
+    spark: Optional[Any] = None,
+    cli_vars: Optional[dict[str, str]] = None,
+) -> ValidatorConfig:
+    """Parse YAML, resolving variables first (cli --vars override the
+    config's own `vars:`, reference Main.scala behavior)."""
+    raw = yaml.safe_load(text) or {}
+    dict_ = build_dict(raw.get("vars"), spark)
+    for k, v in (cli_vars or {}).items():
+        dict_.add(k, v)
+
+    def sub(v: Any) -> Any:
+        return dict_.replace(v)
+
+    tables = []
+    for t in raw.get("tables", []) or []:
+        t = sub(t)
+        checks = t.pop("checks", []) or []
+        tables.append(TableConfig(source_dict=t, checks_dicts=checks))
+
+    outputs = []
+    for o in raw.get("outputs", []) or []:
+        o = sub(o)
+        outputs.append(
+            OutputSpec(
+                filename=o.get("filename"),
+                append=bool(o.get("append", False)),
+                pipe=o.get("pipe"),
+                ignore_error=bool(o.get("ignoreError", False)),
+            )
+        )
+
+    email = None
+    if raw.get("email"):
+        e = sub(raw["email"])
+        email = EmailConfig(
+            smtp_host=e.get("smtpHost", ""),
+            subject=e.get("subject", ""),
+            from_addr=e.get("from", ""),
+            to=list(e.get("to", []) or []),
+            cc=list(e.get("cc", []) or []),
+            bcc=list(e.get("bcc", []) or []),
+        )
+
+    return ValidatorConfig(
+        num_key_cols=int(raw.get("numKeyCols", 2)),
+        num_errors_to_report=int(raw.get("numErrorsToReport", 5)),
+        detailed_errors=bool(raw.get("detailedErrors", True)),
+        tables=tables,
+        outputs=outputs,
+        email=email,
+        var_specs=raw.get("vars") or [],
+    )
+
+
+def load_config(path: str, spark: Optional[Any] = None, cli_vars: Optional[dict[str, str]] = None) -> ValidatorConfig:
+    with open(path) as f:
+        return parse_config(f.read(), spark, cli_vars)

@@ -1,0 +1,146 @@
+"""Validator event log.
+
+Parity: reference EventLog.scala / ValidatorEvent hierarchy
+(src/main/scala/com/target/data_validator/EventLog.scala). Events
+accumulate per check and drive the JSON/HTML reports.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class ValidatorEvent:
+    failed: bool = False
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"type": self.__class__.__name__, "failed": self.failed}
+
+
+@dataclass
+class ValidatorError(ValidatorEvent):
+    message: str = ""
+
+    def __init__(self, message: str):
+        super().__init__(failed=True)
+        self.message = message
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"type": "ValidatorError", "failed": True, "message": self.message}
+
+
+@dataclass
+class ValidatorGood(ValidatorEvent):
+    message: str = ""
+
+    def __init__(self, message: str):
+        super().__init__(failed=False)
+        self.message = message
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"type": "ValidatorGood", "failed": False, "message": self.message}
+
+
+@dataclass
+class ValidatorCounter(ValidatorEvent):
+    name: str = ""
+    value: int = 0
+
+    def __init__(self, name: str, value: int):
+        super().__init__(failed=False)
+        self.name = name
+        self.value = value
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"type": "ValidatorCounter", "failed": False, "name": self.name, "value": self.value}
+
+
+@dataclass
+class ValidatorCheckEvent(ValidatorEvent):
+    label: str = ""
+    count: int = 0
+    error_count: int = 0
+
+    def __init__(self, failed: bool, label: str, count: int, error_count: int):
+        super().__init__(failed=failed)
+        self.label = label
+        self.count = count
+        self.error_count = error_count
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "type": "ValidatorCheckEvent",
+            "failed": self.failed,
+            "label": self.label,
+            "count": self.count,
+            "errorCount": self.error_count,
+        }
+
+
+@dataclass
+class ColumnBasedCheckEvent(ValidatorEvent):
+    data: dict[str, str] = field(default_factory=dict)
+    message: str = ""
+
+    def __init__(self, failed: bool, data: dict[str, str], message: str):
+        super().__init__(failed=failed)
+        self.data = data
+        self.message = message
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "type": "ColumnBasedCheckEvent",
+            "failed": self.failed,
+            "data": self.data,
+            "message": self.message,
+        }
+
+
+@dataclass
+class QuickCheckError(ValidatorEvent):
+    """One sampled failing row (detailed-errors pass).
+
+    Parity: ValidatorQuickCheckError in EventLog.scala — key columns
+    identify the row, `value` is the offending column value.
+    """
+
+    key: dict[str, Any] = field(default_factory=dict)
+    value: Any = None
+    message: str = ""
+
+    def __init__(self, key: dict[str, Any], value: Any, message: str):
+        super().__init__(failed=True)
+        self.key = key
+        self.value = value
+        self.message = message
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "type": "QuickCheckError",
+            "failed": True,
+            "key": {k: repr(v) for k, v in self.key.items()},
+            "value": repr(self.value),
+            "message": self.message,
+        }
+
+
+class ValidatorTimer(ValidatorEvent):
+    """Wall-clock timer event. Parity: ValidatorTimer in EventLog.scala."""
+
+    def __init__(self, label: str):
+        super().__init__(failed=False)
+        self.label = label
+        self.duration_ms: int = 0
+
+    def __enter__(self) -> "ValidatorTimer":
+        self._t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.duration_ms = int((time.monotonic() - self._t0) * 1000)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"type": "ValidatorTimer", "failed": False, "label": self.label, "durationMs": self.duration_ms}

@@ -1,0 +1,134 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure pyspark.sql.functions compositions — JVM-side, codegen'd,
+Arrow never involved — so they vectorize across a 100 TB corpus with
+zero Python-worker cost. Each has an ANSI-SQL equivalent used by the
+DuckDB oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small language-indicative stopword lists (public common words).
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+STOPWORDS_ES = ["el", "la", "de", "y", "que", "en", "un", "una", "por", "con"]
+STOPWORDS_FR = ["le", "la", "de", "et", "que", "en", "un", "une", "pour", "dans"]
+STOPWORDS_DE = ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "mit"]
+
+LANG_STOPWORDS = {"en": STOPWORDS_EN, "es": STOPWORDS_ES, "fr": STOPWORDS_FR, "de": STOPWORDS_DE}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punct boundaries — a cheap proxy for BPE token counts
+    used to budget LLM context lengths."""
+    pieces = F.split(F.trim(text), r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])")
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def stopword_hits(text: Column, stopwords: list[str]) -> Column:
+    """How many tokens are in `stopwords` (duplicates counted)."""
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(arr, t)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Document quality signals: lengths and character-class ratios.
+
+    Ratios are exact rationals of int counts cast to double, so the
+    oracle reproduces them bit-for-bit.
+    """
+    n_chars = F.length(text)
+    toks = token_count(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    n_space = F.length(F.regexp_replace(text, r"[^ \t\n]", ""))
+    safe = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(None))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": toks,
+        "alpha_ratio": (n_alpha.cast("double") / safe),
+        "digit_ratio": (n_digit.cast("double") / safe),
+        "punct_ratio": (n_punct.cast("double") / safe),
+        "space_ratio": (n_space.cast("double") / safe),
+        "mean_token_len": F.when(
+            toks > 0, (n_chars - n_space).cast("double") / toks.cast("double")
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards alpha-heavy,
+    reasonably-long documents with sane token lengths."""
+    f = quality_features(text)
+    len_ok = F.when((f["n_chars"] >= 50) & (f["n_chars"] <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_ok = F.when((f["mean_token_len"] >= 2.0) & (f["mean_token_len"] <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    alpha = F.coalesce(f["alpha_ratio"], F.lit(0.0))
+    return (len_ok + tok_ok + alpha * 2.0) / F.lit(4.0)
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword-heuristic language ID over LANG_STOPWORDS.
+
+    Deterministic argmax: highest stopword-hit count wins, ties broken
+    by language code order — reproducible in SQL with GREATEST/CASE.
+    Returns 'und' when no list scores a hit.
+    """
+    scores = {lang: stopword_hits(text, sw) for lang, sw in sorted(LANG_STOPWORDS.items())}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so that the FIRST language in sorted order wins ties
+    for lang in sorted(scores, reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(text: Column) -> Column:
+    """Lowercase, collapse whitespace, strip punctuation — canonical
+    form for near-dup fingerprinting."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^\w\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text. Two documents
+    differing only in case/punct/whitespace collide."""
+    return F.md5(F.encode(normalized_text(text), "utf-8"))
+
+
+def rolling_shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Array of 63-bit hashes of word k-shingles (the rolling-hash
+    fingerprint set used by minhash/Jaccard dedup).
+
+    Hash = first 15 hex digits of md5(shingle) as a bigint — chosen
+    because DuckDB reproduces it exactly, making the dedup family
+    oracle-checkable (unlike xxhash64, which is Spark-private).
+    """
+    toks = tokens(normalized_text(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.transform(shingles, lambda s: F.conv(F.substring(F.md5(F.encode(s, "utf-8")), 1, 15), 16, 10).cast("long"))

@@ -1,0 +1,136 @@
+"""Table sources.
+
+Parity: reference ValidatorTable.scala subclasses — HiveTable,
+OrcFile, ParquetFile, and the generic `format`+`options`+`loadData`
+DataFrameReader fluent loader (ValidatorSpecifiedFormatLoader). The
+`condition` is applied as a WHERE immediately at load so Catalyst
+pushes predicates into the scan, and checks only reference needed
+columns so column pruning reaches the reader.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableSource(ABC):
+    """A named, loadable table plus its checks metadata."""
+
+    def __init__(
+        self,
+        key_columns: Optional[Sequence[str]] = None,
+        condition: Optional[str] = None,
+    ):
+        self.key_columns = list(key_columns) if key_columns else None
+        self.condition = condition
+
+    @abstractmethod
+    def load_df(self, spark: SparkSession) -> DataFrame: ...
+
+    @property
+    @abstractmethod
+    def label(self) -> str: ...
+
+    def open(self, spark: SparkSession) -> DataFrame:
+        """Load and apply `condition` — predicate reaches the scan
+        (reference ValidatorTable.open)."""
+        df = self.load_df(spark)
+        if self.condition:
+            df = df.where(self.condition)
+        return df
+
+
+class ParquetFile(TableSource):
+    def __init__(self, path: str, **kw: Any):
+        super().__init__(**kw)
+        self.path = path
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    @property
+    def label(self) -> str:
+        return f"ParquetFile:{self.path}"
+
+
+class OrcFile(TableSource):
+    def __init__(self, path: str, **kw: Any):
+        super().__init__(**kw)
+        self.path = path
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        return spark.read.orc(self.path)
+
+    @property
+    def label(self) -> str:
+        return f"OrcFile:{self.path}"
+
+
+class HiveTable(TableSource):
+    """`db.table` via the session catalog (Hive metastore when the
+    session has hive support; works against any registered catalog
+    table in tests)."""
+
+    def __init__(self, db: str, table: str, **kw: Any):
+        super().__init__(**kw)
+        self.db = db
+        self.table = table
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        return spark.table(f"{self.db}.{self.table}" if self.db else self.table)
+
+    @property
+    def label(self) -> str:
+        return f"HiveTable:{self.db}.{self.table}"
+
+
+class SpecifiedFormatLoader(TableSource):
+    """Generic spark.read.format(fmt).options(...).load(paths…).
+
+    Parity: reference ValidatorSpecifiedFormatLoader — covers csv,
+    json, text, jdbc, or any third-party DataSource on the classpath.
+    """
+
+    def __init__(
+        self,
+        format: str,
+        options: Optional[dict[str, Any]] = None,
+        load_data: Optional[Sequence[str]] = None,
+        **kw: Any,
+    ):
+        super().__init__(**kw)
+        self.format = format
+        self.options = dict(options or {})
+        self.load_data = list(load_data or [])
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.format(self.format)
+        if self.options:
+            reader = reader.options(**{k: str(v) for k, v in self.options.items()})
+        return reader.load(*self.load_data) if self.load_data else reader.load()
+
+    @property
+    def label(self) -> str:
+        return f"SpecifiedFormatLoader:{self.format}:{','.join(self.load_data)}"
+
+
+def source_from_dict(d: dict[str, Any]) -> TableSource:
+    """Build a source from one `tables:` YAML entry.
+
+    Dispatch parity: reference ConfigParser.configureTables.
+    """
+    common = {"key_columns": d.get("keyColumns"), "condition": d.get("condition")}
+    if "parquetFile" in d:
+        return ParquetFile(d["parquetFile"], **common)
+    if "orcFile" in d:
+        return OrcFile(d["orcFile"], **common)
+    if "table" in d:
+        return HiveTable(d.get("db", ""), d["table"], **common)
+    if "format" in d:
+        return SpecifiedFormatLoader(
+            d["format"], d.get("options"), d.get("loadData"), **common
+        )
+    raise ValueError(f"Unknown table source in config entry: {sorted(d)}")
