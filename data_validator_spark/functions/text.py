@@ -31,11 +31,11 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """Sub-word-ish token count: splits on whitespace AND
-    letter/digit/punct boundaries — a cheap proxy for BPE token counts
-    used to budget LLM context lengths."""
-    pieces = F.split(F.trim(text), r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])")
-    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+    """Sub-word-ish token count: number of letter-runs, digit-runs, and
+    individual punctuation marks — a cheap proxy for BPE token counts
+    used to budget LLM context lengths. RE2-safe pattern (no
+    lookarounds) so the DuckDB oracle reproduces it exactly."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
 
 
 def stopword_hits(text: Column, stopwords: list[str]) -> Column:
@@ -100,10 +100,12 @@ def lang_id(text: Column) -> Column:
 
 def normalized_text(text: Column) -> Column:
     """Lowercase, collapse whitespace, strip punctuation — canonical
-    form for near-dup fingerprinting."""
+    form for near-dup fingerprinting. Explicit ASCII character classes
+    (not \\w/\\s, whose members differ between Java regex and RE2) keep
+    Spark and the DuckDB oracle bit-identical."""
     t = F.lower(text)
-    t = F.regexp_replace(t, r"[^\w\s]", "")
-    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.regexp_replace(t, r"[^a-z0-9_ \t\n]", "")
+    t = F.regexp_replace(t, r"[ \t\n]+", " ")
     return F.trim(t)
 
 

@@ -1,0 +1,82 @@
+"""Query registry: every SURVEY.md §2 operator as a (spark, sf_dir) ->
+DataFrame callable plus, where SQL-expressible, a DuckDB oracle string.
+
+Each submodule exports ``QUERIES`` and ``ORACLES``; this package merges
+them for ``__spark_entry__``. Cross-engine determinism rules used
+throughout (so the driver's order-insensitive value-hash matches):
+
+- double sums go through ``CAST(x AS DECIMAL(30,6))`` so they are exact
+  and independent of partition/aggregation order in BOTH engines;
+- hashes are the first 15 hex digits of md5 parsed as a 60-bit bigint
+  (Spark ``conv(substr(md5,1,15),16,10)``, DuckDB ``CAST('0x'||... )``);
+- timestamps are emitted as ``yyyy-MM-dd HH:mm:ss`` strings with the
+  Spark session forced to UTC;
+- every top-k ordering carries a unique-key tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Exact decimal type used for order-independent double sums.
+DEC = "decimal(30,6)"
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table; forces session tz to UTC so timestamp
+    formatting is engine-independent.
+
+    The events table carries TIMESTAMP(NANOS) parquet values, which
+    Spark's vectorized reader rejects — read them as raw int64 nanos
+    (legacy.parquet.nanosAsLong) and truncate to microsecond
+    timestamps, matching DuckDB's ns→µs truncation on the same files.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def dsum(col, alias: str):
+    """Exact (order-independent) sum of a double expression."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) AS {alias}"
+
+
+def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
+    from data_validator_spark.queries import (
+        analytics,
+        dedup,
+        multimodal,
+        similarity,
+        textops,
+        validator_queries,
+    )
+
+    queries: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+    for mod in (validator_queries, analytics, textops, dedup, similarity, multimodal):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
+    return queries, oracles

@@ -1,0 +1,246 @@
+"""Analytics queries (SURVEY §2): TPC-H-shaped q1/q3/q5 plus windowed
+and sessionized event aggregations.
+
+Scale design:
+- q1: single scan of lineitem, group on a 6-value key — map-side
+  partials collapse nearly everything before the tiny shuffle.
+- q3/q5: dimension tables are broadcast (F.broadcast) so the only
+  shuffled relation is lineitem/orders; verify BroadcastHashJoin via
+  .explain(). At 100 TB lineitem never re-partitions for the dims.
+- events_windowed: tumbling window expressed as a date_trunc group key
+  (batch analog of the streaming pipeline in streaming/validation.py).
+- events_sessionized: one shuffle on user_id; lag + running sum inside
+  the partition (no second shuffle). Skewed users would be handled by
+  AQE skew-join; session logic itself is per-user sequential by nature.
+
+All revenue sums go through DECIMAL(30,6) (see queries/__init__) so
+results are bit-stable regardless of partitioning — and therefore
+hash-comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_validator_spark.queries import dsum, load, sql_dsum
+
+
+# -- q1: pricing summary (TPC-H Q1 shape) ----------------------------------
+def q1_pricing_summary(spark, sf):
+    li = load(spark, sf, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       count(*) AS count_order,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# -- q3: shipping priority (3-way join + topN) -----------------------------
+def q3_shipping_priority(spark, sf):
+    cust = load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = load(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # customer is the only always-small side here (filtered dim) →
+    # broadcast hint; lineitem⨝orders stays a key shuffle that AQE may
+    # downgrade to broadcast at small SF but survives 100 TB as SMJ.
+    ofc = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = li.join(ofc, li.l_orderkey == F.col("o_orderkey"))
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_Q3 = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# -- q5: local supplier volume (6-way star join) ---------------------------
+def q5_local_supplier(spark, sf):
+    region = load(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf, "nation")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # nation⨝region is constant-size → broadcast hint. supplier is
+    # SF-proportional but small (10k/SF) → hint too. customer and orders
+    # scale with the fact table, so those joins stay key shuffles and
+    # AQE picks broadcast only when the runtime size allows.
+    nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nr),
+            (cust.c_nationkey == F.col("n_nationkey"))
+            & (supp.s_nationkey == F.col("n_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+SQL_Q5 = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey AND c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# -- events_windowed: tumbling 1h window per event_type --------------------
+def events_windowed(spark, sf):
+    ev = load(spark, sf, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SQL_EVENTS_WINDOWED = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# -- events_sessionized: 30-min-gap sessions per user ----------------------
+def events_sessionized(spark, sf):
+    """Session = run of events per user with gaps < 30 min. One shuffle
+    on user_id; lag + running-sum window funcs inside the partition."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds (unix_micros / epoch_us) on both
+    # engines — no float rounding at the 30-min boundary
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("session_seq", F.sum(new_session).over(w))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            dsum(F.col("value"), "session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SQL_EVENTS_SESSIONIZED = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       {sql_dsum('value', 'session_value')}
+FROM s
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "events_windowed": events_windowed,
+    "events_sessionized": events_sessionized,
+}
+
+ORACLES = {
+    "q1_pricing_summary": SQL_Q1,
+    "q3_shipping_priority": SQL_Q3,
+    "q5_local_supplier": SQL_Q5,
+    "events_windowed": SQL_EVENTS_WINDOWED,
+    "events_sessionized": SQL_EVENTS_SESSIONIZED,
+}

@@ -1,0 +1,268 @@
+"""Deduplication operators over `documents` (SURVEY §2: dedup_exact /
+dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard).
+
+100 TB architecture (SURVEY §4): everything per-row is pure column
+arithmetic (md5-prefix 60-bit hashes, polynomial minhash rehash) with
+no Python UDFs; candidate generation NEVER does all-pairs — documents
+meet only inside an LSH band bucket, so the single shuffle is on
+(band, signature) and Jaccard runs only on bucketed candidates. The
+same arithmetic is reproduced in DuckDB SQL, which is what makes the
+whole family oracle-checkable (most engines' built-in MinHashLSH is
+not, because its hash seeds are private).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_validator_spark.functions.text import rolling_shingle_hashes
+from data_validator_spark.queries import load
+
+# MinHash parameters: 64 permutations h_i(x) = (a_i*(x mod P) + b_i) mod P,
+# banded 16×4. P = 2^31-1 keeps a_i*(x%P)+b_i < 2^62 (no int64 overflow,
+# same in DuckDB). a/b come from fixed LCG formulas — public constants,
+# reproducible anywhere.
+P = 2_147_483_647
+NUM_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // BANDS
+A = [(1103515245 * i + 12345) % (P - 1) + 1 for i in range(NUM_HASHES)]
+B = [(69069 * i + 1) % P for i in range(NUM_HASHES)]
+
+SHINGLE_K = 3
+
+# DuckDB mirror of functions.text normalized/tokens/shingle-hash chain.
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9_ \\t\\n]', '', 'g'), '[ \\t\\n]+', ' ', 'g'))"
+)
+_SQL_SHINGLE_CTES = f"""
+toks AS (SELECT doc_id, string_split_regex({_SQL_NORM}, '\\s+') AS t FROM documents),
+sh AS (SELECT doc_id,
+      CASE WHEN len(t) >= {SHINGLE_K}
+           THEN list_transform(range(0, len(t) - {SHINGLE_K} + 1),
+                               i -> array_to_string(list_slice(t, i + 1, i + {SHINGLE_K}), ' '))
+           ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks),
+hs AS (SELECT doc_id,
+      list_distinct(list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS h
+      FROM sh)
+"""
+
+
+def _shingle_hashes_df(spark, sf):
+    """(doc_id, h: array<bigint>) — distinct 60-bit shingle hashes."""
+    df = load(spark, sf, "documents")
+    return df.select(
+        "doc_id",
+        F.array_distinct(rolling_shingle_hashes(F.col("text"), SHINGLE_K)).alias("h"),
+    )
+
+
+# -- dedup_exact -----------------------------------------------------------
+def q_dedup_exact(spark, sf):
+    """Exact dedup: group on the normalized-content fingerprint; keeper
+    is the min doc_id. One shuffle on the fingerprint hash."""
+    from data_validator_spark.functions.text import doc_fingerprint
+
+    df = load(spark, sf, "documents")
+    return (
+        df.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .orderBy("fingerprint")
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_SQL_NORM}) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# -- dedup_minhash_lsh -----------------------------------------------------
+def _minhash_df(spark, sf):
+    hs = _shingle_hashes_df(spark, sf)
+    h = F.col("h")
+
+    # NB: the closure must be built by a factory — pyspark introspects
+    # lambda parameters, so a `lambda x, i=i:` default would be treated
+    # as a second lambda variable.
+    def perm(i: int):
+        return lambda x: (F.lit(A[i]) * (x % P) + F.lit(B[i])) % P
+
+    mins = [F.array_min(F.transform(h, perm(i))) for i in range(NUM_HASHES)]
+    return hs.select("doc_id", F.array(*mins).alias("m"))
+
+
+def _band_df(spark, sf):
+    """(doc_id, band, sig) — signature string of each 4-row band."""
+    mh = _minhash_df(spark, sf)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("m")[b * ROWS_PER_BAND + r].cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return mh.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """Candidate near-dup pairs: docs sharing ≥1 identical band.
+    Self-join shuffles on (band, sig) — bucket-local, never all-pairs."""
+    bands = _band_df(spark, sf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_minhash_ctes() -> str:
+    min_exprs = ", ".join(
+        f"list_min(list_transform(h, x -> ({A[i]} * (x % {P}) + {B[i]}) % {P}))"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+{_SQL_SHINGLE_CTES},
+mh AS (SELECT doc_id, [{min_exprs}] AS m FROM hs),
+bands AS (SELECT doc_id, band,
+          array_to_string(list_transform(list_slice(m, band * {ROWS_PER_BAND} + 1,
+                          band * {ROWS_PER_BAND} + {ROWS_PER_BAND}), x -> CAST(x AS VARCHAR)), ',') AS sig
+          FROM mh, (SELECT unnest(range(0, {BANDS})) AS band))
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_sql_minhash_ctes()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+# -- dedup_ngram_jaccard ---------------------------------------------------
+JACCARD_THRESHOLD = 0.5
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """Exact shingle-set Jaccard, computed ONLY on LSH candidate pairs
+    (bucketed candidates → two broadcast-able lookups of the hash
+    arrays at this SF; at 100 TB the joins shuffle on doc_id)."""
+    cand = q_dedup_minhash_lsh(spark, sf)
+    hs = _shingle_hashes_df(spark, sf)
+    a = hs.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    b = hs.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size(F.array_union(F.col("ha"), F.col("hb")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_sql_minhash_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+         / len(list_distinct(list_concat(x.h, y.h))) AS jaccard
+FROM cand JOIN hs x ON cand.doc_a = x.doc_id
+          JOIN hs y ON cand.doc_b = y.doc_id
+WHERE CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+      / len(list_distinct(list_concat(x.h, y.h))) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# -- dedup_simhash ---------------------------------------------------------
+SIMHASH_BITS = 60  # our md5-prefix hashes are 60-bit
+
+
+def q_dedup_simhash(spark, sf):
+    """60-bit SimHash over distinct token hashes: bit i of the sketch is
+    the majority vote of bit i across the document's token hashes.
+    Pure column arithmetic — 60 filter/size reductions per row, all
+    codegen'd, no shuffle."""
+    df = load(spark, sf, "documents")
+    from data_validator_spark.functions.text import normalized_text, tokens
+
+    th = F.array_distinct(
+        F.transform(
+            tokens(normalized_text(F.col("text"))),
+            lambda t: F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    d = df.select("doc_id", th.alias("th"))
+    n = F.size(F.col("th"))
+
+    def bit_set(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    sim = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        cnt_i = F.size(F.filter(F.col("th"), bit_set(i)))
+        sim = sim + F.when(cnt_i * 2 >= n, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return d.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(th, h -> (h >> {i}) & 1 = 1)) >= len(th) "
+        f"THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id,
+    list_distinct(list_transform(string_split_regex({_SQL_NORM}, '\\s+'),
+      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS th
+  FROM documents)
+SELECT doc_id, ({terms}) AS simhash FROM t ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_simhash": _sql_simhash(),
+}

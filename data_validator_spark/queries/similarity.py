@@ -1,0 +1,148 @@
+"""Similarity search over `embeddings` (SURVEY §2: similarity_topk /
+similarity_ann_lsh).
+
+- similarity_topk: brute-force cosine top-k — the correctness
+  baseline. The query set is broadcast; each executor scans its slice
+  of the corpus once; per-query top-k via row_number window (shuffle
+  on query_id only, k rows per query survive).
+- similarity_ann_lsh: the scale path — 8 random-hyperplane bits bucket
+  the corpus (256 buckets); neighbor search then only touches
+  bucket-mates. Hyperplane components are deterministic ±1 from md5,
+  precomputed here in Python and embedded as literals, so DuckDB
+  reproduces the bucketing bit-for-bit.
+
+Dot products fold left-to-right in array order in both engines
+(F.aggregate / list_sum over list_transform), and outputs round to 6
+decimals, so the value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_validator_spark.queries import load
+
+DIM = 64
+N_PLANES = 8
+N_QUERIES = 10
+TOP_K = 5
+
+
+def _plane_weights() -> list[list[float]]:
+    """±1 hyperplane components from md5('plane:dim') parity — public,
+    deterministic, engine-independent."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:15], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+PLANES = _plane_weights()
+
+
+def _vecs(spark, sf):
+    """(vec_id, v: array<double>, norm) — embeddings cast to double with
+    the L2 norm precomputed once."""
+    df = load(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_self = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return df.select("vec_id", v.alias("v"), F.sqrt(dot_self).alias("norm"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def q_similarity_topk(spark, sf):
+    vecs = _vecs(spark, sf)
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    pairs = vecs.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6)
+    scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_SIMILARITY_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qnorm FROM n WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, n.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * v[i]))
+               / (qnorm * nrm), 6) AS cos_sim
+  FROM q, n WHERE n.vec_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+def q_similarity_ann_lsh(spark, sf):
+    """Random-hyperplane LSH bucketing: bucket id = 8 sign bits of the
+    embedding against fixed ±1 planes. Output is every vector's bucket
+    plus the bucket population — the candidate-generation stage of ANN
+    search (neighbors are then scored only within a bucket)."""
+    vecs = _vecs(spark, sf)
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        w = F.array(*[F.lit(x) for x in PLANES[p]])
+        proj = _dot(F.col("v"), w)
+        bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    b = vecs.select("vec_id", bucket.alias("bucket"))
+    return b.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).orderBy("vec_id")
+
+
+def _sql_ann_lsh() -> str:
+    bits = []
+    for p in range(N_PLANES):
+        lits = ", ".join(str(x) for x in PLANES[p])
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(range(1, {DIM + 1}),"
+            f" i -> v[i] * ([{lits}])[i])) >= 0 THEN {2**p} ELSE 0 END"
+        )
+    expr = " + ".join(bits)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+b AS (SELECT vec_id, ({expr}) AS bucket FROM e)
+SELECT vec_id, bucket,
+       count(*) OVER (PARTITION BY bucket) AS bucket_size
+FROM b ORDER BY vec_id
+"""
+
+
+QUERIES = {
+    "similarity_topk": q_similarity_topk,
+    "similarity_ann_lsh": q_similarity_ann_lsh,
+}
+
+ORACLES = {
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "similarity_ann_lsh": _sql_ann_lsh(),
+}

@@ -1,0 +1,158 @@
+"""Text-analysis queries over `documents` (SURVEY §2 LLM-pipeline rows
+token_count / text_quality / lang_id / doc_fingerprint).
+
+All computation is per-row native pyspark.sql.functions — zero
+shuffles, zero Python workers, whole-stage codegen — so throughput
+scales linearly with executors over a 100 TB corpus. The DuckDB
+oracles reproduce each expression exactly (RE2-safe regexes only: no
+lookarounds; every DuckDB regexp_replace carries the 'g' flag).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_validator_spark.functions.text import (
+    LANG_STOPWORDS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    normalized_text,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from data_validator_spark.queries import load
+
+
+# -- token_count -----------------------------------------------------------
+def q_token_count(spark, sf):
+    df = load(spark, sf, "documents")
+    return df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# -- text_quality ----------------------------------------------------------
+def q_text_quality(spark, sf):
+    df = load(spark, sf, "documents")
+    feats = quality_features(F.col("text"))
+    return df.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["space_ratio"].alias("space_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS n_space
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       CAST(n_alpha AS DOUBLE) / nullif(n_chars, 0) AS alpha_ratio,
+       CAST(n_digit AS DOUBLE) / nullif(n_chars, 0) AS digit_ratio,
+       CAST(n_punct AS DOUBLE) / nullif(n_chars, 0) AS punct_ratio,
+       CAST(n_space AS DOUBLE) / nullif(n_chars, 0) AS space_ratio,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_chars - n_space AS DOUBLE) / n_tokens END AS mean_token_len,
+       (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN n_tokens > 0
+               AND CAST(n_chars - n_space AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
+               THEN 1.0 ELSE 0.0 END
+        + COALESCE(CAST(n_alpha AS DOUBLE) / nullif(n_chars, 0), 0.0) * 2.0) / 4.0 AS quality
+FROM f ORDER BY doc_id
+"""
+
+
+# -- lang_id ---------------------------------------------------------------
+def q_lang_id(spark, sf):
+    df = load(spark, sf, "documents")
+    return df.select("doc_id", lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+def _sql_lang_id() -> str:
+    """CASE mirror of functions.text.lang_id: per-language stopword-hit
+    counts, argmax with ties broken by sorted language code."""
+    hits = []
+    for code in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[code])
+        hits.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+            f" t -> t IN ({words}))) AS s_{code}"
+        )
+    best = "GREATEST(" + ", ".join(f"s_{c}" for c in sorted(LANG_STOPWORDS)) + ")"
+    whens = "\n       ".join(
+        f"WHEN s_{c} = best AND best > 0 THEN '{c}'" for c in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {', '.join(hits)} FROM documents),
+b AS (SELECT *, {best} AS best FROM h)
+SELECT doc_id,
+       CASE {whens} ELSE 'und' END AS lang_pred
+FROM b ORDER BY doc_id
+"""
+
+
+# -- doc_fingerprint -------------------------------------------------------
+def q_doc_fingerprint(spark, sf):
+    df = load(spark, sf, "documents")
+    return df.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        F.length(normalized_text(F.col("text"))).alias("n_norm_chars"),
+    ).orderBy("doc_id")
+
+
+# Normalization mirror of functions.text.normalized_text: lower →
+# strip non-word/space (ASCII classes, identical in Java regex & RE2)
+# → collapse whitespace → trim.
+SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9_ \\t\\n]', '', 'g'), '[ \\t\\n]+', ' ', 'g'))"
+)
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       md5({SQL_NORM}) AS fingerprint,
+       length({SQL_NORM}) AS n_norm_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "token_count": SQL_TOKEN_COUNT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": _sql_lang_id(),
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+}

@@ -1,0 +1,309 @@
+"""SURVEY §2 validator rows 1-12 as oracle-checkable queries.
+
+Each query routes through the real check classes (col_test /
+agg_exprs) so CORRECTNESS exercises library code, not parallel
+reimplementations. Reference parity documented per check in
+data_validator_spark/validators/* (NullCheck.scala, RangeCheck.scala,
+ColumnBased.scala, UniqueCheck.scala, ColStats via stats/*.scala).
+
+Scale notes: every aggregate here is a single fused scan (map-side
+partials, no groupBy shuffle) except unique_check (one shuffle on the
+key hash — unavoidable) and the histogram (grouped on a 10-value bin
+key). detailed_errors is filter+project+sort+limit: the filter reaches
+parquet as PushedFilters, TakeOrderedAndProject bounds memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_validator_spark.queries import DEC, dsum, load, sql_dsum
+from data_validator_spark.validators.column_based import ColumnMaxCheck, ColumnSumCheck
+from data_validator_spark.validators.row_based import (
+    NegativeCheck,
+    NullCheck,
+    RangeCheck,
+    StringLengthCheck,
+    StringRegexCheck,
+)
+
+
+def _err_agg(check, df, alias: str):
+    """sum(when(col_test,1,0)) — the exact RowBased aggregate shape."""
+    return F.sum(F.when(check.col_test(df), F.lit(1)).otherwise(F.lit(0))).alias(alias)
+
+
+# -- 1. row_count ----------------------------------------------------------
+def q_row_count(spark, sf):
+    df = load(spark, sf, "lineitem")
+    return df.agg(F.count(F.lit(1)).alias("row_cnt"))
+
+
+SQL_ROW_COUNT = "SELECT count(*) AS row_cnt FROM lineitem"
+
+
+# -- 2. null_check ---------------------------------------------------------
+def q_null_check(spark, sf):
+    df = load(spark, sf, "events")
+    chk = NullCheck("props")
+    return df.agg(_err_agg(chk, df, "null_errors"))
+
+
+SQL_NULL_CHECK = (
+    "SELECT COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) "
+    "AS null_errors FROM events"
+)
+
+
+# -- 3. negative_check -----------------------------------------------------
+def q_negative_check(spark, sf):
+    df = load(spark, sf, "customer")
+    chk = NegativeCheck("c_acctbal")
+    return df.agg(_err_agg(chk, df, "negative_errors"))
+
+
+SQL_NEGATIVE_CHECK = (
+    "SELECT COALESCE(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END), 0) "
+    "AS negative_errors FROM customer"
+)
+
+
+# -- 4. range_check --------------------------------------------------------
+def q_range_check(spark, sf):
+    df = load(spark, sf, "lineitem")
+    # exclusive bounds (reference default): fail when qty <= 1 OR qty >= 50
+    chk = RangeCheck("l_quantity", min_value=1.0, max_value=50.0, inclusive=False)
+    return df.agg(_err_agg(chk, df, "range_errors"))
+
+
+SQL_RANGE_CHECK = (
+    "SELECT COALESCE(SUM(CASE WHEN l_quantity <= 1.0 OR l_quantity >= 50.0 "
+    "THEN 1 ELSE 0 END), 0) AS range_errors FROM lineitem"
+)
+
+
+# -- 5. string_length_check ------------------------------------------------
+def q_string_length_check(spark, sf):
+    df = load(spark, sf, "documents")
+    chk = StringLengthCheck("text", min_length=50, max_length=520)
+    return df.agg(_err_agg(chk, df, "length_errors"))
+
+
+SQL_STRING_LENGTH_CHECK = (
+    "SELECT COALESCE(SUM(CASE WHEN length(text) < 50 OR length(text) > 520 "
+    "THEN 1 ELSE 0 END), 0) AS length_errors FROM documents"
+)
+
+
+# -- 6. string_regex_check -------------------------------------------------
+def q_string_regex_check(spark, sf):
+    df = load(spark, sf, "customer")
+    chk = StringRegexCheck("c_name", regex="^Customer#[0-9]{9}$")
+    return df.agg(_err_agg(chk, df, "regex_errors"))
+
+
+SQL_STRING_REGEX_CHECK = (
+    "SELECT COALESCE(SUM(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') "
+    "AND c_name IS NOT NULL THEN 1 ELSE 0 END), 0) AS regex_errors FROM customer"
+)
+
+
+# -- 7. column_max_check ---------------------------------------------------
+def q_column_max_check(spark, sf):
+    df = load(spark, sf, "lineitem")
+    chk = ColumnMaxCheck("l_quantity", 50.0)
+    (expr,) = chk.agg_exprs(df, "qc0")
+    return df.agg(expr.alias("max_val"))
+
+
+SQL_COLUMN_MAX_CHECK = "SELECT max(l_quantity) AS max_val FROM lineitem"
+
+
+# -- 8. column_sum_check ---------------------------------------------------
+def q_column_sum_check(spark, sf):
+    df = load(spark, sf, "lineitem")
+    ColumnSumCheck("l_extendedprice", min_value=0.0)  # config parity only
+    return df.agg(dsum(F.col("l_extendedprice"), "sum_val"))
+
+
+SQL_COLUMN_SUM_CHECK = f"SELECT {sql_dsum('l_extendedprice', 'sum_val')} FROM lineitem"
+
+
+# -- 9. unique_check -------------------------------------------------------
+def q_unique_check(spark, sf):
+    df = load(spark, sf, "lineitem")
+    # UniqueCheck.scala: groupBy(keys).count.where(count>1).count
+    dups = (
+        df.groupBy("l_orderkey", "l_linenumber")
+        .count()
+        .where(F.col("count") > 1)
+    )
+    return dups.agg(F.count(F.lit(1)).alias("duplicate_keys"))
+
+
+SQL_UNIQUE_CHECK = (
+    "SELECT count(*) AS duplicate_keys FROM ("
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)"
+)
+
+
+# -- 10. col_stats ---------------------------------------------------------
+def q_col_stats(spark, sf):
+    """count/mean/min/max/stdDev of l_extendedprice.
+
+    mean/stddev derive from exact decimal sums so the result is
+    independent of aggregation order; stddev uses the sample formula
+    (n-1) like the reference's FirstPassStats.
+    """
+    df = load(spark, sf, "lineitem")
+    c = F.col("l_extendedprice")
+    agg = df.agg(
+        F.count(c).alias("cnt"),
+        F.sum(c.cast(DEC)).alias("s"),
+        F.sum((c * c).cast(DEC)).alias("s2"),
+        F.min(c).alias("min_val"),
+        F.max(c).alias("max_val"),
+    )
+    n = F.col("cnt").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    return agg.select(
+        F.col("cnt"),
+        F.round(s / n, 4).alias("mean_val"),
+        F.col("min_val"),
+        F.col("max_val"),
+        F.round(F.sqrt((s2 - s * s / n) / (n - F.lit(1.0))), 4).alias("stddev_val"),
+    )
+
+
+SQL_COL_STATS = """
+WITH a AS (
+  SELECT count(l_extendedprice) AS cnt,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS s,
+         SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS s2,
+         min(l_extendedprice) AS min_val,
+         max(l_extendedprice) AS max_val
+  FROM lineitem)
+SELECT cnt,
+       ROUND(CAST(s AS DOUBLE) / cnt, 4) AS mean_val,
+       min_val, max_val,
+       ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt)
+             / (cnt - 1.0)), 4) AS stddev_val
+FROM a
+"""
+
+
+# -- 10b. col_stats histogram (10 equi-width bins) -------------------------
+def q_col_stats_histogram(spark, sf):
+    """Second-pass equi-width histogram (stats/SecondPassStats parity):
+    bin = clamp(floor((x-min)/width), 0, 9) over pass-1 min/max."""
+    df = load(spark, sf, "lineitem")
+    c = F.col("l_extendedprice")
+    mm = df.agg(F.min(c).alias("mn"), F.max(c).alias("mx"))
+    j = df.crossJoin(F.broadcast(mm))
+    width = (F.col("mx") - F.col("mn")) / F.lit(10.0)
+    bin_ = F.least(
+        F.floor((c - F.col("mn")) / width), F.lit(9)
+    ).cast("bigint")
+    return (
+        j.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
+SQL_COL_STATS_HISTOGRAM = """
+WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+SELECT CAST(LEAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 10.0)), 9) AS BIGINT) AS bin,
+       count(*) AS bin_count
+FROM lineitem, mm
+GROUP BY 1
+"""
+
+
+# -- 11. combined_single_pass ---------------------------------------------
+def q_combined_single_pass(spark, sf):
+    """ValidatorTable.quickChecks parity: N checks → ONE agg over one
+    scan. All expressions fuse into a single whole-stage-codegen'd
+    partial-aggregate; verify with .explain(): one HashAggregate pair,
+    no shuffle beyond the final 1-row exchange."""
+    df = load(spark, sf, "lineitem")
+    null_chk = NullCheck("l_returnflag")
+    range_chk = RangeCheck("l_discount", min_value=0.0, max_value=0.1, inclusive=True)
+    regex_chk = StringRegexCheck("l_linestatus", regex="^[OF]$")
+    return df.agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        _err_agg(null_chk, df, "null_errors"),
+        _err_agg(range_chk, df, "range_errors"),
+        _err_agg(regex_chk, df, "regex_errors"),
+        F.max(F.col("l_quantity")).alias("max_qty"),
+        dsum(F.col("l_extendedprice"), "sum_price"),
+    )
+
+
+SQL_COMBINED_SINGLE_PASS = f"""
+SELECT count(*) AS row_cnt,
+       COALESCE(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), 0) AS null_errors,
+       COALESCE(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) AS range_errors,
+       COALESCE(SUM(CASE WHEN NOT regexp_matches(l_linestatus, '^[OF]$') AND l_linestatus IS NOT NULL THEN 1 ELSE 0 END), 0) AS regex_errors,
+       max(l_quantity) AS max_qty,
+       {sql_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem
+"""
+
+
+# -- 12. detailed_errors ---------------------------------------------------
+def q_detailed_errors(spark, sf):
+    """quickErrorDetails parity: failing rows projected onto key columns
+    + offending column. Deterministic variant for the oracle: ordered by
+    key, first 20 (the runner's own pass uses unordered take, reference
+    ValidatorTable.scala:154)."""
+    df = load(spark, sf, "lineitem")
+    chk = RangeCheck("l_quantity", min_value=2.0, max_value=49.0, inclusive=True)
+    return (
+        df.where(chk.col_test(df))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+SQL_DETAILED_ERRORS = (
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_quantity < 2.0 OR l_quantity > 49.0 "
+    "ORDER BY l_orderkey, l_linenumber LIMIT 20"
+)
+
+
+QUERIES = {
+    "row_count": q_row_count,
+    "null_check": q_null_check,
+    "negative_check": q_negative_check,
+    "range_check": q_range_check,
+    "string_length_check": q_string_length_check,
+    "string_regex_check": q_string_regex_check,
+    "column_max_check": q_column_max_check,
+    "column_sum_check": q_column_sum_check,
+    "unique_check": q_unique_check,
+    "col_stats": q_col_stats,
+    "col_stats_histogram": q_col_stats_histogram,
+    "combined_single_pass": q_combined_single_pass,
+    "detailed_errors": q_detailed_errors,
+}
+
+ORACLES = {
+    "row_count": SQL_ROW_COUNT,
+    "null_check": SQL_NULL_CHECK,
+    "negative_check": SQL_NEGATIVE_CHECK,
+    "range_check": SQL_RANGE_CHECK,
+    "string_length_check": SQL_STRING_LENGTH_CHECK,
+    "string_regex_check": SQL_STRING_REGEX_CHECK,
+    "column_max_check": SQL_COLUMN_MAX_CHECK,
+    "column_sum_check": SQL_COLUMN_SUM_CHECK,
+    "unique_check": SQL_UNIQUE_CHECK,
+    "col_stats": SQL_COL_STATS,
+    "col_stats_histogram": SQL_COL_STATS_HISTOGRAM,
+    "combined_single_pass": SQL_COMBINED_SINGLE_PASS,
+    "detailed_errors": SQL_DETAILED_ERRORS,
+}
