@@ -55,6 +55,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the source has
+    fewer input splits than cores.
+
+    Small single-file tables otherwise run CPU-heavy per-row stages
+    (md5 shingles, minhash, lambda reductions) on ONE task. At real
+    scale the scan has thousands of splits and this is a no-op; the
+    round-robin shuffle only triggers when splits < cores, and costs
+    far less than the serial compute it unblocks.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dsum(col, alias: str):
     """Exact (order-independent) sum of a double expression."""
     return F.sum(col.cast(DEC)).cast("double").alias(alias)

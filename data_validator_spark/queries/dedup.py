@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_validator_spark.functions.text import rolling_shingle_hashes
-from data_validator_spark.queries import load
+from data_validator_spark.queries import load, spread
 
 # MinHash parameters: 64 permutations h_i(x) = (a_i*(x mod P) + b_i) mod P,
 # banded 16×4. P = 2^31-1 keeps a_i*(x%P)+b_i < 2^62 (no int64 overflow,
@@ -52,7 +52,7 @@ hs AS (SELECT doc_id,
 
 def _shingle_hashes_df(spark, sf):
     """(doc_id, h: array<bigint>) — distinct 60-bit shingle hashes."""
-    df = load(spark, sf, "documents")
+    df = spread(load(spark, sf, "documents"))
     return df.select(
         "doc_id",
         F.array_distinct(rolling_shingle_hashes(F.col("text"), SHINGLE_K)).alias("h"),
@@ -65,7 +65,7 @@ def q_dedup_exact(spark, sf):
     is the min doc_id. One shuffle on the fingerprint hash."""
     from data_validator_spark.functions.text import doc_fingerprint
 
-    df = load(spark, sf, "documents")
+    df = spread(load(spark, sf, "documents"))
     return (
         df.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -216,7 +216,7 @@ def q_dedup_simhash(spark, sf):
     the majority vote of bit i across the document's token hashes.
     Pure column arithmetic — 60 filter/size reductions per row, all
     codegen'd, no shuffle."""
-    df = load(spark, sf, "documents")
+    df = spread(load(spark, sf, "documents"))
     from data_validator_spark.functions.text import normalized_text, tokens
 
     th = F.array_distinct(

@@ -17,7 +17,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import load
+from data_validator_spark.queries import load, spread
 
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes int, fake_width int, fake_height int"
@@ -50,7 +50,7 @@ def media_table(spark, sf):
     """documents re-shaped as a multimodal table: (doc_id, media_type,
     payload: binary, meta: struct). Payload is the utf-8 text bytes —
     a stand-in for image/audio bytes with identical plumbing."""
-    df = load(spark, sf, "documents")
+    df = spread(load(spark, sf, "documents"))
     return df.select(
         "doc_id",
         F.lit("text/fake-image").alias("media_type"),

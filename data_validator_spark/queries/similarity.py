@@ -23,7 +23,7 @@ import hashlib
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import load
+from data_validator_spark.queries import load, spread
 
 DIM = 64
 N_PLANES = 8
@@ -50,7 +50,7 @@ PLANES = _plane_weights()
 def _vecs(spark, sf):
     """(vec_id, v: array<double>, norm) — embeddings cast to double with
     the L2 norm precomputed once."""
-    df = load(spark, sf, "embeddings")
+    df = spread(load(spark, sf, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot_self = F.aggregate(
         F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x

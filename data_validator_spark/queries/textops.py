@@ -22,12 +22,12 @@ from data_validator_spark.functions.text import (
     quality_score,
     token_count,
 )
-from data_validator_spark.queries import load
+from data_validator_spark.queries import load, spread
 
 
 # -- token_count -----------------------------------------------------------
 def q_token_count(spark, sf):
-    df = load(spark, sf, "documents")
+    df = spread(load(spark, sf, "documents"))
     return df.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -46,7 +46,7 @@ FROM documents ORDER BY doc_id
 
 # -- text_quality ----------------------------------------------------------
 def q_text_quality(spark, sf):
-    df = load(spark, sf, "documents")
+    df = spread(load(spark, sf, "documents"))
     feats = quality_features(F.col("text"))
     return df.select(
         "doc_id",
@@ -90,7 +90,7 @@ FROM f ORDER BY doc_id
 
 # -- lang_id ---------------------------------------------------------------
 def q_lang_id(spark, sf):
-    df = load(spark, sf, "documents")
+    df = spread(load(spark, sf, "documents"))
     return df.select("doc_id", lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
 
 
@@ -119,7 +119,7 @@ FROM b ORDER BY doc_id
 
 # -- doc_fingerprint -------------------------------------------------------
 def q_doc_fingerprint(spark, sf):
-    df = load(spark, sf, "documents")
+    df = spread(load(spark, sf, "documents"))
     return df.select(
         "doc_id",
         doc_fingerprint(F.col("text")).alias("fingerprint"),
