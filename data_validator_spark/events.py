@@ -118,11 +118,13 @@ class QuickCheckError(ValidatorEvent):
         self.message = message
 
     def to_dict(self) -> dict[str, Any]:
+        # Raw typed values (reference ValidatorQuickCheckError emits the
+        # value as-is in JSON); json.dump(default=str) handles dates etc.
         return {
             "type": "QuickCheckError",
             "failed": True,
-            "key": {k: repr(v) for k, v in self.key.items()},
-            "value": repr(self.value),
+            "key": dict(self.key),
+            "value": self.value,
             "message": self.message,
         }
 

@@ -140,31 +140,41 @@ class ValidatorTableRunner:
 
     # -- phase 4: detailed errors --------------------------------------------
     def _quick_error_details(self, df: DataFrame) -> None:
-        """Sample numErrorsToReport failing rows per failed row-based check.
+        """ONE filtered pass for all failed row-based checks.
 
-        One job per failed check, but each is filter+project+limit —
-        pushdown applies and CollectLimit stops the scan early.
+        Parity: ValidatorTable.quickErrorDetails
+        (ValidatorTable.scala:154-178) — select keyColumns + every
+        failed check's column, filter on the OR of the failed col-tests,
+        single take(numErrorsToReport), then report each sampled row
+        under each failed check. At 100 TB this is one early-out scan
+        instead of one scan per failed check.
         """
         key_cols = self.key_select(df)
-        for chk in self.checks:
-            if not (chk.failed and isinstance(chk, RowBasedCheck)):
-                continue
-            if chk.column not in df.columns:
-                continue
-            sel = [c for c in key_cols if c != chk.column] + [chk.column]
-            rows = (
-                df.where(chk.col_test(df))
-                .select(*sel)
-                .limit(self.num_errors_to_report)
-                .collect()
-            )
-            for r in rows:
-                d = r.asDict()
-                val = d.pop(chk.column, None)
+        failed_checks = [
+            c
+            for c in self.checks
+            if c.failed and isinstance(c, RowBasedCheck) and c.column in df.columns
+        ]
+        if not failed_checks:
+            return
+
+        cond = failed_checks[0].col_test(df)
+        for chk in failed_checks[1:]:
+            cond = cond | chk.col_test(df)
+        sel = key_cols + [c.column for c in failed_checks]
+
+        timer = ValidatorTimer(f"quickErrorDetails for {self.source.label}")
+        with timer:
+            rows = df.select(*sel).where(cond).take(self.num_errors_to_report)
+        self.add_event(timer)
+
+        nk = len(key_cols)
+        for r in rows:
+            key = {k: r[i] for i, k in enumerate(key_cols)}
+            for i, chk in enumerate(failed_checks):
+                val = r[nk + i]
                 chk.add_event(
-                    QuickCheckError(
-                        d, val, f"{chk.check_type} failed! {chk.column} = {val}"
-                    )
+                    QuickCheckError(key, val, f"{chk.check_type} failed! {chk.column} = {val}")
                 )
 
     # -- phase 5: costly checks ----------------------------------------------
@@ -200,15 +210,26 @@ class ValidatorTableRunner:
 def run_config(spark: SparkSession, config: "ValidatorConfig") -> dict[str, Any]:
     """Run every table in a parsed config; returns the report dict.
 
-    Parity: reference Main.runChecks + ValidatorConfig.quickChecks/
-    costlyChecks ordering, and the report envelope of Reports.scala.
+    Parity: reference Main.scala phase ordering — configCheck for ALL
+    tables first, and a failure in ANY table is fatal (skips the data
+    phases entirely, still emitting the report); then quickChecks for
+    all tables before any costlyChecks.
     """
     from data_validator_spark import report as report_mod
 
     runners = config.build_runners()
-    failed = False
+    config_failed = False
     for r in runners:
-        failed = r.run(spark) or failed
+        config_failed = r.config_check(spark) or config_failed
+
+    failed = config_failed
+    if not config_failed:
+        for r in runners:
+            r.failed = r.quick_checks(spark) or r.failed
+            failed = r.failed or failed
+        for r in runners:
+            r.failed = r.costly_checks(spark) or r.failed
+            failed = r.failed or failed
     return report_mod.build_report(config, runners, failed)
 
 

@@ -85,18 +85,29 @@ class ColumnMaxCheck(CheapCheck):
         return [F.max(F.col(self.column)).alias(self._alias)]
 
     def evaluate(self, row: dict[str, Any], count: int) -> bool:
+        import decimal
+
         actual = row[self._alias]
         if isinstance(self.value, str):
             failed = actual != self.value
             data = {"expected": self.value, "actual": str(actual)}
             msg = f"ColumnMaxCheck {self.column}[StringType]: Expected: {self.value} Actual: {actual}"
-        else:
+        elif isinstance(self.value, (int, float)) and (
+            actual is None or isinstance(actual, (int, float, decimal.Decimal))
+        ):
             failed = actual is None or float(actual) != float(self.value)
             err = pct_error(float(self.value), float(actual)) if failed and actual is not None else "0.00%"
             data = {"expected": str(self.value), "actual": str(actual), "relative_error": err}
             msg = f"ColumnMaxCheck {self.column}: Expected: {self.value} Actual: {actual} Relative Error: {err}"
-        if failed:
-            self.add_event(ColumnBasedCheckEvent(failed, data, msg))
+        else:
+            # date/timestamp/boolean/etc: the reference's resultForOther
+            # fails gracefully instead of raising (ColumnBased.scala).
+            failed = True
+            data = {"expected": str(self.value), "actual": str(actual)}
+            msg = f"ColumnMaxCheck is not supported for data type {type(actual).__name__}"
+        # Always record the observed max — a passing check still reports
+        # the actual value (reference records it either way).
+        self.add_event(ColumnBasedCheckEvent(failed, data, msg))
         self.failed = self.failed or failed
         return self.failed
 
@@ -159,7 +170,15 @@ class ColumnSumCheck(CheapCheck):
         return [F.sum(F.col(self.column)).alias(self._alias)]
 
     def evaluate(self, row: dict[str, Any], count: int) -> bool:
-        actual = float(row[self._alias] or 0.0)
+        raw = row[self._alias]
+        if raw is None:
+            # empty table or all-null column: surface as an error rather
+            # than silently judging the bounds against 0.0.
+            self.add_event(
+                ValidatorError(f"columnSumCheck on {self.column}: no data to sum (sum is NULL)")
+            )
+            return self.failed
+        actual = float(raw)
         lo = float(self.min_value) if self.min_value is not None else float("-inf")
         hi = float(self.max_value) if self.max_value is not None else float("inf")
         if self.inclusive:

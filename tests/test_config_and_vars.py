@@ -1,0 +1,135 @@
+"""YAML config parsing + variable substitution. Mirrors reference
+ConfigParserSpec + VarSubstitutionSpec + EnvironmentVariablesSpec."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_validator_spark.config import parse_config
+from data_validator_spark.substitution import (
+    VarSubstitution,
+    VarSubstitutionError,
+    build_dict,
+)
+from data_validator_spark.validators.row_based import NullCheck, RangeCheck
+from data_validator_spark.validators.unique import UniqueCheck
+
+YAML = """
+numKeyCols: 3
+numErrorsToReport: 7
+detailedErrors: false
+vars:
+  - name: base
+    value: /data
+  - name: qty
+    value: 42
+tables:
+  - parquetFile: $base/lineitem.parquet
+    keyColumns: [l_orderkey, l_linenumber]
+    condition: "l_quantity < ${qty}"
+    checks:
+      - type: nullCheck
+        column: l_comment
+      - type: rangeCheck
+        column: l_quantity
+        minValue: 0
+        maxValue: $qty
+      - type: uniqueCheck
+        columns: [l_orderkey, l_linenumber]
+outputs:
+  - filename: /tmp/report.json
+    append: true
+  - pipe: /bin/cat
+email:
+  smtpHost: smtp.example.com
+  subject: "validator: $base"
+  from: a@example.com
+  to: [b@example.com]
+"""
+
+
+def test_parse_globals():
+    cfg = parse_config(YAML)
+    assert cfg.num_key_cols == 3
+    assert cfg.num_errors_to_report == 7
+    assert cfg.detailed_errors is False
+
+
+def test_parse_tables_with_substitution():
+    cfg = parse_config(YAML)
+    src, checks = cfg.tables[0].build()
+    assert src.path == "/data/lineitem.parquet"
+    assert src.key_columns == ["l_orderkey", "l_linenumber"]
+    assert src.condition == "l_quantity < 42"
+    assert isinstance(checks[0], NullCheck)
+    assert isinstance(checks[1], RangeCheck)
+    # single-var string keeps the variable's type (int)
+    assert checks[1].max_value == 42
+    assert isinstance(checks[2], UniqueCheck)
+
+
+def test_parse_outputs_and_email():
+    cfg = parse_config(YAML)
+    assert cfg.outputs[0].filename == "/tmp/report.json"
+    assert cfg.outputs[0].append is True
+    assert cfg.outputs[1].pipe == "/bin/cat"
+    assert cfg.email.subject == "validator: /data"
+
+
+def test_cli_vars_override_config_vars():
+    cfg = parse_config(YAML, cli_vars={"base": "/other"})
+    src, _ = cfg.tables[0].build()
+    assert src.path == "/other/lineitem.parquet"
+
+
+# -- VarSubstitution -------------------------------------------------------
+def test_simple_and_braced_substitution():
+    d = VarSubstitution()
+    d.add("name", "world")
+    assert d.replace_string("hello $name!") == "hello world!"
+    assert d.replace_string("hello ${name}!") == "hello world!"
+
+
+def test_undefined_variable_raises():
+    d = VarSubstitution()
+    with pytest.raises(VarSubstitutionError):
+        d.replace_string("$nope")
+
+
+def test_invalid_variable_name_raises():
+    d = VarSubstitution()
+    with pytest.raises(VarSubstitutionError):
+        d.add("9bad", 1)
+
+
+def test_env_variable(monkeypatch):
+    monkeypatch.setenv("DV_TEST_ENV", "abc")
+    d = build_dict([{"name": "x", "env": "DV_TEST_ENV"}])
+    assert d.vars["x"] == "abc"
+
+
+def test_env_variable_missing_raises():
+    with pytest.raises(VarSubstitutionError):
+        build_dict([{"name": "x", "env": "DV_NO_SUCH_ENV_VAR"}])
+
+
+def test_shell_variable_first_line():
+    d = build_dict([{"name": "x", "shell": "printf 'one\\ntwo'"}])
+    assert d.vars["x"] == "one"
+
+
+def test_sql_variable(spark):
+    d = build_dict([{"name": "x", "sql": "SELECT 41 + 1"}], spark)
+    assert d.vars["x"] == 42
+
+
+def test_later_vars_reference_earlier():
+    d = build_dict([{"name": "a", "value": "foo"}, {"name": "b", "value": "$a/bar"}])
+    assert d.vars["b"] == "foo/bar"
+
+
+def test_deep_substitution_in_nested_structures():
+    d = VarSubstitution()
+    d.add("v", 7)
+    out = d.replace({"a": ["$v", {"b": "x$v"}], "c": 1})
+    assert out == {"a": [7, {"b": "x7"}], "c": 1}
