@@ -39,6 +39,8 @@ HEADLINE = [
     "similarity_topk",
     "similarity_ann_lsh",
     "multimodal_meta",
+    "streaming_windowed",
+    "streaming_validation",
 ]
 
 

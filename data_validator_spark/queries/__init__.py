@@ -86,13 +86,22 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         dedup,
         multimodal,
         similarity,
+        streaming_queries,
         textops,
         validator_queries,
     )
 
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
-    for mod in (validator_queries, analytics, textops, dedup, similarity, multimodal):
+    for mod in (
+        validator_queries,
+        analytics,
+        textops,
+        dedup,
+        similarity,
+        multimodal,
+        streaming_queries,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -1,0 +1,119 @@
+"""Streaming registry entries (SURVEY §2 streaming rows).
+
+``streaming_windowed`` executes the events hourly-window aggregation
+as an ACTUAL Structured Streaming query (file source → watermarked
+window agg → memory sink) and returns the final result — which
+hash-matches the same DuckDB oracle as the batch ``events_windowed``,
+proving the streaming path computes identical answers.
+
+``streaming_validation`` streams lineitem through the fused validator
+scan per micro-batch (StreamingValidator/foreachBatch) and returns the
+per-batch reports (rows-only: the driver checks shape, pytest checks
+semantics).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from data_validator_spark.queries import dsum, load, sql_dsum
+
+
+def _stream_reader(spark, sf, name):
+    """readStream twin of queries.load (schema from a batch read; events
+    ns-timestamps truncated to µs exactly like the batch loader).
+
+    The file source requires a DIRECTORY; the synthetic tables are
+    single files, so link each into a scratch dir (zero-copy)."""
+    import os
+
+    load(spark, sf, name)  # sets UTC + nanosAsLong session confs
+    src = os.path.abspath(f"{sf}/{name}.parquet")
+    # raw on-disk schema (pre ns→µs conversion: events.ts is int64)
+    raw_schema = spark.read.parquet(src).schema
+    d = tempfile.mkdtemp(prefix=f"dv_stream_{name}_")
+    os.symlink(src, os.path.join(d, f"{name}.parquet"))
+    df = spark.readStream.schema(raw_schema).format("parquet").load(d)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def _run_to_memory(stream_df, agg_builder):
+    """Run a bounded stream to completion into a memory sink; return
+    the final table."""
+    name = f"dv_stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
+    q = (
+        agg_builder(stream_df)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def q_streaming_windowed(spark, sf):
+    ev = _stream_reader(spark, sf, "events")
+
+    def agg(df):
+        win = F.window(F.col("ts"), "1 hour")
+        return (
+            df.withWatermark("ts", "2 hours")
+            .groupBy(win.alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "sum_value"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    return _run_to_memory(ev, agg).orderBy("window_start", "event_type")
+
+
+SQL_STREAMING_WINDOWED = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_streaming_validation(spark, sf):
+    from data_validator_spark.streaming import StreamingValidator
+    from data_validator_spark.validators.row_based import NegativeCheck, NullCheck
+
+    sv = StreamingValidator(
+        lambda: [NullCheck("l_returnflag"), NegativeCheck("l_quantity")]
+    )
+    stream = _stream_reader(spark, sf, "lineitem")
+    ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
+    q = sv.start(stream, checkpointLocation=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(b["batchId"], b["rowCount"], b["failed"]) for b in sv.batches]
+    return spark.createDataFrame(rows, "batch_id bigint, row_count bigint, failed boolean")
+
+
+QUERIES = {
+    "streaming_windowed": q_streaming_windowed,
+    "streaming_validation": q_streaming_validation,
+}
+
+ORACLES = {"streaming_windowed": SQL_STREAMING_WINDOWED}

