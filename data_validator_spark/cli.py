@@ -58,7 +58,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     try:
         config = load_config(args.config, spark, parse_vars(args.vars))
         for out in config.outputs:
-            report_mod.check_output_target(out)
+            report_mod.check_output_target(out, spark)
 
         report = run_config(spark, config)
         failed = report["failed"]
@@ -70,7 +70,7 @@ def main(argv: Optional[list[str]] = None) -> int:
             with open(args.htmlReport, "w") as f:
                 f.write(report_mod.report_html(report))
         for out in config.outputs:
-            report_mod.write_output(out, report)
+            report_mod.write_output(out, report, spark)
 
         if config.email and (failed or args.emailOnPass):
             msg = report_mod.render_email(config, report)

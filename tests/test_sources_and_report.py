@@ -102,7 +102,11 @@ def test_json_report_roundtrip(report):
 
 def test_html_report_contains_status_and_table(report):
     h = report_html(report)
-    assert "<html>" in h and "FAILED" in h and "nullCheck" in h
+    assert "<html>" in h and "nullCheck" in h
+    # HTMLBits-parity colored status spans + structured check table
+    assert 'background-color:tomato">FAIL</span>' in h
+    assert "<table>" in h and "<th>check</th>" in h
+    assert "Failed events" in h
 
 
 def test_write_output_file_and_append(report, tmp_path):
@@ -119,6 +123,28 @@ def test_write_output_pipe(report, tmp_path):
     with pytest.raises(IOError):
         write_output(OutputSpec(pipe="false"), report)
     write_output(OutputSpec(pipe="false", ignore_error=True), report)
+
+
+def test_write_output_local_prefix_strips_scheme(report, tmp_path):
+    # local:///path forces the local FS (reference IO.scala semantics)
+    f = str(tmp_path / "local_out.json")
+    write_output(OutputSpec(filename=f"local://{f}"), report)
+    assert json.load(open(f))["name"] == "data_validator_spark"
+
+
+def test_write_output_hadoop_scheme(spark, report, tmp_path):
+    # file:// exercises the same Hadoop FileSystem path hdfs:// takes
+    f = str(tmp_path / "hdfs_style.json")
+    write_output(OutputSpec(filename=f"file://{f}"), report, spark)
+    assert json.load(open(f))["name"] == "data_validator_spark"
+    # append on a local FS falls back to read+rewrite
+    write_output(OutputSpec(filename=f"file://{f}", append=True), report, spark)
+    assert open(f).read().count('"name": "data_validator_spark"') == 2
+
+
+def test_write_output_hadoop_scheme_requires_spark(report):
+    with pytest.raises(IOError):
+        write_output(OutputSpec(filename="hdfs://nn/out.json"), report, None)
 
 
 def test_check_output_target_rejects_unwritable():
