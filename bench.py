@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "dedup_embedding_cosine",
     "multimodal_meta",
     "streaming_windowed",
     "streaming_validation",

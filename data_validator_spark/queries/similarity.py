@@ -137,12 +137,163 @@ FROM b ORDER BY vec_id
 """
 
 
+# -- dedup_embedding_cosine ------------------------------------------------
+# Near-dup by embedding cosine, LSH-bucket-limited: candidate pairs are
+# generated ONLY within a coarse random-hyperplane bucket (4 planes →
+# 16 buckets here; recall tunes with plane count / multi-probe), then
+# exact cosine filters them. The all-pairs shuffle never happens — at
+# 100 TB the single shuffle is on the bucket id.
+N_PLANES_DEDUP = 4
+COSINE_DEDUP_THRESHOLD = 0.40  # synthetic corpus has no planted dups; 0.40 exercises the path
+
+
+def _bucket_expr(n_planes: int):
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        w = F.array(*[F.lit(x) for x in PLANES[p]])
+        proj = _dot(F.col("v"), w)
+        bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def q_dedup_embedding_cosine(spark, sf):
+    vecs = _vecs(spark, sf)
+    b = vecs.select("vec_id", "v", "norm", _bucket_expr(N_PLANES_DEDUP).alias("bucket"))
+    a = b.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    c = b.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(c, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= COSINE_DEDUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _sql_dedup_embedding_cosine() -> str:
+    bits = []
+    for p in range(N_PLANES_DEDUP):
+        lits = ", ".join(str(x) for x in PLANES[p])
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(range(1, {DIM + 1}),"
+            f" i -> v[i] * ([{lits}])[i])) >= 0 THEN {2**p} ELSE 0 END"
+        )
+    expr = " + ".join(bits)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             ({expr}) AS bucket FROM e),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_sum(list_transform(range(1, {DIM + 1}), i -> a.v[i] * b.v[i]))
+               / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM p
+WHERE cos_sim >= {COSINE_DEDUP_THRESHOLD} ORDER BY vec_a, vec_b
+"""
+
+
+# -- similarity_ann_ivf ----------------------------------------------------
+# IVF (inverted-file) ANN: NLIST deterministic coarse centroids (the
+# first NLIST vectors), every vector assigned to its max-cosine list
+# (broadcast the tiny centroid set — no shuffle of the corpus), queries
+# probe ONLY their own list (nprobe=1). The structure that scales: at
+# 100 TB the corpus is hash-partitioned by list id and each probe
+# touches 1/NLIST of the data.
+NLIST = 16
+
+
+def _assigned(spark, sf):
+    vecs = _vecs(spark, sf)
+    cents = vecs.where(F.col("vec_id") < NLIST).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id", "v", "norm", "cent_id", F.round(cos, 9).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "v", "norm", F.col("cent_id").alias("list_id"))
+    )
+
+
+def q_similarity_ann_ivf(spark, sf):
+    assigned = _assigned(spark, sf)
+    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("list_id").alias("qlist"),
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        (F.col("list_id") == F.col("qlist")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6)
+    scored = cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_SIMILARITY_ANN_IVF = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnorm FROM n WHERE vec_id < {NLIST}),
+scored AS (
+  SELECT n.vec_id, n.v, n.nrm, cent_id,
+         ROUND(list_sum(list_transform(range(1, {DIM + 1}), i -> n.v[i] * cv[i]))
+               / (n.nrm * cnorm), 9) AS ccos
+  FROM n, cents),
+assigned AS (
+  SELECT vec_id, v, nrm, cent_id AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+    FROM scored) WHERE r = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnorm, list_id AS qlist
+      FROM assigned WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(1, {DIM + 1}), i -> qv[i] * a.v[i]))
+               / (qnorm * a.nrm), 6) AS cos_sim
+  FROM q JOIN assigned a ON a.list_id = q.qlist AND a.vec_id != q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM pairs)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_ann_lsh": q_similarity_ann_lsh,
+    "similarity_ann_ivf": q_similarity_ann_ivf,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
 ORACLES = {
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "similarity_ann_lsh": _sql_ann_lsh(),
+    "similarity_ann_ivf": SQL_SIMILARITY_ANN_IVF,
+    "dedup_embedding_cosine": _sql_dedup_embedding_cosine(),
 }
