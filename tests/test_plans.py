@@ -1,0 +1,58 @@
+"""Physical-plan assertions: the properties that matter at 100 TB
+(predicate pushdown, broadcast joins, single-scan fusion) must appear
+in the executed plan, not just in design notes."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_validator_spark.queries import build_registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    q, _ = build_registry()
+    return q
+
+
+def plan_of(spark, registry, name):
+    return registry[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_shipdate_filter_into_scan(spark, registry):
+    plan = plan_of(spark, registry, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q3_broadcasts_customer_and_pushes_segment_filter(spark, registry):
+    plan = plan_of(spark, registry, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_broadcasts_dims_and_pushes_region_filter(spark, registry):
+    plan = plan_of(spark, registry, "q5_local_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_combined_single_pass_is_one_scan_one_exchange(spark, registry):
+    plan = plan_of(spark, registry, "combined_single_pass")
+    assert plan.count("FileScan") == 1
+    # partial agg -> singlePartition exchange -> final agg, nothing else
+    assert plan.count("Exchange") == 1
+
+
+def test_dedup_minhash_never_builds_all_pairs(spark, registry):
+    # the self-join must key on (band, sig) — a hash join with join
+    # keys, never a cartesian/broadcast-nested-loop product
+    plan = plan_of(spark, registry, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_ivf_broadcasts_centroids(spark, registry):
+    plan = plan_of(spark, registry, "similarity_ann_ivf")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
