@@ -110,38 +110,49 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 # -- dedup_minhash_lsh -----------------------------------------------------
-@F.pandas_udf("array<bigint>")
-def _minhash64_kernel(h: pd.Series) -> pd.Series:
+_minhash64_kernel = None
+
+
+def _get_minhash_kernel():
     """64 minhash permutations per document, Arrow-vectorized.
 
     Exact int64 arithmetic identical to the native expression
     ``array_min(transform(h, x -> (a*(x%P)+b)%P))`` and to the DuckDB
     oracle: a*(x%P)+b < 2^62, no overflow. Measured at sf0.1 against
-    the alternatives (per-doc Python loop over a ~50-element ndarray,
-    64 perms broadcast in one (64,n) matrix op): 0.6s vs 2.4s for the
-    best all-native formulation (wide array_min over a bound array) and
-    13s for explode + 64-column min-aggregate, whose generated
-    HashAggregate update is too wide for JIT. The rare justified
-    Pandas-UDF hot path.
-    """
-    import numpy as np
-    import pandas as pd
+    the alternatives (64 perms broadcast in one (64,n) matrix op per
+    doc): 0.6s vs 2.4s for the best all-native formulation (wide
+    array_min over a bound array) and 13s for explode + 64-column
+    min-aggregate, whose generated HashAggregate update is too wide
+    for JIT. The rare justified Pandas-UDF hot path.
 
-    a = np.array(A, dtype=np.int64).reshape(-1, 1)
-    b = np.array(B, dtype=np.int64).reshape(-1, 1)
-    out = []
-    for arr in h:
-        x = np.asarray(arr, dtype=np.int64)
-        if x.size == 0:
-            out.append(None)
-            continue
-        out.append(((a * (x % P) + b) % P).min(axis=1))
-    return pd.Series(out)
+    Built lazily: pandas_udf registration needs an active
+    SparkContext, and the module must stay importable without one.
+    """
+    global _minhash64_kernel
+    if _minhash64_kernel is None:
+
+        @F.pandas_udf("array<bigint>")
+        def kernel(h: pd.Series) -> pd.Series:
+            import numpy as np
+
+            a = np.array(A, dtype=np.int64).reshape(-1, 1)
+            b = np.array(B, dtype=np.int64).reshape(-1, 1)
+            out = []
+            for arr in h:
+                x = np.asarray(arr, dtype=np.int64)
+                if x.size == 0:
+                    out.append(None)
+                    continue
+                out.append(((a * (x % P) + b) % P).min(axis=1))
+            return pd.Series(out)
+
+        _minhash64_kernel = kernel
+    return _minhash64_kernel
 
 
 def _minhash_df(spark, sf):
     hs = _shingle_hashes_df(spark, sf)
-    return hs.select("doc_id", _minhash64_kernel(F.col("h")).alias("m"))
+    return hs.select("doc_id", _get_minhash_kernel()(F.col("h")).alias("m"))
 
 
 def _band_df(spark, sf):

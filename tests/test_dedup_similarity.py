@@ -1,0 +1,94 @@
+"""Direct semantic asserts for the dedup/similarity pipelines on tiny
+synthetic corpora (independent of the driver's oracle gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import data_validator_spark.queries.dedup as dd
+
+
+@pytest.fixture()
+def doc_dir(spark, tmp_path):
+    """documents.parquet with two true near-dups (1, 2) and noise."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    near = base.replace("green forest", "green woods")
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, near, "en", "web", len(near)),
+        (3, "completely different text about database systems and query optimization", "en", "web", 70),
+        (4, base.upper(), "en", "web", len(base)),  # exact dup after normalization
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dedup_exact_groups_normalized_duplicates(spark, doc_dir):
+    out = dd.q_dedup_exact(spark, doc_dir).collect()
+    groups = {r["keeper_doc_id"]: r["n_docs"] for r in out}
+    assert groups[1] == 2  # doc 4 == doc 1 after case-folding
+    assert len(out) == 3  # three distinct fingerprints
+
+
+def test_minhash_lsh_finds_near_dups_not_strangers(spark, doc_dir):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dd.q_dedup_minhash_lsh(spark, doc_dir).collect()}
+    assert (1, 2) in pairs  # near-dup caught
+    assert (1, 4) in pairs  # exact dup caught
+    assert not any(3 in p for p in pairs)  # stranger never a candidate
+
+
+def test_ngram_jaccard_scores_candidates(spark, doc_dir):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.q_dedup_ngram_jaccard(spark, doc_dir).collect()}
+    assert out[(1, 4)] == 1.0  # identical shingle sets
+    assert 0.5 <= out[(1, 2)] < 1.0  # near-dup above threshold
+
+
+def test_simhash_near_dups_have_close_sketches(spark, doc_dir):
+    out = {r["doc_id"]: r["simhash"] for r in dd.q_dedup_simhash(spark, doc_dir).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert out[1] == out[4]  # identical normalized text -> same sketch
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_minhash_kernel_matches_native_expression(spark, doc_dir):
+    """The Arrow kernel must equal the all-native formulation exactly."""
+    hs = dd._shingle_hashes_df(spark, doc_dir)
+
+    def perm(i):
+        return lambda x: (F.lit(dd.A[i]) * (x % dd.P) + F.lit(dd.B[i])) % dd.P
+
+    native = hs.select(
+        "doc_id",
+        F.array(*[F.array_min(F.transform(F.col("h"), perm(i))) for i in range(dd.NUM_HASHES)]).alias("m"),
+    )
+    got = {r["doc_id"]: list(r["m"]) for r in dd._minhash_df(spark, doc_dir).collect()}
+    want = {r["doc_id"]: list(r["m"]) for r in native.collect()}
+    assert got == want
+
+
+def test_embedding_similarity_topk_self_consistency(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)], i % 3))
+    # vector 29 = exact copy of vector 0 -> must be each other's top hit
+    rows[29] = (29, rows[0][1], 0)
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    import data_validator_spark.queries.similarity as sim
+
+    out = sim.q_similarity_topk(spark, str(tmp_path)).collect()
+    top = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out}
+    assert top[(0, 1)] == 29
