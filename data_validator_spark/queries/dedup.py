@@ -178,20 +178,43 @@ def _band_df(spark, sf):
     )
 
 
+# Buckets larger than this are skipped as degenerate (boilerplate that
+# hashes identically across thousands of docs): pair count grows
+# quadratically in bucket size, and at 100 TB a single 1M-doc bucket
+# would emit 10^12 candidate pairs. Standard LSH-dedup practice; the
+# exact-dup operator already collapses true duplicates, and the DuckDB
+# oracle applies the same cap so parity holds.
+MAX_BUCKET = 256
+
+
 def q_dedup_minhash_lsh(spark, sf):
     """Candidate near-dup pairs: docs sharing ≥1 identical band.
-    Self-join shuffles on (band, sig) — bucket-local, never all-pairs."""
+
+    Shaped as groupBy(band, sig) → in-bucket pair expansion rather
+    than a self-join: the minhash pipeline (shingles → Arrow kernel →
+    bands) is computed ONCE (a self-join evaluates its subtree twice —
+    the nondeterministic projection barrier defeats ReuseExchange),
+    and the only shuffle is on the band signature. Pair expansion is
+    array arithmetic over the tiny per-bucket member list."""
     bands = _band_df(spark, sf)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -213,10 +236,12 @@ bands AS (SELECT doc_id, band,
 
 
 SQL_DEDUP_MINHASH_LSH = f"""
-WITH {_sql_minhash_ctes()}
+WITH {_sql_minhash_ctes()},
+bsize AS (SELECT band, sig, count(*) AS c FROM bands GROUP BY 1, 2)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+JOIN bsize ON a.band = bsize.band AND a.sig = bsize.sig AND bsize.c <= {MAX_BUCKET}
 ORDER BY doc_a, doc_b
 """
 
@@ -250,10 +275,12 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH {_sql_minhash_ctes()},
+bsize AS (SELECT band, sig, count(*) AS c FROM bands GROUP BY 1, 2),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN bsize ON a.band = bsize.band AND a.sig = bsize.sig AND bsize.c <= {MAX_BUCKET})
 SELECT doc_a, doc_b,
        CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
          / len(list_distinct(list_concat(x.h, y.h))) AS jaccard
