@@ -114,3 +114,68 @@ def test_multimodal_decode_plumbing(spark, monkeypatch, tmp_path):
     assert out[0]["n_bytes"] == 5 and out[1]["n_bytes"] == 7
     assert out[0]["fake_width"] == 6 and out[0]["fake_height"] == 6  # len 5 -> (6,6)
     assert out[0]["media_type"] == "text/fake-image"
+
+
+def test_stateful_sessionization_applyinpandaswithstate(spark, tmp_path):
+    """Sessions close by evidence (later event past the gap) and by
+    silence (event-time watermark passes last_event + gap)."""
+    from data_validator_spark.streaming.sessionize import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "ts_s string, user_id bigint, value double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1 — user 7: 2 events, 2h gap, 1 more (first session closes
+    # by evidence); user 8: single event at 09:00 (stays open for now)
+    write(
+        [
+            ("2024-01-01 08:00:00", 7, 1.0),
+            ("2024-01-01 08:05:00", 7, 2.0),
+            ("2024-01-01 10:05:00", 7, 4.0),
+            ("2024-01-01 09:00:00", 8, 8.0),
+        ]
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = {r["user_id"]: r for r in spark.table("sess_test").collect()}
+        # by evidence: user 7's first session closed by its 2h gap
+        assert out[7]["n_events"] == 2 and out[7]["session_value"] == 3.0
+        assert out[7]["session_start"].isoformat() == "2024-01-01T08:00:00"
+        assert out[7]["session_end"].isoformat() == "2024-01-01T08:05:00"
+        # by silence: the follow-up batch moves the watermark to
+        # 10:05 - 30min = 09:35, past user 8's timeout (09:00 + 30min)
+        assert out[8]["n_events"] == 1 and out[8]["session_value"] == 8.0
+        # user 7's open tail (10:05, timeout 10:35 > 09:35) is NOT closed
+        assert out[7]["session_end"].isoformat() != "2024-01-01T10:05:00"
+
+        # batch 2 (event at 12:00) moves the watermark to 11:30 —
+        # past user 7's tail timeout → closed by silence too
+        write([("2024-01-01 12:00:00", 9, 1.0)])
+        q.processAllAvailable()
+        sessions = {
+            (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat())
+            for r in spark.table("sess_test").collect()
+        }
+        assert (7, "2024-01-01T10:05:00", "2024-01-01T10:05:00") in sessions
+        # user 9's session is still open (nothing past its timeout yet)
+        assert not any(u == 9 for u, _, _ in sessions)
+    finally:
+        q.stop()
