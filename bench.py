@@ -73,9 +73,16 @@ def main() -> int:
 
     queries, _ = build_registry()
 
-    # warmup: touch every table so listing/footer IO is out of the timings
+    # warmup: touch every table so listing/footer IO is out of the
+    # timings, and spawn the Arrow Python workers once so the first
+    # pandas_udf query doesn't pay worker startup
     for t in TABLES:
         load(spark, sf_dir, t).count()
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
     results: dict[str, float] = {}
     total = 0.0

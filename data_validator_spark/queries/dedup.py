@@ -251,11 +251,17 @@ JACCARD_THRESHOLD = 0.5
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    """Exact shingle-set Jaccard, computed ONLY on LSH candidate pairs
-    (bucketed candidates → two broadcast-able lookups of the hash
-    arrays at this SF; at 100 TB the joins shuffle on doc_id)."""
+    """Exact shingle-set Jaccard, computed ONLY on LSH candidate pairs.
+
+    The hash-array lookups are pinned to shuffle-hash joins on doc_id:
+    the shingle-hash relation's size estimate hovers at the broadcast
+    threshold, and letting the planner broadcast it means collecting
+    the (large at scale) array table to the driver — the one plan that
+    cannot survive 100 TB. With the hint, candidates and hash arrays
+    co-shuffle on doc_id and AQE may still broadcast the CANDIDATE side
+    when it is tiny."""
     cand = q_dedup_minhash_lsh(spark, sf)
-    hs = _shingle_hashes_df(spark, sf)
+    hs = _shingle_hashes_df(spark, sf).hint("shuffle_hash")
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
