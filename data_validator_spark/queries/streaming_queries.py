@@ -111,9 +111,35 @@ def q_streaming_validation(spark, sf):
     return spark.createDataFrame(rows, "batch_id bigint, row_count bigint, failed boolean")
 
 
+def q_streaming_sessionized(spark, sf):
+    """Stateful sessionization (applyInPandasWithState) over the events
+    stream. Rows-only: only sessions CLOSED by stream progress are
+    emitted (open tails stay in state), so the batch SQL isn't an
+    oracle; semantics are pytest-verified in tests/test_streaming.py."""
+    from data_validator_spark.streaming.sessionize import sessionize_stream
+
+    ev = _stream_reader(spark, sf, "events")
+    name = f"dv_sess_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
+    q = (
+        sessionize_stream(ev.select("user_id", "ts", "value"), gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
 QUERIES = {
     "streaming_windowed": q_streaming_windowed,
     "streaming_validation": q_streaming_validation,
+    "streaming_sessionized": q_streaming_sessionized,
 }
 
 ORACLES = {"streaming_windowed": SQL_STREAMING_WINDOWED}
