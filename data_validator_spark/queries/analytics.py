@@ -153,6 +153,121 @@ ORDER BY revenue DESC, n_name
 """
 
 
+# -- q6: forecast revenue change (selective scan-agg) ----------------------
+def q6_forecast_revenue(spark, sf):
+    """Pure scan + selective filter + single aggregate — the shape that
+    proves predicate pushdown: all three predicates reach the parquet
+    scan (PushedFilters), no shuffle at all beyond the final 1-row agg."""
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_Q6 = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# -- q10: returned-item revenue by customer (4-way join + topN) ------------
+def q10_returned_items(spark, sf):
+    """Fact-side filter first (l_returnflag = 'R'), then join up the
+    star: nation broadcast (constant 25 rows), customer joined on the
+    shuffled key. Top-20 by revenue with c_custkey tiebreaker."""
+    li = load(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# -- q18: large-volume orders (agg-filtered semi-join) ---------------------
+def q18_large_volume(spark, sf):
+    """Group lineitem by order, HAVING sum(qty) > 150, then join back to
+    orders + customer. The having-aggregate runs BEFORE the joins so
+    only qualifying orderkeys (a tiny fraction) flow into them —
+    at 100 TB the join input shrinks by ~1000× before any wide row is
+    materialized."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    joined = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+SQL_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum('l_quantity', 'total_qty')}
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 150
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
 # -- events_windowed: tumbling 1h window per event_type --------------------
 def events_windowed(spark, sf):
     ev = load(spark, sf, "events")
@@ -233,6 +348,9 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q18_large_volume": q18_large_volume,
     "events_windowed": events_windowed,
     "events_sessionized": events_sessionized,
 }
@@ -241,6 +359,9 @@ ORACLES = {
     "q1_pricing_summary": SQL_Q1,
     "q3_shipping_priority": SQL_Q3,
     "q5_local_supplier": SQL_Q5,
+    "q6_forecast_revenue": SQL_Q6,
+    "q10_returned_items": SQL_Q10,
+    "q18_large_volume": SQL_Q18,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_sessionized": SQL_EVENTS_SESSIONIZED,
 }
