@@ -65,7 +65,11 @@ def media_table(spark, sf):
 
 def q_multimodal_meta(spark, sf):
     """Binary payload → mapInPandas decode stub → typed features.
-    Rows-only check (mapInPandas is the point; no SQL equivalent)."""
+
+    The decode stub's outputs are deterministic arithmetic over the
+    payload length, so despite running through mapInPandas the result
+    IS SQL-expressible — the oracle replays the same arithmetic in
+    DuckDB, giving this op a full hash check instead of rows-only."""
     media = media_table(spark, sf)
     decoded = media.select("doc_id", "media_type", "payload").mapInPandas(
         _decode_batches, schema=DECODED_SCHEMA
@@ -73,5 +77,167 @@ def q_multimodal_meta(spark, sf):
     return decoded.orderBy("doc_id")
 
 
-QUERIES = {"multimodal_meta": q_multimodal_meta}
-ORACLES: dict[str, str] = {}
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       'text/fake-image' AS media_type,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       (octet_length(CAST(text AS BLOB)) % 640) + 1 AS fake_width,
+       (octet_length(CAST(text AS BLOB)) % 480) + 1 AS fake_height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# -- resize: aspect-fit dims computed in the Python worker ------------------
+RESIZED_SCHEMA = (
+    "doc_id bigint, src_width int, src_height int, dst_width int, dst_height int, "
+    "scale double"
+)
+
+FIT = 256  # resize target box (FIT×FIT, aspect preserved, never upscale)
+
+
+def fake_resize(w: int, h: int) -> tuple[int, int, float]:
+    """STUB for a real resample (PIL Image.resize / cv2.resize).
+    Pure IEEE-double arithmetic so the DuckDB oracle reproduces it
+    bit-for-bit; a real implementation would also re-encode payload."""
+    import math
+
+    scale = min(FIT / w, FIT / h, 1.0)
+    return max(1, math.floor(w * scale)), max(1, math.floor(h * scale)), scale
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        dims = pdf["payload"].map(lambda b: fake_decode(bytes(b)))
+        w = dims.map(lambda t: t[0])
+        h = dims.map(lambda t: t[1])
+        fit = [fake_resize(a, b) for a, b in zip(w, h)]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_width": w.astype("int32"),
+                "src_height": h.astype("int32"),
+                "dst_width": pd.Series([t[0] for t in fit], index=pdf.index, dtype="int32"),
+                "dst_height": pd.Series([t[1] for t in fit], index=pdf.index, dtype="int32"),
+                "scale": pd.Series([t[2] for t in fit], index=pdf.index, dtype="float64"),
+            }
+        )
+
+
+def q_multimodal_resize(spark, sf):
+    """decode → aspect-fit resize inside one mapInPandas pass (one
+    Arrow round-trip for the whole decode+transform stage — at 100 TB
+    you never materialize the intermediate decoded batch)."""
+    media = media_table(spark, sf)
+    return media.select("doc_id", "payload").mapInPandas(
+        _resize_batches, schema=RESIZED_SCHEMA
+    ).orderBy("doc_id")
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH d AS (
+  SELECT doc_id,
+         (octet_length(CAST(text AS BLOB)) % 640) + 1 AS w,
+         (octet_length(CAST(text AS BLOB)) % 480) + 1 AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, w, h, LEAST({FIT}.0 / w, {FIT}.0 / h, 1.0) AS scale FROM d
+)
+SELECT doc_id, w AS src_width, h AS src_height,
+       GREATEST(1, CAST(floor(w * scale) AS INT)) AS dst_width,
+       GREATEST(1, CAST(floor(h * scale) AS INT)) AS dst_height,
+       scale
+FROM s
+ORDER BY doc_id
+"""
+
+
+# -- frame sampling: 1→N row fan-out through mapInPandas --------------------
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int, frame_len int, frame_md5 string"
+
+N_FRAMES = 4
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB for video frame sampling (ffmpeg/PyAV keyframe extraction).
+    Treats the payload as N_FRAMES evenly-spaced byte slices and emits
+    one output row per sampled frame — the 1→N fan-out shape a real
+    frame sampler has. frame_md5 hashes the slice so content (not just
+    offsets) is covered by the rows-only check."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in ("doc_id", "frame_idx", "frame_offset", "frame_len", "frame_md5")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            n = len(raw)
+            step = max(1, n // N_FRAMES)
+            for i in range(N_FRAMES):
+                off = min(i * step, n)
+                chunk = raw[off : off + step]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_offset"].append(off)
+                out["frame_len"].append(len(chunk))
+                out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def q_multimodal_frame_sample(spark, sf):
+    """Video-shaped fan-out: each payload yields N_FRAMES rows. Stays
+    rows-only (byte-slice md5 has no clean SQL twin), but offsets and
+    lengths are deterministic and pytest-pinned."""
+    media = media_table(spark, sf)
+    return media.select("doc_id", "payload").mapInPandas(
+        _frame_sample_batches, schema=FRAMES_SCHEMA
+    ).orderBy("doc_id", "frame_idx")
+
+
+# -- feature extraction: array<float> through Arrow -------------------------
+FEATURES_SCHEMA = "doc_id bigint, features array<float>"
+
+N_FEATURES = 8
+
+
+def fake_features(raw: bytes) -> list[float]:
+    """STUB for an embedding model / mel-spectrogram featurizer.
+    Deterministic byte-bucket histogram (L1-normalized) so downstream
+    similarity ops can consume it and tests can pin exact values."""
+    counts = [0] * N_FEATURES
+    for b in raw:
+        counts[b % N_FEATURES] += 1
+    total = max(1, len(raw))
+    return [c / total for c in counts]
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "features": pdf["payload"].map(lambda b: fake_features(bytes(b))),
+            }
+        )
+
+
+def q_multimodal_features(spark, sf):
+    """Binary → fixed-width float vector via mapInPandas; the output
+    column is a proper array<float> so it plugs straight into the
+    similarity operators (cosine top-k over extracted features)."""
+    media = media_table(spark, sf)
+    return media.select("doc_id", "payload").mapInPandas(
+        _feature_batches, schema=FEATURES_SCHEMA
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_features": q_multimodal_features,
+}
+ORACLES: dict[str, str] = {
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+}

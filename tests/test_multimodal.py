@@ -1,0 +1,99 @@
+"""Multimodal operator plumbing: resize, frame sampling, feature
+extraction through mapInPandas (SURVEY §2 multimodal rows).
+
+The decode/resample/featurize kernels are deterministic stubs (the
+real image/audio libs are not in this container), so these tests pin
+exact output values — the Arrow batch plumbing, schemas, and fan-out
+shapes are the real thing under test.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mm")
+    docs = spark.createDataFrame(
+        [
+            (1, "hello", "en", "web", 5),
+            (2, "a" * 700, "en", "web", 700),  # wider than the 640 wrap
+            (3, "xy", "fr", "book", 2),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    )
+    docs.write.parquet(str(tmp / "documents.parquet"))
+    return str(tmp)
+
+
+def test_resize_aspect_fit(spark, docs_dir):
+    from data_validator_spark.queries.multimodal import FIT, q_multimodal_resize
+
+    out = {r["doc_id"]: r for r in q_multimodal_resize(spark, docs_dir).collect()}
+    # doc 1: len 5 -> src (6, 6); already inside the box -> scale 1.0
+    assert (out[1]["src_width"], out[1]["src_height"]) == (6, 6)
+    assert (out[1]["dst_width"], out[1]["dst_height"]) == (6, 6)
+    assert out[1]["scale"] == 1.0
+    # doc 2: len 700 -> src (61, 221) via % wrap; fits -> unchanged
+    assert (out[2]["src_width"], out[2]["src_height"]) == (700 % 640 + 1, 700 % 480 + 1)
+    # invariants: never upscale, dims never exceed the box after scaling
+    for r in out.values():
+        assert r["scale"] <= 1.0
+        if r["scale"] < 1.0:
+            assert max(r["dst_width"], r["dst_height"]) <= FIT
+        exp_w = max(1, math.floor(r["src_width"] * r["scale"]))
+        assert r["dst_width"] == exp_w
+
+
+def test_frame_sample_fanout_and_content(spark, docs_dir):
+    from data_validator_spark.queries.multimodal import N_FRAMES, q_multimodal_frame_sample
+
+    rows = q_multimodal_frame_sample(spark, docs_dir).collect()
+    # 1 -> N fan-out: every doc yields exactly N_FRAMES rows
+    assert len(rows) == 3 * N_FRAMES
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    frames = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    # len("hello")=5, step=1: offsets 0..3, single-byte slices
+    assert [f["frame_offset"] for f in frames] == [0, 1, 2, 3]
+    assert frames[0]["frame_md5"] == hashlib.md5(b"h").hexdigest()
+    assert frames[3]["frame_md5"] == hashlib.md5(b"l").hexdigest()
+
+
+def test_features_normalized_histogram(spark, docs_dir):
+    from data_validator_spark.queries.multimodal import (
+        N_FEATURES,
+        fake_features,
+        q_multimodal_features,
+    )
+
+    out = {r["doc_id"]: r["features"] for r in q_multimodal_features(spark, docs_dir).collect()}
+    assert all(len(v) == N_FEATURES for v in out.values())
+    # L1-normalized
+    assert abs(sum(out[1]) - 1.0) < 1e-6
+    # matches the kernel run locally (Arrow float32 round-trip tolerance)
+    exp = fake_features(b"hello")
+    assert all(abs(a - b) < 1e-6 for a, b in zip(out[1], exp))
+
+
+def test_features_feed_similarity(spark, docs_dir):
+    """Extracted features are a real array<float> column usable by the
+    similarity operators (cosine against itself = 1)."""
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.queries.multimodal import q_multimodal_features
+
+    feats = q_multimodal_features(spark, docs_dir)
+    dot = F.aggregate(
+        F.zip_with("features", "features", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(dot)
+    cos = feats.select((dot / (norm * norm)).alias("self_cos")).collect()
+    assert all(abs(r["self_cos"] - 1.0) < 1e-6 for r in cos)
