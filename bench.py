@@ -26,6 +26,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume",
     "events_windowed",
     "events_sessionized",
     "text_quality",
@@ -41,8 +44,12 @@ HEADLINE = [
     "similarity_ann_ivf",
     "dedup_embedding_cosine",
     "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_features",
     "streaming_windowed",
     "streaming_validation",
+    "streaming_dedup",
 ]
 
 

@@ -136,10 +136,68 @@ def q_streaming_sessionized(spark, sf):
     return spark.table(name).orderBy("user_id", "session_start")
 
 
+def q_streaming_dedup(spark, sf):
+    """Exactly-once dedup of an at-least-once stream.
+
+    Every event is delivered TWICE (two file-source copies of the same
+    parquet), then ``dropDuplicatesWithinWatermark`` on event_id
+    collapses redelivery inside the watermark horizon — the
+    scale-correct streaming dedup: state is bounded by the watermark
+    instead of growing forever like plain dropDuplicates. The deduped
+    per-type aggregate hash-matches the batch oracle over the
+    single-copy table, which only holds if dedup removed exactly the
+    duplicate delivery."""
+    import os
+
+    load(spark, sf, "events")  # sets UTC + nanosAsLong session confs
+    src = os.path.abspath(f"{sf}/events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    d = tempfile.mkdtemp(prefix="dv_stream_dup_")
+    os.symlink(src, os.path.join(d, "copy1.parquet"))
+    os.symlink(src, os.path.join(d, "copy2.parquet"))
+    df = spark.readStream.schema(raw_schema).format("parquet").load(d)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+    deduped = df.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+
+    name = f"dv_dedup_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "sum_value"))
+        .orderBy("event_type")
+    )
+
+
+SQL_STREAMING_DEDUP = f"""
+SELECT event_type, count(*) AS n_events, {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "streaming_windowed": q_streaming_windowed,
     "streaming_validation": q_streaming_validation,
     "streaming_sessionized": q_streaming_sessionized,
+    "streaming_dedup": q_streaming_dedup,
 }
 
-ORACLES = {"streaming_windowed": SQL_STREAMING_WINDOWED}
+ORACLES = {
+    "streaming_windowed": SQL_STREAMING_WINDOWED,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
+}

@@ -38,6 +38,36 @@ def test_q5_broadcasts_dims_and_pushes_region_filter(spark, registry):
     assert "EqualTo(r_name,ASIA)" in plan
 
 
+def test_q6_pushes_all_three_predicates_into_scan(spark, registry):
+    plan = plan_of(spark, registry, "q6_forecast_revenue")
+    # the scan carries data filters for all three predicate columns
+    # (the printed PushedFilters list is truncated, so assert on the
+    # scan's DataFilters prefix instead)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "(l_discount" in plan and "(l_quantity" in plan
+    # scan-agg only: no join operators at all
+    assert "Join" not in plan
+
+
+def test_q10_broadcasts_nation_and_pushes_returnflag(spark, registry):
+    plan = plan_of(spark, registry, "q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q18_aggregates_before_joining(spark, registry):
+    """The HAVING aggregate must run below the joins so only
+    qualifying orderkeys reach them (plan shows the quantity
+    aggregate on the build side of the first join, not above it)."""
+    plan = plan_of(spark, registry, "q18_large_volume")
+    first_join = min(
+        i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"), plan.find("ShuffledHashJoin"))
+        if i != -1
+    )
+    agg_pos = plan.find("sum(cast(l_quantity")
+    assert agg_pos != -1 and agg_pos > first_join  # below = printed after
+
+
 def test_combined_single_pass_is_one_scan_one_exchange(spark, registry):
     plan = plan_of(spark, registry, "combined_single_pass")
     assert plan.count("FileScan") == 1

@@ -179,3 +179,39 @@ def test_stateful_sessionization_applyinpandaswithstate(spark, tmp_path):
         assert not any(u == 9 for u, _, _ in sessions)
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
+    """At-least-once delivery (same rows in two source files) collapses
+    to exactly-once via dropDuplicatesWithinWatermark on the key."""
+    src = str(tmp_path / "dup_src")
+    ckpt = str(tmp_path / "dup_ckpt")
+    ev_schema = "event_id bigint, ts timestamp, kind string"
+    rows = [
+        (1, "2024-01-01 10:00:00", "a"),
+        (2, "2024-01-01 10:05:00", "b"),
+        (3, "2024-01-01 10:10:00", "a"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, k) for i, t, k in rows], "event_id bigint, ts string, kind string"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "kind")
+    # two identical deliveries
+    df.coalesce(1).write.mode("append").parquet(src)
+    df.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev_schema).parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    name = "dv_test_dedup_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]
