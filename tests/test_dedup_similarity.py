@@ -92,3 +92,25 @@ def test_embedding_similarity_topk_self_consistency(spark, tmp_path):
     out = sim.q_similarity_topk(spark, str(tmp_path)).collect()
     top = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out}
     assert top[(0, 1)] == 29
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF nprobe=1 must retrieve most of the true top-5 neighbors.
+
+    Measured 0.92 recall@5 on the deterministic sf0.001 embeddings
+    (0.90 at sf0.01); asserted at >=0.8 to leave margin while still
+    catching a broken list assignment (random assignment would score
+    ~1/NLIST = 0.06)."""
+    import data_validator_spark.queries.similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    truth: dict = {}
+    for r in sim.q_similarity_topk(spark, sf).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict = {}
+    for r in sim.q_similarity_ann_ivf(spark, sf).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert total == 50
+    assert hits / total >= 0.8
