@@ -25,9 +25,12 @@ HEADLINE = [
     "col_stats",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
     "q10_returned_items",
+    "q14_promo_revenue",
     "q18_large_volume",
     "events_windowed",
     "events_sessionized",

@@ -344,8 +344,140 @@ ORDER BY user_id, session_seq
 """
 
 
+# -- q4: order priority checking (TPC-H Q4 shape, adapted) -----------------
+def q4_order_priority(spark, sf):
+    """Orders from 1996 with at least one lineitem shipped >30 days
+    after the order date, counted per priority.
+
+    The reference Q4 EXISTS becomes a LEFT SEMI join: equi on
+    l_orderkey plus the non-equi lateness predicate. At 100 TB both
+    sides are facts, so the semi join shuffles on the order key (no
+    broadcast) and the semi form stops scanning an order's lineitems
+    at the first late one — strictly less work than join+distinct.
+    (Adapted: testdata lineitem has no commitdate/receiptdate, so
+    lateness is l_shipdate > o_orderdate + 30 days.)"""
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load(spark, sf, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# -- q7: volume shipping between nation pairs (TPC-H Q7 shape) -------------
+def q7_volume_shipping(spark, sf):
+    """Revenue by (customer nation, supplier nation, ship year).
+
+    Join order keeps the fact relations shuffling only on their
+    natural keys: lineitem⨝supplier and orders⨝customer each shuffle
+    once, then the two annotated facts meet on the order key. The
+    25-row nation table is broadcast onto both sides. supplier and
+    customer get NO broadcast hint — at 100 TB they are billions of
+    rows (SF-proportional), so AQE may broadcast them at small SF but
+    the plan must survive when it cannot."""
+    nation = load(spark, sf, "nation")
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    supp_n = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust_n = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    ord_c = orders.join(cust_n, orders.o_custkey == cust_n.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    li_s = li.join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+    return (
+        li_s.join(ord_c, li_s.l_orderkey == ord_c.o_orderkey)
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(dsum(revenue, "revenue"))
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+SQL_Q7 = f"""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# -- q14: promotion effect (TPC-H Q14 shape) -------------------------------
+def q14_promo_revenue(spark, sf):
+    """Share of one month's revenue coming from PROMO parts — join +
+    conditional aggregate collapsing to one row. The shipdate filter is
+    pushed to the lineitem scan; part joins on partkey with no hint
+    (SF-proportional at 100 TB; AQE broadcasts it when it is small)."""
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-02-01"))
+    )
+    part = load(spark, sf, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo.cast("decimal(30,6)")).cast("double")
+            / F.sum(revenue.cast("decimal(30,6)")).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_Q14 = """
+SELECT ROUND(100.0
+         * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                     AS DECIMAL(30,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(30,6))) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -357,6 +489,9 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": SQL_Q1,
+    "q4_order_priority": SQL_Q4,
+    "q7_volume_shipping": SQL_Q7,
+    "q14_promo_revenue": SQL_Q14,
     "q3_shipping_priority": SQL_Q3,
     "q5_local_supplier": SQL_Q5,
     "q6_forecast_revenue": SQL_Q6,

@@ -86,3 +86,18 @@ def test_dedup_minhash_never_builds_all_pairs(spark, registry):
 def test_similarity_ivf_broadcasts_centroids(spark, registry):
     plan = plan_of(spark, registry, "similarity_ann_ivf")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q4_uses_semi_join_with_pushed_date_filter(spark, registry):
+    plan = plan_of(spark, registry, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_q7_broadcasts_only_nation(spark, registry):
+    plan = plan_of(spark, registry, "q7_volume_shipping")
+    # nation is broadcast onto both the supplier and customer sides;
+    # the fact-fact meet on the order key carries no broadcast hint
+    # (AQE may still pick one at local SF, so only the broadcast-dim
+    # property is plan-stable across scales)
+    assert plan.count("BroadcastExchange") >= 2
