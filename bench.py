@@ -30,8 +30,10 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q10_returned_items",
+    "q13_customer_distribution",
     "q14_promo_revenue",
     "q18_large_volume",
+    "q22_prospective_customers",
     "events_windowed",
     "events_sessionized",
     "text_quality",

