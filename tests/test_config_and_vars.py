@@ -133,3 +133,78 @@ def test_deep_substitution_in_nested_structures():
     d.add("v", 7)
     out = d.replace({"a": ["$v", {"b": "x$v"}], "c": 1})
     assert out == {"a": [7, {"b": "x7"}], "c": 1}
+
+
+def test_reference_test_config_shape_parses_verbatim():
+    """The reference's own src/test/resources/test_config.yaml shape
+    (4 source kinds, email, file+pipe outputs with ignoreError, vars,
+    detailedErrors) must parse without modification — a user's
+    existing config files are valid here as-is."""
+    cfg = parse_config(
+        """
+numKeyCols: 2
+numErrorsToReport: 742
+email:
+  smtpHost: smtpHost
+  subject: subject
+  from: from
+  to:
+   - to
+detailedErrors: true
+vars:
+  - name: foo
+    value: bar
+
+outputs:
+  - filename: /user/home/sample.json
+
+  - pipe: /apps/dv2kafka.py
+    ignoreError: true
+tables:
+  - db: foo
+    table: bar
+    keyColumns:
+      - one
+      - two
+    checks:
+      - type: rowCount
+        minNumRows: 10294
+      - type: nullCheck
+        column: mdse_item_i
+  - orcFile: LocalFile.orc
+    condition: "foo < 10"
+    checks:
+      - type: nullCheck
+        column: start_d
+  - parquetFile: LocFile.parquet
+    condition: "bar < 10"
+    checks:
+      - type: nullCheck
+        column: end_d
+  - format: llama
+    checks:
+      - type: nullCheck
+        column: start_d
+    options:
+      key: value
+    loadData:
+      - data.llama
+"""
+    )
+    assert cfg.num_key_cols == 2
+    assert cfg.num_errors_to_report == 742
+    assert cfg.detailed_errors is True
+    assert cfg.email is not None and cfg.email.smtp_host == "smtpHost"
+    assert [o.pipe for o in cfg.outputs] == [None, "/apps/dv2kafka.py"]
+    assert cfg.outputs[1].ignore_error is True
+
+    built = [t.build() for t in cfg.tables]
+    labels = [src.label for src, _ in built]
+    assert labels[0] == "HiveTable:foo.bar"
+    assert labels[1] == "OrcFile:LocalFile.orc"
+    assert labels[2] == "ParquetFile:LocFile.parquet"
+    assert labels[3] == "SpecifiedFormatLoader:llama:data.llama"
+    # conditions survive into the sources (pushed at load time)
+    assert built[1][0].condition == "foo < 10"
+    # check counts per table match the config
+    assert [len(checks) for _, checks in built] == [2, 1, 1, 1]

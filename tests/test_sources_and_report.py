@@ -58,6 +58,17 @@ def test_csv_via_format_loader(spark, tmp_path):
     assert df.count() == 2 and df.columns == ["id", "s"]
 
 
+def test_json_via_format_loader(spark, tmp_path):
+    """Mirrors the reference's format_test.jsonl fixture (src/test/
+    resources): newline-delimited JSON through the generic loader."""
+    p = str(tmp_path / "t.jsonl")
+    with open(p, "w") as f:
+        f.write('{"name": "Mal", "age": 49}\n{"name": "Zoe", "age": 33}\n')
+    src = SpecifiedFormatLoader("json", None, [p])
+    df = src.open(spark)
+    assert df.count() == 2 and sorted(df.columns) == ["age", "name"]
+
+
 def test_condition_is_applied_at_load(spark, small, tmp_path):
     p = str(tmp_path / "c.parquet")
     small.write.parquet(p)
