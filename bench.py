@@ -36,6 +36,7 @@ HEADLINE = [
     "q22_prospective_customers",
     "events_windowed",
     "events_sessionized",
+    "events_asof_join",
     "text_quality",
     "lang_id",
     "token_count",

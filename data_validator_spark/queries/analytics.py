@@ -560,6 +560,71 @@ ORDER BY c_nationkey
 """
 
 
+# -- events_asof_join: purchase ← latest preceding click -------------------
+def events_asof_join(spark, sf):
+    """Each purchase event matched to the user's latest click at or
+    before it (backward as-of join, operators/asof.py) — the
+    point-in-time enrichment shape feature stores and trade/quote
+    pipelines need, which plain SQL only reaches via a range self-join.
+
+    Scale: ONE shuffle on user_id for the tagged union, then a sorted
+    window per user — no non-equi join, no per-row subquery. gap_us is
+    exact integer microseconds (engine-independent)."""
+    from data_validator_spark.operators.asof import asof_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts="ts",
+        payload=["event_id", "ts"],
+        tiebreak="event_id",
+        prefix="click_",
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("click_event_id").alias("click_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+SQL_EVENTS_ASOF = """
+WITH tagged AS (
+  SELECT event_id, ts, user_id, value,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS stream
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT *,
+         last_value(CASE WHEN stream = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS click_id,
+         last_value(CASE WHEN stream = 0 THEN ts END IGNORE NULLS)
+           OVER w AS click_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, stream, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id,
+       user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       value AS purchase_value,
+       click_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       date_diff('microsecond', click_ts, ts) AS gap_us
+FROM carried WHERE stream = 1 ORDER BY purchase_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
@@ -574,6 +639,7 @@ QUERIES = {
     "q18_large_volume": q18_large_volume,
     "events_windowed": events_windowed,
     "events_sessionized": events_sessionized,
+    "events_asof_join": events_asof_join,
 }
 
 ORACLES = {
@@ -590,4 +656,5 @@ ORACLES = {
     "q18_large_volume": SQL_Q18,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_sessionized": SQL_EVENTS_SESSIONIZED,
+    "events_asof_join": SQL_EVENTS_ASOF,
 }

@@ -1,0 +1,87 @@
+"""Backward as-of join semantics (operators/asof.py): inclusive
+timestamp match, deterministic tie-break, NULL when nothing precedes,
+and the one-shuffle plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_validator_spark.operators.asof import asof_join
+
+
+def T(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, T("2024-01-01 10:00:00"), 5.0),
+            (1, 101, T("2024-01-01 12:00:00"), 6.0),
+            (2, 102, T("2024-01-01 09:00:00"), 7.0),  # nothing precedes
+            (3, 103, T("2024-01-01 10:00:00"), 8.0),  # exact-ts tie
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 10, T("2024-01-01 09:30:00")),
+            (1, 11, T("2024-01-01 11:00:00")),
+            (2, 12, T("2024-01-01 09:30:00")),  # after left's only row
+            (3, 13, T("2024-01-01 10:00:00")),  # ts == left ts
+            (3, 14, T("2024-01-01 10:00:00")),  # same ts, larger id wins
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["user_id"], ts="ts", payload=["event_id", "ts"],
+        tiebreak="event_id", prefix="m_",
+    )
+    rows = {r.event_id: r for r in out.collect()}
+    assert len(rows) == 4 and set(out.columns) == {
+        "user_id", "event_id", "ts", "value", "m_event_id", "m_ts"
+    }
+    assert rows[100].m_event_id == 10  # latest at-or-before 10:00
+    assert rows[101].m_event_id == 11  # advances to 11:00 click
+    assert rows[102].m_event_id is None and rows[102].m_ts is None
+    assert rows[103].m_event_id == 14  # inclusive tie, max tiebreak wins
+
+
+def test_asof_join_plan_is_single_shuffle_window(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["user_id"], ts="ts", payload=["event_id"],
+        tiebreak="event_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_keeps_every_left_row(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["user_id"], ts="ts", payload=["event_id"],
+        tiebreak="event_id",
+    )
+    assert out.count() == left.count()
+    # left columns pass through unchanged
+    got = {(r.user_id, r.event_id, r.value) for r in out.collect()}
+    want = {(r.user_id, r.event_id, r.value) for r in left.collect()}
+    assert got == want
+
+
+def test_events_asof_join_gap_is_nonnegative(spark):
+    from data_validator_spark.queries.analytics import events_asof_join
+
+    rows = events_asof_join(spark, "/root/testdata/sf0.001").collect()
+    assert rows  # purchases exist at every SF
+    matched = [r for r in rows if r.click_id is not None]
+    assert matched and all(r.gap_us >= 0 for r in matched)
