@@ -37,6 +37,7 @@ HEADLINE = [
     "events_windowed",
     "events_sessionized",
     "events_asof_join",
+    "events_range_join",
     "text_quality",
     "lang_id",
     "token_count",

@@ -625,6 +625,51 @@ FROM carried WHERE stream = 1 ORDER BY purchase_id
 """
 
 
+# -- events_range_join: clicks near each error ------------------------------
+RANGE_TOL_US = 5 * 60 * 1_000_000  # ±5 minutes
+
+
+def events_range_join(spark, sf):
+    """For every error event, how many same-user clicks happened
+    within ±5 minutes — a big-big temporal range join executed as a
+    bucketed equi-join (operators/rangejoin.py): the time tolerance
+    becomes part of the join key (5-minute bins, probe exploded to 3
+    neighbor bins), so the plan is a linear hash join on
+    (user_id, bin) instead of a per-key quadratic non-equi SMJ."""
+    from data_validator_spark.operators.rangejoin import range_join_count
+
+    ev = load(spark, sf, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    j = range_join_count(
+        errors, clicks, on=["user_id"], ts="ts",
+        tolerance_us=RANGE_TOL_US, count_alias="n_nearby_clicks",
+    )
+    return j.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        "n_nearby_clicks",
+    ).orderBy("error_id")
+
+
+SQL_EVENTS_RANGE_JOIN = f"""
+WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+cl AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT err.event_id AS error_id,
+       err.user_id,
+       strftime(err.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+       count(cl.ts) AS n_nearby_clicks
+FROM err LEFT JOIN cl
+  ON err.user_id = cl.user_id
+ AND abs(date_diff('microsecond', cl.ts, err.ts)) <= {RANGE_TOL_US}
+GROUP BY err.event_id, err.user_id, err.ts
+ORDER BY error_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
@@ -640,6 +685,7 @@ QUERIES = {
     "events_windowed": events_windowed,
     "events_sessionized": events_sessionized,
     "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
 }
 
 ORACLES = {
@@ -657,4 +703,5 @@ ORACLES = {
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_sessionized": SQL_EVENTS_SESSIONIZED,
     "events_asof_join": SQL_EVENTS_ASOF,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
 }

@@ -1,0 +1,89 @@
+"""Bucketed range join (operators/rangejoin.py): count correctness at
+bucket boundaries, probes with zero matches, and the equi-join plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from data_validator_spark.operators.rangejoin import range_join_count
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def us(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def _frames(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, 100, us(0)),     # builds at -10s, +5s, +10s, +10.000001s
+            (1, 101, us(1000)),  # nothing anywhere near
+            (2, 102, us(0)),     # no builds for user at all
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            (1, us(-10)),
+            (1, us(5)),
+            (1, us(10)),          # exactly at tolerance -> inclusive
+            (1, us(10.000001)),   # 1 µs past tolerance -> excluded
+            (1, us(500)),         # far from both probes
+        ],
+        "user_id long, ts timestamp",
+    )
+    return probe, build
+
+
+def test_range_join_counts_with_boundary_inclusive(spark):
+    probe, build = _frames(spark)
+    out = range_join_count(
+        probe, build, on=["user_id"], ts="ts", tolerance_us=10_000_000
+    )
+    got = {r.event_id: r.n_matches for r in out.collect()}
+    assert got == {100: 3, 101: 0, 102: 0}
+
+
+def test_range_join_keeps_probe_columns_and_rowcount(spark):
+    probe, build = _frames(spark)
+    out = range_join_count(
+        probe, build, on=["user_id"], ts="ts", tolerance_us=10_000_000
+    )
+    assert out.count() == probe.count()
+    assert set(out.columns) == {"user_id", "event_id", "ts", "n_matches"}
+
+
+def test_range_join_plan_is_equi_join(spark):
+    probe, build = _frames(spark)
+    out = range_join_count(
+        probe, build, on=["user_id"], ts="ts", tolerance_us=10_000_000
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the time predicate is in the join KEY (bucket), not a nested loop
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "_bucket" in plan
+
+
+def test_events_range_join_matches_brute_force(spark):
+    from data_validator_spark.queries.analytics import (
+        RANGE_TOL_US,
+        events_range_join,
+    )
+    from data_validator_spark.queries import load
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.error_id: r.n_nearby_clicks for r in events_range_join(spark, sf).collect()}
+
+    ev = load(spark, sf, "events").collect()
+    clicks = [(r.user_id, r.ts) for r in ev if r.event_type == "click"]
+    for r in ev:
+        if r.event_type != "error":
+            continue
+        want = sum(
+            1
+            for u, ts in clicks
+            if u == r.user_id
+            and abs((ts - r.ts).total_seconds()) * 1_000_000 <= RANGE_TOL_US
+        )
+        assert got[r.event_id] == want
