@@ -38,6 +38,7 @@ HEADLINE = [
     "events_sessionized",
     "events_asof_join",
     "events_range_join",
+    "events_rollup",
     "text_quality",
     "lang_id",
     "token_count",

@@ -118,3 +118,11 @@ def test_q22_anti_join_with_pushed_totalprice_filter(spark, registry):
     assert "GreaterThan(o_totalprice,400000.0)" in plan
     # the scalar threshold is broadcast, not recomputed per row
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_events_rollup_is_single_scan_expand(spark, registry):
+    """Three granularities must come from ONE scan via grouping-set
+    Expand, not one job per granularity."""
+    plan = plan_of(spark, registry, "events_rollup")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
