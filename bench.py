@@ -43,6 +43,7 @@ HEADLINE = [
     "lang_id",
     "token_count",
     "doc_fingerprint",
+    "doc_split_sample",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -143,11 +143,69 @@ FROM documents ORDER BY doc_id
 """
 
 
+# -- doc_split_sample: deterministic train/val/test assignment --------------
+SPLIT_SALT = "dv-split-v1"  # version the salt to re-deal all splits at once
+
+
+def q_doc_split_sample(spark, sf):
+    """Reproducible 98/1/1 train/val/test split: each document's split
+    is a pure function of (salt, doc_id) — an md5 hash bucket, not an
+    RNG draw. That is the only split that survives a 100 TB pipeline:
+    it is stable under re-partitioning, retries, incremental re-runs,
+    and engine changes (the DuckDB oracle deals the identical split),
+    and adding documents never reassigns existing ones. Returns the
+    per-(lang, split) census used to sanity-check stratification."""
+    df = spread(load(spark, sf, "documents"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SPLIT_SALT + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test")
+    )
+    return (
+        df.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+SQL_DOC_SPLIT_SAMPLE = f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CAST('0x' || substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_split_sample": q_doc_split_sample,
 }
 
 ORACLES = {
@@ -155,4 +213,5 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": _sql_lang_id(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_split_sample": SQL_DOC_SPLIT_SAMPLE,
 }

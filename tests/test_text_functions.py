@@ -94,3 +94,17 @@ def test_rolling_shingle_hashes(spark):
     assert len(out[2]) == 1  # short doc → one whole-text shingle
     assert out[1] == out[3]  # deterministic
     assert all(isinstance(x, int) for x in out[1])
+
+
+def test_doc_split_sample_is_deterministic_and_complete(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.textops import q_doc_split_sample
+
+    sf = "/root/testdata/sf0.001"
+    a = {(r.lang, r.split): r.n_docs for r in q_doc_split_sample(spark, sf).collect()}
+    b = {(r.lang, r.split): r.n_docs for r in q_doc_split_sample(spark, sf).collect()}
+    assert a == b  # hash-based, not RNG: identical on every run
+    total = load(spark, sf, "documents").count()
+    assert sum(a.values()) == total  # every doc lands in exactly one split
+    train = sum(n for (_, s), n in a.items() if s == "train")
+    assert 0.9 * total <= train <= total  # ~98% nominal
