@@ -44,6 +44,7 @@ HEADLINE = [
     "token_count",
     "doc_fingerprint",
     "doc_split_sample",
+    "token_frequencies",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

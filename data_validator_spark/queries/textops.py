@@ -200,12 +200,49 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# -- token_frequencies: corpus heavy hitters --------------------------------
+TOP_TOKENS = 50
+
+
+def q_token_frequencies(spark, sf):
+    """Top-50 most frequent normalized tokens across the corpus —
+    vocabulary heavy hitters (stopword discovery, tokenizer QA).
+
+    Scale: explode fans each doc into its tokens, but partial
+    aggregation collapses counts map-side BEFORE the shuffle, so the
+    exchange carries one row per distinct token per partition, not one
+    per occurrence; the final top-k is a tiny sorted take. Ties at the
+    cutoff break on the token string for cross-engine determinism."""
+    df = spread(load(spark, sf, "documents"))
+    toks = df.select(
+        F.explode(F.split(F.trim(normalized_text(F.col("text"))), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(TOP_TOKENS)
+    )
+
+
+SQL_TOKEN_FREQUENCIES = f"""
+SELECT token, count(*) AS n_occurrences
+FROM (SELECT unnest(string_split_regex(trim({SQL_NORM}), '\\s+')) AS token
+      FROM documents) t
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {TOP_TOKENS}
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_split_sample": q_doc_split_sample,
+    "token_frequencies": q_token_frequencies,
 }
 
 ORACLES = {
@@ -214,4 +251,5 @@ ORACLES = {
     "lang_id": _sql_lang_id(),
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_split_sample": SQL_DOC_SPLIT_SAMPLE,
+    "token_frequencies": SQL_TOKEN_FREQUENCIES,
 }

@@ -126,3 +126,11 @@ def test_events_rollup_is_single_scan_expand(spark, registry):
     plan = plan_of(spark, registry, "events_rollup")
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_token_frequencies_partial_aggregates_before_shuffle(spark, registry):
+    """The explode fan-out must collapse map-side: partial_count below
+    the exchange, and top-k as TakeOrdered, not a global sort."""
+    plan = plan_of(spark, registry, "token_frequencies")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
