@@ -32,6 +32,8 @@ HEADLINE = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "q18_large_volume",
     "q22_prospective_customers",
     "events_windowed",

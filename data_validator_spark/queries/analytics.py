@@ -720,12 +720,102 @@ ORDER BY g_day, g_hour, g_type, day, hour, event_type
 """
 
 
+# -- q15: top supplier (TPC-H Q15 shape) -----------------------------------
+def q15_top_supplier(spark, sf):
+    """Supplier(s) with the maximum quarterly revenue — aggregate view
+    + scalar max + equality join back (TPC-H Q15's CREATE VIEW shape
+    without the view).
+
+    Scale: revenue aggregates per suppkey map-side before one
+    shuffle; the 1-row max is broadcast back (no re-aggregation and
+    no window over all suppliers); supplier joins on the tiny result.
+    Revenue goes through DECIMAL so the max-equality compare is exact
+    in both engines."""
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    top = rev.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
+    supp = load(spark, sf, "supplier")
+    return (
+        top.join(supp, top.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# -- q17: small-quantity-order revenue (TPC-H Q17 shape) -------------------
+def q17_small_quantity_revenue(spark, sf):
+    """Average yearly revenue lost if small orders (below 20% of a
+    part's average quantity) were not taken — per-group scalar
+    threshold joined back to the fact (TPC-H Q17).
+
+    Scale: the per-part average aggregates map-side first (one
+    shuffle on partkey shared with the join); the brand filter prunes
+    part before its join. The threshold is sum(DECIMAL)/count — exact
+    in both engines, so the strict < boundary is bit-stable."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").where(F.col("p_brand") == "Brand#23")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return j.agg(
+        (
+            F.sum((F.col("l_extendedprice")).cast(DEC)).cast("double") / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+SQL_Q17 = """
+WITH avg_qty AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+JOIN avg_qty USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q14_promo_revenue": q14_promo_revenue,
     "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q22_prospective_customers": q22_prospective_customers,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -745,6 +835,8 @@ ORACLES = {
     "q7_volume_shipping": SQL_Q7,
     "q14_promo_revenue": SQL_Q14,
     "q13_customer_distribution": SQL_Q13,
+    "q15_top_supplier": SQL_Q15,
+    "q17_small_quantity_revenue": SQL_Q17,
     "q22_prospective_customers": SQL_Q22,
     "q3_shipping_priority": SQL_Q3,
     "q5_local_supplier": SQL_Q5,

@@ -134,3 +134,16 @@ def test_token_frequencies_partial_aggregates_before_shuffle(spark, registry):
     plan = plan_of(spark, registry, "token_frequencies")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_broadcasts_scalar_max_not_window(spark, registry):
+    plan = plan_of(spark, registry, "q15_top_supplier")
+    # the 1-row max meets the revenue relation via broadcast
+    assert "BroadcastExchange" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q17_broadcasts_brand_filtered_part(spark, registry):
+    plan = plan_of(spark, registry, "q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_brand,Brand#23)" in plan
