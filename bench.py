@@ -23,6 +23,7 @@ HEADLINE = [
     "combined_single_pass",
     "unique_check",
     "col_stats",
+    "col_quantiles",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -276,6 +276,60 @@ SQL_DETAILED_ERRORS = (
 )
 
 
+# -- col_quantiles ---------------------------------------------------------
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+_QCOLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def q_col_quantiles(spark, sf):
+    """Exact p25/p50/p75/p95 of three lineitem measures, ALL columns in
+    one scan, then pivoted to one row per column.
+
+    Spark's exact `percentile` matches DuckDB's `quantile_cont`
+    bit-for-bit (same sorted-linear-interpolation definition), which
+    is what makes this oracle-checkable. Exact percentiles sort each
+    column's values — the right tool for validation-time profiling at
+    moderate width; a 100 TB continuous profile would swap in
+    `percentile_approx` (same plan shape, bounded memory) and lose
+    the bit-exact oracle."""
+    df = load(spark, sf, "lineitem")
+    qarr = "array(" + ", ".join(f"{q}D" for q in QUANTILES) + ")"
+    agg = df.agg(
+        *[
+            F.expr(f"percentile({c}, {qarr})").alias(c)
+            for c in _QCOLS
+        ]
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(c)[0].alias("p25"),
+                F.col(c)[1].alias("p50"),
+                F.col(c)[2].alias("p75"),
+                F.col(c)[3].alias("p95"),
+            )
+            for c in _QCOLS
+        ]
+    )
+    return (
+        agg.select(F.explode(per_col).alias("s"))
+        .select("s.*")
+        .orderBy("column_name")
+    )
+
+
+def _sql_col_quantiles() -> str:
+    qlist = "[" + ", ".join(str(q) for q in QUANTILES) + "]"
+    aggs = ", ".join(f"quantile_cont({c}, {qlist}) AS {c}" for c in _QCOLS)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, {c}[1] AS p25, {c}[2] AS p50, "
+        f"{c}[3] AS p75, {c}[4] AS p95 FROM a"
+        for c in _QCOLS
+    )
+    return f"WITH a AS (SELECT {aggs} FROM lineitem)\n{arms}\nORDER BY column_name"
+
+
 QUERIES = {
     "row_count": q_row_count,
     "null_check": q_null_check,
@@ -288,6 +342,7 @@ QUERIES = {
     "unique_check": q_unique_check,
     "col_stats": q_col_stats,
     "col_stats_histogram": q_col_stats_histogram,
+    "col_quantiles": q_col_quantiles,
     "combined_single_pass": q_combined_single_pass,
     "detailed_errors": q_detailed_errors,
 }
@@ -304,6 +359,7 @@ ORACLES = {
     "unique_check": SQL_UNIQUE_CHECK,
     "col_stats": SQL_COL_STATS,
     "col_stats_histogram": SQL_COL_STATS_HISTOGRAM,
+    "col_quantiles": _sql_col_quantiles(),
     "combined_single_pass": SQL_COMBINED_SINGLE_PASS,
     "detailed_errors": SQL_DETAILED_ERRORS,
 }
