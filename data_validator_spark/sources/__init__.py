@@ -117,16 +117,50 @@ class SpecifiedFormatLoader(TableSource):
         return f"SpecifiedFormatLoader:{self.format}:{','.join(self.load_data)}"
 
 
+class TableFormatSource(TableSource):
+    """Lakehouse table formats (Delta Lake / Apache Iceberg) via their
+    DataSource V2 names. The connector jars are NOT bundled — load_df
+    degrades to a clear actionable error instead of Spark's opaque
+    ClassNotFoundException, and config parsing/validation still works
+    without them (so one config file can mix parquet and delta tables
+    and fail only when the missing format is actually read)."""
+
+    FORMATS = {"delta": "delta-spark", "iceberg": "iceberg-spark-runtime"}
+
+    def __init__(self, fmt: str, path: str, **kw: Any):
+        super().__init__(**kw)
+        self.fmt = fmt
+        self.path = path
+
+    def load_df(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.format(self.fmt).load(self.path)
+        except Exception as ex:  # connector missing or table unreadable
+            raise IOError(
+                f"cannot read {self.fmt} table at {self.path}: {ex}. "
+                f"Is the {self.FORMATS[self.fmt]} connector on the Spark classpath?"
+            ) from ex
+
+    @property
+    def label(self) -> str:
+        return f"TableFormatSource:{self.fmt}:{self.path}"
+
+
 def source_from_dict(d: dict[str, Any]) -> TableSource:
     """Build a source from one `tables:` YAML entry.
 
-    Dispatch parity: reference ConfigParser.configureTables.
+    Dispatch parity: reference ConfigParser.configureTables, plus
+    lakehouse keys (deltaTable/icebergTable) beyond the reference.
     """
     common = {"key_columns": d.get("keyColumns"), "condition": d.get("condition")}
     if "parquetFile" in d:
         return ParquetFile(d["parquetFile"], **common)
     if "orcFile" in d:
         return OrcFile(d["orcFile"], **common)
+    if "deltaTable" in d:
+        return TableFormatSource("delta", d["deltaTable"], **common)
+    if "icebergTable" in d:
+        return TableFormatSource("iceberg", d["icebergTable"], **common)
     if "table" in d:
         return HiveTable(d.get("db", ""), d["table"], **common)
     if "format" in d:

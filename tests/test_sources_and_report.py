@@ -173,3 +173,18 @@ def test_render_email(report):
     cfg.email = EmailConfig(subject="s", from_addr="f@x", to=["t@x"])
     msg = render_email(cfg, report)
     assert msg["subject"] == "s" and "<html>" in msg["body"]
+
+
+def test_lakehouse_sources_parse_and_fail_actionably(spark):
+    from data_validator_spark.sources import TableFormatSource
+
+    src = source_from_dict({"deltaTable": "/tmp/nope", "condition": "x > 1"})
+    assert isinstance(src, TableFormatSource)
+    assert src.label == "TableFormatSource:delta:/tmp/nope"
+    assert src.condition == "x > 1"
+    # connector jars are not bundled: reading degrades to a clear error
+    with pytest.raises(IOError, match="delta-spark connector"):
+        src.open(spark)
+    ice = source_from_dict({"icebergTable": "db.t"})
+    with pytest.raises(IOError, match="iceberg-spark-runtime connector"):
+        ice.open(spark)
