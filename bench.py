@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_clusters",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

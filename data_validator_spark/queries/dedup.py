@@ -403,11 +403,101 @@ SELECT doc_id, ({terms}) AS simhash FROM t ORDER BY doc_id
 """
 
 
+# -- dedup_clusters: connected components over the near-dup graph ----------
+MAX_CC_ITERATIONS = 20  # graph diameter bound; LSH dup clusters are shallow
+
+
+def q_dedup_clusters(spark, sf):
+    """Transitive duplicate clusters: connected components over the
+    LSH candidate-pair graph, cluster id = min doc_id in the
+    component (the keeper). A near-dups B and B near-dups C must
+    dedup as ONE group even when A-C never met in a band — pairwise
+    output alone under-deletes.
+
+    Iterative min-label propagation: each round every node takes the
+    min label among itself and its neighbors; rounds = graph
+    diameter. Each round is one shuffle-join — fully distributed; the
+    driver only checks the converged flag (a 1-row count, not data).
+    At 100 TB scale the same loop runs with the large-star/small-star
+    optimization (alternating stars shrink diameter to O(log n)
+    rounds); dup clusters from banded LSH are shallow, so the plain
+    loop converges in a handful of rounds."""
+    pairs = q_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.doc_a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .select(F.col("label").alias("cluster_id"), "n_members", "members")
+        .orderBy("cluster_id")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_sql_minhash_ctes()},
+bsize AS (SELECT band, sig, count(*) AS c FROM bands GROUP BY 1, 2),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN bsize ON a.band = bsize.band AND a.sig = bsize.sig AND bsize.c <= {MAX_BUCKET}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+walk(node, reach) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u
+),
+labels AS (
+  SELECT node, LEAST(node, MIN(reach)) AS label FROM walk GROUP BY node
+)
+SELECT label AS cluster_id,
+       count(*) AS n_members,
+       list_sort(list(node)) AS members
+FROM labels GROUP BY label ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -415,4 +505,5 @@ ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": _sql_simhash(),
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
 }

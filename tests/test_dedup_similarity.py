@@ -114,3 +114,35 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     total = sum(len(v) for v in truth.values())
     assert total == 50
     assert hits / total >= 0.8
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Cluster assignment must equal the transitive closure of the
+    candidate pairs (plain union-find on the collected pair list)."""
+    from data_validator_spark.queries.dedup import (
+        q_dedup_clusters,
+        q_dedup_minhash_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r.doc_a, r.doc_b) for r in q_dedup_minhash_lsh(spark, sf).collect()]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want: dict = {}
+    for n in parent:
+        want.setdefault(find(n), set()).add(n)
+
+    got = {
+        r.cluster_id: set(r.members) for r in q_dedup_clusters(spark, sf).collect()
+    }
+    assert got == {min(m): m for m in want.values()}
