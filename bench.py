@@ -48,6 +48,7 @@ HEADLINE = [
     "doc_fingerprint",
     "doc_split_sample",
     "token_frequencies",
+    "corpus_train_filter",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -22,7 +22,7 @@ from data_validator_spark.functions.text import (
     quality_score,
     token_count,
 )
-from data_validator_spark.queries import load, spread
+from data_validator_spark.queries import DEC, load, spread
 
 
 # -- token_count -----------------------------------------------------------
@@ -236,6 +236,97 @@ LIMIT {TOP_TOKENS}
 """
 
 
+# -- corpus_train_filter: the whole pipeline as ONE declarative plan --------
+QUALITY_CUTOFF = 0.5
+
+
+def q_corpus_train_filter(spark, sf):
+    """The training-corpus materialization every LLM pipeline ends
+    with — exact-dup keeper + quality gate + deterministic train split
+    — composed into ONE declarative plan, reported as a per-language
+    census.
+
+    Scale: keeper selection is a min-over-window on the fingerprint
+    partition (one shuffle, no self-join); quality, tokens, and the
+    split bucket are per-row native expressions computed in the same
+    scan; the census aggregation rides the same pipeline. Catalyst
+    fuses all of it — the full filter costs one scan + two exchanges
+    at any corpus size."""
+    from pyspark.sql import Window
+
+    df = spread(load(spark, sf, "documents"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SPLIT_SALT + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    enriched = df.select(
+        "doc_id",
+        "lang",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+        (bucket < 98).alias("in_train"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    kept = enriched.withColumn("keeper", keeper).where(
+        (F.col("doc_id") == F.col("keeper"))
+        & (F.col("quality") >= QUALITY_CUTOFF)
+        & F.col("in_train")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+            (
+                F.sum(F.col("quality").cast(DEC)).cast("double") / F.count(F.lit(1))
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CORPUS_TRAIN_FILTER = f"""
+WITH e AS (
+  SELECT doc_id, lang,
+         md5({SQL_NORM}) AS fp,
+         (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
+                 AND CAST(length(text) - length(regexp_replace(text, '[^ \\t\\n]', '', 'g'))
+                     AS DOUBLE)
+                     / (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                     BETWEEN 2.0 AND 12.0
+                 THEN 1.0 ELSE 0.0 END
+          + COALESCE(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / nullif(length(text), 0), 0.0) * 2.0) / 4.0 AS quality,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
+         CAST('0x' || substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 < 98 AS in_train
+  FROM documents
+), k AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM e
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(quality AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+FROM k
+WHERE doc_id = keeper AND quality >= {QUALITY_CUTOFF} AND in_train
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "text_quality": q_text_quality,
@@ -243,6 +334,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_split_sample": q_doc_split_sample,
     "token_frequencies": q_token_frequencies,
+    "corpus_train_filter": q_corpus_train_filter,
 }
 
 ORACLES = {
@@ -252,4 +344,5 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_split_sample": SQL_DOC_SPLIT_SAMPLE,
     "token_frequencies": SQL_TOKEN_FREQUENCIES,
+    "corpus_train_filter": SQL_CORPUS_TRAIN_FILTER,
 }

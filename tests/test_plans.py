@@ -147,3 +147,11 @@ def test_q17_broadcasts_brand_filtered_part(spark, registry):
     plan = plan_of(spark, registry, "q17_small_quantity_revenue")
     assert "BroadcastHashJoin" in plan
     assert "EqualTo(p_brand,Brand#23)" in plan
+
+
+def test_corpus_train_filter_fuses_to_one_scan(spark, registry):
+    """Dedup keeper + quality + split + census must fuse into one scan
+    of documents (window on fingerprint, then the census agg)."""
+    plan = plan_of(spark, registry, "corpus_train_filter")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
