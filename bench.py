@@ -42,6 +42,7 @@ HEADLINE = [
     "events_asof_join",
     "events_range_join",
     "events_rollup",
+    "salted_aggregation",
     "text_quality",
     "lang_id",
     "token_count",

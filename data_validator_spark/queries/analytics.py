@@ -808,6 +808,30 @@ WHERE l_quantity < 0.2 * avg_qty
 """
 
 
+# -- salted_aggregation: skew-safe groupBy, oracle-checked ------------------
+def salted_aggregation(spark, sf):
+    """Event counts by type via the two-stage salted aggregation
+    (operators/skew.py) — the worst-case skew shape on purpose: only
+    5 distinct keys over the whole table, so an unsalted exact
+    collect-style agg would reduce on 5 hot reducers. The salt spreads
+    each key over 16, then partials merge. The oracle proves the
+    two-stage result is bit-identical to the direct groupBy."""
+    from data_validator_spark.operators.skew import salted_count_by_key
+
+    ev = load(spark, sf, "events")
+    return (
+        salted_count_by_key(ev.select("event_type"), ["event_type"])
+        .withColumnRenamed("count", "n_events")
+        .orderBy("event_type")
+    )
+
+
+SQL_SALTED_AGGREGATION = """
+SELECT event_type, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
@@ -827,6 +851,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_rollup": events_rollup,
+    "salted_aggregation": salted_aggregation,
 }
 
 ORACLES = {
@@ -848,4 +873,5 @@ ORACLES = {
     "events_asof_join": SQL_EVENTS_ASOF,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
+    "salted_aggregation": SQL_SALTED_AGGREGATION,
 }
