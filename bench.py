@@ -30,6 +30,7 @@ HEADLINE = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",

@@ -473,6 +473,87 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
 
 
+# -- q8: national market share (TPC-H Q8 shape) ----------------------------
+def q8_market_share(spark, sf):
+    """NATION_1's share of AMERICA's ECONOMY-part order volume per
+    year — the widest join tree in the suite (lineitem + orders +
+    customer + part + supplier + nation×2 + region).
+
+    Scale: every dimension (part pre-filtered on type, supplier,
+    nation twice, region) is broadcast, so the only shuffled
+    relations are the three facts meeting on their keys; the
+    conditional share divides two exact decimal sums per year."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31"))
+    )
+    cust = load(spark, sf, "customer")
+    part = load(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
+    supp = load(spark, sf, "supplier")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = load(spark, sf, "region").where(F.col("r_name") == "AMERICA")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    per_year = j.select(
+        F.year("o_orderdate").alias("o_year"),
+        volume.alias("volume"),
+        F.col("supp_nation"),
+    )
+    return (
+        per_year.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+                        F.lit(0).cast(DEC)
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_Q8 = """
+WITH flat AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM flat GROUP BY o_year ORDER BY o_year
+"""
+
+
 # -- q13: customer order-count distribution (TPC-H Q13 shape) --------------
 def q13_customer_distribution(spark, sf):
     """How many customers placed 0, 1, 2, ... orders — LEFT OUTER join
@@ -837,6 +918,7 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q14_promo_revenue": q14_promo_revenue,
+    "q8_market_share": q8_market_share,
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -859,6 +941,7 @@ ORACLES = {
     "q4_order_priority": SQL_Q4,
     "q7_volume_shipping": SQL_Q7,
     "q14_promo_revenue": SQL_Q14,
+    "q8_market_share": SQL_Q8,
     "q13_customer_distribution": SQL_Q13,
     "q15_top_supplier": SQL_Q15,
     "q17_small_quantity_revenue": SQL_Q17,

@@ -155,3 +155,12 @@ def test_corpus_train_filter_fuses_to_one_scan(spark, registry):
     plan = plan_of(spark, registry, "corpus_train_filter")
     assert plan.count("Scan parquet") == 1
     assert "Window" in plan
+
+
+def test_q8_broadcasts_all_dimensions(spark, registry):
+    """7-table tree: part/supplier/nation×2/region all broadcast; the
+    only shuffles belong to the fact-fact meets."""
+    plan = plan_of(spark, registry, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "EqualTo(r_name,AMERICA)" in plan
