@@ -67,6 +67,7 @@ HEADLINE = [
     "streaming_windowed",
     "streaming_validation",
     "streaming_dedup",
+    "streaming_enriched",
 ]
 
 

@@ -38,7 +38,9 @@ def _stream_reader(spark, sf, name):
     os.symlink(src, os.path.join(d, f"{name}.parquet"))
     df = spark.readStream.schema(raw_schema).format("parquet").load(d)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer `div` like the batch loader: float division loses
+        # precision above 2^53 and skews timestamps by ±1 µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -190,14 +192,46 @@ ORDER BY event_type
 """
 
 
+def q_streaming_enriched(spark, sf):
+    """Stream-static enrichment: the events stream joins the static
+    customer dimension (broadcast — re-read per micro-batch, never
+    shuffled) and aggregates value by market segment. The canonical
+    'enrich a firehose with a dimension table' shape; the final table
+    hash-matches the batch join's oracle, proving the stream-static
+    path computes identical answers."""
+    ev = _stream_reader(spark, sf, "events")
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def agg(df):
+        return (
+            df.join(F.broadcast(cust), "user_id")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "sum_value"))
+        )
+
+    return _run_to_memory(ev, agg).orderBy("c_mktsegment")
+
+
+SQL_STREAMING_ENRICHED = f"""
+SELECT c_mktsegment, count(*) AS n_events, {sql_dsum('value', 'sum_value')}
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "streaming_windowed": q_streaming_windowed,
     "streaming_validation": q_streaming_validation,
     "streaming_sessionized": q_streaming_sessionized,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_enriched": q_streaming_enriched,
 }
 
 ORACLES = {
     "streaming_windowed": SQL_STREAMING_WINDOWED,
     "streaming_dedup": SQL_STREAMING_DEDUP,
+    "streaming_enriched": SQL_STREAMING_ENRICHED,
 }
