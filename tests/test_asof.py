@@ -85,3 +85,55 @@ def test_events_asof_join_gap_is_nonnegative(spark):
     assert rows  # purchases exist at every SF
     matched = [r for r in rows if r.click_id is not None]
     assert matched and all(r.gap_us >= 0 for r in matched)
+
+
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """Randomized cross-check against pandas merge_asof (backward,
+    inclusive, last-of-ties — the same semantics)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260813)
+    left_rows = [
+        (rng.randrange(5), i, rng.randrange(0, 10_000))
+        for i in range(200)
+    ]
+    right_rows = [
+        (rng.randrange(5), 1000 + i, rng.randrange(0, 10_000))
+        for i in range(300)
+    ]
+    left = spark.createDataFrame(
+        [(u, i, pd.Timestamp(t, unit="s").to_pydatetime()) for u, i, t in left_rows],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(u, i, pd.Timestamp(t, unit="s").to_pydatetime()) for u, i, t in right_rows],
+        "user_id long, event_id long, ts timestamp",
+    )
+    got = {
+        r.event_id: r.m_event_id
+        for r in asof_join(
+            left, right, on=["user_id"], ts="ts", payload=["event_id"],
+            tiebreak="event_id", prefix="m_",
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["user_id", "event_id", "t"]).sort_values(
+        ["t", "event_id"]
+    )
+    # merge_asof keeps the LAST right row among equal timestamps only if
+    # it sorts last — sort by (t, event_id) so max event_id wins ties,
+    # matching the operator's tiebreak.
+    rp = (
+        pd.DataFrame(right_rows, columns=["user_id", "m_event_id", "t"])
+        .sort_values(["t", "m_event_id"])
+    )
+    want_df = pd.merge_asof(
+        lp, rp, on="t", by="user_id", direction="backward", allow_exact_matches=True
+    )
+    want = {
+        int(r.event_id): (None if pd.isna(r.m_event_id) else int(r.m_event_id))
+        for r in want_df.itertuples()
+    }
+    assert got == want
