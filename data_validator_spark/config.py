@@ -57,6 +57,7 @@ class ValidatorConfig:
     outputs: list[OutputSpec] = field(default_factory=list)
     email: Optional[EmailConfig] = None
     var_specs: list[dict[str, Any]] = field(default_factory=list)
+    var_sub_dict: dict[str, Any] = field(default_factory=dict)
 
     def build_runners(self) -> list["ValidatorTableRunner"]:
         from data_validator_spark.runner import ValidatorTableRunner
@@ -129,6 +130,7 @@ def parse_config(
         outputs=outputs,
         email=email,
         var_specs=raw.get("vars") or [],
+        var_sub_dict=dict(dict_.vars),
     )
 
 

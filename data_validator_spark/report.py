@@ -19,7 +19,25 @@ from typing import Any
 from data_validator_spark.config import OutputSpec, ValidatorConfig
 
 
-def build_report(config: ValidatorConfig, runners: list, failed: bool) -> dict[str, Any]:
+def build_report(
+    config: ValidatorConfig, runners: list, failed: bool, spark: Any = None
+) -> dict[str, Any]:
+    """JSON envelope parity: reference ValidatorConfig.genJsonReport
+    (numKeyCols/numErrorsToReport/email/detailedErrors/vars/varSubDict/
+    failed/buildInfo/runtimeInfo/outputs/tables/events)."""
+    import platform
+
+    import pyspark
+
+    runtime: dict[str, Any] = {}
+    if spark is not None:
+        sc = spark.sparkContext
+        runtime = {
+            "appId": sc.applicationId,
+            "sparkVersion": spark.version,
+            "master": sc.master,
+            "defaultParallelism": sc.defaultParallelism,
+        }
     return {
         "name": "data_validator_spark",
         "failed": failed,
@@ -27,7 +45,36 @@ def build_report(config: ValidatorConfig, runners: list, failed: bool) -> dict[s
         "numKeyCols": config.num_key_cols,
         "numErrorsToReport": config.num_errors_to_report,
         "detailedErrors": config.detailed_errors,
+        "email": (
+            {
+                "smtpHost": config.email.smtp_host,
+                "subject": config.email.subject,
+                "from": config.email.from_addr,
+                "to": config.email.to,
+            }
+            if config.email
+            else None
+        ),
+        "vars": config.var_specs,
+        "varSubDict": config.var_sub_dict,
+        "buildInfo": {
+            "name": "data_validator_spark",
+            "version": "0.1.0",
+            "pythonVersion": platform.python_version(),
+            "pysparkVersion": pyspark.__version__,
+        },
+        "runtimeInfo": runtime,
+        "outputs": [
+            {
+                "filename": o.filename,
+                "append": o.append,
+                "pipe": o.pipe,
+                "ignoreError": o.ignore_error,
+            }
+            for o in config.outputs
+        ],
         "tables": [r.to_dict() for r in runners],
+        "events": [],  # run-level events; per-table events live under tables
     }
 
 

@@ -230,7 +230,7 @@ def run_config(spark: SparkSession, config: "ValidatorConfig") -> dict[str, Any]
         for r in runners:
             r.failed = r.costly_checks(spark) or r.failed
             failed = r.failed or failed
-    return report_mod.build_report(config, runners, failed)
+    return report_mod.build_report(config, runners, failed, spark)
 
 
 from data_validator_spark.config import ValidatorConfig  # noqa: E402  (cycle: config builds runners)

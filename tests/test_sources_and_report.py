@@ -125,7 +125,7 @@ def test_write_output_file_and_append(report, tmp_path):
     write_output(OutputSpec(filename=f), report)
     write_output(OutputSpec(filename=f, append=True), report)
     text = open(f).read()
-    assert text.count('"name": "data_validator_spark"') == 2
+    assert text.count('"buildInfo"') == 2
 
 
 def test_write_output_pipe(report, tmp_path):
@@ -150,7 +150,7 @@ def test_write_output_hadoop_scheme(spark, report, tmp_path):
     assert json.load(open(f))["name"] == "data_validator_spark"
     # append on a local FS falls back to read+rewrite
     write_output(OutputSpec(filename=f"file://{f}", append=True), report, spark)
-    assert open(f).read().count('"name": "data_validator_spark"') == 2
+    assert open(f).read().count('"buildInfo"') == 2
 
 
 def test_write_output_hadoop_scheme_requires_spark(report):
@@ -188,3 +188,24 @@ def test_lakehouse_sources_parse_and_fail_actionably(spark):
     ice = source_from_dict({"icebergTable": "db.t"})
     with pytest.raises(IOError, match="iceberg-spark-runtime connector"):
         ice.open(spark)
+
+
+def test_report_envelope_matches_reference_keys(spark, small, tmp_path):
+    """Top-level JSON keys parity with the reference's genJsonReport
+    (ValidatorConfig.scala:76-89)."""
+    p = str(tmp_path / "env.parquet")
+    small.write.parquet(p)
+    cfg = ValidatorConfig(
+        tables=[TableConfig({"parquetFile": p}, [{"type": "nullCheck", "column": "s"}])]
+    )
+    cfg.var_sub_dict = {"foo": "bar"}
+    rep = run_config(spark, cfg)
+    for key in (
+        "numKeyCols", "numErrorsToReport", "email", "detailedErrors",
+        "vars", "varSubDict", "failed", "buildInfo", "runtimeInfo",
+        "outputs", "tables", "events",
+    ):
+        assert key in rep, key
+    assert rep["varSubDict"] == {"foo": "bar"}
+    assert rep["runtimeInfo"]["sparkVersion"] == spark.version
+    assert rep["buildInfo"]["name"] == "data_validator_spark"
