@@ -29,7 +29,8 @@ class ValidatorError(ValidatorEvent):
         self.message = message
 
     def to_dict(self) -> dict[str, Any]:
-        return {"type": "ValidatorError", "failed": True, "message": self.message}
+        # JSON tag/field parity: JsonEncoders.scala eventEncoder ("error"/msg)
+        return {"type": "error", "failed": True, "msg": self.message}
 
 
 @dataclass
@@ -41,7 +42,7 @@ class ValidatorGood(ValidatorEvent):
         self.message = message
 
     def to_dict(self) -> dict[str, Any]:
-        return {"type": "ValidatorGood", "failed": False, "message": self.message}
+        return {"type": "good", "msg": self.message}
 
 
 @dataclass
@@ -55,7 +56,7 @@ class ValidatorCounter(ValidatorEvent):
         self.value = value
 
     def to_dict(self) -> dict[str, Any]:
-        return {"type": "ValidatorCounter", "failed": False, "name": self.name, "value": self.value}
+        return {"type": "counter", "name": self.name, "value": self.value}
 
 
 @dataclass
@@ -72,7 +73,7 @@ class ValidatorCheckEvent(ValidatorEvent):
 
     def to_dict(self) -> dict[str, Any]:
         return {
-            "type": "ValidatorCheckEvent",
+            "type": "checkEvent",
             "failed": self.failed,
             "label": self.label,
             "count": self.count,
@@ -92,7 +93,7 @@ class ColumnBasedCheckEvent(ValidatorEvent):
 
     def to_dict(self) -> dict[str, Any]:
         return {
-            "type": "ColumnBasedCheckEvent",
+            "type": "columnBasedCheckEvent",
             "failed": self.failed,
             "data": self.data,
             "message": self.message,
@@ -121,11 +122,12 @@ class QuickCheckError(ValidatorEvent):
         # Raw typed values (reference ValidatorQuickCheckError emits the
         # value as-is in JSON); json.dump(default=str) handles dates etc.
         return {
-            "type": "QuickCheckError",
+            "type": "quickCheckError",
             "failed": True,
-            "key": dict(self.key),
-            "value": self.value,
             "message": self.message,
+            "key": dict(self.key),
+            # additive beyond the reference: the offending value itself
+            "value": self.value,
         }
 
 
@@ -145,4 +147,5 @@ class ValidatorTimer(ValidatorEvent):
         self.duration_ms = int((time.monotonic() - self._t0) * 1000)
 
     def to_dict(self) -> dict[str, Any]:
-        return {"type": "ValidatorTimer", "failed": False, "label": self.label, "durationMs": self.duration_ms}
+        # reference timers emit nanoseconds ("ns")
+        return {"type": "timer", "label": self.label, "ns": self.duration_ms * 1_000_000}

@@ -138,7 +138,7 @@ def test_run_config_config_failure_is_fatal_for_all_tables(spark, tdf, tmp_path)
     good_table = report["tables"][1]
     # data phase skipped: the good table's check has NO check events
     check_events = [
-        e for c in good_table["checks"] for e in c["events"] if e["type"] == "ValidatorCheckEvent"
+        e for c in good_table["checks"] for e in c["events"] if e["type"] == "checkEvent"
     ]
     assert check_events == []
 

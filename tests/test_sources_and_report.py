@@ -105,9 +105,9 @@ def test_json_report_roundtrip(report):
     assert d["failed"] is True  # one null in s
     assert d["tables"][0]["checks"][0]["type"] == "nullCheck"
     events = d["tables"][0]["checks"][0]["events"]
-    assert any(e["type"] == "ValidatorCheckEvent" for e in events)
+    assert any(e["type"] == "checkEvent" for e in events)
     # QuickCheckError serializes raw values, not repr() strings
-    qce = [e for e in events if e["type"] == "QuickCheckError"]
+    qce = [e for e in events if e["type"] == "quickCheckError"]
     assert qce and qce[0]["value"] is None
 
 
