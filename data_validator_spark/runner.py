@@ -198,7 +198,10 @@ class ValidatorTableRunner:
 
     def to_dict(self) -> dict[str, Any]:
         return {
-            "table": self.source.label,
+            # source-specific identity keys first (reference tableEncoder
+            # emits parquetFile/orcFile/db+table/format, not a label)
+            **self.source.json_identity(),
+            "table": self.source.label,  # additive: readable label
             "failed": self.failed or any(c.failed for c in self.checks),
             "keyColumns": self.source.key_columns,
             "condition": self.source.condition,

@@ -42,6 +42,11 @@ class TableSource(ABC):
             df = df.where(self.condition)
         return df
 
+    def json_identity(self) -> dict[str, Any]:
+        """Source-specific report keys (reference JsonEncoders
+        tableEncoder: parquetFile/orcFile/db+table/format/dfLabel)."""
+        return {"dfLabel": self.label}
+
 
 class ParquetFile(TableSource):
     def __init__(self, path: str, **kw: Any):
@@ -55,6 +60,9 @@ class ParquetFile(TableSource):
     def label(self) -> str:
         return f"ParquetFile:{self.path}"
 
+    def json_identity(self) -> dict[str, Any]:
+        return {"parquetFile": self.path}
+
 
 class OrcFile(TableSource):
     def __init__(self, path: str, **kw: Any):
@@ -67,6 +75,9 @@ class OrcFile(TableSource):
     @property
     def label(self) -> str:
         return f"OrcFile:{self.path}"
+
+    def json_identity(self) -> dict[str, Any]:
+        return {"orcFile": self.path}
 
 
 class HiveTable(TableSource):
@@ -85,6 +96,9 @@ class HiveTable(TableSource):
     @property
     def label(self) -> str:
         return f"HiveTable:{self.db}.{self.table}"
+
+    def json_identity(self) -> dict[str, Any]:
+        return {"db": self.db, "table": self.table}
 
 
 class SpecifiedFormatLoader(TableSource):
@@ -116,6 +130,9 @@ class SpecifiedFormatLoader(TableSource):
     def label(self) -> str:
         return f"SpecifiedFormatLoader:{self.format}:{','.join(self.load_data)}"
 
+    def json_identity(self) -> dict[str, Any]:
+        return {"format": self.format, "options": self.options, "loadData": self.load_data}
+
 
 class TableFormatSource(TableSource):
     """Lakehouse table formats (Delta Lake / Apache Iceberg) via their
@@ -144,6 +161,9 @@ class TableFormatSource(TableSource):
     @property
     def label(self) -> str:
         return f"TableFormatSource:{self.fmt}:{self.path}"
+
+    def json_identity(self) -> dict[str, Any]:
+        return {f"{self.fmt}Table": self.path}
 
 
 def source_from_dict(d: dict[str, Any]) -> TableSource:

@@ -209,3 +209,10 @@ def test_report_envelope_matches_reference_keys(spark, small, tmp_path):
     assert rep["varSubDict"] == {"foo": "bar"}
     assert rep["runtimeInfo"]["sparkVersion"] == spark.version
     assert rep["buildInfo"]["name"] == "data_validator_spark"
+
+
+def test_table_entries_carry_source_identity_keys(report):
+    """Reference tableEncoder parity: a parquet table's report entry
+    leads with parquetFile, not just a generic label."""
+    t = report["tables"][0]
+    assert "parquetFile" in t and t["parquetFile"].endswith("t.parquet")
