@@ -44,6 +44,7 @@ HEADLINE = [
     "events_range_join",
     "events_rollup",
     "salted_aggregation",
+    "events_pivot",
     "text_quality",
     "lang_id",
     "token_count",

@@ -889,6 +889,39 @@ WHERE l_quantity < 0.2 * avg_qty
 """
 
 
+# -- events_pivot: wide-format daily counts ---------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark, sf):
+    """Daily event counts pivoted to one column per event type — the
+    wide-format reporting shape. The pivot value list is FIXED (not
+    inferred), which matters at scale: inference costs an extra
+    distinct scan and makes the output schema data-dependent. With
+    fixed values the pivot compiles to conditional aggregates in the
+    single groupBy — same plan as the oracle's CASE sums."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("day")
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 # -- salted_aggregation: skew-safe groupBy, oracle-checked ------------------
 def salted_aggregation(spark, sf):
     """Event counts by type via the two-stage salted aggregation
@@ -934,6 +967,7 @@ QUERIES = {
     "events_range_join": events_range_join,
     "events_rollup": events_rollup,
     "salted_aggregation": salted_aggregation,
+    "events_pivot": events_pivot,
 }
 
 ORACLES = {
@@ -957,4 +991,5 @@ ORACLES = {
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "salted_aggregation": SQL_SALTED_AGGREGATION,
+    "events_pivot": SQL_EVENTS_PIVOT,
 }
