@@ -453,6 +453,10 @@ def q_dedup_clusters(spark, sf):
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the old label relation is dead once `changed` materialized —
+        # release its storage so a deep graph doesn't accumulate one
+        # persisted copy per round (no-op on the unpersisted round-0 df)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
