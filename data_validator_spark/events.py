@@ -137,15 +137,15 @@ class ValidatorTimer(ValidatorEvent):
     def __init__(self, label: str):
         super().__init__(failed=False)
         self.label = label
-        self.duration_ms: int = 0
+        self.duration_ns: int = 0
 
     def __enter__(self) -> "ValidatorTimer":
-        self._t0 = time.monotonic()
+        self._t0 = time.monotonic_ns()
         return self
 
     def __exit__(self, *exc: Any) -> None:
-        self.duration_ms = int((time.monotonic() - self._t0) * 1000)
+        self.duration_ns = time.monotonic_ns() - self._t0
 
     def to_dict(self) -> dict[str, Any]:
         # reference timers emit nanoseconds ("ns")
-        return {"type": "timer", "label": self.label, "ns": self.duration_ms * 1_000_000}
+        return {"type": "timer", "label": self.label, "ns": self.duration_ns}

@@ -41,19 +41,25 @@ def range_join_count(
     grouped count input, never as output.
     """
     on = list(on)
-    b_us = F.unix_micros(F.col(ts))
-    bucket = F.floor(b_us / F.lit(tolerance_us))
-
+    # integer `div`, not floor(float division): µs values are exact in
+    # a double today, but the operator is generic — integer bucket
+    # arithmetic has no precision cliff (same reasoning as the ns→µs
+    # loader fix)
     built = build.select(
-        *on, bucket.alias("_bucket"), b_us.alias("_build_us")
+        *on,
+        F.expr(f"unix_micros({ts}) div {int(tolerance_us)}").alias("_bucket"),
+        F.unix_micros(F.col(ts)).alias("_build_us"),
     )
     probe_keyed = (
         probe.select(
             F.struct(*probe.columns).alias("_row"),
+            # unique per-row tag so IDENTICAL probe rows stay distinct
+            # output rows instead of collapsing in the final groupBy
+            F.monotonically_increasing_id().alias("_uid"),
             *[F.col(c) for c in on],
             F.unix_micros(F.col(ts)).alias("_probe_us"),
         )
-        .withColumn("_pb", F.floor(F.col("_probe_us") / F.lit(tolerance_us)))
+        .withColumn("_pb", F.expr(f"_probe_us div {int(tolerance_us)}"))
         .withColumn(
             "_bucket",
             F.explode(F.array(F.col("_pb") - 1, F.col("_pb"), F.col("_pb") + 1)),
@@ -64,7 +70,7 @@ def range_join_count(
         F.col("_build_us").isNull()
         | (F.abs(F.col("_build_us") - F.col("_probe_us")) <= tolerance_us)
     )
-    counted = pairs.groupBy("_row").agg(
+    counted = pairs.groupBy("_row", "_uid").agg(
         F.count("_build_us").alias(count_alias)
     )
     out_cols = [F.col(f"_row.{c}").alias(c) for c in probe.columns]

@@ -460,6 +460,13 @@ def q_dedup_clusters(spark, sf):
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {MAX_CC_ITERATIONS} "
+            f"rounds ({changed} labels still changing) — the pair graph has "
+            "an unusually deep component; raise MAX_CC_ITERATIONS or switch "
+            "to large-star/small-star propagation"
+        )
     return (
         labels.groupBy("label")
         .agg(

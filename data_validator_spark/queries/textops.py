@@ -147,16 +147,11 @@ FROM documents ORDER BY doc_id
 SPLIT_SALT = "dv-split-v1"  # version the salt to re-deal all splits at once
 
 
-def q_doc_split_sample(spark, sf):
-    """Reproducible 98/1/1 train/val/test split: each document's split
-    is a pure function of (salt, doc_id) — an md5 hash bucket, not an
-    RNG draw. That is the only split that survives a 100 TB pipeline:
-    it is stable under re-partitioning, retries, incremental re-runs,
-    and engine changes (the DuckDB oracle deals the identical split),
-    and adding documents never reassigns existing ones. Returns the
-    per-(lang, split) census used to sanity-check stratification."""
-    df = spread(load(spark, sf, "documents"))
-    bucket = (
+def split_bucket():
+    """0-99 hash bucket of (salt, doc_id) — THE split function; both
+    split-consuming queries and both SQL oracles derive from this one
+    definition so they can never desynchronize."""
+    return (
         F.conv(
             F.substring(
                 F.md5(F.concat(F.lit(SPLIT_SALT + ":"), F.col("doc_id").cast("string"))),
@@ -168,6 +163,24 @@ def q_doc_split_sample(spark, sf):
         ).cast("long")
         % 100
     )
+
+
+SQL_SPLIT_BUCKET = (
+    f"CAST('0x' || substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+    "AS BIGINT) % 100"
+)
+
+
+def q_doc_split_sample(spark, sf):
+    """Reproducible 98/1/1 train/val/test split: each document's split
+    is a pure function of (salt, doc_id) — an md5 hash bucket, not an
+    RNG draw. That is the only split that survives a 100 TB pipeline:
+    it is stable under re-partitioning, retries, incremental re-runs,
+    and engine changes (the DuckDB oracle deals the identical split),
+    and adding documents never reassigns existing ones. Returns the
+    per-(lang, split) census used to sanity-check stratification."""
+    df = spread(load(spark, sf, "documents"))
+    bucket = split_bucket()
     split = (
         F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test")
     )
@@ -185,8 +198,7 @@ def q_doc_split_sample(spark, sf):
 SQL_DOC_SPLIT_SAMPLE = f"""
 WITH assigned AS (
   SELECT lang, n_chars,
-         CAST('0x' || substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8)
-              AS BIGINT) % 100 AS bucket
+         {SQL_SPLIT_BUCKET} AS bucket
   FROM documents
 )
 SELECT lang,
@@ -255,18 +267,7 @@ def q_corpus_train_filter(spark, sf):
     from pyspark.sql import Window
 
     df = spread(load(spark, sf, "documents"))
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(SPLIT_SALT + ":"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    bucket = split_bucket()
     enriched = df.select(
         "doc_id",
         "lang",
@@ -311,8 +312,7 @@ WITH e AS (
                      / nullif(length(text), 0), 0.0) * 2.0) / 4.0 AS quality,
          (CASE WHEN length(trim(text)) = 0 THEN 0
                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
-         CAST('0x' || substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8)
-              AS BIGINT) % 100 < 98 AS in_train
+         {SQL_SPLIT_BUCKET} < 98 AS in_train
   FROM documents
 ), k AS (
   SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM e

@@ -21,13 +21,17 @@ NAMES = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,10}", fullmatch=True)
 
 @given(st.integers(min_value=1, max_value=10**12), st.integers(min_value=0, max_value=100))
 def test_percent_threshold_matches_fraction(row_count, pct):
-    """'N%' must equal the same fraction expressed as a decimal < 1."""
+    """'N%' and the same fraction as a decimal must agree (the two
+    spellings multiply in different float orders — pct*(rc/100) vs
+    (pct/100)*rc — so after truncation they may differ by at most one
+    error; anything larger is a real semantic divergence)."""
     as_pct = calc_error_count_threshold(f"{pct}%", row_count)
-    assert as_pct == int(pct * (row_count / 100.0))
-    # identical rounding rule for fraction form (when pct < 100)
     if 0 < pct < 100:
-        frac = pct / 100.0
-        assert calc_error_count_threshold(str(frac), row_count) == int(frac * row_count)
+        as_frac = calc_error_count_threshold(str(pct / 100.0), row_count)
+        assert abs(as_pct - as_frac) <= 1
+    # both spellings stay within one count of the exact rational value
+    exact = row_count * pct // 100
+    assert abs(as_pct - exact) <= 1
 
 
 @given(st.integers(min_value=1, max_value=10**9), st.integers(min_value=0, max_value=10**6))

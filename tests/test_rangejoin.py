@@ -87,3 +87,17 @@ def test_events_range_join_matches_brute_force(spark):
             and abs((ts - r.ts).total_seconds()) * 1_000_000 <= RANGE_TOL_US
         )
         assert got[r.event_id] == want
+
+
+def test_range_join_preserves_duplicate_probe_rows(spark):
+    """Two identical probe rows must come back as two rows, each with
+    its own count — not collapse into one inflated row."""
+    probe = spark.createDataFrame(
+        [(1, us(0)), (1, us(0))], "user_id long, ts timestamp"
+    )
+    build = spark.createDataFrame([(1, us(5))], "user_id long, ts timestamp")
+    out = range_join_count(
+        probe, build, on=["user_id"], ts="ts", tolerance_us=10_000_000
+    ).collect()
+    assert len(out) == 2
+    assert [r.n_matches for r in out] == [1, 1]
