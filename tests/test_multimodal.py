@@ -97,3 +97,33 @@ def test_features_feed_similarity(spark, docs_dir):
     norm = F.sqrt(dot)
     cos = feats.select((dot / (norm * norm)).alias("self_cos")).collect()
     assert all(abs(r["self_cos"] - 1.0) < 1e-6 for r in cos)
+
+
+def test_multimodal_features_feed_similarity_topk(spark):
+    """The featurizer's array<float> output plugs directly into the
+    cosine top-k machinery (SURVEY: 'feeds similarity ops')."""
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.queries.multimodal import q_multimodal_features
+
+    feats = q_multimodal_features(spark, "/root/testdata/sf0.001").limit(50)
+    a = feats.select(F.col("doc_id").alias("a_id"), F.col("features").alias("va"))
+    b = feats.select(F.col("doc_id").alias("b_id"), F.col("features").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine"),
+        )
+    )
+    rows = pairs.collect()
+    assert rows and all(-1.0001 <= r.cosine <= 1.0001 for r in rows if r.cosine is not None)
+    # features are L1-normalized byte histograms: all non-negative, so
+    # cosines land in [0, 1]
+    assert all(r.cosine >= -1e-9 for r in rows if r.cosine is not None)
