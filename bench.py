@@ -45,6 +45,7 @@ HEADLINE = [
     "events_rollup",
     "salted_aggregation",
     "events_pivot",
+    "events_funnel",
     "text_quality",
     "lang_id",
     "token_count",

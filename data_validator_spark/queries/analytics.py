@@ -889,6 +889,65 @@ WHERE l_quantity < 0.2 * avg_qty
 """
 
 
+# -- events_funnel: sequential-stage conversion -----------------------------
+def events_funnel(spark, sf):
+    """signup → click → purchase conversion funnel: users counted at
+    each stage only if the stage event happens AT OR AFTER their
+    previous stage's first event — the product-analytics shape that
+    needs per-user sequential matching, not independent counts.
+
+    Scale: three stage aggregations each shuffle on user_id (AQE
+    reuses the partitioning); stage joins are per-user 1-row meets.
+    No window over the raw event stream — each stage reduces to one
+    row per qualifying user before the next meet."""
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    click = (
+        ev.where(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .where(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        signup.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(click.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(purchase.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), click AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s.signup_ts
+  GROUP BY e.user_id
+), purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN click c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM signup) AS n_signup,
+       (SELECT count(*) FROM click) AS n_click_after_signup,
+       (SELECT count(*) FROM purchase) AS n_purchase_after_click
+"""
+
+
 # -- events_pivot: wide-format daily counts ---------------------------------
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -968,6 +1027,7 @@ QUERIES = {
     "events_rollup": events_rollup,
     "salted_aggregation": salted_aggregation,
     "events_pivot": events_pivot,
+    "events_funnel": events_funnel,
 }
 
 ORACLES = {
@@ -992,4 +1052,5 @@ ORACLES = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "salted_aggregation": SQL_SALTED_AGGREGATION,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }
