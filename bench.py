@@ -24,6 +24,7 @@ HEADLINE = [
     "unique_check",
     "col_stats",
     "col_quantiles",
+    "profile_table",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -330,6 +330,61 @@ def _sql_col_quantiles() -> str:
     return f"WITH a AS (SELECT {aggs} FROM lineitem)\n{arms}\nORDER BY column_name"
 
 
+# -- profile_table ---------------------------------------------------------
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_profile_table(spark, sf):
+    """Per-column profiling census — rows/nulls/distincts/min/max for
+    every measure column in ONE scan, unpivoted to a row per column.
+
+    The profiling shape data teams run before writing checks: the
+    numbers here become the thresholds in the validation config. All
+    aggregates fuse into a single `df.agg` (same one-scan rule as the
+    quick-check pass); exact distinct counts shuffle once per column —
+    swap in approx_count_distinct at 100 TB for a single-pass sketch
+    (same plan shape, documented trade)."""
+    df = load(spark, sf, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        wide.select(F.explode(per_col).alias("s")).select("s.*").orderBy("column_name")
+    )
+
+
+def _sql_profile_table() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, count(*) AS n_rows,"
+        f" count(*) FILTER (WHERE {c} IS NULL) AS n_nulls,"
+        f" count(DISTINCT {c}) AS n_distinct,"
+        f" min({c}) AS min_val, max({c}) AS max_val FROM lineitem"
+        for c in _PROFILE_COLS
+    )
+    return f"{arms}\nORDER BY column_name"
+
+
 QUERIES = {
     "row_count": q_row_count,
     "null_check": q_null_check,
@@ -343,6 +398,7 @@ QUERIES = {
     "col_stats": q_col_stats,
     "col_stats_histogram": q_col_stats_histogram,
     "col_quantiles": q_col_quantiles,
+    "profile_table": q_profile_table,
     "combined_single_pass": q_combined_single_pass,
     "detailed_errors": q_detailed_errors,
 }
@@ -360,6 +416,7 @@ ORACLES = {
     "col_stats": SQL_COL_STATS,
     "col_stats_histogram": SQL_COL_STATS_HISTOGRAM,
     "col_quantiles": _sql_col_quantiles(),
+    "profile_table": _sql_profile_table(),
     "combined_single_pass": SQL_COMBINED_SINGLE_PASS,
     "detailed_errors": SQL_DETAILED_ERRORS,
 }
