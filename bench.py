@@ -47,6 +47,7 @@ HEADLINE = [
     "salted_aggregation",
     "events_pivot",
     "events_funnel",
+    "events_retention",
     "text_quality",
     "lang_id",
     "token_count",

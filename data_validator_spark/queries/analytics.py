@@ -948,6 +948,55 @@ SELECT (SELECT count(*) FROM signup) AS n_signup,
 """
 
 
+# -- events_retention: cohort retention matrix ------------------------------
+RETENTION_DAYS = 7
+
+
+def events_retention(spark, sf):
+    """Day-N retention: users cohorted by their first-activity day,
+    counted as retained on each later day they were active (offsets
+    0..7) — the cohort matrix behind every retention dashboard.
+
+    Scale: one shuffle to find each user's cohort day, one distinct
+    over (user, day) — both partial-aggregate map-side; the matrix
+    itself is tiny (days × offsets). (user, day) is distinct and each
+    user has ONE cohort, so the final count needs no second distinct."""
+    ev = load(spark, sf, "events")
+    by_day = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    cohort = by_day.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = by_day.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .where(F.col("day_offset").between(0, RETENTION_DAYS))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH by_day AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM by_day GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, day FROM by_day
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', cohort_day, day) AS day_offset,
+       count(*) AS n_active
+FROM active JOIN cohort USING (user_id)
+WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND {RETENTION_DAYS}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # -- events_pivot: wide-format daily counts ---------------------------------
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -1028,6 +1077,7 @@ QUERIES = {
     "salted_aggregation": salted_aggregation,
     "events_pivot": events_pivot,
     "events_funnel": events_funnel,
+    "events_retention": events_retention,
 }
 
 ORACLES = {
@@ -1053,4 +1103,5 @@ ORACLES = {
     "salted_aggregation": SQL_SALTED_AGGREGATION,
     "events_pivot": SQL_EVENTS_PIVOT,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
 }
