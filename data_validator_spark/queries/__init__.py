@@ -50,11 +50,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Coerce events.ts to a session-tz TIMESTAMP regardless of how the
+    generator encoded it: int64 nanos (TIMESTAMP(NANOS) under
+    nanosAsLong) or naive µs (TIMESTAMP_NTZ). With the session pinned
+    to UTC both coercions preserve the wall-clock value DuckDB sees."""
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
         # integer `div`, NOT float division: ns since epoch (~1.7e18)
         # exceeds double's 2^53 mantissa, and the rounding error shows
         # up as ±1 µs once queries compare microsecond gaps
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

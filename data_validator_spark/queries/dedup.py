@@ -437,27 +437,27 @@ def q_dedup_clusters(spark, sf):
             .groupBy("doc_a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # one relation carries both the new label AND the changed flag, so
+        # convergence needs no extra self-join; localCheckpoint (eager)
+        # materializes the round and TRUNCATES lineage — without it each
+        # round's plan nests the previous round's (r2 plan audit: 208
+        # scans / 548 shuffles over the whole loop)
+        updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.doc_a, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.col("nbr_label").isNotNull()
+                    & (F.col("nbr_label") < F.col("label"))
+                ).alias("changed"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # the old label relation is dead once `changed` materialized —
-        # release its storage so a deep graph doesn't accumulate one
-        # persisted copy per round (no-op on the unpersisted round-0 df)
-        labels.unpersist()
-        labels = new_labels
+        changed = updated.where("changed").count()  # scan of cached blocks only
+        labels = updated.drop("changed")
         if changed == 0:
             break
     else:
@@ -467,11 +467,13 @@ def q_dedup_clusters(spark, sf):
             "an unusually deep component; raise MAX_CC_ITERATIONS or switch "
             "to large-star/small-star propagation"
         )
+    # members serialized to a CSV string, not array<bigint>: list-typed
+    # columns break pandas-side canonicalization in downstream comparators
     return (
         labels.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("node")).alias("members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("members"),
         )
         .select(F.col("label").alias("cluster_id"), "n_members", "members")
         .orderBy("cluster_id")
@@ -498,7 +500,7 @@ labels AS (
 )
 SELECT label AS cluster_id,
        count(*) AS n_members,
-       list_sort(list(node)) AS members
+       array_to_string(list_sort(list(node)), ',') AS members
 FROM labels GROUP BY label ORDER BY cluster_id
 """
 

@@ -221,13 +221,37 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def q_multimodal_features(spark, sf):
+def features_table(spark, sf):
     """Binary → fixed-width float vector via mapInPandas; the output
     column is a proper array<float> so it plugs straight into the
     similarity operators (cosine top-k over extracted features)."""
     media = media_table(spark, sf)
     return media.select("doc_id", "payload").mapInPandas(
         _feature_batches, schema=FEATURES_SCHEMA
+    )
+
+
+def q_multimodal_features(spark, sf):
+    """Registered (driver-facing) view of features_table: the vector is
+    serialized to a fixed 6-decimal CSV string — list-typed columns
+    crash pandas-side canonicalizers, so arrays never cross the
+    comparator boundary. Similarity ops consume features_table()."""
+    ft = features_table(spark, sf)
+    return ft.select(
+        "doc_id",
+        F.size("features").alias("n_features"),
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda a, x: a + x.cast("double")
+            ),
+            6,
+        ).alias("l1_sum"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features", lambda x: F.format_string("%.6f", x.cast("double"))
+            ),
+        ).alias("features_csv"),
     ).orderBy("doc_id")
 
 

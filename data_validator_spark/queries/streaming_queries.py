@@ -19,7 +19,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import dsum, load, sql_dsum
+from data_validator_spark.queries import dsum, load, normalize_events_ts, sql_dsum
 
 
 def _stream_reader(spark, sf, name):
@@ -37,10 +37,8 @@ def _stream_reader(spark, sf, name):
     d = tempfile.mkdtemp(prefix=f"dv_stream_{name}_")
     os.symlink(src, os.path.join(d, f"{name}.parquet"))
     df = spark.readStream.schema(raw_schema).format("parquet").load(d)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer `div` like the batch loader: float division loses
-        # precision above 2^53 and skews timestamps by ±1 µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 
@@ -158,8 +156,7 @@ def q_streaming_dedup(spark, sf):
     os.symlink(src, os.path.join(d, "copy1.parquet"))
     os.symlink(src, os.path.join(d, "copy2.parquet"))
     df = spark.readStream.schema(raw_schema).format("parquet").load(d)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    df = normalize_events_ts(df)
 
     deduped = df.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
 

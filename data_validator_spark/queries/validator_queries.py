@@ -50,8 +50,8 @@ def q_null_check(spark, sf):
 
 
 SQL_NULL_CHECK = (
-    "SELECT COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) "
-    "AS null_errors FROM events"
+    "SELECT CAST(COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) "
+    "AS BIGINT) AS null_errors FROM events"
 )
 
 
@@ -63,8 +63,8 @@ def q_negative_check(spark, sf):
 
 
 SQL_NEGATIVE_CHECK = (
-    "SELECT COALESCE(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END), 0) "
-    "AS negative_errors FROM customer"
+    "SELECT CAST(COALESCE(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END), 0) "
+    "AS BIGINT) AS negative_errors FROM customer"
 )
 
 
@@ -77,8 +77,8 @@ def q_range_check(spark, sf):
 
 
 SQL_RANGE_CHECK = (
-    "SELECT COALESCE(SUM(CASE WHEN l_quantity <= 1.0 OR l_quantity >= 50.0 "
-    "THEN 1 ELSE 0 END), 0) AS range_errors FROM lineitem"
+    "SELECT CAST(COALESCE(SUM(CASE WHEN l_quantity <= 1.0 OR l_quantity >= 50.0 "
+    "THEN 1 ELSE 0 END), 0) AS BIGINT) AS range_errors FROM lineitem"
 )
 
 
@@ -90,8 +90,8 @@ def q_string_length_check(spark, sf):
 
 
 SQL_STRING_LENGTH_CHECK = (
-    "SELECT COALESCE(SUM(CASE WHEN length(text) < 50 OR length(text) > 520 "
-    "THEN 1 ELSE 0 END), 0) AS length_errors FROM documents"
+    "SELECT CAST(COALESCE(SUM(CASE WHEN length(text) < 50 OR length(text) > 520 "
+    "THEN 1 ELSE 0 END), 0) AS BIGINT) AS length_errors FROM documents"
 )
 
 
@@ -103,8 +103,8 @@ def q_string_regex_check(spark, sf):
 
 
 SQL_STRING_REGEX_CHECK = (
-    "SELECT COALESCE(SUM(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') "
-    "AND c_name IS NOT NULL THEN 1 ELSE 0 END), 0) AS regex_errors FROM customer"
+    "SELECT CAST(COALESCE(SUM(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') "
+    "AND c_name IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS regex_errors FROM customer"
 )
 
 
@@ -244,9 +244,9 @@ def q_combined_single_pass(spark, sf):
 
 SQL_COMBINED_SINGLE_PASS = f"""
 SELECT count(*) AS row_cnt,
-       COALESCE(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), 0) AS null_errors,
-       COALESCE(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) AS range_errors,
-       COALESCE(SUM(CASE WHEN NOT regexp_matches(l_linestatus, '^[OF]$') AND l_linestatus IS NOT NULL THEN 1 ELSE 0 END), 0) AS regex_errors,
+       CAST(COALESCE(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_errors,
+       CAST(COALESCE(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS range_errors,
+       CAST(COALESCE(SUM(CASE WHEN NOT regexp_matches(l_linestatus, '^[OF]$') AND l_linestatus IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS regex_errors,
        max(l_quantity) AS max_qty,
        {sql_dsum('l_extendedprice', 'sum_price')}
 FROM lineitem
