@@ -112,6 +112,17 @@ def main() -> int:
 
     _warm = F.pandas_udf(lambda s: s, "long")
     spark.range(1000).select(_warm("id")).write.format("noop").mode("overwrite").save()
+    # untimed agg+join+window pass: JVM JIT + whole-stage-codegen
+    # compilation otherwise lands on the FIRST timed query (observed
+    # as a 1-2s swing on combined_single_pass between runs)
+    _li = load(spark, sf_dir, "lineitem")
+    _or = load(spark, sf_dir, "orders")
+    (
+        _li.join(_or, _li.l_orderkey == _or.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"), F.countDistinct("o_custkey"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     # Each query is timed as the best of RUNS executions (default 2):
     # the first execution pays one-time whole-stage-codegen compilation

@@ -431,6 +431,7 @@ def q_dedup_clusters(spark, sf):
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    prev_checkpoint = None
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
@@ -457,6 +458,12 @@ def q_dedup_clusters(spark, sf):
             .localCheckpoint()
         )
         changed = updated.where("changed").count()  # scan of cached blocks only
+        # free the previous round's checkpoint blocks NOW — waiting for
+        # GC + ContextCleaner lets up to MAX_CC_ITERATIONS label-table
+        # copies pile up in MEMORY_AND_DISK
+        if prev_checkpoint is not None:
+            prev_checkpoint.unpersist()
+        prev_checkpoint = updated
         labels = updated.drop("changed")
         if changed == 0:
             break
@@ -467,6 +474,10 @@ def q_dedup_clusters(spark, sf):
             "an unusually deep component; raise MAX_CC_ITERATIONS or switch "
             "to large-star/small-star propagation"
         )
+    # labels is checkpointed (lineage truncated), so the result no longer
+    # references edges — safe to release it; the FINAL checkpoint must
+    # stay persisted until the caller materializes the result
+    edges.unpersist()
     # members serialized to a CSV string, not array<bigint>: list-typed
     # columns break pandas-side canonicalization in downstream comparators
     return (

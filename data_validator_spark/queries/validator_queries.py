@@ -280,6 +280,17 @@ SQL_DETAILED_ERRORS = (
 QUANTILES = (0.25, 0.5, 0.75, 0.95)
 _QCOLS = ("l_quantity", "l_extendedprice", "l_discount")
 
+# Spark conf flag selecting the 100 TB scale path for the profiling
+# queries: percentile_approx / approx_count_distinct sketches instead
+# of exact sort / distinct-shuffle. Exact stays the default because it
+# is the oracle-checkable mode; flip this at scale where a bounded-
+# memory sketch is the only thing that survives a 10^12-row column.
+APPROX_PROFILE_CONF = "spark.data_validator.approx_profile"
+
+
+def _approx_enabled(spark) -> bool:
+    return spark.conf.get(APPROX_PROFILE_CONF, "false").lower() == "true"
+
 
 def q_col_quantiles(spark, sf):
     """Exact p25/p50/p75/p95 of three lineitem measures, ALL columns in
@@ -287,16 +298,20 @@ def q_col_quantiles(spark, sf):
 
     Spark's exact `percentile` matches DuckDB's `quantile_cont`
     bit-for-bit (same sorted-linear-interpolation definition), which
-    is what makes this oracle-checkable. Exact percentiles sort each
-    column's values — the right tool for validation-time profiling at
-    moderate width; a 100 TB continuous profile would swap in
-    `percentile_approx` (same plan shape, bounded memory) and lose
-    the bit-exact oracle."""
+    is what makes this oracle-checkable. Exact percentiles buffer and
+    sort each column's values per partition-merge — fine at validation
+    width, a memory/straggler killer at 100 TB. Setting
+    ``spark.data_validator.approx_profile=true`` swaps in
+    `percentile_approx` (KLL-style bounded-memory sketch, same plan
+    shape, same output schema) and trades the bit-exact oracle for
+    scale; tests/test_colstats.py asserts both modes share the
+    single-scan plan."""
     df = load(spark, sf, "lineitem")
     qarr = "array(" + ", ".join(f"{q}D" for q in QUANTILES) + ")"
+    fn = "percentile_approx" if _approx_enabled(spark) else "percentile"
     agg = df.agg(
         *[
-            F.expr(f"percentile({c}, {qarr})").alias(c)
+            F.expr(f"CAST({fn}({c}, {qarr}) AS array<double>)").alias(c)
             for c in _QCOLS
         ]
     )
@@ -341,17 +356,26 @@ def q_profile_table(spark, sf):
     The profiling shape data teams run before writing checks: the
     numbers here become the thresholds in the validation config. All
     aggregates fuse into a single `df.agg` (same one-scan rule as the
-    quick-check pass); exact distinct counts shuffle once per column —
-    swap in approx_count_distinct at 100 TB for a single-pass sketch
-    (same plan shape, documented trade)."""
+    quick-check pass). Exact distinct counts force an Expand (~5x row
+    multiplication, one distinct-shuffle per column) — at 100 TB set
+    ``spark.data_validator.approx_profile=true`` to swap in
+    `approx_count_distinct` (HLL++ sketch): the plan collapses to one
+    true scan with no Expand, same output schema. Exact stays the
+    default because it is the oracle-checkable mode;
+    tests/test_colstats.py asserts the approx plan is Expand-free."""
     df = load(spark, sf, "lineitem")
+    approx = _approx_enabled(spark)
     aggs = []
     for c in _PROFILE_COLS:
         col = F.col(c)
+        # rsd=0.02: ~2% expected error, still a fixed few-KB HLL sketch
+        distinct_agg = (
+            F.approx_count_distinct(col, 0.02) if approx else F.countDistinct(col)
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.countDistinct(col).alias(f"{c}__distinct"),
+            distinct_agg.alias(f"{c}__distinct"),
             F.min(col).alias(f"{c}__min"),
             F.max(col).alias(f"{c}__max"),
         ]

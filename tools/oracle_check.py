@@ -40,6 +40,10 @@ def norm_cell(v) -> str:
 
     if v is None:
         return "NULL"
+    if isinstance(v, (bytes, bytearray)):
+        # Spark toPandas yields bytearray, DuckDB .df() yields bytes;
+        # str() renders them differently — normalize via hex
+        return bytes(v).hex()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -154,8 +158,11 @@ def main() -> int:
             sh, oh = frame_hash(sc), frame_hash(oc)
             if sh != oh:
                 problems.append(f"hash {sh} vs {oh}")
-                sd = dict(zip(sorted(spdf.columns), sc.dtypes.astype(str)))
-                od = dict(zip(sorted(opdf.columns), oc.dtypes.astype(str)))
+                # dtypes from the PRE-canon frames: canon() casts to
+                # object, so sc/oc dtypes are uniformly 'object' and
+                # would never show int64-vs-float64 drift
+                sd = dict(spdf[sorted(spdf.columns)].dtypes.astype(str))
+                od = dict(opdf[sorted(opdf.columns)].dtypes.astype(str))
                 for i in range(min(len(sc), len(oc))):
                     a = [norm_cell(v) for v in sc.iloc[i]]
                     b = [norm_cell(v) for v in oc.iloc[i]]
