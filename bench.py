@@ -60,6 +60,11 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "pii_scrub",
+    "stratified_sample",
+    "sequence_pack",
+    "dedup_keep_best",
+    "embedding_norm_quant",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -106,6 +106,12 @@ def sql_dsum(expr: str, alias: str) -> str:
 # rows live in CORRECTNESS_r02/r03 and in tools/oracle_check.py output,
 # which covers all entries every run).
 GRADE_PRIORITY = [
+    # tier 0 — new this round (pipeline_ops)
+    "pii_scrub",
+    "stratified_sample",
+    "sequence_pack",
+    "dedup_keep_best",
+    "embedding_norm_quant",
     # tier 1 — no CORRECTNESS row yet (driver cut r2+r3 at entry 50)
     "similarity_topk",
     "similarity_ann_lsh",
@@ -180,6 +186,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         analytics,
         dedup,
         multimodal,
+        pipeline_ops,
         similarity,
         streaming_queries,
         textops,
@@ -193,6 +200,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         analytics,
         textops,
         dedup,
+        pipeline_ops,
         similarity,
         multimodal,
         streaming_queries,
