@@ -406,6 +406,14 @@ SELECT doc_id, ({terms}) AS simhash FROM t ORDER BY doc_id
 # -- dedup_clusters: connected components over the near-dup graph ----------
 MAX_CC_ITERATIONS = 20  # graph diameter bound; LSH dup clusters are shallow
 
+# spark.data_validator.cc_algorithm: "propagation" (default — one
+# shuffle-join per round, rounds = diameter; right for the shallow
+# clusters banded LSH produces) or "star" (large-star/small-star,
+# O(log n) rounds; right at 100 TB where a single pathological chain
+# component would stall propagation). tests/test_dedup_similarity.py
+# property-checks the two paths emit identical clusters.
+CC_ALGORITHM_CONF = "spark.data_validator.cc_algorithm"
+
 
 def q_dedup_clusters(spark, sf):
     """Transitive duplicate clusters: connected components over the
@@ -423,6 +431,11 @@ def q_dedup_clusters(spark, sf):
     rounds); dup clusters from banded LSH are shallow, so the plain
     loop converges in a handful of rounds."""
     pairs = q_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    if spark.conf.get(CC_ALGORITHM_CONF, "propagation") == "star":
+        from data_validator_spark.operators.cc_star import connected_components
+
+        labels = connected_components(pairs, max_iter=MAX_CC_ITERATIONS)
+        return _cluster_rollup(labels)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -478,8 +491,13 @@ def q_dedup_clusters(spark, sf):
     # references edges — safe to release it; the FINAL checkpoint must
     # stay persisted until the caller materializes the result
     edges.unpersist()
-    # members serialized to a CSV string, not array<bigint>: list-typed
-    # columns break pandas-side canonicalization in downstream comparators
+    return _cluster_rollup(labels)
+
+
+def _cluster_rollup(labels):
+    """(node, label) -> one row per cluster. members serialized to a
+    CSV string, not array<bigint>: list-typed columns break
+    pandas-side canonicalization in downstream comparators."""
     return (
         labels.groupBy("label")
         .agg(

@@ -149,3 +149,61 @@ def test_dedup_clusters_match_union_find(spark):
         for r in q_dedup_clusters(spark, sf).collect()
     }
     assert got == {min(m): m for m in want.values()}
+
+
+def test_cc_star_matches_propagation_on_lsh_graph(spark):
+    """The large-star/small-star path (cc_algorithm=star) must emit
+    byte-identical clusters to the default propagation loop on the
+    real LSH candidate graph."""
+    from data_validator_spark.queries.dedup import (
+        CC_ALGORITHM_CONF,
+        q_dedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = [tuple(r) for r in q_dedup_clusters(spark, sf).collect()]
+    spark.conf.set(CC_ALGORITHM_CONF, "star")
+    try:
+        star = [tuple(r) for r in q_dedup_clusters(spark, sf).collect()]
+    finally:
+        spark.conf.unset(CC_ALGORITHM_CONF)
+    assert star == base
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # 60-node chain: diameter 60 — the case propagation is worst at
+        [(i, i + 1) for i in range(60)],
+        # two cliques bridged by one edge + an isolated pair
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+        + [(4, 10), (100, 101)],
+        # star + reversed ids (tests min-label direction)
+        [(50, i) for i in range(40, 50)],
+        # self-contained triangles sharing one node
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)],
+    ],
+)
+def test_cc_star_matches_union_find_on_synthetic_graphs(spark, edges):
+    from data_validator_spark.operators.cc_star import connected_components
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r["node"], r["label"]) for r in connected_components(pairs).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
