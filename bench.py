@@ -65,6 +65,8 @@ HEADLINE = [
     "sequence_pack",
     "dedup_keep_best",
     "embedding_norm_quant",
+    "split_contamination",
+    "minhash_containment",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -112,6 +112,8 @@ GRADE_PRIORITY = [
     "sequence_pack",
     "dedup_keep_best",
     "embedding_norm_quant",
+    "split_contamination",
+    "minhash_containment",
     # tier 1 — no CORRECTNESS row yet (driver cut r2+r3 at entry 50)
     "similarity_topk",
     "similarity_ann_lsh",

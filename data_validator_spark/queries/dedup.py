@@ -320,6 +320,56 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -- minhash_containment ---------------------------------------------------
+def q_minhash_containment(spark, sf):
+    """Asymmetric containment on LSH candidate pairs: how much of A's
+    shingle set lives inside B, and vice versa. Jaccard misses
+    doc-in-doc duplication (a paragraph quoted inside a longer page
+    scores low Jaccard but ~1.0 containment) — the case that matters
+    for training-data decontamination and quote collapse.
+
+    Same scale shape as the Jaccard pass: candidates only from LSH
+    buckets (never all-pairs), shingle arrays co-shuffled on doc_id via
+    shuffle-hash hints (broadcasting the array relation cannot survive
+    100 TB)."""
+    cand = q_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    hs = _shingle_hashes_df(spark, sf).hint("shuffle_hash")
+    a = hs.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    b = hs.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb"))).cast("double")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.size("ha"), 6).alias("contain_a_in_b"),
+            F.round(inter / F.size("hb"), 6).alias("contain_b_in_a"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_minhash_containment() -> str:
+    return f"""
+WITH {_sql_minhash_ctes()},
+bsize AS (SELECT band, sig, count(*) AS c FROM bands GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN bsize ON a.band = bsize.band AND a.sig = bsize.sig AND bsize.c <= {MAX_BUCKET})
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(x.h), 6)
+         AS contain_a_in_b,
+       round(CAST(len(list_intersect(x.h, y.h)) AS DOUBLE) / len(y.h), 6)
+         AS contain_b_in_a
+FROM cand JOIN hs x ON cand.doc_a = x.doc_id
+          JOIN hs y ON cand.doc_b = y.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
 # -- dedup_simhash ---------------------------------------------------------
 SIMHASH_BITS = 60  # our md5-prefix hashes are 60-bit
 
@@ -540,6 +590,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "minhash_containment": q_minhash_containment,
 }
 
 ORACLES = {
@@ -548,4 +599,5 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": _sql_simhash(),
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "minhash_containment": _sql_minhash_containment(),
 }

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from data_validator_spark.functions.text import token_count
 from data_validator_spark.queries import load, spread
-from data_validator_spark.queries.textops import SQL_NORM
+from data_validator_spark.queries.textops import SQL_NORM, SQL_SPLIT_BUCKET
 
 # 60-bit md5-prefix hash (engine-independent; see dedup.py for why not
 # xxhash64): Spark conv(substr(md5, 1, 15), 16, 10), DuckDB
@@ -354,12 +354,84 @@ FROM q ORDER BY vec_id
 """
 
 
+# -- split_contamination ---------------------------------------------------
+def q_split_contamination(spark, sf):
+    """Train/eval contamination check: how many val/test documents
+    share an exact content fingerprint with ANY train document. The
+    benchmark-leakage question every training pipeline must answer
+    before a corpus ships — run after dedup, because near-dup removal
+    does not guarantee the eval splits are fingerprint-disjoint from
+    train.
+
+    Reuses THE split function (textops.split_bucket — same salt, same
+    hash, so this can never disagree with doc_split_sample) and the
+    normalized-content fingerprint from dedup. Plan: one map stage to
+    (fp, split), then an equi-join of eval rows against distinct train
+    fingerprints — high-cardinality key, no skew, partial-agg bounded
+    shuffle. Emits one row per eval split (0-count rows included, via
+    the eval side being the left of the join)."""
+    from data_validator_spark.functions.text import doc_fingerprint
+    from data_validator_spark.queries.textops import split_bucket
+
+    df = spread(load(spark, sf, "documents"))
+    bucket = split_bucket()
+    split = F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test")
+    fp = F.conv(F.substring(doc_fingerprint(F.col("text")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    tagged = df.select("doc_id", fp.alias("fp"), split.alias("split"))
+    train_fps = (
+        tagged.where(F.col("split") == "train").select("fp").distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    ev = tagged.where(F.col("split") != "train")
+    joined = ev.join(train_fps, "fp", "left")
+    hit = F.coalesce(F.col("in_train"), F.lit(0))
+    return (
+        joined.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(hit).alias("n_contaminated"),
+            F.countDistinct(F.when(hit == 1, F.col("fp"))).alias(
+                "n_leaked_fingerprints"
+            ),
+            F.sum(F.col("doc_id") * hit).alias("contaminated_id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_SPLIT_CONTAMINATION = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         {_sql_hash60(SQL_NORM)} AS fp,
+         CASE WHEN {SQL_SPLIT_BUCKET} < 98 THEN 'train'
+              WHEN {SQL_SPLIT_BUCKET} < 99 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+train_fps AS (SELECT DISTINCT fp FROM tagged WHERE split = 'train'),
+ev AS (
+  SELECT t.doc_id, t.split,
+         CASE WHEN tf.fp IS NOT NULL THEN 1 ELSE 0 END AS hit, t.fp
+  FROM tagged t LEFT JOIN train_fps tf ON t.fp = tf.fp
+  WHERE t.split != 'train')
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(hit) AS BIGINT) AS n_contaminated,
+       CAST(count(DISTINCT CASE WHEN hit = 1 THEN fp END) AS BIGINT)
+         AS n_leaked_fingerprints,
+       CAST(SUM(doc_id * hit) AS BIGINT) AS contaminated_id_sum
+FROM ev GROUP BY split ORDER BY split
+"""
+
+
 QUERIES = {
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
     "sequence_pack": q_sequence_pack,
     "dedup_keep_best": q_dedup_keep_best,
     "embedding_norm_quant": q_embedding_norm_quant,
+    "split_contamination": q_split_contamination,
 }
 
 ORACLES = {
@@ -368,4 +440,5 @@ ORACLES = {
     "sequence_pack": SQL_SEQUENCE_PACK,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "embedding_norm_quant": SQL_EMBEDDING_NORM_QUANT,
+    "split_contamination": SQL_SPLIT_CONTAMINATION,
 }

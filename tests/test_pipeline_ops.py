@@ -112,3 +112,66 @@ def test_embedding_norm_quant_bounds(spark):
     for r in rows:
         assert -128 <= r["q_min"] <= r["q_max"] <= 128
         assert r["l2_norm"] >= 0.0
+
+
+def test_split_contamination_detects_planted_dup(spark, tmp_path):
+    """Plant an identical document in train and in test; the test row
+    must report exactly that one contamination."""
+    import hashlib
+
+    from data_validator_spark.queries.pipeline_ops import q_split_contamination
+    from data_validator_spark.queries.textops import SPLIT_SALT
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{SPLIT_SALT}:{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % 100
+
+    train_id = next(i for i in range(1000) if bucket(i) < 98)
+    val_id = next(i for i in range(1000) if bucket(i) == 98)
+    test_id = next(i for i in range(1000) if bucket(i) == 99)
+    other = next(i for i in range(train_id + 1, 1000) if bucket(i) < 98)
+    rows = [
+        (train_id, "the quick brown fox", "en", "s", 19),
+        (other, "totally different text here", "en", "s", 27),
+        (val_id, "unrelated validation text", "en", "s", 25),
+        (test_id, "The quick  brown FOX.", "en", "s", 21),  # normalizes equal
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["split"]: r for r in q_split_contamination(spark, str(tmp_path)).collect()}
+    assert out["test"]["n_contaminated"] == 1
+    assert out["test"]["n_leaked_fingerprints"] == 1
+    assert out["test"]["contaminated_id_sum"] == test_id
+    assert out["val"]["n_contaminated"] == 0
+    assert out["val"]["n_docs"] == 1
+
+
+def test_containment_dominates_jaccard(spark):
+    """|A∩B|/|A| >= |A∩B|/|A∪B| for every candidate pair, and both
+    directions stay in [0, 1]."""
+    from data_validator_spark.queries.dedup import (
+        q_dedup_ngram_jaccard,
+        q_minhash_containment,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cont = {
+        (r["doc_a"], r["doc_b"]): r for r in q_minhash_containment(spark, sf).collect()
+    }
+    assert cont
+    for (a, b), r in cont.items():
+        assert 0.0 <= r["contain_a_in_b"] <= 1.0
+        assert 0.0 <= r["contain_b_in_a"] <= 1.0
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q_dedup_ngram_jaccard(spark, sf).collect()
+    }
+    checked = 0
+    for pair, j in jac.items():
+        assert pair in cont
+        assert cont[pair]["contain_a_in_b"] >= j - 1e-6
+        assert cont[pair]["contain_b_in_a"] >= j - 1e-6
+        checked += 1
+    assert checked
