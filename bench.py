@@ -67,6 +67,8 @@ HEADLINE = [
     "embedding_norm_quant",
     "split_contamination",
     "minhash_containment",
+    "events_json_extract",
+    "events_anomaly",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -1054,7 +1054,88 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# -- events_json_extract ---------------------------------------------------
+def events_json_extract(spark, sf):
+    """Semi-structured props column: JSON-path extraction fused into
+    the aggregation — the common telemetry shape (typed columns + a
+    JSON grab-bag). get_json_object evaluates JVM-side inside codegen;
+    no Python, no UDF, one scan + one partial-agged shuffle on
+    event_type. At 100 TB the JSON parse cost is per-row CPU that
+    scales out linearly; for hot paths you'd materialize k as a typed
+    column at ingest (schema evolution, not an engine gap)."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_JSON_EXTRACT = """
+WITH j AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- events_anomaly --------------------------------------------------------
+def events_anomaly(spark, sf):
+    """Daily-volume anomaly scores: per event_type, z-score each day's
+    event count against that type's own daily mean/stddev. The
+    monitoring query a validation pipeline runs to catch ingest
+    regressions (a day at z < -2 means a feed silently dropped).
+
+    Two cheap aggregations: daily counts (partial-agged shuffle on
+    (type, day)) then per-type moments via a window over the tiny
+    daily relation — the second stage operates on rows-per-day, not
+    raw events, so its cost is independent of corpus size."""
+    ev = load(spark, sf, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type")
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_pop(
+        "n_events"
+    ).over(w)
+    return (
+        daily.withColumn("z_score", F.round(z, 6))
+        .select("event_type", "day", "n_events", "z_score")
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       round((n_events - AVG(n_events) OVER (PARTITION BY event_type))
+             / stddev_pop(n_events) OVER (PARTITION BY event_type), 6)
+         AS z_score
+FROM daily ORDER BY event_type, day
+"""
+
+
 QUERIES = {
+    "events_json_extract": events_json_extract,
+    "events_anomaly": events_anomaly,
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
@@ -1081,6 +1162,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_json_extract": SQL_EVENTS_JSON_EXTRACT,
+    "events_anomaly": SQL_EVENTS_ANOMALY,
     "q1_pricing_summary": SQL_Q1,
     "q4_order_priority": SQL_Q4,
     "q7_volume_shipping": SQL_Q7,
