@@ -1110,9 +1110,12 @@ def events_anomaly(spark, sf):
         ).agg(F.count(F.lit(1)).alias("n_events"))
     )
     w = Window.partitionBy("event_type")
-    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_pop(
-        "n_events"
-    ).over(w)
+    std = F.stddev_pop("n_events").over(w)
+    # explicit zero-variance guard: Spark yields NULL on x/0 while
+    # DuckDB yields inf — F.when + NULLIF pin both engines to NULL
+    z = F.when(
+        std > 0, (F.col("n_events") - F.avg("n_events").over(w)) / std
+    )
     return (
         daily.withColumn("z_score", F.round(z, 6))
         .select("event_type", "day", "n_events", "z_score")
@@ -1127,7 +1130,7 @@ WITH daily AS (
   FROM events GROUP BY 1, 2)
 SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
        round((n_events - AVG(n_events) OVER (PARTITION BY event_type))
-             / stddev_pop(n_events) OVER (PARTITION BY event_type), 6)
+             / NULLIF(stddev_pop(n_events) OVER (PARTITION BY event_type), 0), 6)
          AS z_score
 FROM daily ORDER BY event_type, day
 """
