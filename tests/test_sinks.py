@@ -1,0 +1,61 @@
+"""Partitioned-sink tests: layout shape, file-count bounding, and the
+scale property that justifies the layout — static partition pruning
+visible in the physical plan (PartitionFilters, not PushedFilters)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from data_validator_spark.queries import load
+from data_validator_spark.sources.sinks import read_partitioned, write_partitioned
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_layout_and_file_bound(spark, tmp_path):
+    docs = load(spark, SF, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+    langs = sorted(
+        d.split("=")[1]
+        for d in os.listdir(out)
+        if d.startswith("lang=")
+    )
+    assert langs == [r["lang"] for r in docs.select("lang").distinct().orderBy("lang").collect()]
+    # repartition-on-key first => one shuffle task feeds each directory:
+    # a handful of files per partition, not one per upstream task
+    for lang in langs:
+        files = glob.glob(f"{out}/lang={lang}/*.parquet")
+        assert 1 <= len(files) <= 2, (lang, files)
+
+
+def test_partition_filter_prunes_directories(spark, tmp_path):
+    docs = load(spark, SF, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+    back = read_partitioned(spark, out).where(F.col("lang") == "en")
+    plan = _plan(back)
+    # the lang predicate lands in PartitionFilters (directory pruning,
+    # before any file opens), not in the data-filter/PushedFilters path
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    en_rows = read_partitioned(spark, out).where(F.col("lang") == "en").count()
+    src_rows = load(spark, SF, "documents").where(F.col("lang") == "en").count()
+    assert en_rows == src_rows > 0
+
+
+def test_roundtrip_preserves_rows(spark, tmp_path):
+    docs = load(spark, SF, "documents")
+    out = str(tmp_path / "docs_by_src")
+    write_partitioned(docs, out, ["source"])
+    back = read_partitioned(spark, out)
+    assert back.count() == docs.count()
+    a = {r["doc_id"] for r in back.select("doc_id").collect()}
+    b = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert a == b
