@@ -115,6 +115,13 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.encode(normalized_text(text), "utf-8"))
 
 
+def fingerprint60(text: Column) -> Column:
+    """doc_fingerprint as a 60-bit bigint (first 15 md5 hex digits) —
+    the join/group key form of the fingerprint, engine-reproducible
+    (DuckDB: CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT))."""
+    return F.conv(F.substring(doc_fingerprint(text), 1, 15), 16, 10).cast("long")
+
+
 def rolling_shingle_hashes(text: Column, k: int = 3) -> Column:
     """Array of 63-bit hashes of word k-shingles (the rolling-hash
     fingerprint set used by minhash/Jaccard dedup).

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_validator_spark.operators.checkpoint import free_local_checkpoint
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """edges: undirected edge list (u, v), both directions present."""
@@ -88,7 +90,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        prev_cp.unpersist()
+        # DataFrame.unpersist() is a no-op on checkpoint blocks — free
+        # the previous round's RDD through its LogicalRDD handle
+        free_local_checkpoint(prev_cp)
         prev_cp = edges
         fp = _fingerprint(edges)
         if fp == prev_fp:

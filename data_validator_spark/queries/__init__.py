@@ -71,6 +71,9 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+_SPLIT_COUNT_CACHE: dict[tuple, int] = {}
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the source has
     fewer input splits than cores.
@@ -82,13 +85,19 @@ def spread(df: DataFrame) -> DataFrame:
     far less than the serial compute it unblocks.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    # inputFiles() is a metadata lookup (~1ms); df.rdd.getNumPartitions()
-    # builds the Python RDD bridge (0.8s cold, 40ms warm — measured) and
-    # was costing every documents/embeddings query driver-side latency.
-    # Files undercount splits for large splittable files, but that case
-    # (file count < cores at 100 TB) never triggers in practice, and the
-    # fallback is only an extra round-robin shuffle.
-    if len(df.inputFiles()) < target:
+    # df.rdd.getNumPartitions() gives the true scan-split count (file
+    # count is wrong in both directions: many tiny files coalesce into
+    # few splits, one large file splits into many) but builds the
+    # Python RDD bridge — 0.8s cold / 40ms warm, measured. The split
+    # count of a given file set is stable within a session, so probe
+    # once per (session, file set); inputFiles() is a ~1ms metadata
+    # lookup that serves as the cache key.
+    key = (id(df.sparkSession), tuple(sorted(df.inputFiles())))
+    n = _SPLIT_COUNT_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SPLIT_COUNT_CACHE[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 

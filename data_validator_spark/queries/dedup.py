@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from data_validator_spark.functions.text import rolling_shingle_hashes
+from data_validator_spark.operators.checkpoint import free_local_checkpoint
 from data_validator_spark.queries import load, spread
 
 # MinHash parameters: 64 permutations h_i(x) = (a_i*(x mod P) + b_i) mod P,
@@ -523,9 +524,10 @@ def q_dedup_clusters(spark, sf):
         changed = updated.where("changed").count()  # scan of cached blocks only
         # free the previous round's checkpoint blocks NOW — waiting for
         # GC + ContextCleaner lets up to MAX_CC_ITERATIONS label-table
-        # copies pile up in MEMORY_AND_DISK
+        # copies pile up in MEMORY_AND_DISK. DataFrame.unpersist() is a
+        # no-op on checkpoint blocks; go through the LogicalRDD handle.
         if prev_checkpoint is not None:
-            prev_checkpoint.unpersist()
+            free_local_checkpoint(prev_checkpoint)
         prev_checkpoint = updated
         labels = updated.drop("changed")
         if changed == 0:

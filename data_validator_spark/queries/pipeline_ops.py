@@ -114,19 +114,7 @@ def q_stratified_sample(spark, sf):
     carries only (lang, partial sums): bytes, not rows."""
     df = spread(load(spark, sf, "documents"))
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{SAMPLE_SALT}:"), F.col("doc_id").cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        _hash60(F.concat(F.lit(f"{SAMPLE_SALT}:"), F.col("doc_id").cast("string")))
         % SAMPLE_BUCKETS
     )
     kept = (bucket < SAMPLE_KEEP).cast("int")
@@ -239,11 +227,9 @@ def q_dedup_keep_best(spark, sf):
     fingerprint is high-cardinality (no skew) and partial aggregation
     bounds the shuffle."""
     df = spread(load(spark, sf, "documents"))
-    from data_validator_spark.functions.text import doc_fingerprint
+    from data_validator_spark.functions.text import fingerprint60
 
-    fp = F.conv(F.substring(doc_fingerprint(F.col("text")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    fp = fingerprint60(F.col("text"))
     w = Window.partitionBy("fp").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
@@ -368,18 +354,19 @@ def q_split_contamination(spark, sf):
     normalized-content fingerprint from dedup. Plan: one map stage to
     (fp, split), then an equi-join of eval rows against distinct train
     fingerprints — high-cardinality key, no skew, partial-agg bounded
-    shuffle. Emits one row per eval split (0-count rows included, via
-    the eval side being the left of the join)."""
-    from data_validator_spark.functions.text import doc_fingerprint
+    shuffle. Emits one row per eval split that contains documents
+    (zero-CONTAMINATION rows are included because the eval side is the
+    left of the join; an eval split with zero documents emits no
+    row)."""
+    from data_validator_spark.functions.text import fingerprint60
     from data_validator_spark.queries.textops import split_bucket
 
     df = spread(load(spark, sf, "documents"))
     bucket = split_bucket()
     split = F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test")
-    fp = F.conv(F.substring(doc_fingerprint(F.col("text")), 1, 15), 16, 10).cast(
-        "long"
+    tagged = df.select(
+        "doc_id", fingerprint60(F.col("text")).alias("fp"), split.alias("split")
     )
-    tagged = df.select("doc_id", fp.alias("fp"), split.alias("split"))
     train_fps = (
         tagged.where(F.col("split") == "train").select("fp").distinct()
         .withColumn("in_train", F.lit(1))
