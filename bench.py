@@ -107,15 +107,16 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from data_validator_spark.queries import TABLES, build_registry, load
+    from data_validator_spark.queries import TABLES, build_registry, load, spread
 
     queries, _ = build_registry()
 
     # warmup: touch every table so listing/footer IO is out of the
-    # timings, and spawn the Arrow Python workers once so the first
-    # pandas_udf query doesn't pay worker startup
+    # timings (spread() also primes its split-count cache here, so no
+    # timed query pays the cold RDD probe), and spawn the Arrow Python
+    # workers once so the first pandas_udf query doesn't pay startup
     for t in TABLES:
-        load(spark, sf_dir, t).count()
+        spread(load(spark, sf_dir, t)).count()
     import pandas as pd
     from pyspark.sql import functions as F
 

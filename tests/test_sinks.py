@@ -59,3 +59,40 @@ def test_roundtrip_preserves_rows(spark, tmp_path):
     a = {r["doc_id"] for r in back.select("doc_id").collect()}
     b = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert a == b
+
+
+def test_streaming_partitioned_sink(spark, tmp_path):
+    """Streams land in the same hive-partitioned layout batch writes
+    use: writeStream.partitionBy + checkpoint, then the batch reader
+    gets the same static pruning."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "en", 10.0), (2, "de", 20.0), (3, "en", 30.0)],
+        "id long, lang string, value double",
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("id long, lang string, value double").parquet(src)
+    q = (
+        stream.writeStream.format("parquet")
+        .partitionBy("lang")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == [
+        "lang=de",
+        "lang=en",
+    ]
+    back = read_partitioned(spark, out).where(F.col("lang") == "en")
+    assert "PartitionFilters" in _plan(back)
+    assert back.count() == 2
