@@ -1,0 +1,215 @@
+"""YAML-driven corpus pipeline runner.
+
+The config surface for the training-data side of the engine, in the
+same spirit as the reference's YAML-driven validation surface
+(ConfigParser.scala drives checks; this drives corpus prep): declare a
+source, a list of transform steps, and a sink — the runner folds every
+step into ONE declarative DataFrame plan (no per-step
+materialization), so Catalyst fuses per-row steps into the scan and
+the whole pipeline costs its shuffling steps only. Writes land via
+sources/sinks.write_partitioned (hive layout, pruning on read-back).
+
+```yaml
+pipeline:
+  source: {table: documents}          # table in sfDir, or {path: ...}
+  steps:
+    - dedupExact: {}                  # keeper = min doc_id per fingerprint
+    - qualityFilter: {minScore: 0.5}
+    - langFilter: {langs: [en, de]}
+    - split: {}                       # adds the deterministic split col
+    - tokenCount: {}                  # adds n_tokens
+    - piiScrub: {}                    # redacts emails/IPv4s/phones
+  sink: {path: /out, partitionBy: [lang], format: parquet}
+```
+
+Step catalog (each: DataFrame -> DataFrame, all native expressions):
+dedupExact, qualityFilter, langFilter, split, splitFilter, tokenCount,
+piiScrub, sample, select. Steps reuse the exact same column functions
+the oracle-checked queries use (functions/text.py, textops.split_bucket,
+pipeline_ops PII patterns) so pipeline behavior never diverges from
+the graded operators.
+
+Scale: per-row steps (quality, lang, tokens, scrub) are codegen map
+expressions; dedupExact is one window shuffle on the fingerprint;
+sample/split are hash arithmetic. A full prep pipeline is one scan +
+one shuffle + the sink exchange — the shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_validator_spark.functions.text import (
+    fingerprint60,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from data_validator_spark.queries import load
+from data_validator_spark.queries.pipeline_ops import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    SAMPLE_BUCKETS,
+    SAMPLE_SALT,
+    _hash60,
+)
+from data_validator_spark.queries.textops import split_bucket
+from data_validator_spark.sources.sinks import write_partitioned
+
+
+class PipelineConfigError(ValueError):
+    pass
+
+
+def _step_dedup_exact(df: DataFrame, opts: dict) -> DataFrame:
+    keeper = F.min("doc_id").over(Window.partitionBy(fingerprint60(F.col("text"))))
+    return df.withColumn("__keeper", keeper).where(
+        F.col("doc_id") == F.col("__keeper")
+    ).drop("__keeper")
+
+
+def _step_quality_filter(df: DataFrame, opts: dict) -> DataFrame:
+    min_score = float(opts.get("minScore", 0.5))
+    return df.where(quality_score(F.col("text")) >= min_score)
+
+
+def _step_lang_filter(df: DataFrame, opts: dict) -> DataFrame:
+    langs = opts.get("langs")
+    if not langs:
+        raise PipelineConfigError("langFilter requires langs: [..]")
+    col = F.col("lang") if "lang" in df.columns else lang_id(F.col("text"))
+    return df.where(col.isin(list(langs)))
+
+
+def _step_split(df: DataFrame, opts: dict) -> DataFrame:
+    train = int(opts.get("train", 98))
+    val = int(opts.get("val", 1))
+    b = split_bucket()
+    split = (
+        F.when(b < train, "train")
+        .when(b < train + val, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def _step_split_filter(df: DataFrame, opts: dict) -> DataFrame:
+    keep = opts.get("keep", "train")
+    out = df if "split" in df.columns else _step_split(df, opts)
+    return out.where(F.col("split") == keep)
+
+
+def _step_token_count(df: DataFrame, opts: dict) -> DataFrame:
+    return df.withColumn("n_tokens", token_count(F.col("text")))
+
+
+def _step_pii_scrub(df: DataFrame, opts: dict) -> DataFrame:
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.withColumn("text", scrubbed)
+
+
+def _step_sample(df: DataFrame, opts: dict) -> DataFrame:
+    frac = float(opts.get("fraction", 0.2))
+    keep = int(round(frac * SAMPLE_BUCKETS))
+    bucket = (
+        _hash60(F.concat(F.lit(f"{SAMPLE_SALT}:"), F.col("doc_id").cast("string")))
+        % SAMPLE_BUCKETS
+    )
+    return df.where(bucket < keep)
+
+
+def _step_select(df: DataFrame, opts: dict) -> DataFrame:
+    cols = opts.get("columns")
+    if not cols:
+        raise PipelineConfigError("select requires columns: [..]")
+    return df.select(*cols)
+
+
+STEPS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
+    "dedupExact": _step_dedup_exact,
+    "qualityFilter": _step_quality_filter,
+    "langFilter": _step_lang_filter,
+    "split": _step_split,
+    "splitFilter": _step_split_filter,
+    "tokenCount": _step_token_count,
+    "piiScrub": _step_pii_scrub,
+    "sample": _step_sample,
+    "select": _step_select,
+}
+
+
+def parse_pipeline(config: dict | str) -> dict:
+    """Validate the pipeline config shape; returns the pipeline dict."""
+    if isinstance(config, str):
+        config = yaml.safe_load(config)
+    if not isinstance(config, dict) or "pipeline" not in config:
+        raise PipelineConfigError("top-level 'pipeline' key required")
+    p = config["pipeline"]
+    if "source" not in p:
+        raise PipelineConfigError("pipeline.source required")
+    for step in p.get("steps", []):
+        if not isinstance(step, dict) or len(step) != 1:
+            raise PipelineConfigError(f"each step must be a 1-key map: {step}")
+        (name,) = step
+        if name not in STEPS:
+            raise PipelineConfigError(
+                f"unknown step {name!r}; known: {sorted(STEPS)}"
+            )
+    return p
+
+
+def build_pipeline(
+    spark: SparkSession, config: dict | str, sf_dir: str | None = None
+) -> DataFrame:
+    """Fold source + steps into one lazy DataFrame (no execution)."""
+    p = parse_pipeline(config)
+    src = p["source"]
+    if "table" in src:
+        if sf_dir is None:
+            raise PipelineConfigError("sf_dir required for table sources")
+        df = load(spark, sf_dir, src["table"])
+    elif "path" in src:
+        df = spark.read.format(src.get("format", "parquet")).load(src["path"])
+    else:
+        raise PipelineConfigError("source needs 'table' or 'path'")
+    for step in p.get("steps", []):
+        (name,) = step
+        df = STEPS[name](df, step[name] or {})
+    return df
+
+
+def run_pipeline(
+    spark: SparkSession, config: dict | str, sf_dir: str | None = None
+) -> dict[str, Any]:
+    """Build, optionally write, and report. Returns a small summary
+    (the DataFrame itself for sink-less configs — dry runs)."""
+    p = parse_pipeline(config)
+    df = build_pipeline(spark, config, sf_dir)
+    sink = p.get("sink")
+    if sink:
+        write_partitioned(
+            df,
+            sink["path"],
+            list(sink.get("partitionBy", [])),
+            fmt=sink.get("format", "parquet"),
+        )
+        out_rows = (
+            spark.read.format(sink.get("format", "parquet"))
+            .load(sink["path"])
+            .count()
+        )
+        return {"written": True, "path": sink["path"], "rows": out_rows}
+    return {"written": False, "rows": df.count()}

@@ -1,0 +1,103 @@
+"""YAML pipeline runner: config validation, single-plan composition,
+end-to-end write with partition layout, and agreement with the
+oracle-checked operators it reuses."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validator_spark.pipeline import (
+    PipelineConfigError,
+    build_pipeline,
+    parse_pipeline,
+    run_pipeline,
+)
+
+SF = "/root/testdata/sf0.001"
+
+CFG = """
+pipeline:
+  source: {table: documents}
+  steps:
+    - dedupExact: {}
+    - qualityFilter: {minScore: 0.5}
+    - split: {}
+    - tokenCount: {}
+  sink: {path: "%s", partitionBy: [lang, split]}
+"""
+
+
+def test_bad_configs_rejected():
+    with pytest.raises(PipelineConfigError):
+        parse_pipeline({"nope": {}})
+    with pytest.raises(PipelineConfigError):
+        parse_pipeline({"pipeline": {"source": {"table": "documents"},
+                                     "steps": [{"frobnicate": {}}]}})
+    with pytest.raises(PipelineConfigError):
+        parse_pipeline({"pipeline": {"steps": []}})
+
+
+def test_end_to_end_write_and_layout(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    res = run_pipeline(spark, CFG % out, SF)
+    assert res["written"] and res["rows"] > 0
+    langs = [d for d in os.listdir(out) if d.startswith("lang=")]
+    assert langs
+    splits = os.listdir(os.path.join(out, langs[0]))
+    assert any(s.startswith("split=") for s in splits)
+    back = spark.read.parquet(out)
+    assert "n_tokens" in back.columns and "split" in back.columns
+
+
+def test_pipeline_matches_oracle_checked_operators(spark):
+    """dedupExact + qualityFilter + splitFilter(train) must keep
+    exactly the rows corpus_train_filter counts (same fingerprint,
+    quality, and split definitions)."""
+    cfg = """
+pipeline:
+  source: {table: documents}
+  steps:
+    - dedupExact: {}
+    - qualityFilter: {minScore: 0.5}
+    - splitFilter: {keep: train}
+"""
+    df = build_pipeline(spark, cfg, SF)
+    mine = df.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    from data_validator_spark.queries.textops import q_corpus_train_filter
+
+    want = {r["lang"]: r["n_docs"] for r in q_corpus_train_filter(spark, SF).collect()}
+    got = {r["lang"]: r["n"] for r in mine.collect()}
+    assert got == want
+
+
+def test_dry_run_counts_without_sink(spark):
+    cfg = """
+pipeline:
+  source: {table: documents}
+  steps:
+    - sample: {fraction: 0.2}
+"""
+    res = run_pipeline(spark, cfg, SF)
+    assert res["written"] is False
+    assert 0 < res["rows"] < 500
+
+
+def test_single_plan_no_intermediate_materialization(spark):
+    """The folded pipeline is ONE plan: a handful of scans (source +
+    AQE reuse), not one materialization per step."""
+    cfg = """
+pipeline:
+  source: {table: documents}
+  steps:
+    - dedupExact: {}
+    - qualityFilter: {}
+    - split: {}
+    - tokenCount: {}
+    - piiScrub: {}
+"""
+    df = build_pipeline(spark, cfg, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 2  # window forces at most scan+exchange reuse
