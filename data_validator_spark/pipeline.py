@@ -213,3 +213,38 @@ def run_pipeline(
         )
         return {"written": True, "path": sink["path"], "rows": out_rows}
     return {"written": False, "rows": df.count()}
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: python -m data_validator_spark.pipeline --config p.yaml
+    [--sfDir /root/testdata/sf0.001] [--master local[*]]"""
+    import argparse
+    import json
+    import sys
+
+    p = argparse.ArgumentParser(prog="data-validator-spark-pipeline")
+    p.add_argument("--config", required=True)
+    p.add_argument("--sfDir", default=None)
+    p.add_argument("--master", default="local[*]")
+    args = p.parse_args(argv)
+
+    with open(args.config) as fh:
+        cfg = fh.read()
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("dv-pipeline")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        summary = run_pipeline(spark, cfg, args.sfDir)
+    except PipelineConfigError as e:
+        print(f"PIPELINE_CONFIG_ERROR: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
