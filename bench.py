@@ -81,6 +81,7 @@ HEADLINE = [
     "streaming_validation",
     "streaming_dedup",
     "streaming_enriched",
+    "streaming_join",
 ]
 
 

@@ -131,6 +131,7 @@ GRADE_PRIORITY = [
     "minhash_containment",
     "events_json_extract",
     "events_anomaly",
+    "streaming_join",
     # tier 1 — no CORRECTNESS row yet (driver cut r2+r3 at entry 50)
     "similarity_topk",
     "similarity_ann_lsh",

@@ -219,16 +219,96 @@ ORDER BY c_mktsegment
 """
 
 
+def q_streaming_join(spark, sf):
+    """Stream-stream interval join: click-before-purchase attribution.
+    Two live streams over the events feed (purchases, clicks) joined
+    on user with the click constrained to the hour before the
+    purchase — the canonical Structured Streaming stream-stream join:
+    both sides carry watermarks, the time-interval predicate bounds
+    the state each side must buffer (clicks older than the interval +
+    watermark are evicted), and matches emit in append mode as they
+    form. Aggregated per purchase after the stream completes; the
+    DuckDB oracle runs the identical interval join in batch.
+
+    At 100 TB-rate streams this state-bounding is the difference
+    between a runnable join and an OOM: state size is
+    O(rate x (interval + watermark)), independent of stream length."""
+    purchases = (
+        _stream_reader(spark, sf, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        _stream_reader(spark, sf, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    name = f"dv_ssj_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_prior_clicks"),
+            dsum(F.col("c_value"), "sum_click_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+SQL_STREAMING_JOIN = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       count(*) AS n_prior_clicks,
+       {sql_dsum('c.value', 'sum_click_value')}
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY 1, 2 ORDER BY purchase_id
+"""
+
+
 QUERIES = {
     "streaming_windowed": q_streaming_windowed,
     "streaming_validation": q_streaming_validation,
     "streaming_sessionized": q_streaming_sessionized,
     "streaming_dedup": q_streaming_dedup,
     "streaming_enriched": q_streaming_enriched,
+    "streaming_join": q_streaming_join,
 }
 
 ORACLES = {
     "streaming_windowed": SQL_STREAMING_WINDOWED,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_enriched": SQL_STREAMING_ENRICHED,
+    "streaming_join": SQL_STREAMING_JOIN,
 }

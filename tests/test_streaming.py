@@ -244,3 +244,44 @@ def test_stateful_sessionization_matches_batch_twin(spark):
             r["n_events"],
             round(r["session_value"], 6),
         )
+
+
+def test_streaming_join_matches_batch_interval_join(spark):
+    """The stream-stream interval join must emit exactly the pairs the
+    batch interval join finds (once all data is processed)."""
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.streaming_queries import q_streaming_join
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["purchase_id"], r["user_id"]): (r["n_prior_clicks"], r["sum_click_value"])
+        for r in q_streaming_join(spark, sf).collect()
+    }
+    ev = load(spark, sf, "events")
+    p = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    want_rows = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_value"), 6).alias("s"))
+        .collect()
+    )
+    want = {
+        (r["purchase_id"], r["user_id"]): (r["n"], round(r["s"], 6))
+        for r in want_rows
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
