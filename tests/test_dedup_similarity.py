@@ -207,3 +207,38 @@ def test_cc_star_matches_union_find_on_synthetic_graphs(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(n, find(n)) for n in parent}
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_cc_star_matches_union_find_on_random_graphs(spark, seed):
+    """Seeded Erdős–Rényi-ish graphs: sparse enough to leave many
+    components, dense enough to form nontrivial ones."""
+    import random
+
+    rng = random.Random(seed)
+    n = 200
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    from data_validator_spark.operators.cc_star import connected_components
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {(r["node"], r["label"]) for r in connected_components(pairs).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(v, find(v)) for v in parent}
+    assert got == want
