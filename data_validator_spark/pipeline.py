@@ -51,14 +51,17 @@ from data_validator_spark.functions.text import (
 )
 from data_validator_spark.queries import load
 from data_validator_spark.queries.pipeline_ops import (
-    PII_EMAIL,
-    PII_IPV4,
-    PII_PHONE,
     SAMPLE_BUCKETS,
     SAMPLE_SALT,
     _hash60,
+    scrub_expr,
 )
-from data_validator_spark.queries.textops import split_bucket
+from data_validator_spark.queries.textops import (
+    QUALITY_CUTOFF,
+    TRAIN_CUT,
+    VAL_CUT,
+    split_bucket,
+)
 from data_validator_spark.sources.sinks import write_partitioned
 
 
@@ -74,7 +77,7 @@ def _step_dedup_exact(df: DataFrame, opts: dict) -> DataFrame:
 
 
 def _step_quality_filter(df: DataFrame, opts: dict) -> DataFrame:
-    min_score = float(opts.get("minScore", 0.5))
+    min_score = float(opts.get("minScore", QUALITY_CUTOFF))
     return df.where(quality_score(F.col("text")) >= min_score)
 
 
@@ -87,8 +90,8 @@ def _step_lang_filter(df: DataFrame, opts: dict) -> DataFrame:
 
 
 def _step_split(df: DataFrame, opts: dict) -> DataFrame:
-    train = int(opts.get("train", 98))
-    val = int(opts.get("val", 1))
+    train = int(opts.get("train", TRAIN_CUT))
+    val = int(opts.get("val", VAL_CUT - TRAIN_CUT))
     b = split_bucket()
     split = (
         F.when(b < train, "train")
@@ -109,16 +112,7 @@ def _step_token_count(df: DataFrame, opts: dict) -> DataFrame:
 
 
 def _step_pii_scrub(df: DataFrame, opts: dict) -> DataFrame:
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
-            PII_IPV4,
-            "<IP>",
-        ),
-        PII_PHONE,
-        "<PHONE>",
-    )
-    return df.withColumn("text", scrubbed)
+    return df.withColumn("text", scrub_expr(F.col("text")))
 
 
 def _step_sample(df: DataFrame, opts: dict) -> DataFrame:
@@ -151,16 +145,39 @@ STEPS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
 }
 
 
+def _require_list(value, where: str) -> list:
+    """YAML scalars are the classic config trap: `langs: en` arrives as
+    the string 'en' and list('en') silently becomes ['e', 'n']."""
+    if not isinstance(value, (list, tuple)):
+        raise PipelineConfigError(f"{where} must be a YAML list, got {value!r}")
+    return list(value)
+
+
 def parse_pipeline(config: dict | str) -> dict:
-    """Validate the pipeline config shape; returns the pipeline dict."""
+    """Validate the pipeline config shape; returns the pipeline dict.
+    Every malformed-config path raises PipelineConfigError (never a
+    raw YAML/Type error) so the CLI's exit-2 contract holds."""
     if isinstance(config, str):
-        config = yaml.safe_load(config)
-    if not isinstance(config, dict) or "pipeline" not in config:
+        try:
+            config = yaml.safe_load(config)
+        except yaml.YAMLError as e:
+            raise PipelineConfigError(f"invalid YAML: {e}") from e
+    if not isinstance(config, dict):
         raise PipelineConfigError("top-level 'pipeline' key required")
-    p = config["pipeline"]
-    if "source" not in p:
-        raise PipelineConfigError("pipeline.source required")
-    for step in p.get("steps", []):
+    # accept the full document or an already-unwrapped pipeline map
+    # (validation is idempotent, so run_pipeline can hand its parsed
+    # dict straight to build_pipeline without a second YAML parse)
+    p = config["pipeline"] if "pipeline" in config else config
+    if not isinstance(p, dict) or ("source" not in p and "pipeline" not in config):
+        raise PipelineConfigError("top-level 'pipeline' key required")
+    if not isinstance(p, dict):
+        raise PipelineConfigError("'pipeline' must be a map")
+    if not isinstance(p.get("source"), dict):
+        raise PipelineConfigError("pipeline.source required (a map)")
+    steps = p.get("steps") or []
+    if not isinstance(steps, list):
+        raise PipelineConfigError("pipeline.steps must be a list")
+    for step in steps:
         if not isinstance(step, dict) or len(step) != 1:
             raise PipelineConfigError(f"each step must be a 1-key map: {step}")
         (name,) = step
@@ -168,13 +185,27 @@ def parse_pipeline(config: dict | str) -> dict:
             raise PipelineConfigError(
                 f"unknown step {name!r}; known: {sorted(STEPS)}"
             )
+        if step[name] is not None and not isinstance(step[name], dict):
+            raise PipelineConfigError(f"step {name!r} options must be a map")
+        if name == "langFilter" and step[name]:
+            _require_list(step[name].get("langs"), "langFilter.langs")
+        if name == "select" and step[name]:
+            _require_list(step[name].get("columns"), "select.columns")
+    sink = p.get("sink")
+    if sink is not None:
+        if not isinstance(sink, dict) or "path" not in sink:
+            raise PipelineConfigError("pipeline.sink needs a 'path'")
+        if "partitionBy" in sink:
+            _require_list(sink["partitionBy"], "sink.partitionBy")
     return p
 
 
 def build_pipeline(
     spark: SparkSession, config: dict | str, sf_dir: str | None = None
 ) -> DataFrame:
-    """Fold source + steps into one lazy DataFrame (no execution)."""
+    """Fold source + steps into one lazy DataFrame (no execution).
+    Accepts raw YAML, the full config dict, or a pipeline dict already
+    validated by parse_pipeline (validation is idempotent)."""
     p = parse_pipeline(config)
     src = p["source"]
     if "table" in src:
@@ -194,10 +225,11 @@ def build_pipeline(
 def run_pipeline(
     spark: SparkSession, config: dict | str, sf_dir: str | None = None
 ) -> dict[str, Any]:
-    """Build, optionally write, and report. Returns a small summary
-    (the DataFrame itself for sink-less configs — dry runs)."""
+    """Build, optionally write, and report. Always returns a summary
+    dict; sink-less configs count the rows the pipeline would keep
+    (which executes the plan once) without writing anything."""
     p = parse_pipeline(config)
-    df = build_pipeline(spark, config, sf_dir)
+    df = build_pipeline(spark, p, sf_dir)
     sink = p.get("sink")
     if sink:
         write_partitioned(
@@ -230,6 +262,13 @@ def main(argv: list[str] | None = None) -> int:
 
     with open(args.config) as fh:
         cfg = fh.read()
+    # validate BEFORE paying JVM startup; parse is idempotent so the
+    # parsed dict goes straight to run_pipeline
+    try:
+        parsed = parse_pipeline(cfg)
+    except PipelineConfigError as e:
+        print(f"PIPELINE_CONFIG_ERROR: {e}", file=sys.stderr)
+        return 2
     spark = (
         SparkSession.builder.master(args.master)
         .appName("dv-pipeline")
@@ -238,7 +277,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        summary = run_pipeline(spark, cfg, args.sfDir)
+        summary = run_pipeline(spark, parsed, args.sfDir)
     except PipelineConfigError as e:
         print(f"PIPELINE_CONFIG_ERROR: {e}", file=sys.stderr)
         return 2

@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from data_validator_spark.functions.text import token_count
 from data_validator_spark.queries import load, spread
-from data_validator_spark.queries.textops import SQL_NORM, SQL_SPLIT_BUCKET
+from data_validator_spark.queries.textops import (
+    SQL_NORM,
+    SQL_SPLIT_BUCKET,
+    TRAIN_CUT,
+    VAL_CUT,
+)
 
 # 60-bit md5-prefix hash (engine-independent; see dedup.py for why not
 # xxhash64): Spark conv(substr(md5, 1, 15), 16, 10), DuckDB
@@ -46,6 +51,20 @@ PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
 
+def scrub_expr(col):
+    """The canonical PII scrub: email -> ipv4 -> phone, in that order
+    (emails contain dots that would otherwise feed the IP pattern).
+    Shared by q_pii_scrub and the pipeline runner's piiScrub step so
+    the two can never diverge."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+
+
 def q_pii_scrub(spark, sf):
     """PII redaction pass: replace emails / IPv4s / phone-shaped number
     runs with typed placeholder tokens, and count each class per doc.
@@ -60,13 +79,7 @@ def q_pii_scrub(spark, sf):
     n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
     n_ips = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
     n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
-        ),
-        PII_PHONE,
-        "<PHONE>",
-    )
+    scrubbed = scrub_expr(t)
     return df.select(
         "doc_id",
         n_emails.alias("n_emails"),
@@ -363,7 +376,11 @@ def q_split_contamination(spark, sf):
 
     df = spread(load(spark, sf, "documents"))
     bucket = split_bucket()
-    split = F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test")
+    split = (
+        F.when(bucket < TRAIN_CUT, "train")
+        .when(bucket < VAL_CUT, "val")
+        .otherwise("test")
+    )
     tagged = df.select(
         "doc_id", fingerprint60(F.col("text")).alias("fp"), split.alias("split")
     )
@@ -392,8 +409,8 @@ SQL_SPLIT_CONTAMINATION = f"""
 WITH tagged AS (
   SELECT doc_id,
          {_sql_hash60(SQL_NORM)} AS fp,
-         CASE WHEN {SQL_SPLIT_BUCKET} < 98 THEN 'train'
-              WHEN {SQL_SPLIT_BUCKET} < 99 THEN 'val'
+         CASE WHEN {SQL_SPLIT_BUCKET} < {TRAIN_CUT} THEN 'train'
+              WHEN {SQL_SPLIT_BUCKET} < {VAL_CUT} THEN 'val'
               ELSE 'test' END AS split
   FROM documents),
 train_fps AS (SELECT DISTINCT fp FROM tagged WHERE split = 'train'),

@@ -42,16 +42,17 @@ def _stream_reader(spark, sf, name):
     return df
 
 
-def _run_to_memory(stream_df, agg_builder):
+def _run_to_memory(stream_df, agg_builder, output_mode: str = "complete"):
     """Run a bounded stream to completion into a memory sink; return
-    the final table."""
+    the final table. ``output_mode``: "complete" for aggregations,
+    "append" for joins/stateful emit-on-close operators."""
     name = f"dv_stream_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
     q = (
         agg_builder(stream_df)
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .start()
     )
@@ -158,24 +159,15 @@ def q_streaming_dedup(spark, sf):
     df = spark.readStream.schema(raw_schema).format("parquet").load(d)
     df = normalize_events_ts(df)
 
-    deduped = df.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
-
-    name = f"dv_dedup_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
+    deduped = _run_to_memory(
+        df,
+        lambda s: s.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        ),
+        output_mode="append",
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return (
-        spark.table(name)
-        .groupBy("event_type")
+        deduped.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "sum_value"))
         .orderBy("event_type")
     )
@@ -253,29 +245,19 @@ def q_streaming_join(spark, sf):
         )
         .withWatermark("c_ts", "2 hours")
     )
-    pairs = purchases.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "inner",
+    pairs = _run_to_memory(
+        purchases,
+        lambda p: p.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "inner",
+        ),
+        output_mode="append",
     )
-    name = f"dv_ssj_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return (
-        spark.table(name)
-        .groupBy("purchase_id", "user_id")
+        pairs.groupBy("purchase_id", "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_prior_clicks"),
             dsum(F.col("c_value"), "sum_click_value"),

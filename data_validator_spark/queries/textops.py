@@ -145,6 +145,12 @@ FROM documents ORDER BY doc_id
 
 # -- doc_split_sample: deterministic train/val/test assignment --------------
 SPLIT_SALT = "dv-split-v1"  # version the salt to re-deal all splits at once
+# Split policy: buckets [0,TRAIN_CUT) train, [TRAIN_CUT,VAL_CUT) val,
+# rest test. Shared by every split consumer (doc_split_sample,
+# corpus_train_filter, split_contamination, the pipeline runner) so a
+# policy change can never desynchronize them.
+TRAIN_CUT = 98
+VAL_CUT = 99
 
 
 def split_bucket():
@@ -182,7 +188,9 @@ def q_doc_split_sample(spark, sf):
     df = spread(load(spark, sf, "documents"))
     bucket = split_bucket()
     split = (
-        F.when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test")
+        F.when(bucket < TRAIN_CUT, "train")
+        .when(bucket < VAL_CUT, "val")
+        .otherwise("test")
     )
     return (
         df.select("lang", split.alias("split"), "n_chars")
@@ -202,8 +210,8 @@ WITH assigned AS (
   FROM documents
 )
 SELECT lang,
-       CASE WHEN bucket < 98 THEN 'train'
-            WHEN bucket < 99 THEN 'val'
+       CASE WHEN bucket < {TRAIN_CUT} THEN 'train'
+            WHEN bucket < {VAL_CUT} THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
        CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
@@ -274,7 +282,7 @@ def q_corpus_train_filter(spark, sf):
         doc_fingerprint(F.col("text")).alias("fp"),
         quality_score(F.col("text")).alias("quality"),
         token_count(F.col("text")).alias("n_tokens"),
-        (bucket < 98).alias("in_train"),
+        (bucket < TRAIN_CUT).alias("in_train"),
     )
     keeper = F.min("doc_id").over(Window.partitionBy("fp"))
     kept = enriched.withColumn("keeper", keeper).where(
@@ -312,7 +320,7 @@ WITH e AS (
                      / nullif(length(text), 0), 0.0) * 2.0) / 4.0 AS quality,
          (CASE WHEN length(trim(text)) = 0 THEN 0
                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
-         {SQL_SPLIT_BUCKET} < 98 AS in_train
+         {SQL_SPLIT_BUCKET} < {TRAIN_CUT} AS in_train
   FROM documents
 ), k AS (
   SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM e

@@ -101,3 +101,42 @@ pipeline:
     df = build_pipeline(spark, cfg, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") <= 2  # window forces at most scan+exchange reuse
+
+
+def test_yaml_scalar_and_sink_validation():
+    with pytest.raises(PipelineConfigError):  # langs scalar, not list
+        parse_pipeline("""
+pipeline:
+  source: {table: documents}
+  steps: [{langFilter: {langs: en}}]
+""")
+    with pytest.raises(PipelineConfigError):  # sink without path
+        parse_pipeline("""
+pipeline:
+  source: {table: documents}
+  sink: {partitionBy: [lang]}
+""")
+    with pytest.raises(PipelineConfigError):  # partitionBy scalar
+        parse_pipeline("""
+pipeline:
+  source: {table: documents}
+  sink: {path: /tmp/x, partitionBy: lang}
+""")
+    with pytest.raises(PipelineConfigError):  # malformed YAML
+        parse_pipeline("pipeline: [")
+    with pytest.raises(PipelineConfigError):  # null pipeline
+        parse_pipeline("pipeline:")
+
+
+def test_cli_exit_2_on_bad_config(tmp_path):
+    import subprocess
+    import sys
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("pipeline: [")
+    r = subprocess.run(
+        [sys.executable, "-m", "data_validator_spark.pipeline", "--config", str(bad)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2, (r.returncode, r.stderr[-500:])
+    assert "PIPELINE_CONFIG_ERROR" in r.stderr
