@@ -79,6 +79,7 @@ HEADLINE = [
     "multimodal_features",
     "streaming_windowed",
     "streaming_validation",
+    "streaming_sessionized",
     "streaming_dedup",
     "streaming_enriched",
     "streaming_join",

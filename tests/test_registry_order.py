@@ -48,3 +48,23 @@ def test_rotated_out_entries_are_double_green():
     overflow = list(q)[DRIVER_GRADE_BUDGET:]
     not_proven = [k for k in overflow if not all(k in g for g in green)]
     assert not not_proven, not_proven
+
+
+def test_bench_headline_keys_exist_in_registry():
+    """Every benched query must be a registered query (typo guard), and
+    every tier-0/new operator must be benched."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    q, _ = build_registry()
+    missing = [k for k in bench.HEADLINE if k not in q]
+    assert not missing, f"bench HEADLINE keys not in registry: {missing}"
+    # tier 0 + tier 1 (new + never-graded, the first 23 entries) must
+    # all be benched — these are the queries with the least evidence
+    unbenched = [k for k in GRADE_PRIORITY[:23] if k not in bench.HEADLINE]
+    assert not unbenched, f"priority entries missing from bench: {unbenched}"
