@@ -147,6 +147,9 @@ def main() -> int:
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
+            # visible in the artifact, not a silent shrink of the total
+            results[name] = -1.0
+            print(f"bench error in {name}: not in registry", file=sys.stderr)
             continue
         try:
             best = None

@@ -55,14 +55,18 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return repointed.union(self_edge).distinct()
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+def _fingerprint(edges: DataFrame) -> tuple[int, int, int]:
     # bit_xor: order-independent and overflow-free (edges are distinct,
-    # so xor-cancellation of duplicates cannot occur)
+    # so xor-cancellation of duplicates cannot occur). Two independent
+    # hashes (argument orders differ) so a single 64-bit xor collision
+    # between distinct same-size edge sets cannot end the loop early —
+    # both would have to collide simultaneously.
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        F.coalesce(F.expr("bit_xor(xxhash64(v, u))"), F.lit(0)).alias("h2"),
     ).first()
-    return int(row["n"]), int(row["h"])
+    return int(row["n"]), int(row["h"]), int(row["h2"])
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

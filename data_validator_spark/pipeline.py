@@ -167,9 +167,7 @@ def parse_pipeline(config: dict | str) -> dict:
     # accept the full document or an already-unwrapped pipeline map
     # (validation is idempotent, so run_pipeline can hand its parsed
     # dict straight to build_pipeline without a second YAML parse)
-    p = config["pipeline"] if "pipeline" in config else config
-    if not isinstance(p, dict) or ("source" not in p and "pipeline" not in config):
-        raise PipelineConfigError("top-level 'pipeline' key required")
+    p = config.get("pipeline", config)
     if not isinstance(p, dict):
         raise PipelineConfigError("'pipeline' must be a map")
     if not isinstance(p.get("source"), dict):

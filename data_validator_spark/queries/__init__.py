@@ -84,19 +84,26 @@ def spread(df: DataFrame) -> DataFrame:
     round-robin shuffle only triggers when splits < cores, and costs
     far less than the serial compute it unblocks.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
     # df.rdd.getNumPartitions() gives the true scan-split count (file
     # count is wrong in both directions: many tiny files coalesce into
     # few splits, one large file splits into many) but builds the
     # Python RDD bridge — 0.8s cold / 40ms warm, measured. The split
     # count of a given file set is stable within a session, so probe
-    # once per (session, file set); inputFiles() is a ~1ms metadata
-    # lookup that serves as the cache key.
-    key = (id(df.sparkSession), tuple(sorted(df.inputFiles())))
-    n = _SPLIT_COUNT_CACHE.get(key)
-    if n is None:
+    # once per (application, file set); inputFiles() is a ~1ms metadata
+    # lookup that serves as the cache key. Frames with no input files
+    # (local relations, spark.range) would all share one empty-tuple
+    # key, so those take the uncached probe every time.
+    files = tuple(sorted(df.inputFiles()))
+    if not files:
         n = df.rdd.getNumPartitions()
-        _SPLIT_COUNT_CACHE[key] = n
+    else:
+        key = (sc.applicationId, files)
+        n = _SPLIT_COUNT_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPLIT_COUNT_CACHE[key] = n
     if n < target:
         return df.repartition(target)
     return df
