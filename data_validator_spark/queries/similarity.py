@@ -1,15 +1,34 @@
 """Similarity search over `embeddings` (SURVEY §2: similarity_topk /
-similarity_ann_lsh).
+similarity_ann_lsh / similarity_ann_ivf / dedup_embedding_cosine).
 
 - similarity_topk: brute-force cosine top-k — the correctness
   baseline. The query set is broadcast; each executor scans its slice
   of the corpus once; per-query top-k via row_number window (shuffle
   on query_id only, k rows per query survive).
-- similarity_ann_lsh: the scale path — 8 random-hyperplane bits bucket
-  the corpus (256 buckets); neighbor search then only touches
-  bucket-mates. Hyperplane components are deterministic ±1 from md5,
-  precomputed here in Python and embedded as literals, so DuckDB
-  reproduces the bucketing bit-for-bit.
+- similarity_ann_lsh / dedup_embedding_cosine: the scale path —
+  random-hyperplane sign bits bucket the corpus; neighbor search then
+  only touches bucket-mates. Hyperplane components are deterministic
+  ±1 from md5, precomputed here in Python and embedded as literals,
+  so DuckDB reproduces the bucketing bit-for-bit.
+- similarity_ann_ivf: inverted-file ANN — deterministic coarse
+  centroids, every vector assigned to its max-cosine list (broadcast
+  the tiny centroid set — no shuffle of the corpus), queries probe
+  only their own list.
+
+Scale parameterization: bucket counts are NOT constants. The plane
+count and IVF list count are derived from the corpus cardinality
+INSIDE the query (a 1-row aggregate cross-joined/broadcast into the
+bucketing expression) with the same clamp arithmetic in the DuckDB
+oracle, so per-bucket population stays bounded as the corpus grows:
+
+  n_planes = clamp(ceil(log2(N / 32)),  4,  24)   # 2^np buckets
+  nlist    = clamp(ceil(sqrt(N)),       16, 4096) # IVF sqrt rule
+
+At 100× the data both grow automatically (log2/sqrt), instead of a
+fixed 16-bucket layout whose per-bucket membership — and therefore
+in-bucket pair expansion — would grow linearly/quadratically.
+Degenerate buckets are additionally capped (MAX_EMB_BUCKET) exactly
+like the text-LSH MAX_BUCKET rule in dedup.py.
 
 Dot products fold left-to-right in array order in both engines
 (F.aggregate / list_sum over list_transform), and outputs round to 6
@@ -26,16 +45,28 @@ from pyspark.sql import functions as F
 from data_validator_spark.queries import load, spread
 
 DIM = 64
-N_PLANES = 8
 N_QUERIES = 10
 TOP_K = 5
+
+# Plane-count derivation bounds (see module docstring). MAX_PLANES is
+# the size of the precomputed plane table; 2^24 buckets is enough to
+# keep ~32/bucket up to ~5e8 vectors, after which MAX_EMB_BUCKET still
+# bounds the pair expansion.
+MIN_PLANES = 4
+MAX_PLANES = 24
+TARGET_BUCKET_POP = 32
+MIN_NLIST = 16
+MAX_NLIST = 4096
+# Buckets larger than this are skipped in pair expansion as degenerate
+# (same rule and rationale as dedup.py MAX_BUCKET).
+MAX_EMB_BUCKET = 256
 
 
 def _plane_weights() -> list[list[float]]:
     """±1 hyperplane components from md5('plane:dim') parity — public,
     deterministic, engine-independent."""
     planes = []
-    for p in range(N_PLANES):
+    for p in range(MAX_PLANES):
         row = []
         for d in range(DIM):
             h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
@@ -60,6 +91,59 @@ def _vecs(spark, sf):
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _params(vecs):
+    """1-row (np, nl) relation: corpus-size-derived plane/list counts.
+    Broadcast into the bucketing stage — a metadata-scale aggregate, no
+    corpus shuffle."""
+    n = F.count(F.lit(1)).cast("double")
+    np_ = F.least(
+        F.greatest(F.ceil(F.log2(n / TARGET_BUCKET_POP)), F.lit(MIN_PLANES)),
+        F.lit(MAX_PLANES),
+    ).cast("int")
+    nl = F.least(
+        F.greatest(F.ceil(F.sqrt(n)), F.lit(MIN_NLIST)), F.lit(MAX_NLIST)
+    ).cast("int")
+    return vecs.agg(np_.alias("np"), nl.alias("nl"))
+
+
+# DuckDB mirror of _params (same clamp arithmetic over count(*)).
+_SQL_PARAMS = f"""
+params AS (
+  SELECT LEAST(GREATEST(CAST(ceil(log2(count(*) / {TARGET_BUCKET_POP}.0)) AS INT),
+               {MIN_PLANES}), {MAX_PLANES}) AS np,
+         LEAST(GREATEST(CAST(ceil(sqrt(count(*))) AS INT),
+               {MIN_NLIST}), {MAX_NLIST}) AS nl
+  FROM embeddings)
+"""
+
+
+def _bucket_expr(np_col):
+    """Bucket id = sign bits of the first `np` planes; plane p only
+    contributes when p < np (nested CASE, so the unused planes' dot
+    products are never evaluated)."""
+    bucket = F.lit(0)
+    for p in range(MAX_PLANES):
+        w = F.array(*[F.lit(x) for x in PLANES[p]])
+        proj = _dot(F.col("v"), w)
+        bucket = bucket + F.when(
+            F.lit(p) < np_col,
+            F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def _sql_bucket_expr() -> str:
+    bits = []
+    for p in range(MAX_PLANES):
+        lits = ", ".join(str(x) for x in PLANES[p])
+        proj = f"list_sum(list_transform(range(1, {DIM + 1}), i -> v[i] * ([{lits}])[i]))"
+        bits.append(
+            f"CASE WHEN {p} < np THEN "
+            f"(CASE WHEN {proj} >= 0 THEN {2**p} ELSE 0 END) ELSE 0 END"
+        )
+    return " + ".join(bits)
 
 
 def q_similarity_topk(spark, sf):
@@ -101,36 +185,27 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 
 
 def q_similarity_ann_lsh(spark, sf):
-    """Random-hyperplane LSH bucketing: bucket id = 8 sign bits of the
-    embedding against fixed ±1 planes. Output is every vector's bucket
-    plus the bucket population — the candidate-generation stage of ANN
+    """Random-hyperplane LSH bucketing with a corpus-size-derived plane
+    count (see module docstring). Output is every vector's bucket plus
+    the bucket population — the candidate-generation stage of ANN
     search (neighbors are then scored only within a bucket)."""
     vecs = _vecs(spark, sf)
-    bucket = F.lit(0)
-    for p in range(N_PLANES):
-        w = F.array(*[F.lit(x) for x in PLANES[p]])
-        proj = _dot(F.col("v"), w)
-        bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    b = vecs.select("vec_id", bucket.alias("bucket"))
+    b = (
+        vecs.crossJoin(F.broadcast(_params(vecs)))
+        .select("vec_id", _bucket_expr(F.col("np")).alias("bucket"))
+    )
     return b.withColumn(
         "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
     ).orderBy("vec_id")
 
 
 def _sql_ann_lsh() -> str:
-    bits = []
-    for p in range(N_PLANES):
-        lits = ", ".join(str(x) for x in PLANES[p])
-        bits.append(
-            f"CASE WHEN list_sum(list_transform(range(1, {DIM + 1}),"
-            f" i -> v[i] * ([{lits}])[i])) >= 0 THEN {2**p} ELSE 0 END"
-        )
-    expr = " + ".join(bits)
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
-b AS (SELECT vec_id, ({expr}) AS bucket FROM e)
+{_SQL_PARAMS},
+b AS (SELECT vec_id, ({_sql_bucket_expr()}) AS bucket FROM e, params)
 SELECT vec_id, bucket,
        count(*) OVER (PARTITION BY bucket) AS bucket_size
 FROM b ORDER BY vec_id
@@ -138,27 +213,24 @@ FROM b ORDER BY vec_id
 
 
 # -- dedup_embedding_cosine ------------------------------------------------
-# Near-dup by embedding cosine, LSH-bucket-limited: candidate pairs are
-# generated ONLY within a coarse random-hyperplane bucket (4 planes →
-# 16 buckets here; recall tunes with plane count / multi-probe), then
-# exact cosine filters them. The all-pairs shuffle never happens — at
-# 100 TB the single shuffle is on the bucket id.
-N_PLANES_DEDUP = 4
 COSINE_DEDUP_THRESHOLD = 0.40  # synthetic corpus has no planted dups; 0.40 exercises the path
 
 
-def _bucket_expr(n_planes: int):
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        w = F.array(*[F.lit(x) for x in PLANES[p]])
-        proj = _dot(F.col("v"), w)
-        bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return bucket
-
-
 def q_dedup_embedding_cosine(spark, sf):
+    """Near-dup by embedding cosine, LSH-bucket-limited: candidate pairs
+    are generated ONLY within a hyperplane bucket (2^np buckets, np
+    derived from corpus size), then exact cosine filters them. Buckets
+    over MAX_EMB_BUCKET members are skipped as degenerate — the same
+    cap rule as text-LSH dedup — so a pathological bucket can never
+    emit O(n²) pairs. The all-pairs shuffle never happens: the single
+    corpus shuffle is on the bucket id."""
     vecs = _vecs(spark, sf)
-    b = vecs.select("vec_id", "v", "norm", _bucket_expr(N_PLANES_DEDUP).alias("bucket"))
+    b = (
+        vecs.crossJoin(F.broadcast(_params(vecs)))
+        .select("vec_id", "v", "norm", _bucket_expr(F.col("np")).alias("bucket"))
+    )
+    bsz = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_pop"))
+    b = b.join(bsz, "bucket").where(F.col("bucket_pop") <= MAX_EMB_BUCKET)
     a = b.select(
         F.col("bucket"),
         F.col("vec_id").alias("vec_a"),
@@ -181,44 +253,41 @@ def q_dedup_embedding_cosine(spark, sf):
 
 
 def _sql_dedup_embedding_cosine() -> str:
-    bits = []
-    for p in range(N_PLANES_DEDUP):
-        lits = ", ".join(str(x) for x in PLANES[p])
-        bits.append(
-            f"CASE WHEN list_sum(list_transform(range(1, {DIM + 1}),"
-            f" i -> v[i] * ([{lits}])[i])) >= 0 THEN {2**p} ELSE 0 END"
-        )
-    expr = " + ".join(bits)
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
+{_SQL_PARAMS},
 n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-             ({expr}) AS bucket FROM e),
+             ({_sql_bucket_expr()}) AS bucket FROM e, params),
+bsz AS (SELECT bucket, count(*) AS bucket_pop FROM n GROUP BY bucket),
+kept AS (SELECT n.* FROM n JOIN bsz USING (bucket)
+         WHERE bucket_pop <= {MAX_EMB_BUCKET}),
 p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          ROUND(list_sum(list_transform(range(1, {DIM + 1}), i -> a.v[i] * b.v[i]))
                / (a.nrm * b.nrm), 6) AS cos_sim
-  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, cos_sim FROM p
 WHERE cos_sim >= {COSINE_DEDUP_THRESHOLD} ORDER BY vec_a, vec_b
 """
 
 
 # -- similarity_ann_ivf ----------------------------------------------------
-# IVF (inverted-file) ANN: NLIST deterministic coarse centroids (the
-# first NLIST vectors), every vector assigned to its max-cosine list
-# (broadcast the tiny centroid set — no shuffle of the corpus), queries
-# probe ONLY their own list (nprobe=1). The structure that scales: at
-# 100 TB the corpus is hash-partitioned by list id and each probe
-# touches 1/NLIST of the data.
-NLIST = 16
-
-
 def _assigned(spark, sf):
+    """IVF coarse assignment: nlist = clamp(ceil(sqrt(N)), ...) — the
+    standard IVF sizing rule — with the first nlist vectors as
+    deterministic centroids; every vector joins the broadcast centroid
+    set and keeps its max-cosine list. No corpus shuffle."""
     vecs = _vecs(spark, sf)
-    cents = vecs.where(F.col("vec_id") < NLIST).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    cents = (
+        vecs.crossJoin(F.broadcast(_params(vecs)))
+        .where(F.col("vec_id") < F.col("nl"))
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
     )
     cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
     scored = vecs.join(F.broadcast(cents)).select(
@@ -258,8 +327,10 @@ SQL_SIMILARITY_ANN_IVF = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
+{_SQL_PARAMS},
 n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnorm FROM n WHERE vec_id < {NLIST}),
+cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnorm FROM n
+          WHERE vec_id < (SELECT nl FROM params)),
 scored AS (
   SELECT n.vec_id, n.v, n.nrm, cent_id,
          ROUND(list_sum(list_transform(range(1, {DIM + 1}), i -> n.v[i] * cv[i]))

@@ -242,3 +242,56 @@ def test_cc_star_matches_union_find_on_random_graphs(spark, seed):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(v, find(v)) for v in parent}
     assert got == want
+
+
+def _write_embeddings(spark, path, n):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], i % 3) for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(path / "embeddings.parquet"))
+
+
+def test_ann_bucket_count_scales_with_corpus(spark, tmp_path):
+    """The hyperplane count is derived from corpus cardinality inside
+    the query (np = clamp(ceil(log2(N/32)), 4, 24)), so a larger corpus
+    must occupy a strictly larger bucket space — the fixed-16-bucket
+    failure mode VERDICT r4 flagged."""
+    import data_validator_spark.queries.similarity as sim
+
+    small, big = tmp_path / "small", tmp_path / "big"
+    small.mkdir(), big.mkdir()
+    _write_embeddings(spark, small, 100)   # np clamps to 4  -> 16 buckets
+    _write_embeddings(spark, big, 4096)    # np = 7 -> 128 buckets
+
+    def stats(d):
+        rows = sim.q_similarity_ann_lsh(spark, str(d)).collect()
+        buckets = {r["bucket"] for r in rows}
+        return len(buckets), max(buckets), max(r["bucket_size"] for r in rows)
+
+    n_small, max_small, _ = stats(small)
+    n_big, max_big, pop_big = stats(big)
+    assert max_small < 16  # 4 planes
+    assert max_big >= 16   # more planes engaged
+    assert n_big > n_small
+    # derived sizing keeps per-bucket population near the target
+    assert pop_big < 4096 / 4
+
+
+def test_embedding_dedup_caps_degenerate_buckets(spark, tmp_path):
+    """A bucket with > MAX_EMB_BUCKET members must emit zero pairs
+    (the O(n^2) guard): 600 copies of one vector all land in one
+    bucket and would otherwise produce ~180k pairs."""
+    import data_validator_spark.queries.similarity as sim
+
+    v = [1.0] * 64
+    rows = [(i, v, 0) for i in range(600)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = sim.q_dedup_embedding_cosine(spark, str(tmp_path)).collect()
+    assert out == []
