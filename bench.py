@@ -39,6 +39,14 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q18_large_volume",
     "q22_prospective_customers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_parts_supplier",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_orders",
     "events_windowed",
     "events_sessionized",
     "events_asof_join",

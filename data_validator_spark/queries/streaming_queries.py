@@ -114,9 +114,20 @@ def q_streaming_validation(spark, sf):
 
 def q_streaming_sessionized(spark, sf):
     """Stateful sessionization (applyInPandasWithState) over the events
-    stream. Rows-only: only sessions CLOSED by stream progress are
-    emitted (open tails stay in state), so the batch SQL isn't an
-    oracle; semantics are pytest-verified in tests/test_streaming.py."""
+    stream. Hash-checked against a batch oracle that models the
+    emission rule exactly: a session is emitted iff it was closed by
+    evidence (a later same-user event beyond the gap — i.e. it is not
+    the user's last session) OR closed by silence (its event-time
+    timeout `end + gap`, in floor-ms, fell strictly below the final
+    watermark `max(ts) - gap`). Open tails stay in state and are NOT
+    emitted — the oracle replicates that cutoff instead of pretending
+    the stream saw the end of time.
+
+    session_value is intentionally not part of the checked output: the
+    stateful kernel accumulates doubles in arrival order, which no
+    batch engine reproduces bit-for-bit (boundaries and counts ARE the
+    sessionization semantics; per-session value is oracle-checked on
+    the batch twin events_sessionized via decimal sums)."""
     from data_validator_spark.streaming.sessionize import sessionize_stream
 
     ev = _stream_reader(spark, sf, "events")
@@ -134,7 +145,51 @@ def q_streaming_sessionized(spark, sf):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).orderBy("user_id", "session_start")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# The emission-rule twin of the stream: gap-split sessions (identical
+# to SQL_EVENTS_SESSIONIZED), then keep non-last sessions plus last
+# sessions whose floor-ms timeout passed the final watermark. All
+# boundary arithmetic in integer ms exactly as Spark's event-time
+# watermark machinery computes it.
+SQL_STREAMING_SESSIONIZED = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM g
+),
+agg AS (
+  SELECT user_id, session_seq, min(ts) AS t_start, max(ts) AS t_end,
+         count(*) AS n_events
+  FROM s GROUP BY 1, 2),
+last AS (SELECT user_id, max(session_seq) AS last_seq FROM agg GROUP BY 1),
+wm AS (SELECT (epoch_us(max(ts)) // 1000) - 1800000 AS wm_ms FROM events)
+SELECT user_id,
+       strftime(t_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(t_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM agg JOIN last USING (user_id), wm
+WHERE session_seq < last_seq
+   OR (epoch_us(t_end) // 1000 + 1800000) < wm_ms
+ORDER BY user_id, session_start
+"""
 
 
 def q_streaming_dedup(spark, sf):
@@ -290,6 +345,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_windowed": SQL_STREAMING_WINDOWED,
+    "streaming_sessionized": SQL_STREAMING_SESSIONIZED,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_enriched": SQL_STREAMING_ENRICHED,
     "streaming_join": SQL_STREAMING_JOIN,

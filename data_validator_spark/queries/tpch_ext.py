@@ -1,0 +1,676 @@
+"""TPC-H-ish queries blocked on missing synthetic columns (SURVEY §2:
+q2/q9/q11/q12/q16/q19/q20/q21 need `partsupp`, lineitem ship
+metadata, and part containers that /root/testdata does not carry).
+
+The driver's parquet dirs are fixed, so the missing relations are
+DERIVED deterministically from the existing tables with the repo's
+60-bit md5 hash convention — the same arithmetic expressed in the
+DataFrame plan and in the DuckDB oracle CTEs, so every query stays
+fully hash-checkable on the driver's own data:
+
+- partsupp: 4 suppliers per part. ps_suppkey = (p_partkey*4 + i) % S
+  + 1 (S = supplier count; 4 consecutive integers mod S are distinct
+  for S >= 4, so the key is guaranteed unique); availqty/supplycost
+  from the md5 hash of (partkey, i). Map-only over part — no shuffle.
+- lineitem_ext: shipmode/shipinstruct/commitdate/receiptdate from a
+  div-chain over ONE md5 per line (integer `div`, never float — the
+  60-bit hash exceeds double's 53-bit mantissa). Map-only.
+- part_ext: p_container from md5(partkey) over the 40 standard
+  TPC-H container names. Map-only.
+
+Reference parity: semantics follow the TPC-H spec variants the
+reference's analytics suite models (filters adapted to this corpus's
+vocabulary: single-word p_type, 'NATION_n' nations, 'color noun'
+part names). Scale notes per query in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_validator_spark.queries import DEC, dsum, load, spread, sql_dsum
+
+MODES = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
+INSTRUCTS = ["COLLECT COD", "DELIVER IN PERSON", "NONE", "TAKE BACK RETURN"]
+CONTAINERS = [
+    f"{s} {t}"
+    for s in ["SM", "MED", "LG", "JUMBO", "WRAP"]
+    for t in ["BAG", "BOX", "CAN", "CASE", "DRUM", "JAR", "PACK", "PKG"]
+]  # 40 values, TPC-H container vocabulary
+
+
+def _hash60(*cols):
+    """First 15 md5 hex digits as a 60-bit bigint — the repo's
+    cross-engine hash convention (queries/__init__ docstring)."""
+    s = F.concat_ws("|", *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(F.encode(s, "utf-8")), 1, 15), 16, 10).cast("long")
+
+
+def partsupp_df(spark, sf):
+    """Derived partsupp. Explode part x {0..3}; the supplier count
+    arrives as a broadcast 1-row aggregate (no collect, no shuffle of
+    part)."""
+    part = spread(load(spark, sf, "part"))
+    scnt = load(spark, sf, "supplier").agg(F.count(F.lit(1)).alias("s"))
+    raw = (
+        part.crossJoin(F.broadcast(scnt))
+        .select(
+            "p_partkey",
+            "s",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .withColumn("h", _hash60(F.lit("ps"), F.col("p_partkey"), F.col("i")))
+    )
+    return raw.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        ((F.col("p_partkey") * 4 + F.col("i")) % F.col("s") + 1).alias("ps_suppkey"),
+        (F.col("h") % 9999 + 1).cast("int").alias("ps_availqty"),
+        ((F.col("h") % 99900 + 100) / 100.0).alias("ps_supplycost"),
+    )
+
+
+SQL_PARTSUPP_CTE = """
+scnt AS (SELECT count(*) AS s FROM supplier),
+ps_raw AS (
+  SELECT p_partkey, i, s,
+         CAST('0x' || substr(md5('ps|' || CAST(p_partkey AS VARCHAR) || '|'
+              || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM part, range(0,4) t(i), scnt),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey * 4 + i) % s + 1 AS ps_suppkey,
+         CAST(h % 9999 + 1 AS INT) AS ps_availqty,
+         (h % 99900 + 100) / 100.0 AS ps_supplycost
+  FROM ps_raw)
+"""
+
+
+def lineitem_ext_df(spark, sf):
+    """lineitem + derived ship metadata from one md5 per line."""
+    li = spread(load(spark, sf, "lineitem"))
+    mode = F.array(*[F.lit(m) for m in MODES])
+    instr = F.array(*[F.lit(x) for x in INSTRUCTS])
+    ship = F.to_date("l_shipdate")
+    return (
+        li.withColumn("h", _hash60(F.lit("le"), F.col("l_orderkey"), F.col("l_linenumber")))
+        .withColumn("l_shipmode", F.element_at(mode, (F.col("h") % 7 + 1).cast("int")))
+        .withColumn(
+            "l_shipinstruct",
+            F.element_at(instr, (F.expr("h div 7") % 4 + 1).cast("int")),
+        )
+        .withColumn("l_commitdate", F.date_add(ship, (F.expr("h div 28") % 61 - 30).cast("int")))
+        .withColumn("l_receiptdate", F.date_add(ship, (F.expr("h div 1708") % 30 + 1).cast("int")))
+        .drop("h")
+    )
+
+
+SQL_LINEITEM_EXT_CTE = f"""
+le_raw AS (
+  SELECT l.*,
+         CAST('0x' || substr(md5('le|' || CAST(l_orderkey AS VARCHAR) || '|'
+              || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM lineitem l),
+lineitem_ext AS (
+  SELECT * EXCLUDE (h),
+         list_extract({MODES!r}, CAST(h % 7 + 1 AS INT)) AS l_shipmode,
+         list_extract({INSTRUCTS!r}, CAST((h // 7) % 4 + 1 AS INT)) AS l_shipinstruct,
+         CAST(l_shipdate AS DATE) + CAST((h // 28) % 61 - 30 AS INT) AS l_commitdate,
+         CAST(l_shipdate AS DATE) + CAST((h // 1708) % 30 + 1 AS INT) AS l_receiptdate
+  FROM le_raw)
+"""
+
+
+def part_ext_df(spark, sf):
+    """part + derived p_container."""
+    part = spread(load(spark, sf, "part"))
+    cont = F.array(*[F.lit(c) for c in CONTAINERS])
+    h = _hash60(F.lit("pc"), F.col("p_partkey"))
+    return part.withColumn("p_container", F.element_at(cont, (h % 40 + 1).cast("int")))
+
+
+SQL_PART_EXT_CTE = f"""
+part_ext AS (
+  SELECT p.*,
+         list_extract({CONTAINERS!r},
+           CAST(CAST('0x' || substr(md5('pc|' || CAST(p_partkey AS VARCHAR)), 1, 15)
+                AS BIGINT) % 40 + 1 AS INT)) AS p_container
+  FROM part p)
+"""
+
+
+# -- q2: min-cost supplier -------------------------------------------------
+Q2_SIZE_MIN, Q2_SIZE_MAX = 10, 20
+Q2_TYPE = "LARGE"
+Q2_REGION = "EUROPE"
+
+
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) whose
+    supply cost equals the region-wide minimum for that part.
+
+    Scale: supplier/nation/region are broadcast dims; partsupp (fact,
+    derived map-only from part) shuffles once on ps_partkey for the
+    min-cost aggregation and once for the join back — the same
+    two-exchange shape a stored partsupp would give. Equality on
+    ps_supplycost is exact: both sides carry the identical IEEE double
+    produced by the same derivation."""
+    ps = partsupp_df(spark, sf)
+    supplier = F.broadcast(load(spark, sf, "supplier"))
+    nation = F.broadcast(load(spark, sf, "nation"))
+    region = F.broadcast(
+        load(spark, sf, "region").where(F.col("r_name") == Q2_REGION)
+    )
+    part = load(spark, sf, "part").where(
+        F.col("p_size").between(Q2_SIZE_MIN, Q2_SIZE_MAX)
+        & (F.col("p_type") == Q2_TYPE)
+    )
+    eligible = (
+        ps.join(supplier, ps.ps_suppkey == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    mincost = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eligible.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            mincost.withColumnRenamed("ps_partkey", "mc_partkey"),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost").alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+SQL_Q2 = f"""
+WITH {SQL_PARTSUPP_CTE},
+eligible AS (
+  SELECT ps.*, s_acctbal, s_name, n_name
+  FROM partsupp ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'),
+mincost AS (
+  SELECT ps_partkey AS mc_partkey, min(ps_supplycost) AS min_cost
+  FROM eligible GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       ps_supplycost AS supply_cost
+FROM eligible
+JOIN part ON ps_partkey = p_partkey
+JOIN mincost ON ps_partkey = mc_partkey AND ps_supplycost = min_cost
+WHERE p_size BETWEEN {Q2_SIZE_MIN} AND {Q2_SIZE_MAX} AND p_type = '{Q2_TYPE}'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+# -- q9: product type profit -----------------------------------------------
+Q9_NAME_FRAGMENT = "red"
+
+
+def q9_product_profit(spark, sf):
+    """TPC-H Q9: profit (revenue minus derived supply cost) by supplier
+    nation and order year, for parts whose name contains a color.
+
+    Scale: the only big-to-big joins are lineitem->orders (two fact
+    shuffles on orderkey) and lineitem->partsupp (shuffle on partkey,
+    suppkey); part (filtered), supplier and nation broadcast. Decimal
+    accumulation for the order-independent profit sum."""
+    part = F.broadcast(
+        load(spark, sf, "part").where(F.col("p_name").contains(Q9_NAME_FRAGMENT))
+    )
+    supplier = F.broadcast(load(spark, sf, "supplier"))
+    nation = F.broadcast(load(spark, sf, "nation"))
+    li = spread(load(spark, sf, "lineitem"))
+    orders = load(spark, sf, "orders")
+    ps = partsupp_df(spark, sf)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_Q9 = f"""
+WITH {SQL_PARTSUPP_CTE}
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       {sql_dsum("l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity", "sum_profit")}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{Q9_NAME_FRAGMENT}%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+# -- q11: important stock --------------------------------------------------
+Q11_NATION = "NATION_3"
+Q11_FRACTION = 0.001
+
+
+def q11_important_stock(spark, sf):
+    """TPC-H Q11: per-part stock value in one nation, keeping parts
+    above a fraction of the national total.
+
+    Scale: one shuffle (groupBy ps_partkey); the national total is a
+    second tiny aggregate of the SAME grouped relation (reused, not
+    recomputed from the fact) broadcast into the filter."""
+    ps = partsupp_df(spark, sf)
+    supplier = F.broadcast(load(spark, sf, "supplier"))
+    nation = F.broadcast(
+        load(spark, sf, "nation").where(F.col("n_name") == Q11_NATION)
+    )
+    national = (
+        ps.join(supplier, ps.ps_suppkey == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    per_part = national.groupBy("ps_partkey").agg(dsum(F.col("v"), "value"))
+    total = per_part.agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("total") * Q11_FRACTION)
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+SQL_Q11 = f"""
+WITH {SQL_PARTSUPP_CTE},
+national AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'),
+per_part AS (
+  SELECT ps_partkey, {sql_dsum("v", "value")} FROM national GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total FROM per_part)
+SELECT ps_partkey, value FROM per_part, tot
+WHERE value > total * {Q11_FRACTION}
+ORDER BY value DESC, ps_partkey
+"""
+
+
+# -- q12: shipmode priority ------------------------------------------------
+Q12_MODES = ("MAIL", "SHIP")
+Q12_YEAR_START = "1997-01-01"
+Q12_YEAR_END = "1998-01-01"
+
+
+def q12_shipmode_priority(spark, sf):
+    """TPC-H Q12: late-commit analysis by ship mode over one receipt
+    year. One fact-fact shuffle (lineitem->orders on orderkey); the
+    selective receipt-window and mode filters run before the join.
+    The date filters sit on derived columns so they cannot reach the
+    parquet scan — the real l_shipdate predicate they imply
+    (shipdate within [window_start - 31d, window_end)) is pushed
+    explicitly to keep the scan bounded."""
+    li = lineitem_ext_df(spark, sf)
+    orders = load(spark, sf, "orders")
+    start, end = F.to_date(F.lit(Q12_YEAR_START)), F.to_date(F.lit(Q12_YEAR_END))
+    filtered = li.where(
+        # receiptdate = shipdate + [1, 30] days, so the pushable scan
+        # bound below implies the receipt window checked next
+        (F.to_date("l_shipdate") >= F.date_sub(start, 31))
+        & (F.to_date("l_shipdate") < end)
+        & F.col("l_shipmode").isin(*Q12_MODES)
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= start)
+        & (F.col("l_receiptdate") < end)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        filtered.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+SQL_Q12 = f"""
+WITH {SQL_LINEITEM_EXT_CTE}
+SELECT l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem_ext
+JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '{Q12_YEAR_START}' - 31
+  AND CAST(l_shipdate AS DATE) < DATE '{Q12_YEAR_END}'
+  AND l_shipmode IN {Q12_MODES!r}
+  AND l_commitdate < l_receiptdate
+  AND CAST(l_shipdate AS DATE) < l_commitdate
+  AND l_receiptdate >= DATE '{Q12_YEAR_START}'
+  AND l_receiptdate < DATE '{Q12_YEAR_END}'
+GROUP BY l_shipmode ORDER BY l_shipmode
+"""
+
+
+# -- q16: parts/supplier relationship --------------------------------------
+Q16_BRAND = "Brand#5"
+Q16_TYPE = "PROMO"
+Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 23)
+
+
+def q16_parts_supplier(spark, sf):
+    """TPC-H Q16: distinct supplier count per (brand, type, size),
+    excluding 'complaint' suppliers — here a deterministic 1-in-25
+    hash subset, since the corpus has no s_comment column.
+
+    Scale: partsupp shuffles once on ps_partkey for the part join
+    (part filtered, broadcastable), the complaint set is an anti-join
+    against a broadcast derived relation, and the distinct count is
+    one more shuffle on the group key."""
+    ps = partsupp_df(spark, sf)
+    part = F.broadcast(
+        load(spark, sf, "part").where(
+            (F.col("p_brand") != Q16_BRAND)
+            & (F.col("p_type") != Q16_TYPE)
+            & F.col("p_size").isin(*Q16_SIZES)
+        )
+    )
+    complaints = F.broadcast(
+        load(spark, sf, "supplier")
+        .where(_hash60(F.lit("sc"), F.col("s_suppkey")) % 25 == 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    return (
+        ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(complaints, F.col("ps_suppkey") == F.col("bad_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_Q16 = f"""
+WITH {SQL_PARTSUPP_CTE}
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> '{Q16_BRAND}' AND p_type <> '{Q16_TYPE}'
+  AND p_size IN {Q16_SIZES!r}
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier
+    WHERE CAST('0x' || substr(md5('sc|' || CAST(s_suppkey AS VARCHAR)), 1, 15)
+          AS BIGINT) % 25 = 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# -- q19: discounted revenue (bracketed OR predicate) ----------------------
+def q19_discounted_revenue(spark, sf):
+    """TPC-H Q19: revenue from three brand/container/quantity/size
+    brackets — the classic OR-of-ANDs predicate — over air shipments
+    delivered in person.
+
+    Scale: part (with derived container) broadcasts into the lineitem
+    scan; the whole predicate evaluates in one codegen stage, no
+    shuffle at all before the single-row aggregate."""
+    li = lineitem_ext_df(spark, sf)
+    part = F.broadcast(part_ext_df(spark, sf))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    br1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_container").isin("SM CASE", "SM BOX", "SM PACK", "SM PKG")
+        & q.between(1, 11)
+        & sz.between(1, 5)
+    )
+    br2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_container").isin("MED BAG", "MED BOX", "MED PKG", "MED PACK")
+        & q.between(10, 20)
+        & sz.between(1, 10)
+    )
+    br3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_container").isin("LG CASE", "LG BOX", "LG PACK", "LG PKG")
+        & q.between(20, 30)
+        & sz.between(1, 15)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            F.col("l_shipmode").isin("AIR", "REG AIR")
+            & (F.col("l_shipinstruct") == "DELIVER IN PERSON")
+            & (br1 | br2 | br3)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_Q19 = f"""
+WITH {SQL_LINEITEM_EXT_CTE},
+{SQL_PART_EXT_CTE}
+SELECT {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem_ext
+JOIN part_ext ON l_partkey = p_partkey
+WHERE l_shipmode IN ('AIR','REG AIR')
+  AND l_shipinstruct = 'DELIVER IN PERSON'
+  AND ((p_brand = 'Brand#12'
+        AND p_container IN ('SM CASE','SM BOX','SM PACK','SM PKG')
+        AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+    OR (p_brand = 'Brand#23'
+        AND p_container IN ('MED BAG','MED BOX','MED PKG','MED PACK')
+        AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+    OR (p_brand = 'Brand#3'
+        AND p_container IN ('LG CASE','LG BOX','LG PACK','LG PKG')
+        AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))
+"""
+
+
+# -- q20: potential part promotion -----------------------------------------
+Q20_NAME_PREFIX = "small"
+Q20_NATION = "NATION_7"
+Q20_YEAR_START = "1997-01-01"
+Q20_YEAR_END = "1998-01-01"
+
+
+def q20_potential_promotion(spark, sf):
+    """TPC-H Q20: suppliers in one nation holding excess stock
+    (availqty > half the year's shipped quantity) of matching parts.
+
+    Scale: the year's shipped quantity is one lineitem aggregate on
+    (partkey, suppkey); partsupp joins it shuffle-to-shuffle on the
+    same key, part/nation broadcast, and the final supplier pick is a
+    left-semi join — no row explosion anywhere."""
+    li = spread(load(spark, sf, "lineitem"))
+    start, end = F.to_date(F.lit(Q20_YEAR_START)), F.to_date(F.lit(Q20_YEAR_END))
+    shipped = (
+        li.where((F.to_date("l_shipdate") >= start) & (F.to_date("l_shipdate") < end))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(F.col("l_quantity"), "qty"))
+    )
+    part = F.broadcast(
+        load(spark, sf, "part").where(F.col("p_name").startswith(Q20_NAME_PREFIX))
+    )
+    ps = partsupp_df(spark, sf)
+    excess = (
+        ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select(F.col("ps_suppkey").alias("k"))
+        .distinct()
+    )
+    nation = F.broadcast(
+        load(spark, sf, "nation").where(F.col("n_name") == Q20_NATION)
+    )
+    supplier = load(spark, sf, "supplier").join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supplier.join(excess, F.col("s_suppkey") == F.col("k"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+SQL_Q20 = f"""
+WITH {SQL_PARTSUPP_CTE},
+shipped AS (
+  SELECT l_partkey, l_suppkey, {sql_dsum("l_quantity", "qty")}
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{Q20_YEAR_START}'
+    AND CAST(l_shipdate AS DATE) < DATE '{Q20_YEAR_END}'
+  GROUP BY 1, 2),
+excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN part ON ps_partkey = p_partkey
+  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE p_name LIKE '{Q20_NAME_PREFIX}%' AND ps_availqty > 0.5 * qty)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{Q20_NATION}' AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+ORDER BY s_name
+"""
+
+
+# -- q21: suppliers who kept orders waiting --------------------------------
+Q21_NATION = "NATION_5"
+
+
+def q21_waiting_orders(spark, sf):
+    """TPC-H Q21: suppliers in one nation who were the SOLE late
+    supplier on a finished multi-supplier order.
+
+    Scale: the exists/not-exists pair becomes a left-semi and a
+    left-anti join, both equi on l_orderkey with the suppkey
+    inequality in the join condition — hash joins, no cartesian.
+    lineitem_ext is computed once and reused for the late set on both
+    sides (same deterministic derivation)."""
+    li = lineitem_ext_df(spark, sf).select(
+        "l_orderkey", "l_suppkey", "l_commitdate", "l_receiptdate"
+    )
+    late = li.where(F.col("l_receiptdate") > F.col("l_commitdate"))
+    orders = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    nation = F.broadcast(
+        load(spark, sf, "nation").where(F.col("n_name") == Q21_NATION)
+    )
+    supplier = F.broadcast(
+        load(spark, sf, "supplier").join(
+            nation, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+    )
+    l1 = (
+        late.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    return (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+SQL_Q21 = f"""
+WITH {SQL_LINEITEM_EXT_CTE}
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem_ext l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = '{Q21_NATION}'
+  AND l1.l_receiptdate > l1.l_commitdate
+  AND EXISTS (
+    SELECT 1 FROM lineitem_ext l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem_ext l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_receiptdate > l3.l_commitdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q16_parts_supplier": q16_parts_supplier,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q20_potential_promotion": q20_potential_promotion,
+    "q21_waiting_orders": q21_waiting_orders,
+}
+
+ORACLES = {
+    "q2_min_cost_supplier": SQL_Q2,
+    "q9_product_profit": SQL_Q9,
+    "q11_important_stock": SQL_Q11,
+    "q12_shipmode_priority": SQL_Q12,
+    "q16_parts_supplier": SQL_Q16,
+    "q19_discounted_revenue": SQL_Q19,
+    "q20_potential_promotion": SQL_Q20,
+    "q21_waiting_orders": SQL_Q21,
+}
