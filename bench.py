@@ -77,6 +77,14 @@ HEADLINE = [
     "minhash_containment",
     "events_json_extract",
     "events_anomaly",
+    "bm25_topk",
+    "kmeans_embeddings",
+    "trigram_lm_score",
+    "substring_dedup",
+    "quantile_shard",
+    "domain_mix_sample",
+    "k_anonymity",
+    "heavy_hitters_cms",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

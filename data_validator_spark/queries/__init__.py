@@ -130,9 +130,18 @@ def sql_dsum(expr: str, alias: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0 — new (tpch_ext) or semantics/plan changed this round
-    # (pairs cache + CC loop rewrite; ANN derived parameters;
-    # sessionization oracle cutoff)
+    # tier 0 — new this round: corpus_ops (r5 session) ...
+    "bm25_topk",
+    "kmeans_embeddings",
+    "trigram_lm_score",
+    "substring_dedup",
+    "quantile_shard",
+    "domain_mix_sample",
+    "k_anonymity",
+    "heavy_hitters_cms",
+    # ... and tpch_ext / semantics-or-plan changed (pairs cache + CC
+    # loop rewrite; ANN derived parameters; sessionization oracle
+    # cutoff)
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -225,6 +234,7 @@ GRADE_PRIORITY = [
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     from data_validator_spark.queries import (
         analytics,
+        corpus_ops,
         dedup,
         multimodal,
         pipeline_ops,
@@ -246,6 +256,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         pipeline_ops,
         similarity,
         multimodal,
+        corpus_ops,
         streaming_queries,
     ):
         queries.update(mod.QUERIES)

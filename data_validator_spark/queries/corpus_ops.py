@@ -1,0 +1,647 @@
+"""Corpus-preparation operators for LLM training pipelines — relevance
+scoring (BM25), clustering (k-means over embeddings), language-model
+quality scoring (char-trigram LM), exact-substring near-dup detection
+(rolling windows), balanced sharding, domain-mix resampling,
+k-anonymity auditing, and count-min-sketch heavy hitters.
+
+Like pipeline_ops.py, these rows extend the reference engine
+(target/data-validator has no LLM-pipeline surface) per the build
+brief. Every operator is the declarative DataFrame API — native
+column functions, map-side partial aggregation, broadcast for every
+small relation — and each docstring states the 100 TB shape. The
+cross-engine determinism rules are the package conventions
+(queries/__init__.py): 60-bit md5-prefix hashes, decimal(30,6) exact
+sums, explicit double casts, unique-key tiebreakers on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_validator_spark.queries import DEC, load, spread
+from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
+from data_validator_spark.functions.text import normalized_text, token_count
+from data_validator_spark.queries.textops import SQL_NORM
+
+
+# -- bm25_topk -------------------------------------------------------------
+BM25_TERMS = ["spark", "query", "window", "stream"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+
+
+def q_bm25_topk(spark, sf):
+    """BM25 relevance: score every document against a fixed query-term
+    set, return the top-20.
+
+    Scale shape: per-term tf is computed with `filter(tokens, ...)`
+    inside the row — NO explode, NO shuffle for term frequencies. The
+    corpus statistics (N, per-term doc frequency, avg doc length) are
+    ONE fused scalar aggregate (a single reduce to one row), broadcast
+    back via crossJoin. The only ordered step is the final top-k,
+    which Spark executes as TakeOrderedAndProject (per-partition heaps,
+    no global sort). At 100 TB this is two scans and a 20-row result.
+
+    Determinism: idf/score arithmetic is fixed-order double IEEE; the
+    four per-term scores are added left-to-right explicitly in both
+    engines; the emitted score passes through decimal(30,6).
+    """
+    df = spread(load(spark, sf, "documents"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    dl = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(F.size(toks))
+
+    def tf(term: str):
+        # single-arg lambda: a second parameter would be bound to
+        # F.filter's element-index argument
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    proj = df.select(
+        "doc_id",
+        dl.alias("dl"),
+        *[tf(t).alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = proj.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = proj.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        dfreq = F.col(f"df_{t}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        return idf * tf * (BM25_K1 + 1.0) / denom
+
+    # left-to-right fixed-order addition, mirrored verbatim in the SQL
+    score = term_score(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + term_score(t)
+    return (
+        scored.select(
+            "doc_id",
+            *[f"tf_{t}" for t in BM25_TERMS],
+            score.cast(DEC).cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def _sql_bm25() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter({SQL_TOKENS}, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in BM25_TERMS
+    )
+    score_terms = " + ".join(
+        f"(ln((CAST(n_docs AS DOUBLE) - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+        f" * tf_{t} * ({BM25_K1} + 1.0)"
+        f" / (tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl"
+        f" / (CAST(sum_dl AS DOUBLE) / n_docs))))"
+        for t in BM25_TERMS
+    )
+    tf_out = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH proj AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({SQL_TOKENS}) END AS dl,
+         {tf_cols}
+  FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM proj)
+SELECT doc_id, {tf_out},
+       CAST(CAST({score_terms} AS DECIMAL(30,6)) AS DOUBLE) AS score
+FROM proj CROSS JOIN stats
+ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+# -- kmeans_embeddings -----------------------------------------------------
+KMEANS_K = 8
+KMEANS_ITERS = 2
+EMB_DIM = 64
+
+
+def _assign(df, centroids: list[tuple[int, list[float]]]):
+    """Assign each vector to its nearest centroid (squared L2, exact
+    decimal accumulation, ties to the lowest cluster id via struct
+    array_min)."""
+    emb = F.col("embedding").cast("array<double>")
+    choices = []
+    for cid, cent in centroids:
+        cent_col = F.array(*[F.lit(v) for v in cent])
+        sq = F.zip_with(emb, cent_col, lambda a, b: (a - b) * (a - b))
+        d = F.aggregate(
+            sq,
+            F.lit(0).cast(DEC),
+            lambda acc, x: (acc + x.cast(DEC)).cast(DEC),
+        )
+        choices.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
+    best = F.array_min(F.array(*choices))
+    return df.select(
+        "vec_id", "embedding", best["c"].alias("cluster_id"), best["d"].alias("dist")
+    )
+
+
+def q_kmeans_embeddings(spark, sf):
+    """Distributed Lloyd's k-means over the embedding column: k=8,
+    2 assignment rounds, deterministic init (the k lowest vec_ids).
+    Output: per-cluster size, exact sum of squared distances, lowest
+    member id.
+
+    Scale shape — the canonical broadcast-centroid pattern (what
+    MLlib's KMeans does): only k*dim doubles ever reach the driver;
+    assignment is a map stage against broadcast centroids (zip_with /
+    aggregate, whole-stage codegen, no Python); recomputation is one
+    posexplode + groupBy(cluster, dim) with map-side partial sums, so
+    the shuffle carries k*dim partial aggregates per partition — bytes,
+    not vectors. Iterations scale as O(iters) scans of the corpus.
+
+    Determinism: distances accumulate in decimal(30,6) (exact,
+    order-independent), argmin ties break to the lowest cluster id,
+    and recomputed centroid components go through the package's
+    exact-sum-then-double-divide rule so both engines iterate on
+    bit-identical centroids. Clusters that lose all members drop out
+    (same natural semantics in both engines).
+    """
+    df = spread(load(spark, sf, "embeddings")).select("vec_id", "embedding")
+    init = df.orderBy("vec_id").limit(KMEANS_K).collect()
+    centroids = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(init)]
+    assigned = _assign(df, centroids)
+    for _ in range(KMEANS_ITERS - 1):
+        comp = (
+            assigned.select("cluster_id", F.posexplode(F.col("embedding").cast("array<double>")))
+            .groupBy("cluster_id", "pos")
+            .agg((F.sum(F.col("col").cast(DEC)).cast("double") / F.count("*")).alias("c"))
+        )
+        rows = comp.collect()
+        by_cluster: dict[int, list[float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, [0.0] * EMB_DIM)[r.pos] = r.c
+        centroids = sorted((cid, cent) for cid, cent in by_cluster.items())
+        assigned = _assign(df, centroids)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("dist").cast("double").alias("sum_sqdist"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _sql_kmeans() -> str:
+    def assign(cent_cte: str, out: str) -> str:
+        return f"""
+{out}_d AS (
+  SELECT e.vec_id, c.cl,
+         SUM(CAST((CAST(e.embedding[g.i] AS DOUBLE) - c.cent[g.i])
+                  * (CAST(e.embedding[g.i] AS DOUBLE) - c.cent[g.i])
+                  AS DECIMAL(30,6))) AS d
+  FROM embeddings e
+  CROSS JOIN {cent_cte} c
+  CROSS JOIN generate_series(1, {EMB_DIM}) g(i)
+  GROUP BY e.vec_id, c.cl),
+{out} AS (
+  SELECT vec_id, cl, d FROM (
+    SELECT vec_id, cl, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+    FROM {out}_d) WHERE rn = 1)"""
+
+    return f"""
+WITH c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})),
+{assign('c0', 'a1')},
+c1 AS (
+  SELECT cl, list(c ORDER BY i) AS cent FROM (
+    SELECT a.cl, g.i,
+           CAST(SUM(CAST(CAST(e.embedding[g.i] AS DOUBLE) AS DECIMAL(30,6)))
+                AS DOUBLE) / COUNT(*) AS c
+    FROM a1 a JOIN embeddings e USING (vec_id)
+    CROSS JOIN generate_series(1, {EMB_DIM}) g(i)
+    GROUP BY a.cl, g.i)
+  GROUP BY cl),
+{assign('c1', 'a2')}
+SELECT cl AS cluster_id, COUNT(*) AS n_members,
+       CAST(SUM(d) AS DOUBLE) AS sum_sqdist,
+       MIN(vec_id) AS min_vec_id
+FROM a2 GROUP BY cl ORDER BY cluster_id
+"""
+
+
+# -- trigram_lm_score ------------------------------------------------------
+def q_trigram_lm_score(spark, sf):
+    """Char-trigram language-model quality score (the CCNet-style
+    perplexity filter shape): estimate trigram probabilities from the
+    corpus itself, then score each document by its mean log-probability.
+
+    Scale shape: the trigram model is a groupBy over an alphabet-bounded
+    key space (≤ |charset|³ distinct trigrams regardless of corpus
+    size) with map-side combine — the model RELATION is fixed-size, so
+    it broadcasts to the scoring join no matter how big the corpus is.
+    Scoring is explode + broadcast-hash-join + one groupBy(doc_id) with
+    partial aggregation: two corpus scans, no large shuffle.
+
+    Determinism: p = cnt/total is exact-int division in double;
+    ln(p) values accumulate through decimal(30,6) so the per-doc sum
+    is order-independent.
+    """
+    df = spread(load(spark, sf, "documents"))
+    norm = normalized_text(F.col("text"))
+    docs = df.select("doc_id", norm.alias("norm"))
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(norm) >= 3 THEN "
+                "transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3)) "
+                "ELSE array() END"
+            )
+        ).alias("t"),
+    )
+    counts = tri.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = tri.agg(F.count("*").alias("total"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "t", (F.col("cnt").cast("double") / F.col("total")).alias("p")
+    )
+    return (
+        tri.join(F.broadcast(model), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            (F.sum(F.log(F.col("p")).cast(DEC)).cast("double") / F.count("*")).alias(
+                "avg_logp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TRIGRAM_LM = f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, CAST(length(norm) AS BIGINT) - 1),
+                               i -> substr(norm, CAST(i AS INTEGER), 3))) AS t
+  FROM d),
+counts AS (SELECT t, COUNT(*) AS cnt FROM tri GROUP BY t),
+tot AS (SELECT COUNT(*) AS total FROM tri),
+model AS (SELECT t, CAST(cnt AS DOUBLE) / total AS p
+          FROM counts CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_trigrams,
+       CAST(SUM(CAST(ln(p) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_logp
+FROM tri JOIN model USING (t)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# -- substring_dedup -------------------------------------------------------
+SUBSTR_WIN = 24
+
+
+def q_substring_dedup(spark, sf):
+    """Exact-substring near-dup detection (the Lee-et-al. "deduplicating
+    training data" shape, bucketed): fingerprint every WORD-ALIGNED
+    24-char window of normalized text, hash each window, and flag any
+    document that shares a window hash with an earlier (lower doc_id)
+    document.
+
+    Word-boundary anchoring is content-defined chunking: a run shared
+    by two documents produces the SAME windows in both regardless of
+    where the run sits in each doc — a fixed stride would misalign the
+    copies and miss them (suffix arrays solve this exhaustively;
+    anchored windows are the bucketed approximation that distributes).
+
+    Scale shape: windows are generated in-row (sequence + transform +
+    filter, all array ops — no Python, no per-char explode reaches the
+    shuffle), the per-hash canonical owner is min(doc_id) — a groupBy
+    with map-side partial min, never a pair expansion, so a window
+    shared by k docs costs k rows, not k². The join back to windows is
+    on the window hash, partition-pruned by AQE. Two shuffles total.
+    """
+    df = spread(load(spark, sf, "documents"))
+    docs = df.select("doc_id", normalized_text(F.col("text")).alias("norm"))
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(1, greatest(length(norm) - {SUBSTR_WIN - 1}, 1)),"
+                f" i -> CASE WHEN (i = 1 OR substring(norm, i - 1, 1) = ' ')"
+                f"        AND i <= length(norm) - {SUBSTR_WIN - 1}"
+                f"       THEN substring(norm, i, {SUBSTR_WIN}) END),"
+                " x -> x IS NOT NULL)"
+            )
+        ).alias("w"),
+    ).select("doc_id", _hash60(F.col("w")).alias("h"))
+    canon = wins.groupBy("h").agg(F.min("doc_id").alias("canon"))
+    return (
+        wins.join(canon, "h")
+        .where(F.col("canon") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("canon").alias("dup_of"), F.count("*").alias("n_shared_windows"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
+wins AS (
+  SELECT doc_id, {_sql_hash60("w")} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             list_transform(range(1, CAST(length(norm) AS BIGINT) - {SUBSTR_WIN - 2}),
+               i -> CASE WHEN i = 1 OR substr(norm, CAST(i AS INTEGER) - 1, 1) = ' '
+                    THEN substr(norm, CAST(i AS INTEGER), {SUBSTR_WIN}) END),
+             x -> x IS NOT NULL)) AS w
+    FROM d)),
+canon AS (SELECT h, MIN(doc_id) AS canon FROM wins GROUP BY h)
+SELECT doc_id, MIN(canon) AS dup_of, COUNT(*) AS n_shared_windows
+FROM wins JOIN canon USING (h)
+WHERE canon < doc_id
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# -- quantile_shard --------------------------------------------------------
+N_SHARDS = 16
+
+
+def q_quantile_shard(spark, sf):
+    """Balanced training-shard assignment: split the corpus into 16
+    shards by token-count quantile (shard 0 = shortest docs, 15 =
+    longest), reporting per-shard doc/token totals — the "equal-work
+    shards" primitive for distributed tokenization jobs.
+
+    Scale shape: a global ntile would force a single-partition window
+    over the full corpus; instead the shard boundaries come from the
+    token-count HISTOGRAM — groupBy(token_count) with map-side combine
+    collapses 100 TB to ≤ |distinct lengths| rows, the cumulative sum
+    runs as a window over that tiny aggregated relation, and the
+    assignment joins back by broadcast. shard = (16 * cum_before) DIV N
+    is integer arithmetic — exact in both engines, no float boundary.
+    """
+    df = spread(load(spark, sf, "documents"))
+    docs = df.select("doc_id", token_count(F.col("text")).alias("tc"))
+    hist = docs.groupBy("tc").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("tc").rowsBetween(Window.unboundedPreceding, -1)
+    tot = hist.agg(F.sum("cnt").alias("n")).withColumnRenamed("n", "n_total")
+    edges = (
+        hist.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tc",
+            # `div` is INTEGER division on longs — exact, matching the
+            # oracle's `//`; true `/` would round through double first
+            F.expr(f"({N_SHARDS} * cum_before) div n_total").alias("shard"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(edges), "tc")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("tc").alias("min_tokens"),
+            F.max("tc").alias("max_tokens"),
+            F.sum("tc").alias("sum_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+SQL_QUANTILE_SHARD = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS tc
+  FROM documents),
+hist AS (SELECT tc, COUNT(*) AS cnt FROM docs GROUP BY tc),
+tot AS (SELECT SUM(cnt) AS n_total FROM hist),
+edges AS (
+  SELECT tc,
+         CAST(({N_SHARDS} * COALESCE(SUM(cnt) OVER (ORDER BY tc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+         // (SELECT n_total FROM tot) AS BIGINT) AS shard
+  FROM hist)
+SELECT shard, COUNT(*) AS n_docs, MIN(tc) AS min_tokens,
+       MAX(tc) AS max_tokens, CAST(SUM(tc) AS BIGINT) AS sum_tokens
+FROM docs JOIN edges USING (tc)
+GROUP BY shard ORDER BY shard
+"""
+
+
+# -- domain_mix_sample -----------------------------------------------------
+MIX_SALT = "dv-mix-v1"
+MIX_SCALE = float(2**60)
+
+
+def q_domain_mix_sample(spark, sf):
+    """Domain-mix resampling: downsample over-represented source
+    domains toward a uniform target mix (the data-mixing step before
+    LLM pretraining), with deterministic hash-based keep decisions.
+
+    Scale shape: per-source counts are one map-side-combined groupBy
+    collapsing to |domains| rows; the keep-rate table broadcasts; the
+    keep decision is a pure map filter (salted 60-bit hash vs
+    rate * 2^60 — same IEEE double product in both engines). Output is
+    the per-source audit: kept counts and an id-checksum proving
+    membership, not just cardinality.
+    """
+    df = spread(load(spark, sf, "documents"))
+    docs = df.select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    tot = docs.agg(
+        F.count("*").alias("n_total"), F.countDistinct("source").alias("n_src")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "cnt",
+        F.least(
+            F.lit(1.0),
+            (F.col("n_total").cast("double") / F.col("n_src")) / F.col("cnt"),
+        ).alias("rate"),
+    )
+    bucket = _hash60(F.concat(F.lit(f"{MIX_SALT}:"), F.col("doc_id").cast("string")))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(bucket < F.col("rate") * MIX_SCALE)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.max("cnt").alias("n_before"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOMAIN_MIX = f"""
+WITH counts AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+tot AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT source) AS n_src FROM documents),
+rates AS (
+  SELECT source, cnt,
+         LEAST(1.0, (CAST(n_total AS DOUBLE) / n_src) / cnt) AS rate
+  FROM counts CROSS JOIN tot)
+SELECT source, COUNT(*) AS n_kept, MAX(cnt) AS n_before,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents JOIN rates USING (source)
+WHERE {_sql_hash60(f"'{MIX_SALT}:' || CAST(doc_id AS VARCHAR)")} < rate * {MIX_SCALE:.1f}
+GROUP BY source ORDER BY source
+"""
+
+
+# -- k_anonymity -----------------------------------------------------------
+K_ANON = 10
+
+
+def q_k_anonymity(spark, sf):
+    """k-anonymity audit over quasi-identifiers (nation, market
+    segment) on the customer table: emit every QI group smaller than
+    k=10 — the groups whose members a released dataset would expose.
+
+    Scale shape: one groupBy over the QI tuple with map-side combine;
+    the HAVING filter runs post-aggregation on |QI-space| rows, which
+    is data-independent. This is the validator-flavored privacy check
+    (reference parity: the reference's uniqueCheck is the k=1 special
+    case of this — ValidatorTable.scala's groupBy/count/where shape).
+    """
+    df = load(spark, sf, "customer")
+    return (
+        df.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .where(F.col("group_size") < K_ANON)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+SQL_K_ANONYMITY = f"""
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING COUNT(*) < {K_ANON}
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# -- heavy_hitters_cms -----------------------------------------------------
+CMS_D = 4
+CMS_W = 1024
+CMS_TOPK = 20
+
+
+def q_heavy_hitters_cms(spark, sf):
+    """Count-min-sketch heavy hitters: build a 4×1024 CMS over the
+    token stream, then report the top-20 tokens by sketch estimate
+    next to their exact counts (est ≥ exact always; the gap shows the
+    collision error).
+
+    Scale shape: the sketch is a groupBy over a FIXED 4096-cell key
+    space — map-side combine collapses any corpus to ≤ 4096 rows per
+    partition before the shuffle, and the finished sketch broadcasts
+    to the estimation join. The candidate relation (distinct tokens)
+    aggregates with combine too. No step is corpus-sized after the
+    initial scans. Deterministic: pure integer counts and 60-bit
+    md5 bucket hashes, identical in both engines.
+    """
+    df = spread(load(spark, sf, "documents"))
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).where(F.length("token") > 0)
+    hashed = toks.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            _hash60(
+                                F.concat(
+                                    F.lit(f"cms{j}:"),
+                                    F.col("token"),
+                                )
+                            )
+                            % CMS_W
+                        ).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("token", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    sketch = hashed.groupBy("j", "bucket").agg(F.count("*").alias("cell"))
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    cand = hashed.select("token", "j", "bucket").distinct()
+    est = (
+        cand.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cell").alias("est_count"))
+    )
+    return (
+        est.join(exact, "token")
+        .select("token", "est_count", "exact_count")
+        .orderBy(F.desc("est_count"), "token")
+        .limit(CMS_TOPK)
+    )
+
+
+def _sql_cms() -> str:
+    arms = []
+    for j in range(CMS_D):
+        h = _sql_hash60(f"'cms{j}:' || token")
+        arms.append(f"SELECT token, {j} AS j, {h} % {CMS_W} AS bucket FROM toks2")
+    buckets = " UNION ALL ".join(arms)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+toks2 AS (SELECT token FROM toks WHERE length(token) > 0),
+hashed AS ({buckets}),
+sketch AS (SELECT j, bucket, COUNT(*) AS cell FROM hashed GROUP BY j, bucket),
+exact AS (SELECT token, COUNT(*) AS exact_count FROM toks2 GROUP BY token),
+cand AS (SELECT DISTINCT token, j, bucket FROM hashed),
+est AS (
+  SELECT token, MIN(cell) AS est_count
+  FROM cand JOIN sketch USING (j, bucket) GROUP BY token)
+SELECT token, est_count, exact_count
+FROM est JOIN exact USING (token)
+ORDER BY est_count DESC, token LIMIT {CMS_TOPK}
+"""
+
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "trigram_lm_score": q_trigram_lm_score,
+    "substring_dedup": q_substring_dedup,
+    "quantile_shard": q_quantile_shard,
+    "domain_mix_sample": q_domain_mix_sample,
+    "k_anonymity": q_k_anonymity,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+}
+
+ORACLES = {
+    "bm25_topk": _sql_bm25(),
+    "kmeans_embeddings": _sql_kmeans(),
+    "trigram_lm_score": SQL_TRIGRAM_LM,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "quantile_shard": SQL_QUANTILE_SHARD,
+    "domain_mix_sample": SQL_DOMAIN_MIX,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "heavy_hitters_cms": _sql_cms(),
+}

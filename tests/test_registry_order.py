@@ -13,6 +13,9 @@ DRIVER_GRADE_BUDGET = 50
 # semantics/plan changed (CC rewrite, ANN derived params, streaming
 # sessionization oracle) — all MUST be inside the grading budget.
 NEW_OR_CHANGED = {
+    "bm25_topk", "kmeans_embeddings", "trigram_lm_score",
+    "substring_dedup", "quantile_shard", "domain_mix_sample",
+    "k_anonymity", "heavy_hitters_cms",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q12_shipmode_priority", "q16_parts_supplier",
     "q19_discounted_revenue", "q20_potential_promotion",
