@@ -69,10 +69,17 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int, int]:
     return int(row["n"]), int(row["h"]), int(row["h2"])
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, stats: dict | None = None
+) -> DataFrame:
     """(doc_a, doc_b) undirected pairs -> (node, label) with
     label = min node id in the component. Isolated nodes never appear
-    (they are not in any pair), matching the propagation loop."""
+    (they are not in any pair), matching the propagation loop.
+
+    When ``stats`` is passed, records ``stats['rounds']`` = star
+    rounds executed (including the final confirming no-change round)
+    so benchmarks can pin the O(log n) claim against measured rounds.
+    """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -82,7 +89,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
     prev_fp = _fingerprint(edges)
     prev_cp = edges
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         ls = _large_star(edges)
         sym = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
         nxt = _small_star(sym)
@@ -106,6 +115,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         raise RuntimeError(
             f"large-star/small-star did not converge within {max_iter} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # converged edges are stars: every node points at its component min
     return (
         edges.groupBy("u")

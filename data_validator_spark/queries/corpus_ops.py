@@ -550,32 +550,33 @@ def q_heavy_hitters_cms(spark, sf):
     next to their exact counts (est ≥ exact always; the gap shows the
     collision error).
 
-    Scale shape: the sketch is a groupBy over a FIXED 4096-cell key
-    space — map-side combine collapses any corpus to ≤ 4096 rows per
-    partition before the shuffle, and the finished sketch broadcasts
-    to the estimation join. The candidate relation (distinct tokens)
-    aggregates with combine too. No step is corpus-sized after the
-    initial scans. Deterministic: pure integer counts and 60-bit
-    md5 bucket hashes, identical in both engines.
+    Scale shape: exactly ONE corpus-scale shuffle — the map-side-
+    combined term-frequency groupBy (needed anyway for the exact
+    column this query reports). Everything downstream runs at
+    VOCABULARY scale: the 4×1024 sketch cells are weighted sums over
+    the tf relation, the finished sketch broadcasts to the estimation
+    join, and top-k is TakeOrdered. (A pure-sketch pipeline that skips
+    exact counts entirely would feed raw tokens straight into the
+    fixed 4096-cell groupBy — map-side combine collapses any corpus to
+    ≤ 4096 rows per partition, no vocabulary shuffle at all.)
+    Deterministic: pure integer counts and 60-bit md5 bucket hashes,
+    identical in both engines.
     """
     df = spread(load(spark, sf, "documents"))
     toks = df.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     ).where(F.length("token") > 0)
-    hashed = toks.select(
+    tf = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    hashed = tf.select(
         "token",
+        "exact_count",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
                         (
-                            _hash60(
-                                F.concat(
-                                    F.lit(f"cms{j}:"),
-                                    F.col("token"),
-                                )
-                            )
+                            _hash60(F.concat(F.lit(f"cms{j}:"), F.col("token")))
                             % CMS_W
                         ).alias("bucket"),
                     )
@@ -583,18 +584,23 @@ def q_heavy_hitters_cms(spark, sf):
                 ]
             )
         ).alias("jb"),
-    ).select("token", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
-    sketch = hashed.groupBy("j", "bucket").agg(F.count("*").alias("cell"))
-    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
-    cand = hashed.select("token", "j", "bucket").distinct()
+    ).select(
+        "token",
+        "exact_count",
+        F.col("jb.j").alias("j"),
+        F.col("jb.bucket").alias("bucket"),
+    )
+    sketch = hashed.groupBy("j", "bucket").agg(F.sum("exact_count").alias("cell"))
     est = (
-        cand.join(F.broadcast(sketch), ["j", "bucket"])
+        hashed.join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("token")
-        .agg(F.min("cell").alias("est_count"))
+        .agg(
+            F.min("cell").alias("est_count"),
+            F.max("exact_count").alias("exact_count"),
+        )
     )
     return (
-        est.join(exact, "token")
-        .select("token", "est_count", "exact_count")
+        est.select("token", "est_count", "exact_count")
         .orderBy(F.desc("est_count"), "token")
         .limit(CMS_TOPK)
     )
@@ -604,22 +610,22 @@ def _sql_cms() -> str:
     arms = []
     for j in range(CMS_D):
         h = _sql_hash60(f"'cms{j}:' || token")
-        arms.append(f"SELECT token, {j} AS j, {h} % {CMS_W} AS bucket FROM toks2")
+        arms.append(
+            f"SELECT token, exact_count, {j} AS j, {h} % {CMS_W} AS bucket FROM tf"
+        )
     buckets = " UNION ALL ".join(arms)
     return f"""
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
   FROM documents),
-toks2 AS (SELECT token FROM toks WHERE length(token) > 0),
+tf AS (SELECT token, COUNT(*) AS exact_count
+       FROM toks WHERE length(token) > 0 GROUP BY token),
 hashed AS ({buckets}),
-sketch AS (SELECT j, bucket, COUNT(*) AS cell FROM hashed GROUP BY j, bucket),
-exact AS (SELECT token, COUNT(*) AS exact_count FROM toks2 GROUP BY token),
-cand AS (SELECT DISTINCT token, j, bucket FROM hashed),
-est AS (
-  SELECT token, MIN(cell) AS est_count
-  FROM cand JOIN sketch USING (j, bucket) GROUP BY token)
-SELECT token, est_count, exact_count
-FROM est JOIN exact USING (token)
+sketch AS (SELECT j, bucket, CAST(SUM(exact_count) AS BIGINT) AS cell
+           FROM hashed GROUP BY j, bucket)
+SELECT token, MIN(cell) AS est_count, MAX(exact_count) AS exact_count
+FROM hashed JOIN sketch USING (j, bucket)
+GROUP BY token
 ORDER BY est_count DESC, token LIMIT {CMS_TOPK}
 """
 

@@ -510,6 +510,20 @@ def q_dedup_clusters(spark, sf):
 
         labels = connected_components(pairs, max_iter=MAX_CC_ITERATIONS)
         return _cluster_rollup(labels)
+    labels = propagation_components(pairs, max_iter=MAX_CC_ITERATIONS)
+    return _cluster_rollup(labels)
+
+
+def propagation_components(pairs, max_iter=None, stats: dict | None = None):
+    """Min-label propagation connected components over (doc_a, doc_b)
+    pairs -> (node, label) labels. Rounds = graph diameter; the star
+    variant (operators/cc_star.py) is the O(log n) path for deep
+    graphs. When ``stats`` is passed, records ``stats['rounds']`` =
+    label-table computations executed (including the confirming
+    no-change round) for benchmark comparison against the star path.
+    """
+    if max_iter is None:
+        max_iter = MAX_CC_ITERATIONS
     # neighbors ∪ self as one edge relation: labels_{t+1}(u) =
     # min over (u,v) edges of labels_t(v) is then a single join+groupBy
     # (2 shuffles/round) with no join-back for the node's own label
@@ -544,7 +558,9 @@ def q_dedup_clusters(spark, sf):
 
     prev_fp = fingerprint(labels)
     prev_checkpoint = labels
-    for _ in range(MAX_CC_ITERATIONS):
+    rounds = 1  # the fused round 0 above
+    for _ in range(max_iter):
+        rounds += 1
         # localCheckpoint (eager) materializes the round and TRUNCATES
         # lineage — without it each round's plan nests the previous
         # round's (r2 plan audit: 208 scans / 548 shuffles over the loop)
@@ -568,16 +584,18 @@ def q_dedup_clusters(spark, sf):
         prev_fp = fp
     else:
         raise RuntimeError(
-            f"dedup_clusters did not converge within {MAX_CC_ITERATIONS} "
+            f"propagation_components did not converge within {max_iter} "
             "rounds — the pair graph has an unusually deep component; "
-            "raise MAX_CC_ITERATIONS or switch to large-star/small-star "
+            "raise max_iter or switch to large-star/small-star "
             "propagation (cc_algorithm=star)"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # labels is checkpointed (lineage truncated), so the result no longer
     # references edges — safe to release it; the FINAL checkpoint must
     # stay persisted until the caller materializes the result
     edges.unpersist()
-    return _cluster_rollup(labels)
+    return labels
 
 
 def _cluster_rollup(labels):

@@ -16,10 +16,10 @@ similarity_ann_lsh / similarity_ann_ivf / dedup_embedding_cosine).
   only their own list.
 
 Scale parameterization: bucket counts are NOT constants. The plane
-count and IVF list count are derived from the corpus cardinality
-INSIDE the query (a 1-row aggregate cross-joined/broadcast into the
-bucketing expression) with the same clamp arithmetic in the DuckDB
-oracle, so per-bucket population stays bounded as the corpus grows:
+count and IVF list count are derived from the corpus cardinality at
+PLAN time (one cached zero-column count job — see _derived_params)
+with the same clamp arithmetic in the DuckDB oracle's params CTE, so
+per-bucket population stays bounded as the corpus grows:
 
   n_planes = clamp(ceil(log2(N / 32)),  4,  24)   # 2^np buckets
   nlist    = clamp(ceil(sqrt(N)),       16, 4096) # IVF sqrt rule
@@ -93,22 +93,36 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _params(vecs):
-    """1-row (np, nl) relation: corpus-size-derived plane/list counts.
-    Broadcast into the bucketing stage — a metadata-scale aggregate, no
-    corpus shuffle."""
-    n = F.count(F.lit(1)).cast("double")
-    np_ = F.least(
-        F.greatest(F.ceil(F.log2(n / TARGET_BUCKET_POP)), F.lit(MIN_PLANES)),
-        F.lit(MAX_PLANES),
-    ).cast("int")
-    nl = F.least(
-        F.greatest(F.ceil(F.sqrt(n)), F.lit(MIN_NLIST)), F.lit(MAX_NLIST)
-    ).cast("int")
-    return vecs.agg(np_.alias("np"), nl.alias("nl"))
+_COUNT_CACHE: dict[tuple, int] = {}
 
 
-# DuckDB mirror of _params (same clamp arithmetic over count(*)).
+def _derived_params(spark, sf) -> tuple[int, int]:
+    """Corpus-size-derived (n_planes, nlist), computed at PLAN time
+    from one zero-column count job (cached per application+dir).
+
+    Deriving the integers driver-side keeps the bucket expression
+    exactly np terms long — the previous formulation threaded a 1-row
+    params relation through the plan and guarded all MAX_PLANES plane
+    projections behind per-row CASEs, which tripled the expression
+    tree and benched 3× slower. The DuckDB oracle derives the SAME
+    integers from count(*) with identical clamp arithmetic
+    (_SQL_PARAMS), so both engines bucket bit-identically."""
+    import math
+
+    key = (spark.sparkContext.applicationId, sf)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = load(spark, sf, "embeddings").count()
+        _COUNT_CACHE[key] = n
+    np_ = min(
+        max(math.ceil(math.log2(max(n, 1) / TARGET_BUCKET_POP)), MIN_PLANES),
+        MAX_PLANES,
+    )
+    nl = min(max(math.ceil(math.sqrt(n)), MIN_NLIST), MAX_NLIST)
+    return np_, nl
+
+
+# DuckDB mirror of _derived_params (same clamp arithmetic, count(*)).
 _SQL_PARAMS = f"""
 params AS (
   SELECT LEAST(GREATEST(CAST(ceil(log2(count(*) / {TARGET_BUCKET_POP}.0)) AS INT),
@@ -119,18 +133,14 @@ params AS (
 """
 
 
-def _bucket_expr(np_col):
-    """Bucket id = sign bits of the first `np` planes; plane p only
-    contributes when p < np (nested CASE, so the unused planes' dot
-    products are never evaluated)."""
+def _bucket_expr(n_planes: int):
+    """Bucket id = sign bits of exactly `n_planes` planes (an integer
+    known at plan time — see _derived_params)."""
     bucket = F.lit(0)
-    for p in range(MAX_PLANES):
+    for p in range(n_planes):
         w = F.array(*[F.lit(x) for x in PLANES[p]])
         proj = _dot(F.col("v"), w)
-        bucket = bucket + F.when(
-            F.lit(p) < np_col,
-            F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0)),
-        ).otherwise(F.lit(0))
+        bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
 
 
@@ -190,10 +200,8 @@ def q_similarity_ann_lsh(spark, sf):
     the bucket population — the candidate-generation stage of ANN
     search (neighbors are then scored only within a bucket)."""
     vecs = _vecs(spark, sf)
-    b = (
-        vecs.crossJoin(F.broadcast(_params(vecs)))
-        .select("vec_id", _bucket_expr(F.col("np")).alias("bucket"))
-    )
+    n_planes, _ = _derived_params(spark, sf)
+    b = vecs.select("vec_id", _bucket_expr(n_planes).alias("bucket"))
     return b.withColumn(
         "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
     ).orderBy("vec_id")
@@ -225,10 +233,8 @@ def q_dedup_embedding_cosine(spark, sf):
     emit O(n²) pairs. The all-pairs shuffle never happens: the single
     corpus shuffle is on the bucket id."""
     vecs = _vecs(spark, sf)
-    b = (
-        vecs.crossJoin(F.broadcast(_params(vecs)))
-        .select("vec_id", "v", "norm", _bucket_expr(F.col("np")).alias("bucket"))
-    )
+    n_planes, _ = _derived_params(spark, sf)
+    b = vecs.select("vec_id", "v", "norm", _bucket_expr(n_planes).alias("bucket"))
     bsz = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_pop"))
     b = b.join(bsz, "bucket").where(F.col("bucket_pop") <= MAX_EMB_BUCKET)
     a = b.select(
@@ -280,14 +286,11 @@ def _assigned(spark, sf):
     deterministic centroids; every vector joins the broadcast centroid
     set and keeps its max-cosine list. No corpus shuffle."""
     vecs = _vecs(spark, sf)
-    cents = (
-        vecs.crossJoin(F.broadcast(_params(vecs)))
-        .where(F.col("vec_id") < F.col("nl"))
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("norm").alias("cnorm"),
-        )
+    _, nlist = _derived_params(spark, sf)
+    cents = vecs.where(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
     )
     cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
     scored = vecs.join(F.broadcast(cents)).select(

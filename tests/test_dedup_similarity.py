@@ -295,3 +295,33 @@ def test_embedding_dedup_caps_degenerate_buckets(spark, tmp_path):
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
     out = sim.q_dedup_embedding_cosine(spark, str(tmp_path)).collect()
     assert out == []
+
+
+def test_star_converges_in_log_rounds_on_deep_chain(spark):
+    """Pins the O(log n) star claim vs O(diameter) propagation with
+    measured round counts (the bench fixture in bench.py scales this
+    to n=32 and records wall-clock per algorithm)."""
+    from data_validator_spark.operators.cc_star import connected_components
+    from data_validator_spark.queries.dedup import propagation_components
+
+    n = 12
+    # decreasing ids: the component min sits at the far end, so
+    # propagation must carry it across all n-1 hops
+    ids = [(n - i) * 1000003 for i in range(n)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    s_prop: dict = {}
+    s_star: dict = {}
+    prop = {
+        (r["node"], r["label"])
+        for r in propagation_components(pairs, max_iter=4 * n, stats=s_prop).collect()
+    }
+    star = {
+        (r["node"], r["label"])
+        for r in connected_components(pairs, max_iter=4 * n, stats=s_star).collect()
+    }
+    assert prop == star
+    assert all(label == ids[-1] for _, label in prop)
+    assert s_prop["rounds"] >= n - 1  # O(diameter)
+    assert s_star["rounds"] <= 8  # O(log n) + confirming round
