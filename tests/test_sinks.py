@@ -96,3 +96,47 @@ def test_streaming_partitioned_sink(spark, tmp_path):
     back = read_partitioned(spark, out).where(F.col("lang") == "en")
     assert "PartitionFilters" in _plan(back)
     assert back.count() == 2
+
+
+def test_zorder_write_narrows_per_file_spans_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column sort: the sorted layout clusters only
+    its sort column — the second column spans ~the whole domain in
+    every file — while the z-layout keeps BOTH columns' per-file
+    min/max ranges narrow, which is exactly what parquet/Delta file
+    stats need to skip on predicates over either column."""
+    import glob
+
+    from data_validator_spark.sources.sinks import write_zordered
+
+    n = 4096
+    side = 64  # (u, w) sweep a full 64x64 grid — truly independent
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("u"),
+        (F.expr("id div 64") % side).alias("w"),
+    )
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zdir, ["u", "w"], bits=6, n_files=16)
+    # comparison layout: same file count, sorted by u only
+    (
+        df.repartitionByRange(16, "u")
+        .sortWithinPartitions("u")
+        .write.parquet(sdir)
+    )
+
+    def avg_span(d, col):
+        spans = []
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            r = spark.read.parquet(f).agg(
+                F.min(col).alias("mn"), F.max(col).alias("mx")
+            ).first()
+            spans.append((r["mx"] - r["mn"]) / (side - 1))
+        return sum(spans) / len(spans)
+
+    # sorted layout: u tight, w unclustered (~full range per file)
+    assert avg_span(sdir, "u") < 0.3
+    assert avg_span(sdir, "w") > 0.8
+    # z-layout: BOTH dimensions narrow enough to skip on
+    assert avg_span(zdir, "u") < 0.6
+    assert avg_span(zdir, "w") < 0.6
+    # same rows survive the round-trip
+    assert spark.read.parquet(zdir).count() == n
