@@ -85,6 +85,8 @@ HEADLINE = [
     "domain_mix_sample",
     "k_anonymity",
     "heavy_hitters_cms",
+    "cdc_upsert",
+    "scd2_intervals",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -130,7 +130,9 @@ def sql_dsum(expr: str, alias: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0 — new this round: corpus_ops (r5 session) ...
+    # tier 0 — new this round: corpus_ops + warehouse_ops (r5 session) ...
+    "cdc_upsert",
+    "scd2_intervals",
     "bm25_topk",
     "kmeans_embeddings",
     "trigram_lm_score",
@@ -243,6 +245,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         textops,
         tpch_ext,
         validator_queries,
+        warehouse_ops,
     )
 
     queries: dict[str, Callable] = {}
@@ -257,6 +260,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         similarity,
         multimodal,
         corpus_ops,
+        warehouse_ops,
         streaming_queries,
     ):
         queries.update(mod.QUERIES)

@@ -1,0 +1,70 @@
+"""Semantic tests for the warehouse-maintenance operators (CDC MERGE +
+SCD2 history) on crafted inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def wh_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("wh")
+    cust = [
+        # key 0: %7==0 -> updated
+        (0, "a", 1, 100.0, "SEG"),
+        # key 3: %13==3 (and %7!=0) -> deleted
+        (3, "b", 1, 50.0, "SEG"),
+        # key 1: %31==1 -> stays AND spawns insert 1000001
+        (1, "c", 1, 80.0, "SEG"),
+        # key 2: untouched
+        (2, "d", 1, 10.005, "SEG"),
+    ]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+    ev = [
+        (1, "2024-01-01 00:00:00", 7, "purchase", 5.0, "{}"),
+        (2, "2024-01-02 00:00:00", 7, "purchase", 6.0, "{}"),
+        (3, "2024-01-03 00:00:00", 7, "view", 9.0, "{}"),
+        (4, "2024-01-01 12:00:00", 8, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d / "events.parquet")
+    )
+    return str(d)
+
+
+def test_cdc_upsert_merge_semantics(spark, wh_dir):
+    from data_validator_spark.queries.warehouse_ops import q_cdc_upsert
+
+    out = {r["custkey"]: r for r in q_cdc_upsert(spark, wh_dir).collect()}
+    assert out[0]["src"] == "updated" and out[0]["acctbal"] == 200.0
+    assert 3 not in out  # deleted
+    assert out[2]["src"] == "base" and out[2]["acctbal"] == 10.01  # half-up
+    assert out[1]["src"] == "base"
+    ins = out[1000001]
+    assert ins["src"] == "inserted" and ins["acctbal"] == 40.0
+    assert len(out) == 4
+
+
+def test_scd2_intervals_chain_per_user(spark, wh_dir):
+    from data_validator_spark.queries.warehouse_ops import q_scd2_intervals
+
+    rows = q_scd2_intervals(spark, wh_dir).collect()
+    u7 = [r for r in rows if r["user_id"] == 7]
+    # only purchases build history; intervals chain and close
+    assert len(u7) == 2
+    assert u7[0]["valid_to"] == u7[1]["valid_from"]
+    assert not u7[0]["is_current"] and u7[1]["is_current"]
+    assert u7[1]["valid_to"] is None
+    u8 = [r for r in rows if r["user_id"] == 8]
+    assert len(u8) == 1 and u8[0]["is_current"]
