@@ -87,6 +87,7 @@ HEADLINE = [
     "heavy_hitters_cms",
     "cdc_upsert",
     "scd2_intervals",
+    "pagerank_bipartite",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -130,7 +130,9 @@ def sql_dsum(expr: str, alias: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0 — new this round: corpus_ops + warehouse_ops (r5 session) ...
+    # tier 0 — new this round: corpus_ops + warehouse_ops + graph_ops
+    # (r5 session) ...
+    "pagerank_bipartite",
     "cdc_upsert",
     "scd2_intervals",
     "bm25_topk",
@@ -238,6 +240,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         analytics,
         corpus_ops,
         dedup,
+        graph_ops,
         multimodal,
         pipeline_ops,
         similarity,
@@ -261,6 +264,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         multimodal,
         corpus_ops,
         warehouse_ops,
+        graph_ops,
         streaming_queries,
     ):
         queries.update(mod.QUERIES)

@@ -13,7 +13,7 @@ DRIVER_GRADE_BUDGET = 50
 # semantics/plan changed (CC rewrite, ANN derived params, streaming
 # sessionization oracle) — all MUST be inside the grading budget.
 NEW_OR_CHANGED = {
-    "cdc_upsert", "scd2_intervals",
+    "pagerank_bipartite", "cdc_upsert", "scd2_intervals",
     "bm25_topk", "kmeans_embeddings", "trigram_lm_score",
     "substring_dedup", "quantile_shard", "domain_mix_sample",
     "k_anonymity", "heavy_hitters_cms",

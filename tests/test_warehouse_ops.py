@@ -68,3 +68,27 @@ def test_scd2_intervals_chain_per_user(spark, wh_dir):
     assert u7[1]["valid_to"] is None
     u8 = [r for r in rows if r["user_id"] == 8]
     assert len(u8) == 1 and u8[0]["is_current"]
+
+
+def test_pagerank_star_center_dominates(spark, tmp_path):
+    """A supplier every customer buys from must out-rank everyone: the
+    star center absorbs mass from all leaves each iteration."""
+    orders = [(i, i, "F") for i in range(8)]  # order i by customer i
+    # every order has a line from supplier 0; order 1 also supplier 1
+    lines = [(i, 0) for i in range(8)] + [(1, 1)]
+    spark.createDataFrame(
+        [(o, c) for o, c, _ in orders], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    from data_validator_spark.queries.graph_ops import q_pagerank_bipartite
+
+    rows = q_pagerank_bipartite(spark, str(tmp_path)).collect()
+    top = rows[0]
+    assert top["node_type"] == "supplier" and top["orig_id"] == 0
+    # rank is a probability-like mass: all positive, hub >> any leaf
+    assert all(r["pr"] > 0 for r in rows)
+    leaf = [r for r in rows if r["node_type"] == "customer"][0]
+    assert top["pr"] > 3 * leaf["pr"]
