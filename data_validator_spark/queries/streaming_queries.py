@@ -42,25 +42,52 @@ def _stream_reader(spark, sf, name):
     return df
 
 
+class _stream_partitions:
+    """Scope spark.sql.shuffle.partitions down for a micro-batch run.
+
+    For STREAMING queries this conf is the stateful-operator partition
+    count, fixed at query start and persisted in the checkpoint: every
+    micro-batch pays one state-store task per partition regardless of
+    rows. Size it to the stream RATE — 32 stores for a few-MB bench
+    feed is pure per-batch overhead (measured ~2× on the stream-stream
+    join), while a production firehose would run hundreds. Batch plans
+    in the same session are untouched: the previous value is restored
+    on exit."""
+
+    N = 8
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.N))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _run_to_memory(stream_df, agg_builder, output_mode: str = "complete"):
     """Run a bounded stream to completion into a memory sink; return
     the final table. ``output_mode``: "complete" for aggregations,
     "append" for joins/stateful emit-on-close operators."""
     name = f"dv_stream_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
-    q = (
-        agg_builder(stream_df)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    with _stream_partitions(spark):
+        q = (
+            agg_builder(stream_df)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
 
 
 def q_streaming_windowed(spark, sf):
@@ -133,6 +160,10 @@ def q_streaming_sessionized(spark, sf):
     ev = _stream_reader(spark, sf, "events")
     name = f"dv_sess_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
+    # NOT scoped by _stream_partitions: this operator is bound by the
+    # PYTHON stateful workers (applyInPandasWithState), so partitions
+    # = parallel pandas kernels; shrinking them to state-store scale
+    # measured 2× slower, the opposite of the JVM-state ops.
     q = (
         sessionize_stream(ev.select("user_id", "ts", "value"), gap_minutes=30)
         .writeStream.format("memory")
