@@ -230,13 +230,24 @@ def bench_cc_chain(spark) -> dict:
     ).coalesce(4)
     out: dict[str, float | int] = {}
     results = {}
-    for name, fn in (("propagation", propagation_components), ("star", connected_components)):
-        stats: dict = {}
-        t0 = _time.time()
-        labels = fn(pairs, max_iter=4 * n, stats=stats)
-        results[name] = {(r["node"], r["label"]) for r in labels.collect()}
-        out[f"{name}_sec"] = round(_time.time() - t0, 3)
-        out[f"{name}_rounds"] = stats["rounds"]
+    # 31 edges across 32 shuffle partitions is per-round scheduling
+    # noise, not measurement — size partitions to the data (restored
+    # after), the same rate-sizing rule as the streaming state stores
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for name, fn in (
+            ("propagation", propagation_components),
+            ("star", connected_components),
+        ):
+            stats: dict = {}
+            t0 = _time.time()
+            labels = fn(pairs, max_iter=4 * n, stats=stats)
+            results[name] = {(r["node"], r["label"]) for r in labels.collect()}
+            out[f"{name}_sec"] = round(_time.time() - t0, 3)
+            out[f"{name}_rounds"] = stats["rounds"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert results["propagation"] == results["star"], "CC algorithms disagree"
     return out
 

@@ -49,7 +49,10 @@ def _edges(spark, sf):
 
 
 def q_pagerank_bipartite(spark, sf):
-    edges = _edges(spark, sf)
+    # materialize the edge relation ONCE (localCheckpoint truncates the
+    # orders⋈lineitem lineage) — the unrolled iterations would otherwise
+    # re-run the fact join every round; same rule as the CC loop
+    edges = _edges(spark, sf).localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg").crossJoin(
         F.broadcast(deg.agg(F.count(F.lit(1)).alias("n")))

@@ -174,3 +174,28 @@ def test_k_anonymity_flags_small_groups(spark, tmp_path_factory):
     assert [(r["c_nationkey"], r["c_mktsegment"], r["group_size"]) for r in out] == [
         (2, "SEG_RARE", 3)
     ]
+
+
+def test_sampling_ops_invariant_under_input_order(spark, doc_dir, tmp_path):
+    """Hash-based keeps and histogram-derived shards must not depend on
+    row order or partitioning — the property that makes corpus subsets
+    reproducible across cluster layouts and retries."""
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.queries.corpus_ops import (
+        q_domain_mix_sample,
+        q_quantile_shard,
+    )
+
+    df = spark.read.parquet(f"{doc_dir}/documents.parquet")
+    d2 = tmp_path / "shuffled"
+    d2.mkdir()
+    (
+        df.orderBy(F.desc("doc_id"))
+        .repartition(3)
+        .write.parquet(str(d2 / "documents.parquet"))
+    )
+    for q in (q_domain_mix_sample, q_quantile_shard):
+        a = sorted(map(tuple, q(spark, doc_dir).collect()))
+        b = sorted(map(tuple, q(spark, str(d2)).collect()))
+        assert a == b, q.__name__
