@@ -88,6 +88,12 @@ HEADLINE = [
     "cdc_upsert",
     "scd2_intervals",
     "pagerank_bipartite",
+    "hll_distinct",
+    "gopher_quality",
+    "tfidf_topk",
+    "pmi_collocations",
+    "inverted_index",
+    "events_gap_fill",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -130,8 +130,14 @@ def sql_dsum(expr: str, alias: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0 — new this round: corpus_ops + warehouse_ops + graph_ops
-    # (r5 session) ...
+    # tier 0 — new this round: mining_ops (r5 session 3) ...
+    "hll_distinct",
+    "gopher_quality",
+    "tfidf_topk",
+    "pmi_collocations",
+    "inverted_index",
+    "events_gap_fill",
+    # ... corpus_ops + warehouse_ops + graph_ops (r5 sessions 1-2) ...
     "pagerank_bipartite",
     "cdc_upsert",
     "scd2_intervals",
@@ -173,18 +179,24 @@ GRADE_PRIORITY = [
     "events_funnel",
     "events_retention",
     "salted_aggregation",
-    "token_count",
     "text_quality",
     "lang_id",
     "doc_fingerprint",
-    "doc_split_sample",
     "token_frequencies",
     "corpus_train_filter",
-    "dedup_exact",
+    # dedup_minhash_lsh / ngram_jaccard share the r5 pairs-cache plan
+    # rewrite — they stay inside the budget with the changed tier
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    # --- driver budget cut (50) falls here ---
+    # tier 1b — r3-stale but UNCHANGED since r3 and crowded out by the
+    # 6 mining_ops entries (never graded > stale-but-proven): r3-green
+    # + ORACLE_LOCAL_r5 green is their evidence this round
+    "token_count",
+    "doc_split_sample",
+    "dedup_exact",
     "dedup_simhash",
-    # tier 2 — green exactly once (r4); fill the remaining budget
+    # tier 2 — green exactly once (r4)
     "similarity_topk",
     "pii_scrub",
     "stratified_sample",
@@ -241,6 +253,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         corpus_ops,
         dedup,
         graph_ops,
+        mining_ops,
         multimodal,
         pipeline_ops,
         similarity,
@@ -263,6 +276,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         similarity,
         multimodal,
         corpus_ops,
+        mining_ops,
         warehouse_ops,
         graph_ops,
         streaming_queries,

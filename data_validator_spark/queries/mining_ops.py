@@ -1,0 +1,643 @@
+"""Corpus- and telemetry-mining operators — sketch-based distinct
+counting (HyperLogLog), Gopher-style repetition quality filtering,
+TF-IDF term weighting, PMI collocation mining, inverted-index
+construction, and time-series gap filling with linear interpolation.
+
+Like corpus_ops.py these extend the reference engine
+(target/data-validator stops at per-column validation — its colstats
+first/second pass in ValidatorTable.scala:1 has no corpus surface);
+they cover the remaining primitives a training-data pipeline needs
+between raw ingestion and tokenization. All plans are declarative
+DataFrame API with map-side partial aggregation; the cross-engine
+determinism rules are the package conventions (queries/__init__.py):
+60-bit md5-prefix hashes, decimal(30,6) exact sums, shared-literal
+double constants, unique-key tiebreakers on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_validator_spark.queries import DEC, load, spread
+from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
+from data_validator_spark.queries.textops import SQL_NORM
+from data_validator_spark.functions.text import normalized_text
+
+SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+
+
+# -- hll_distinct ----------------------------------------------------------
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+# 60-bit hash = 10 bucket bits + 50 estimator bits; an empty register
+# contributes 2^50-scaled weight 2^51... all register weights are the
+# integers 2^(51 - M), so the harmonic-mean denominator sum(2^-M) is
+# S / 2^51 with S a BIGINT (max 1024 * 2^51 = 2^61): exact and
+# order-independent in both engines without any decimal rounding.
+HLL_WBITS = 60 - HLL_P
+_HLL_SHIFT = HLL_WBITS + 1  # 51
+# alpha_m * m^2 * 2^51, materialized ONCE in Python and embedded as the
+# same repr() literal in Spark and DuckDB so both engines divide the
+# bit-identical double by S.
+HLL_ALPHA_NUM = repr(0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(2**_HLL_SHIFT))
+HLL_SMALL_CUT = repr(2.5 * HLL_M)
+
+
+def _hll_estimate(spark, vals, metric: str):
+    """One HLL sketch over a 1-column ('v') relation plus the exact
+    distinct count for comparison. Returns a 1-row DataFrame."""
+    hashed = vals.select(_hash60(F.col("v")).alias("h")).select(
+        F.pmod(F.col("h"), F.lit(HLL_M)).alias("bucket"),
+        # integer `div`, not `/`: h spans 60 bits, past double's 2^53
+        F.expr(f"h div {HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_SHIFT)).otherwise(
+        F.lit(_HLL_SHIFT) - F.length(F.expr("bin(w)"))
+    )
+    regs = hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("m")
+    )
+    stats = regs.agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_SHIFT} - m)")).alias(
+            "s_present"
+        ),
+        F.count("*").alias("n_buckets"),
+    ).select(
+        (F.col("s_present") + (F.lit(HLL_M) - F.col("n_buckets")) * F.lit(1 << _HLL_SHIFT)).alias("s"),
+        (F.lit(HLL_M) - F.col("n_buckets")).alias("v_empty"),
+    )
+    raw = F.lit(float(HLL_ALPHA_NUM)) / F.col("s").cast("double")
+    est = F.when(
+        (F.col("v_empty") > 0) & (raw <= F.lit(float(HLL_SMALL_CUT))),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_empty").cast("double")),
+    ).otherwise(raw)
+    exact = vals.agg(F.countDistinct("v").alias("n_exact"))
+    return (
+        stats.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(metric).alias("metric"),
+            "n_exact",
+            est.cast(DEC).cast("double").alias("n_est"),
+            "v_empty",
+        )
+    )
+
+
+def q_hll_distinct(spark, sf):
+    """HyperLogLog distinct-count sketch (p=10, 1024 registers) over
+    two document streams — the token stream (small cardinality, hits
+    the linear-counting correction branch) and the normalized-text
+    fingerprint stream (corpus cardinality, hits the raw-estimate
+    branch) — each next to its exact distinct count.
+
+    Scale shape: the sketch is the canonical distributed distinct
+    estimator — per-partition partial max(rho) per bucket means the
+    shuffle carries AT MOST 1024 rows per partition regardless of
+    corpus size (vs countDistinct's full key shuffle); the finished
+    1024-row register file reduces to one row. The exact column (for
+    the accuracy report) is the only corpus-scale shuffle, and a
+    production run at 100 TB would drop it and keep just the sketch.
+
+    Determinism: register weights are exact integers 2^(51-M) summed
+    in BIGINT (S ≤ 2^61); the estimate is one double division by the
+    shared alpha*m²*2^51 literal (identical bits in both engines);
+    the linear-counting branch condition compares that exact double,
+    so both engines take the same branch.
+    """
+    df = spread(load(spark, sf, "documents"))
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("v")
+    ).where(F.length("v") > 0)
+    fps = df.select(F.md5(F.encode(normalized_text(F.col("text")), "utf-8")).alias("v"))
+    return _hll_estimate(spark, toks, "tokens").unionAll(
+        _hll_estimate(spark, fps, "fingerprints")
+    ).orderBy("metric")
+
+
+def _sql_hll_branch(vals_sql: str, metric: str) -> str:
+    return f"""
+SELECT '{metric}' AS metric,
+       (SELECT COUNT(DISTINCT v) FROM ({vals_sql})) AS n_exact,
+       CAST(CAST(CASE WHEN v_empty > 0 AND {HLL_ALPHA_NUM} / CAST(s AS DOUBLE) <= {HLL_SMALL_CUT}
+                 THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v_empty AS DOUBLE))
+                 ELSE {HLL_ALPHA_NUM} / CAST(s AS DOUBLE) END
+            AS DECIMAL(30,6)) AS DOUBLE) AS n_est,
+       v_empty
+FROM (
+  SELECT CAST(SUM(1::BIGINT << ({_HLL_SHIFT} - m)) + ({HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_SHIFT}) AS BIGINT) AS s,
+         {HLL_M} - COUNT(*) AS v_empty
+  FROM (
+    SELECT bucket, MAX(CASE WHEN w = 0 THEN {_HLL_SHIFT}
+                            ELSE {_HLL_SHIFT} - length(bin(w)) END) AS m
+    FROM (
+      SELECT h % {HLL_M} AS bucket, h // {HLL_M} AS w
+      FROM (SELECT {_sql_hash60('v')} AS h FROM ({vals_sql})))
+    GROUP BY bucket))
+"""
+
+
+SQL_HLL_TOKS = f"""SELECT t AS v FROM (
+  SELECT unnest({SQL_TOKENS}) AS t FROM documents) WHERE length(t) > 0"""
+SQL_HLL_FPS = f"SELECT md5({SQL_NORM}) AS v FROM documents"
+
+SQL_HLL_DISTINCT = (
+    "SELECT * FROM ("
+    + _sql_hll_branch(SQL_HLL_TOKS, "tokens")
+    + " UNION ALL "
+    + _sql_hll_branch(SQL_HLL_FPS, "fingerprints")
+    + ") ORDER BY metric"
+)
+
+
+# -- gopher_quality --------------------------------------------------------
+# Gopher-rule thresholds (Rae et al. 2021 repetition filters, adapted
+# to the whitespace-token corpus): a doc fails if its vocabulary is
+# too small, one token dominates, or most bigram mass is repeats.
+GOPHER_MIN_DISTINCT_RATIO = 0.10
+GOPHER_MAX_TOP_TOKEN_FRAC = 0.30
+GOPHER_MAX_DUP_BIGRAM_FRAC = 0.90
+
+
+def q_gopher_quality(spark, sf):
+    """Repetition-based quality filter (the Gopher/MassiveText rules):
+    per-document distinct-token ratio, most-common-token fraction, and
+    duplicate-bigram mass fraction, plus the combined keep/drop flag.
+
+    Scale shape: two shuffles, both map-side combined and both keyed
+    by (doc_id, gram) — per-doc token counts and per-doc bigram
+    counts; each collapses to per-doc scalars with a groupBy(doc_id)
+    whose input is already vocabulary-bounded per doc. Bigrams are
+    built in-row (sequence + element_at over the split array) so
+    nothing wider than (doc_id, gram) ever reaches an exchange. The
+    final join of two per-doc relations is doc-keyed and AQE-planned.
+
+    Determinism: each ratio is ONE IEEE division of exact integers
+    (identical in both engines; the keep flag compares those exact
+    doubles, so branch decisions agree bit-for-bit); emitted ratios
+    then round through decimal(30,6).
+    """
+    df = spread(load(spark, sf, "documents"))
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    ).where(F.length("t") > 0)
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    tok_stats = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_c"),
+    )
+    bi = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(trim(text), '\\\\s+')) >= 2 THEN "
+                "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), "
+                " i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ', "
+                "             element_at(split(trim(text), '\\\\s+'), i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    bf = bi.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    bi_stats = bf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias("dup_bi"),
+    )
+    joined = tok_stats.join(bi_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("dr"),
+        (F.col("max_c").cast("double") / F.col("n_tokens")).alias("ttf"),
+        F.when(
+            F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+            F.col("dup_bi").cast("double") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dbf"),
+    )
+    keep = (
+        (F.col("dr") >= GOPHER_MIN_DISTINCT_RATIO)
+        & (F.col("ttf") <= GOPHER_MAX_TOP_TOKEN_FRAC)
+        & (F.col("dbf") <= GOPHER_MAX_DUP_BIGRAM_FRAC)
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.col("dr").cast(DEC).cast("double").alias("distinct_ratio"),
+        F.col("ttf").cast(DEC).cast("double").alias("top_token_frac"),
+        F.col("dbf").cast(DEC).cast("double").alias("dup_bigram_frac"),
+        keep.cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+SQL_GOPHER = f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents)
+  WHERE length(t) > 0),
+tf AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t),
+tok_stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+         MAX(c) AS max_c
+  FROM tf GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len({SQL_TOKENS})),
+             i -> {SQL_TOKENS}[CAST(i AS INTEGER)] || ' ' ||
+                  {SQL_TOKENS}[CAST(i AS INTEGER) + 1])) AS g
+    FROM documents)),
+bf AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
+bi_stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bi
+  FROM bf GROUP BY doc_id),
+j AS (
+  SELECT t.doc_id, t.n_tokens, t.n_distinct,
+         CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS dr,
+         CAST(t.max_c AS DOUBLE) / t.n_tokens AS ttf,
+         CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+              THEN CAST(b.dup_bi AS DOUBLE) / b.n_bigrams ELSE 0.0 END AS dbf
+  FROM tok_stats t LEFT JOIN bi_stats b ON t.doc_id = b.doc_id)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(CAST(dr AS DECIMAL(30,6)) AS DOUBLE) AS distinct_ratio,
+       CAST(CAST(ttf AS DECIMAL(30,6)) AS DOUBLE) AS top_token_frac,
+       CAST(CAST(dbf AS DECIMAL(30,6)) AS DOUBLE) AS dup_bigram_frac,
+       CAST(dr >= {GOPHER_MIN_DISTINCT_RATIO} AND ttf <= {GOPHER_MAX_TOP_TOKEN_FRAC}
+            AND dbf <= {GOPHER_MAX_DUP_BIGRAM_FRAC} AS INTEGER) AS keep
+FROM j ORDER BY doc_id
+"""
+
+
+# -- tfidf_topk ------------------------------------------------------------
+TFIDF_K = 3
+
+
+def q_tfidf_topk(spark, sf):
+    """Top-3 TF-IDF terms per document — the classic term-weighting
+    step for keyword extraction / sparse retrieval indexes.
+
+    Scale shape: term frequencies are one map-side-combined
+    groupBy(doc_id, term); document frequency REUSES that relation
+    (one additional vocabulary-scale groupBy — never a second corpus
+    scan); the idf join is on the aggregated vocab relation. The
+    per-doc top-k is a doc-partitioned window over the tf relation —
+    the shuffle is keyed by doc_id and each partition ranks only its
+    own docs' vocabularies. No corpus-scale sort anywhere.
+
+    Determinism: the ranking key is tf*ln(N/df) ROUNDED to
+    decimal(30,6) BEFORE the window in both engines, so 1-ulp ln()
+    differences cannot flip ranks; remaining ties break on the term.
+    """
+    df = spread(load(spark, sf, "documents"))
+    n_docs = df.count()
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    ).where(F.length("t") > 0)
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "t").select(
+        "doc_id",
+        "t",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        )
+        .cast(DEC)
+        .cast("double")
+        .alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "t")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "rank", F.col("t").alias("term"), "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def _sql_tfidf() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents)
+  WHERE length(t) > 0),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, t, tf, df,
+         CAST(CAST(CAST(tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE))
+              AS DECIMAL(30,6)) AS DOUBLE) AS tfidf
+  FROM tf JOIN dfreq USING (t) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, t, tf, df, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rank
+  FROM scored)
+SELECT doc_id, rank, t AS term, tf, df, tfidf
+FROM ranked WHERE rank <= {TFIDF_K} ORDER BY doc_id, rank
+"""
+
+
+# -- pmi_collocations ------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def q_pmi_collocations(spark, sf):
+    """Corpus collocation mining: the top-20 token bigrams by pointwise
+    mutual information (with a min-count support filter) — the phrase
+    detection step (word2vec-phrases / NSP-style corpus prep).
+
+    Scale shape: bigrams are built in-row (no positional self-join),
+    then ONE map-side-combined groupBy per n-gram order collapses the
+    corpus to vocabulary scale; the two unigram joins run against the
+    (bounded) unigram relation, broadcast when small. The top-k is
+    TakeOrdered on the filtered bigram relation. The corpus is scanned
+    twice and nothing un-aggregated is ever shuffled.
+
+    Determinism: PMI is ln() of ONE double ratio whose numerator and
+    denominator are products written in the same order in both
+    engines; the emitted value and the ranking key round through
+    decimal(30,6), ties break on the bigram string.
+    """
+    df = spread(load(spark, sf, "documents"))
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    ).where(F.length("t") > 0)
+    uni = toks.groupBy("t").agg(F.count("*").alias("c"))
+    n_uni = toks.count()
+    bi = df.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(trim(text), '\\\\s+')) >= 2 THEN "
+                "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), "
+                " i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ', "
+                "             element_at(split(trim(text), '\\\\s+'), i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("g")
+    )
+    bc = bi.groupBy("g").agg(F.count("*").alias("c_xy"))
+    n_bi = bi.count()
+    parts = bc.select(
+        "g",
+        "c_xy",
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    j = (
+        parts.join(F.broadcast(uni.withColumnRenamed("c", "c_x")), parts.w1 == uni.t)
+        .drop("t")
+        .join(
+            F.broadcast(uni.withColumnRenamed("c", "c_y").withColumnRenamed("t", "t2")),
+            parts.w2 == F.col("t2"),
+        )
+        .drop("t2")
+    )
+    pmi = F.log(
+        (F.col("c_xy").cast("double") * F.lit(float(n_uni)) * F.lit(float(n_uni)))
+        / (F.lit(float(n_bi)) * F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    return (
+        j.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .select(
+            F.col("g").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            pmi.cast(DEC).cast("double").alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(PMI_TOPK)
+    )
+
+
+def _sql_pmi() -> str:
+    return f"""
+WITH toks AS (
+  SELECT t FROM (SELECT unnest({SQL_TOKENS}) AS t FROM documents)
+  WHERE length(t) > 0),
+uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+n_uni AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+bi AS (
+  SELECT unnest(list_transform(range(1, len({SQL_TOKENS})),
+           i -> {SQL_TOKENS}[CAST(i AS INTEGER)] || ' ' ||
+                {SQL_TOKENS}[CAST(i AS INTEGER) + 1])) AS g
+  FROM documents),
+bc AS (SELECT g, COUNT(*) AS c_xy FROM bi GROUP BY g),
+n_bi AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bi),
+j AS (
+  SELECT bc.g, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
+         ln((CAST(bc.c_xy AS DOUBLE) * n_uni.n * n_uni.n)
+            / (n_bi.n * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))) AS pmi
+  FROM bc
+  JOIN uni ux ON split_part(bc.g, ' ', 1) = ux.t
+  JOIN uni uy ON split_part(bc.g, ' ', 2) = uy.t
+  CROSS JOIN n_uni CROSS JOIN n_bi)
+SELECT g AS bigram, c_xy, c_x, c_y,
+       CAST(CAST(pmi AS DECIMAL(30,6)) AS DOUBLE) AS pmi
+FROM j WHERE c_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, bigram LIMIT {PMI_TOPK}
+"""
+
+
+# -- inverted_index --------------------------------------------------------
+IDX_TOP_TERMS = 50
+IDX_POSTINGS = 20
+
+
+def q_inverted_index(spark, sf):
+    """Inverted-index construction: for the 50 highest-df terms, the
+    document frequency, total term frequency, and the first 20 doc_ids
+    of the posting list (ascending, CSV-serialized — list columns
+    crash the driver's pandas compare, package convention).
+
+    Scale shape: postings are CAPPED BEFORE collection — a
+    term-partitioned row_number window keeps ≤20 doc ids per term, so
+    collect_list never materializes an unbounded posting list on any
+    executor (the classic inverted-index OOM). df/tf come from the
+    map-side-combined (doc, term) relation; top terms via TakeOrdered.
+
+    Determinism: posting order is doc_id ascending (unique), term
+    ranking breaks ties on the term string, counts are exact integers.
+    """
+    df = spread(load(spark, sf, "documents"))
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    ).where(F.length("t") > 0)
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    term_stats = tf.groupBy("t").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+    w = Window.partitionBy("t").orderBy("doc_id")
+    capped = tf.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= IDX_POSTINGS
+    )
+    postings = capped.groupBy("t").agg(
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings")
+    )
+    return (
+        term_stats.join(postings, "t")
+        .select(F.col("t").alias("term"), "df", "total_tf", "postings")
+        .orderBy(F.desc("df"), "term")
+        .limit(IDX_TOP_TERMS)
+    )
+
+
+def _sql_inverted_index() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents)
+  WHERE length(t) > 0),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
+term_stats AS (
+  SELECT t, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY t),
+capped AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t, row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+    FROM tf) WHERE rn <= {IDX_POSTINGS}),
+postings AS (
+  SELECT t, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM capped GROUP BY t)
+SELECT t AS term, df, total_tf, postings
+FROM term_stats JOIN postings USING (t)
+ORDER BY df DESC, term LIMIT {IDX_TOP_TERMS}
+"""
+
+
+# -- events_gap_fill -------------------------------------------------------
+def q_events_gap_fill(spark, sf):
+    """Time-series gap filling: per-(event_type, hour) event counts
+    and mean values on a DENSE hourly grid — missing hours get count 0
+    and a linearly interpolated mean (the gap-fill + interpolate
+    primitive of time-series stores, e.g. timescale's
+    time_bucket_gapfill/locf).
+
+    Scale shape: the raw stream collapses FIRST via one
+    map-side-combined groupBy((type, hour)) — the grid, the joins, and
+    the interpolation windows all run at grid scale (|types| × hours),
+    which is data-rate-independent; the grid generation is an in-row
+    sequence() explode per type. One window shuffle keyed by type.
+
+    Determinism: hour buckets are epoch-second integer division;
+    means are DEC-sum / count; interpolation is fixed-order double
+    arithmetic on identical inputs. The emitted value rounds via
+    floor(x*1e6 + 0.5)/1e6, NOT a decimal cast — hourly means land on
+    exact .xxxxxx5 halves constantly (2-decimal values / small
+    counts), where Spark's decimal cast rounds half-up but DuckDB's
+    rounds half-even (same rule as warehouse_ops._r2).
+    """
+    ev = spread(load(spark, sf, "events"))
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 3600").alias("h"),
+            "value",
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*")).alias(
+                "avg_value"
+            ),
+        )
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("h")
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("cnt").isNotNull(), F.col("h"))
+    prev_v = F.last("avg_value", ignorenulls=True).over(wb)
+    prev_h = F.last(obs_h, ignorenulls=True).over(wb)
+    next_v = F.first("avg_value", ignorenulls=True).over(wf)
+    next_h = F.first(obs_h, ignorenulls=True).over(wf)
+    interp = F.when(F.col("cnt").isNotNull(), F.col("avg_value")).otherwise(
+        prev_v
+        + (next_v - prev_v)
+        * (F.col("h") - prev_h).cast("double")
+        / (next_h - prev_h).cast("double")
+    )
+    return joined.select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("n_events"),
+        (F.floor(interp * 1000000.0 + 0.5) / 1000000.0).alias("avg_value_filled"),
+        F.col("cnt").isNull().cast("int").alias("is_gap"),
+    ).orderBy("event_type", "h")
+
+
+SQL_GAP_FILL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_value
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600),
+spans AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY event_type),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM spans),
+j AS (
+  SELECT g.event_type, g.h, hourly.cnt, hourly.avg_value
+  FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.h = hourly.h),
+w AS (
+  SELECT event_type, h, cnt, avg_value,
+         last_value(avg_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN cnt IS NOT NULL THEN h END IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         first_value(avg_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN cnt IS NOT NULL THEN h END IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM j)
+SELECT event_type, h,
+       COALESCE(cnt, 0) AS n_events,
+       floor((CASE WHEN cnt IS NOT NULL THEN avg_value
+                   ELSE prev_v + (next_v - prev_v)
+                        * CAST(h - prev_h AS DOUBLE) / CAST(next_h - prev_h AS DOUBLE) END
+             ) * 1000000.0 + 0.5) / 1000000.0 AS avg_value_filled,
+       CAST(cnt IS NULL AS INTEGER) AS is_gap
+FROM w ORDER BY event_type, h
+"""
+
+
+QUERIES = {
+    "hll_distinct": q_hll_distinct,
+    "gopher_quality": q_gopher_quality,
+    "tfidf_topk": q_tfidf_topk,
+    "pmi_collocations": q_pmi_collocations,
+    "inverted_index": q_inverted_index,
+    "events_gap_fill": q_events_gap_fill,
+}
+
+ORACLES = {
+    "hll_distinct": SQL_HLL_DISTINCT,
+    "gopher_quality": SQL_GOPHER,
+    "tfidf_topk": _sql_tfidf(),
+    "pmi_collocations": _sql_pmi(),
+    "inverted_index": _sql_inverted_index(),
+    "events_gap_fill": SQL_GAP_FILL,
+}
