@@ -94,6 +94,9 @@ HEADLINE = [
     "pmi_collocations",
     "inverted_index",
     "events_gap_fill",
+    "bloom_filter_semijoin",
+    "pareto_skyline",
+    "events_rolling",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -130,13 +130,16 @@ def sql_dsum(expr: str, alias: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0 — new this round: mining_ops (r5 session 3) ...
+    # tier 0 — new this round: mining_ops + accel_ops (r5 session 3) ...
     "hll_distinct",
     "gopher_quality",
     "tfidf_topk",
     "pmi_collocations",
     "inverted_index",
     "events_gap_fill",
+    "bloom_filter_semijoin",
+    "pareto_skyline",
+    "events_rolling",
     # ... corpus_ops + warehouse_ops + graph_ops (r5 sessions 1-2) ...
     "pagerank_bipartite",
     "cdc_upsert",
@@ -178,10 +181,7 @@ GRADE_PRIORITY = [
     "events_pivot",
     "events_funnel",
     "events_retention",
-    "salted_aggregation",
     "text_quality",
-    "lang_id",
-    "doc_fingerprint",
     "token_frequencies",
     "corpus_train_filter",
     # dedup_minhash_lsh / ngram_jaccard share the r5 pairs-cache plan
@@ -190,12 +190,16 @@ GRADE_PRIORITY = [
     "dedup_ngram_jaccard",
     # --- driver budget cut (50) falls here ---
     # tier 1b — r3-stale but UNCHANGED since r3 and crowded out by the
-    # 6 mining_ops entries (never graded > stale-but-proven): r3-green
-    # + ORACLE_LOCAL_r5 green is their evidence this round
+    # 9 never-graded mining/accel entries (never graded >
+    # stale-but-proven): r3-green + ORACLE_LOCAL_r5 green is their
+    # evidence this round
     "token_count",
     "doc_split_sample",
     "dedup_exact",
     "dedup_simhash",
+    "salted_aggregation",
+    "lang_id",
+    "doc_fingerprint",
     # tier 2 — green exactly once (r4)
     "similarity_topk",
     "pii_scrub",
@@ -249,6 +253,7 @@ GRADE_PRIORITY = [
 
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     from data_validator_spark.queries import (
+        accel_ops,
         analytics,
         corpus_ops,
         dedup,
@@ -277,6 +282,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         multimodal,
         corpus_ops,
         mining_ops,
+        accel_ops,
         warehouse_ops,
         graph_ops,
         streaming_queries,

@@ -1,0 +1,260 @@
+"""Join-acceleration and ordered-analytics operators — Bloom-filter
+semi-join pre-filtering (the runtime-filter pattern Spark applies to
+shuffle joins, made explicit and auditable), Pareto-skyline extraction
+(linear window formulation, never the O(n²) dominance self-join), and
+trailing rolling-window statistics over the hourly event grid.
+
+Same package conventions as mining_ops.py: declarative DataFrame API,
+map-side partial aggregation, 60-bit md5-prefix hashes, decimal(30,6)
+exact sums, integer comparisons wherever a float compare could differ
+by an ulp between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_validator_spark.queries import DEC, load, spread
+from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
+
+# -- bloom_filter_semijoin -------------------------------------------------
+BLOOM_M = 16384  # bits
+BLOOM_K = 3      # hash functions
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos(col, j: int):
+    return F.pmod(
+        _hash60(F.concat(F.lit(f"bf{j}:"), col.cast("string"))), F.lit(BLOOM_M)
+    )
+
+
+def q_bloom_filter_semijoin(spark, sf):
+    """Bloom-filter pre-filtering of a fact table by a dimension
+    predicate (orders of BUILDING-segment customers), audited against
+    the exact semi-join: total orders, bloom-pass count, exact count,
+    and the false-positive overshoot (Bloom filters never drop a true
+    match, so bloom_pass >= exact always).
+
+    Scale shape: the filter state is the SET-BIT relation — at most
+    min(k·|dim|, m) = 16384 rows regardless of dimension size — built
+    with one map-side-combined distinct and broadcast to ALL probe
+    joins; the fact side is probed with three chained broadcast
+    LEFT SEMI joins (one per hash), i.e. a pure map stage over the
+    fact scan, no fact shuffle at all. This is exactly the runtime
+    bloom filter Spark injects under
+    spark.sql.optimizer.runtime.bloomFilter.enabled, expressed as an
+    explicit, engine-checkable plan. The exact branch (for the audit)
+    is one broadcast semi-join on the real key.
+
+    Determinism: bit positions are 60-bit md5 hashes mod m — exact
+    integer arithmetic, identical in both engines.
+    """
+    cust = load(spark, sf, "customer")
+    orders = spread(load(spark, sf, "orders"))
+    dim = cust.where(F.col("c_mktsegment") == BLOOM_SEGMENT).select("c_custkey")
+    bits = (
+        dim.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("c_custkey"), j) for j in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probed = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        *[_bloom_pos(F.col("o_custkey"), j).alias(f"p{j}") for j in range(BLOOM_K)],
+    )
+    passed = probed
+    for j in range(BLOOM_K):
+        passed = passed.join(
+            F.broadcast(bits.withColumnRenamed("pos", f"p{j}")), f"p{j}", "left_semi"
+        )
+    n_pass = passed.agg(F.count("*").alias("n_bloom_pass"))
+    n_exact = (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    n_all = orders.agg(F.count("*").alias("n_orders"))
+    return (
+        n_all.crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "n_orders",
+            "n_bloom_pass",
+            "n_exact",
+            (F.col("n_bloom_pass") - F.col("n_exact")).alias("n_false_pos"),
+        )
+    )
+
+
+def _sql_bloom() -> str:
+    def pos(expr: str, j: int) -> str:
+        inner = f"'bf{j}:' || CAST({expr} AS VARCHAR)"
+        return f"{_sql_hash60(inner)} % {BLOOM_M}"
+
+    probes = " AND ".join(
+        f"{pos('o_custkey', j)} IN (SELECT pos FROM bits)" for j in range(BLOOM_K)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT {pos('c_custkey', j)} AS pos FROM dim" for j in range(BLOOM_K)
+    )
+    return f"""
+WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'),
+bits AS (SELECT DISTINCT pos FROM ({arms})),
+n_pass AS (SELECT COUNT(*) AS n_bloom_pass FROM orders WHERE {probes}),
+n_exact AS (SELECT COUNT(*) AS n_exact FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM dim)),
+n_all AS (SELECT COUNT(*) AS n_orders FROM orders)
+SELECT n_orders, n_bloom_pass, n_exact,
+       n_bloom_pass - n_exact AS n_false_pos
+FROM n_all CROSS JOIN n_pass CROSS JOIN n_exact
+"""
+
+
+# -- pareto_skyline --------------------------------------------------------
+def q_pareto_skyline(spark, sf):
+    """Pareto-skyline extraction over documents: the frontier that
+    maximizes vocabulary size (distinct tokens) while minimizing
+    length (n_chars) — the multi-objective data-selection primitive
+    ("shortest doc at each quality level").
+
+    Scale shape: NEVER the quadratic NOT-EXISTS dominance self-join.
+    Per-doc distinct counts come from one map-side-combined groupBy;
+    equal-length ties collapse via a per-length max (groupBy n_chars —
+    the relation is already |lengths|-bounded); the strict-dominance
+    test is then ONE running-max window over the length-sorted
+    relation (RANGE .. 1 PRECEDING), linear in the candidate count
+    with a single shuffle. Integer objectives only — no float compare
+    can disagree between engines.
+
+    A doc is on the skyline iff no other doc has (>= vocab, <= chars)
+    with one strict: equivalently its vocab strictly exceeds the best
+    vocab among all STRICTLY shorter docs, and it achieves the max
+    vocab for its own length.
+    """
+    df = spread(load(spark, sf, "documents"))
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    ).where(F.length("t") > 0)
+    vocab = toks.groupBy("doc_id").agg(F.countDistinct("t").alias("v"))
+    docs = df.select("doc_id", "n_chars").join(vocab, "doc_id")
+    best_at_len = docs.groupBy("n_chars").agg(F.max("v").alias("v_max"))
+    w = Window.orderBy("n_chars").rangeBetween(Window.unboundedPreceding, -1)
+    frontier_lens = (
+        best_at_len.withColumn(
+            "v_shorter", F.coalesce(F.max("v_max").over(w), F.lit(-1))
+        )
+        .where(F.col("v_max") > F.col("v_shorter"))
+        .select(F.col("n_chars").alias("f_chars"), F.col("v_max").alias("f_v"))
+    )
+    return (
+        docs.join(
+            F.broadcast(frontier_lens),
+            (F.col("n_chars") == F.col("f_chars")) & (F.col("v") == F.col("f_v")),
+        )
+        .select("doc_id", "n_chars", F.col("v").alias("n_distinct_tokens"))
+        .orderBy("n_chars", "doc_id")
+    )
+
+
+SQL_PARETO = r"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+    FROM documents)
+  WHERE length(t) > 0),
+vocab AS (SELECT doc_id, COUNT(DISTINCT t) AS v FROM toks GROUP BY doc_id),
+docs AS (SELECT d.doc_id, d.n_chars, vocab.v
+         FROM documents d JOIN vocab USING (doc_id)),
+best_at_len AS (SELECT n_chars, MAX(v) AS v_max FROM docs GROUP BY n_chars),
+frontier_lens AS (
+  SELECT n_chars, v_max FROM (
+    SELECT n_chars, v_max,
+           COALESCE(MAX(v_max) OVER (ORDER BY n_chars
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS v_shorter
+    FROM best_at_len)
+  WHERE v_max > v_shorter)
+SELECT d.doc_id, d.n_chars, d.v AS n_distinct_tokens
+FROM docs d JOIN frontier_lens f ON d.n_chars = f.n_chars AND d.v = f.v_max
+ORDER BY d.n_chars, d.doc_id
+"""
+
+
+# -- events_rolling --------------------------------------------------------
+ROLL_HOURS = 24
+
+
+def q_events_rolling(spark, sf):
+    """Trailing 24-hour rolling statistics per event type on the
+    hourly series: event count and exact value sum over the RANGE
+    window [h-23, h] — the moving-average monitor primitive
+    (dashboards, alert baselines).
+
+    Scale shape: the raw stream collapses FIRST to the (type, hour)
+    grid via one map-side-combined groupBy; the rolling window then
+    runs at grid scale (rate-independent) as a RANGE frame over the
+    integer hour key, one shuffle keyed by type. RANGE (not ROWS)
+    makes gap hours contribute nothing without materializing them.
+
+    Determinism: rolling sums accumulate the per-hour DECIMAL sums in
+    decimal — exact and order-independent; the rolling count is
+    integer; the emitted double is one final cast.
+    """
+    ev = spread(load(spark, sf, "events"))
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 3600").alias("h"),
+            "value",
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-(ROLL_HOURS - 1), 0)
+    )
+    return hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.sum("cnt").over(w).alias("roll_cnt"),
+        F.sum("sum_value").over(w).cast("double").alias("roll_sum_value"),
+    ).orderBy("event_type", "h")
+
+
+SQL_ROLLING = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         COUNT(*) AS cnt,
+         SUM(CAST(value AS DECIMAL(30,6))) AS sum_value
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+SELECT event_type, h, cnt,
+       CAST(SUM(cnt) OVER w AS BIGINT) AS roll_cnt,
+       CAST(SUM(sum_value) OVER w AS DOUBLE) AS roll_sum_value
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY h
+             RANGE BETWEEN {ROLL_HOURS - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, h
+"""
+
+
+QUERIES = {
+    "bloom_filter_semijoin": q_bloom_filter_semijoin,
+    "pareto_skyline": q_pareto_skyline,
+    "events_rolling": q_events_rolling,
+}
+
+ORACLES = {
+    "bloom_filter_semijoin": _sql_bloom(),
+    "pareto_skyline": SQL_PARETO,
+    "events_rolling": SQL_ROLLING,
+}

@@ -16,6 +16,7 @@ DRIVER_GRADE_BUDGET = 50
 NEW_OR_CHANGED = {
     "hll_distinct", "gopher_quality", "tfidf_topk", "pmi_collocations",
     "inverted_index", "events_gap_fill",
+    "bloom_filter_semijoin", "pareto_skyline", "events_rolling",
     "pagerank_bipartite", "cdc_upsert", "scd2_intervals",
     "bm25_topk", "kmeans_embeddings", "trigram_lm_score",
     "substring_dedup", "quantile_shard", "domain_mix_sample",
@@ -34,16 +35,17 @@ R3_STALE = {
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_volume",
     "q22_prospective_customers", "events_windowed", "events_asof_join",
     "events_range_join", "events_rollup", "events_pivot", "events_funnel",
-    "events_retention", "salted_aggregation", "text_quality",
-    "lang_id", "doc_fingerprint", "token_frequencies",
+    "events_retention", "text_quality", "token_frequencies",
     "corpus_train_filter", "dedup_minhash_lsh", "dedup_ngram_jaccard",
 }
 
 # r3-stale but UNCHANGED since r3, crowded out of the 50-entry budget
-# by the six mining_ops entries (never-graded beats stale-but-proven).
-# Their evidence this round is the r3 driver green + ORACLE_LOCAL_r5.
+# by the nine mining/accel entries (never-graded beats
+# stale-but-proven). Their evidence this round is the r3 driver green
+# + ORACLE_LOCAL_r5.
 R3_DEFERRED = {
     "token_count", "doc_split_sample", "dedup_exact", "dedup_simhash",
+    "salted_aggregation", "lang_id", "doc_fingerprint",
 }
 
 # No SQL oracle by design — a driver row adds no hash evidence, their
