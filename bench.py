@@ -97,6 +97,8 @@ HEADLINE = [
     "bloom_filter_semijoin",
     "pareto_skyline",
     "events_rolling",
+    "events_time_weighted",
+    "char_entropy",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -140,6 +140,8 @@ GRADE_PRIORITY = [
     "bloom_filter_semijoin",
     "pareto_skyline",
     "events_rolling",
+    "events_time_weighted",
+    "char_entropy",
     # ... corpus_ops + warehouse_ops + graph_ops (r5 sessions 1-2) ...
     "pagerank_bipartite",
     "cdc_upsert",
@@ -174,11 +176,9 @@ GRADE_PRIORITY = [
     "q17_small_quantity_revenue",
     "q18_large_volume",
     "q22_prospective_customers",
-    "events_windowed",
     "events_asof_join",
     "events_range_join",
     "events_rollup",
-    "events_pivot",
     "events_funnel",
     "events_retention",
     "text_quality",
@@ -200,6 +200,8 @@ GRADE_PRIORITY = [
     "salted_aggregation",
     "lang_id",
     "doc_fingerprint",
+    "events_windowed",
+    "events_pivot",
     # tier 2 — green exactly once (r4)
     "similarity_topk",
     "pii_scrub",

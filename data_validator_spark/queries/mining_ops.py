@@ -624,6 +624,146 @@ FROM w ORDER BY event_type, h
 """
 
 
+# -- events_time_weighted --------------------------------------------------
+def q_events_time_weighted(spark, sf):
+    """Time-weighted average per event type (the timescale
+    time_weight/LOCF primitive): each observation's value holds until
+    the next observation of that type; the mean weights each value by
+    its holding duration — the correct average for irregularly sampled
+    series, where the arithmetic mean over-counts bursts.
+
+    Scale shape: ONE window shuffle keyed by event_type (lead() for
+    the successor timestamp), then a map-side-combined groupBy — two
+    exchanges total, both on the type key; nothing is ever collected
+    or densified.
+
+    Determinism: durations are exact µs integers (timestamp_micros
+    arithmetic, never float seconds); value×duration products are
+    decimal(30,6)×BIGINT = exact decimals, summed exactly; ordering
+    ties on identical timestamps break on event_id.
+    """
+    ev = spread(load(spark, sf, "events"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    timed = ev.select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.unix_micros(F.lead("ts").over(w)).alias("t_next"),
+    )
+    return (
+        timed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("t") - F.min("t")).alias("span_us"),
+            F.sum(
+                F.when(
+                    F.col("t_next").isNotNull(),
+                    F.col("value").cast(DEC) * (F.col("t_next") - F.col("t")),
+                )
+            ).alias("wsum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "span_us",
+            (F.col("wsum").cast("double") / F.col("span_us").cast("double"))
+            .cast(DEC)
+            .cast("double")
+            .alias("tw_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TIME_WEIGHTED = """
+WITH timed AS (
+  SELECT event_type, value,
+         epoch_us(ts) AS t,
+         epoch_us(lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS t_next
+  FROM events)
+SELECT event_type, COUNT(*) AS n_events,
+       MAX(t) - MIN(t) AS span_us,
+       CAST(CAST(CAST(SUM(CASE WHEN t_next IS NOT NULL
+                      THEN CAST(value AS DECIMAL(30,6)) * (t_next - t) END) AS DOUBLE)
+            / CAST(MAX(t) - MIN(t) AS DOUBLE) AS DECIMAL(30,6)) AS DOUBLE) AS tw_avg
+FROM timed GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- char_entropy ----------------------------------------------------------
+ENTROPY_MIN = 3.0
+
+
+def q_char_entropy(spark, sf):
+    """Character-entropy quality filter: Shannon entropy of each
+    document's normalized character distribution — near-zero for
+    degenerate/repetitive text, ~4 bits-in-nats for natural English;
+    low-entropy docs get flagged (the cheap screen before the
+    trigram-LM scorer, which shares this module's explode shape).
+
+    Scale shape: chars are generated in-row (sequence + substring,
+    the trigram_lm_score pattern), one map-side-combined
+    groupBy((doc, char)) — bounded by |doc|×|alphabet| — then one
+    groupBy(doc). Two shuffles, both after partial aggregation.
+
+    Determinism: p = cnt/n is one exact division; the p·ln(p) terms
+    accumulate through decimal(30,6) so the per-doc sum is
+    order-independent; the keep flag compares the PRE-rounded decimal
+    sum in both engines.
+    """
+    df = spread(load(spark, sf, "documents"))
+    docs = df.select("doc_id", normalized_text(F.col("text")).alias("norm"))
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(norm) > 0 THEN "
+                "transform(sequence(1, length(norm)), i -> substring(norm, i, 1)) "
+                "ELSE array() END"
+            )
+        ).alias("c"),
+    )
+    counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    n = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    ent = (
+        counts.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars_norm"),
+            (-F.sum((p * F.log(p)).cast(DEC))).alias("ent_dec"),
+        )
+    )
+    return ent.select(
+        "doc_id",
+        "n_chars_norm",
+        F.col("ent_dec").cast("double").alias("entropy"),
+        (F.col("ent_dec") >= ENTROPY_MIN).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+SQL_CHAR_ENTROPY = f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
+chars AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, CAST(length(norm) AS BIGINT) + 1),
+                               i -> substr(norm, CAST(i AS INTEGER), 1))) AS c
+  FROM d WHERE length(norm) > 0),
+counts AS (SELECT doc_id, c, COUNT(*) AS cnt FROM chars GROUP BY doc_id, c),
+n AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY doc_id),
+ent AS (
+  SELECT counts.doc_id, MAX(n.n) AS n_chars_norm,
+         -SUM(CAST((CAST(cnt AS DOUBLE) / n.n) * ln(CAST(cnt AS DOUBLE) / n.n)
+              AS DECIMAL(30,6))) AS ent_dec
+  FROM counts JOIN n ON counts.doc_id = n.doc_id
+  GROUP BY counts.doc_id)
+SELECT doc_id, n_chars_norm,
+       CAST(ent_dec AS DOUBLE) AS entropy,
+       CAST(ent_dec >= {ENTROPY_MIN} AS INTEGER) AS keep
+FROM ent ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "hll_distinct": q_hll_distinct,
     "gopher_quality": q_gopher_quality,
@@ -631,6 +771,8 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "inverted_index": q_inverted_index,
     "events_gap_fill": q_events_gap_fill,
+    "events_time_weighted": q_events_time_weighted,
+    "char_entropy": q_char_entropy,
 }
 
 ORACLES = {
@@ -640,4 +782,6 @@ ORACLES = {
     "pmi_collocations": _sql_pmi(),
     "inverted_index": _sql_inverted_index(),
     "events_gap_fill": SQL_GAP_FILL,
+    "events_time_weighted": SQL_TIME_WEIGHTED,
+    "char_entropy": SQL_CHAR_ENTROPY,
 }

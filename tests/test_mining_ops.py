@@ -150,3 +150,47 @@ def test_gap_fill_grid_dense_and_interpolated(spark):
                 lo = min(prev["avg_value_filled"], nxt["avg_value_filled"])
                 hi = max(prev["avg_value_filled"], nxt["avg_value_filled"])
                 assert lo - 1e-6 <= r["avg_value_filled"] <= hi + 1e-6
+
+
+def test_time_weighted_average_semantics(spark, tmp_path):
+    import pandas as pd
+
+    # crafted series: value 10 held for 3us, value 0 held for 1us ->
+    # tw_avg = (10*3 + 0*1) / 4 = 7.5 (arithmetic mean would be 5)
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime([1_000_000_000, 1_000_000_003, 1_000_000_004], unit="us"),
+            "user_id": [1, 1, 1],
+            "event_type": ["a", "a", "a"],
+            "value": [10.0, 0.0, 99.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    d = tmp_path / "tw"
+    d.mkdir()
+    spark.createDataFrame(rows).coalesce(1).write.parquet(str(d / "events.parquet"))
+    from data_validator_spark.queries.mining_ops import q_events_time_weighted
+
+    out = q_events_time_weighted(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 3
+    assert r["span_us"] == 4
+    assert r["tw_avg"] == 7.5  # final value (99) holds no duration
+
+
+def test_char_entropy_orders_quality(spark, doc_dir):
+    import math
+
+    from data_validator_spark.queries.mining_ops import q_char_entropy
+
+    rows = {r["doc_id"]: r for r in q_char_entropy(spark, doc_dir).collect()}
+    # the diverse doc has strictly higher entropy than the spam doc
+    assert rows[0]["entropy"] > rows[1]["entropy"]
+    # doc 6 "solo": chars s,o,l,o -> p = (1/4, 1/2, 1/4)
+    expect = -(2 * 0.25 * math.log(0.25) + 0.5 * math.log(0.5))
+    assert rows[6]["entropy"] == pytest.approx(expect, abs=1e-5)
+    for r in rows.values():
+        assert r["entropy"] >= 0
+        assert r["keep"] in (0, 1)
