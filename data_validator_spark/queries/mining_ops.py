@@ -291,26 +291,32 @@ def q_tfidf_topk(spark, sf):
     Determinism: the ranking key is tf*ln(N/df) ROUNDED to
     decimal(30,6) BEFORE the window in both engines, so 1-ulp ln()
     differences cannot flip ranks; remaining ties break on the term.
+    N reaches the plan as a broadcast 1-row aggregate (bm25's stats
+    pattern) — no driver-side count() action, no extra corpus scan.
     """
     df = spread(load(spark, sf, "documents"))
-    n_docs = df.count()
+    n = df.agg(F.count("*").cast("double").alias("n_docs"))
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
     ).where(F.length("t") > 0)
     tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
-    scored = tf.join(dfreq, "t").select(
-        "doc_id",
-        "t",
-        "tf",
-        "df",
-        (
-            F.col("tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+    scored = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "t",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df").cast("double"))
+            )
+            .cast(DEC)
+            .cast("double")
+            .alias("tfidf"),
         )
-        .cast(DEC)
-        .cast("double")
-        .alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "t")
     return (
@@ -365,13 +371,19 @@ def q_pmi_collocations(spark, sf):
     denominator are products written in the same order in both
     engines; the emitted value and the ranking key round through
     decimal(30,6), ties break on the bigram string.
+
+    The corpus totals come from 1-row aggregates OVER the grouped
+    relations (sum of unigram counts / sum of bigram counts), cross-
+    joined as broadcasts: no driver-side count() action, and because
+    the total branch shares the groupBy exchange with the join branch
+    Catalyst reuses it (ReusedExchange) instead of re-scanning.
     """
     df = spread(load(spark, sf, "documents"))
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
     ).where(F.length("t") > 0)
     uni = toks.groupBy("t").agg(F.count("*").alias("c"))
-    n_uni = toks.count()
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
     bi = df.select(
         F.explode(
             F.expr(
@@ -384,7 +396,7 @@ def q_pmi_collocations(spark, sf):
         ).alias("g")
     )
     bc = bi.groupBy("g").agg(F.count("*").alias("c_xy"))
-    n_bi = bi.count()
+    n_bi = bc.agg(F.sum("c_xy").cast("double").alias("n_bi"))
     parts = bc.select(
         "g",
         "c_xy",
@@ -399,10 +411,12 @@ def q_pmi_collocations(spark, sf):
             parts.w2 == F.col("t2"),
         )
         .drop("t2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
     )
     pmi = F.log(
-        (F.col("c_xy").cast("double") * F.lit(float(n_uni)) * F.lit(float(n_uni)))
-        / (F.lit(float(n_bi)) * F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+        (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_bi") * F.col("c_x").cast("double") * F.col("c_y").cast("double"))
     )
     return (
         j.where(F.col("c_xy") >= PMI_MIN_COUNT)
