@@ -99,6 +99,7 @@ HEADLINE = [
     "events_rolling",
     "events_time_weighted",
     "char_entropy",
+    "rrf_fusion",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -142,6 +142,7 @@ GRADE_PRIORITY = [
     "events_rolling",
     "events_time_weighted",
     "char_entropy",
+    "rrf_fusion",
     # ... corpus_ops + warehouse_ops + graph_ops (r5 sessions 1-2) ...
     "pagerank_bipartite",
     "cdc_upsert",
@@ -180,7 +181,6 @@ GRADE_PRIORITY = [
     "events_range_join",
     "events_rollup",
     "events_funnel",
-    "events_retention",
     "text_quality",
     "token_frequencies",
     "corpus_train_filter",
@@ -202,6 +202,7 @@ GRADE_PRIORITY = [
     "doc_fingerprint",
     "events_windowed",
     "events_pivot",
+    "events_retention",
     # tier 2 — green exactly once (r4)
     "similarity_topk",
     "pii_scrub",

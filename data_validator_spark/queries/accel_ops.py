@@ -247,14 +247,110 @@ ORDER BY event_type, h
 """
 
 
+# -- rrf_fusion ------------------------------------------------------------
+RRF_K = 60
+RRF_CAND = 100
+RRF_TOPK = 20
+RRF_TERMS = ["spark", "query", "window", "stream"]  # corpus_ops.BM25_TERMS
+
+
+def q_rrf_fusion(spark, sf):
+    """Reciprocal-rank fusion of two retrieval rankings (the RAG
+    candidate-merge step): a keyword-relevance ranker (total query-term
+    tf) fused with a quality ranker (vocabulary size), scored
+    rrf = Σ 1/(60 + rank) over the lists each doc appears in.
+
+    Scale shape: fusion happens on CANDIDATE LISTS, never the corpus —
+    each ranker's top-100 comes from orderBy+limit, which Spark
+    executes as TakeOrderedAndProject (per-partition heaps, no global
+    sort partition); ranks are then assigned inside the 100-row
+    candidate relations (a constant-size window), and the fusion join
+    is candidates×candidates. The corpus is scanned once for both
+    score projections (shared token relation).
+
+    Determinism: both rankers order by (integer score desc, doc_id) —
+    no float keys; rrf adds two exact 1/(60+int) doubles in fixed
+    order; final ties break on doc_id.
+    """
+    df = spread(load(spark, sf, "documents"))
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    ).where(F.length("t") > 0)
+    scores = toks.groupBy("doc_id").agg(
+        F.sum(F.col("t").isin(RRF_TERMS).cast("long")).alias("rel"),
+        F.countDistinct("t").alias("qual"),
+    )
+
+    def ranked(col: str, alias: str):
+        cand = scores.orderBy(F.desc(col), "doc_id").limit(RRF_CAND)
+        w = Window.orderBy(F.desc(col), "doc_id")
+        return cand.select("doc_id", F.row_number().over(w).alias(alias))
+
+    a = ranked("rel", "rank_rel")
+    b = ranked("qual", "rank_qual")
+    fused = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_rel",
+        "rank_qual",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_rel")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_qual")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "rank_rel",
+            "rank_qual",
+            F.col("rrf").cast(DEC).cast("double").alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(RRF_TOPK)
+    )
+
+
+def _sql_rrf() -> str:
+    terms = ", ".join(f"'{t}'" for t in RRF_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents)
+  WHERE length(t) > 0),
+scores AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN t IN ({terms}) THEN 1 ELSE 0 END) AS BIGINT) AS rel,
+         COUNT(DISTINCT t) AS qual
+  FROM toks GROUP BY doc_id),
+a AS (
+  SELECT doc_id, rn AS rank_rel FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY rel DESC, doc_id) AS rn
+    FROM scores) WHERE rn <= {RRF_CAND}),
+b AS (
+  SELECT doc_id, rn AS rank_qual FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY qual DESC, doc_id) AS rn
+    FROM scores) WHERE rn <= {RRF_CAND}),
+fused AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.rank_rel, b.rank_qual,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + a.rank_rel), 0.0)
+         + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + b.rank_qual), 0.0) AS rrf
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT doc_id, rank_rel, rank_qual,
+       CAST(CAST(rrf AS DECIMAL(30,6)) AS DOUBLE) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+"""
+
+
 QUERIES = {
     "bloom_filter_semijoin": q_bloom_filter_semijoin,
     "pareto_skyline": q_pareto_skyline,
     "events_rolling": q_events_rolling,
+    "rrf_fusion": q_rrf_fusion,
 }
 
 ORACLES = {
     "bloom_filter_semijoin": _sql_bloom(),
     "pareto_skyline": SQL_PARETO,
     "events_rolling": SQL_ROLLING,
+    "rrf_fusion": _sql_rrf(),
 }

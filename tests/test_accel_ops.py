@@ -64,3 +64,27 @@ def test_rolling_window_trailing_sums(spark):
             assert r["roll_cnt"] == expect, (t, r["h"])
         # first row's window contains only itself
         assert rs[0]["roll_cnt"] == rs[0]["cnt"]
+
+
+def test_rrf_fusion_semantics(spark):
+    from data_validator_spark.queries.accel_ops import (
+        q_rrf_fusion,
+        RRF_K,
+        RRF_TOPK,
+    )
+
+    rows = q_rrf_fusion(spark, SF).collect()
+    assert 0 < len(rows) <= RRF_TOPK
+    # rrf descending with doc_id tiebreak
+    keys = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        expect = 0.0
+        if r["rank_rel"] is not None:
+            expect += 1.0 / (RRF_K + r["rank_rel"])
+        if r["rank_qual"] is not None:
+            expect += 1.0 / (RRF_K + r["rank_qual"])
+        assert r["rrf"] == pytest.approx(expect, abs=1e-6)
+    # a doc in both candidate lists at rank 1 would score 2/(K+1);
+    # everything is bounded by that
+    assert all(r["rrf"] <= 2.0 / (RRF_K + 1) + 1e-9 for r in rows)
