@@ -100,6 +100,7 @@ HEADLINE = [
     "events_time_weighted",
     "char_entropy",
     "rrf_fusion",
+    "ivm_agg",
     "similarity_topk",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

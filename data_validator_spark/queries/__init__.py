@@ -143,6 +143,7 @@ GRADE_PRIORITY = [
     "events_time_weighted",
     "char_entropy",
     "rrf_fusion",
+    "ivm_agg",
     # ... corpus_ops + warehouse_ops + graph_ops (r5 sessions 1-2) ...
     "pagerank_bipartite",
     "cdc_upsert",
@@ -179,7 +180,6 @@ GRADE_PRIORITY = [
     "q22_prospective_customers",
     "events_asof_join",
     "events_range_join",
-    "events_rollup",
     "events_funnel",
     "text_quality",
     "token_frequencies",
@@ -203,6 +203,7 @@ GRADE_PRIORITY = [
     "events_windowed",
     "events_pivot",
     "events_retention",
+    "events_rollup",
     # tier 2 — green exactly once (r4)
     "similarity_topk",
     "pii_scrub",

@@ -154,12 +154,93 @@ ORDER BY user_id, valid_from, value
 """
 
 
+# -- ivm_agg ---------------------------------------------------------------
+# Deterministic delta batch derived from `orders` (fixed parquet dirs,
+# so deltas must be derivable — the cdc_upsert pattern):
+#   delete: o_orderkey % 17 == 0
+#   insert: a copy of every o_orderkey % 13 == 0 row at +10.00 price
+IVM_DEL_MOD = 17
+IVM_INS_MOD = 13
+IVM_INS_BUMP = 10.0
+
+
+def q_ivm_agg(spark, sf):
+    """Incremental view maintenance of a per-customer order aggregate:
+    apply a signed delta batch (deletes as −1/−price, inserts as
+    +1/+price) to the MATERIALIZED aggregate with one outer join —
+    never re-aggregating the base fact — and emit the refreshed view.
+    The DuckDB oracle IS the full recompute over (base − deletes +
+    inserts), so a green hash PROVES merge-equals-recompute.
+
+    Scale shape: the base aggregate is |customers| rows (in
+    production, read back from the store — here rebuilt once to stand
+    in for it); the delta pipeline shuffles at |delta| scale with
+    map-side combine; the merge is ONE full-outer equi-join on the
+    aggregate key. Refresh cost tracks the delta, not the fact table —
+    the entire point of IVM at 100 TB.
+
+    Determinism: counts are signed integers; price sums accumulate in
+    decimal(30,6) on both the base and delta sides (exact retraction:
+    a deleted row subtracts the identical decimal it added); keys
+    whose count reaches 0 drop out in both engines.
+    """
+    orders = load(spark, sf, "orders")
+    dec_price = F.col("o_totalprice").cast("decimal(30,6)")
+    base = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_b"), F.sum(dec_price).alias("s_b")
+    )
+    deletes = orders.where(F.col("o_orderkey") % IVM_DEL_MOD == 0).select(
+        "o_custkey",
+        F.lit(-1).alias("dn"),
+        (-dec_price).alias("ds"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % IVM_INS_MOD == 0).select(
+        "o_custkey",
+        F.lit(1).alias("dn"),
+        (F.col("o_totalprice") + IVM_INS_BUMP).cast("decimal(30,6)").alias("ds"),
+    )
+    delta = (
+        deletes.unionAll(inserts)
+        .groupBy("o_custkey")
+        .agg(F.sum("dn").alias("n_d"), F.sum("ds").alias("s_d"))
+    )
+    merged = base.join(delta, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce(F.col("n_b"), F.lit(0)) + F.coalesce(F.col("n_d"), F.lit(0))).alias(
+            "n_orders"
+        ),
+        (
+            F.coalesce(F.col("s_b"), F.lit(0).cast("decimal(30,6)"))
+            + F.coalesce(F.col("s_d"), F.lit(0).cast("decimal(30,6)"))
+        ).alias("s"),
+    )
+    return (
+        merged.where(F.col("n_orders") > 0)
+        .select("o_custkey", "n_orders", F.col("s").cast("double").alias("sum_price"))
+        .orderBy("o_custkey")
+    )
+
+
+SQL_IVM_AGG = f"""
+WITH current AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % {IVM_DEL_MOD} <> 0
+  UNION ALL
+  SELECT o_custkey, o_totalprice + {IVM_INS_BUMP} FROM orders
+  WHERE o_orderkey % {IVM_INS_MOD} = 0)
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+FROM current GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "cdc_upsert": q_cdc_upsert,
     "scd2_intervals": q_scd2_intervals,
+    "ivm_agg": q_ivm_agg,
 }
 
 ORACLES = {
     "cdc_upsert": SQL_CDC_UPSERT,
     "scd2_intervals": SQL_SCD2_INTERVALS,
+    "ivm_agg": SQL_IVM_AGG,
 }

@@ -17,7 +17,7 @@ NEW_OR_CHANGED = {
     "hll_distinct", "gopher_quality", "tfidf_topk", "pmi_collocations",
     "inverted_index", "events_gap_fill",
     "bloom_filter_semijoin", "pareto_skyline", "events_rolling",
-    "events_time_weighted", "char_entropy", "rrf_fusion",
+    "events_time_weighted", "char_entropy", "rrf_fusion", "ivm_agg",
     "pagerank_bipartite", "cdc_upsert", "scd2_intervals",
     "bm25_topk", "kmeans_embeddings", "trigram_lm_score",
     "substring_dedup", "quantile_shard", "domain_mix_sample",
@@ -35,7 +35,7 @@ NEW_OR_CHANGED = {
 R3_STALE = {
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_volume",
     "q22_prospective_customers", "events_asof_join",
-    "events_range_join", "events_rollup", "events_funnel",
+    "events_range_join", "events_funnel",
     "text_quality", "token_frequencies",
     "corpus_train_filter", "dedup_minhash_lsh", "dedup_ngram_jaccard",
 }
@@ -48,6 +48,7 @@ R3_DEFERRED = {
     "token_count", "doc_split_sample", "dedup_exact", "dedup_simhash",
     "salted_aggregation", "lang_id", "doc_fingerprint",
     "events_windowed", "events_pivot", "events_retention",
+    "events_rollup",
 }
 
 # No SQL oracle by design — a driver row adds no hash evidence, their

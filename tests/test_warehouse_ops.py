@@ -92,3 +92,45 @@ def test_pagerank_star_center_dominates(spark, tmp_path):
     assert all(r["pr"] > 0 for r in rows)
     leaf = [r for r in rows if r["node_type"] == "customer"][0]
     assert top["pr"] > 3 * leaf["pr"]
+
+
+def test_ivm_merge_equals_recompute(spark):
+    """The IVM merge must equal a full recompute over
+    (base - deletes + inserts) — same invariant the oracle hash pins,
+    proven here row-by-row on sf0.001."""
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.warehouse_ops import (
+        IVM_DEL_MOD,
+        IVM_INS_BUMP,
+        IVM_INS_MOD,
+        q_ivm_agg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["o_custkey"]: r for r in q_ivm_agg(spark, sf).collect()}
+
+    orders = load(spark, sf, "orders")
+    survivors = orders.where(F.col("o_orderkey") % IVM_DEL_MOD != 0).select(
+        "o_custkey", "o_totalprice"
+    )
+    inserted = orders.where(F.col("o_orderkey") % IVM_INS_MOD == 0).select(
+        "o_custkey", (F.col("o_totalprice") + IVM_INS_BUMP).alias("o_totalprice")
+    )
+    want = {
+        r["o_custkey"]: r
+        for r in survivors.unionAll(inserted)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_orders"] == want[k]["n_orders"], k
+        assert got[k]["sum_price"] == want[k]["sum_price"], k
