@@ -187,14 +187,18 @@ def q_gopher_quality(spark, sf):
         F.count("*").alias("n_distinct"),
         F.max("c").alias("max_c"),
     )
+    # toks is materialized as a column FIRST: element_at inside the
+    # transform lambda then reads the bound array — inlining split()
+    # into the lambda would re-split the text per element (O(n²)/doc)
     bi = df.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(trim(text), '\\\\s+')) >= 2 THEN "
-                "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), "
-                " i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ', "
-                "             element_at(split(trim(text), '\\\\s+'), i + 1))) "
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
                 "ELSE array() END"
             )
         ).alias("g"),
@@ -246,10 +250,10 @@ tok_stats AS (
 bi AS (
   SELECT doc_id, g FROM (
     SELECT doc_id,
-           unnest(list_transform(range(1, len({SQL_TOKENS})),
-             i -> {SQL_TOKENS}[CAST(i AS INTEGER)] || ' ' ||
-                  {SQL_TOKENS}[CAST(i AS INTEGER) + 1])) AS g
-    FROM documents)),
+           unnest(list_transform(range(1, len(toks)),
+             i -> toks[CAST(i AS INTEGER)] || ' ' ||
+                  toks[CAST(i AS INTEGER) + 1])) AS g
+    FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents))),
 bf AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
 bi_stats AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
@@ -384,13 +388,13 @@ def q_pmi_collocations(spark, sf):
     ).where(F.length("t") > 0)
     uni = toks.groupBy("t").agg(F.count("*").alias("c"))
     n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
-    bi = df.select(
+    # materialize toks before the lambda — see q_gopher_quality
+    bi = df.select(F.split(F.trim(F.col("text")), r"\s+").alias("toks")).select(
         F.explode(
             F.expr(
-                "CASE WHEN size(split(trim(text), '\\\\s+')) >= 2 THEN "
-                "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), "
-                " i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ', "
-                "             element_at(split(trim(text), '\\\\s+'), i + 1))) "
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
                 "ELSE array() END"
             )
         ).alias("g")
@@ -440,10 +444,10 @@ WITH toks AS (
 uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
 n_uni AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
 bi AS (
-  SELECT unnest(list_transform(range(1, len({SQL_TOKENS})),
-           i -> {SQL_TOKENS}[CAST(i AS INTEGER)] || ' ' ||
-                {SQL_TOKENS}[CAST(i AS INTEGER) + 1])) AS g
-  FROM documents),
+  SELECT unnest(list_transform(range(1, len(toks)),
+           i -> toks[CAST(i AS INTEGER)] || ' ' ||
+                toks[CAST(i AS INTEGER) + 1])) AS g
+  FROM (SELECT {SQL_TOKENS} AS toks FROM documents)),
 bc AS (SELECT g, COUNT(*) AS c_xy FROM bi GROUP BY g),
 n_bi AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bi),
 j AS (
