@@ -4,11 +4,12 @@ DataFrame pattern that complements the connected-components family in
 dedup.py / operators/cc_star.py.
 
 Scale shape: one edge relation (distinct customer–supplier pairs from
-one orders⋈lineitem join), degree as a map-side-combined groupBy, and
-each power iteration = one shuffle join (edges ⋈ ranks on the source
-node) + one groupBy(dst) with partial aggregation. The driver never
-sees data — iterations are a fixed unrolled chain, so Catalyst plans
-the whole thing as one DAG. At 100 TB the edge relation would be
+one orders⋈lineitem join) hash-partitioned by src ONCE and
+checkpointed — the partitioning survives the checkpoint, so each
+power iteration's edges ⋈ ranks join moves only the node-count-sized
+rank relation, never the edges — plus one groupBy(dst) with partial
+aggregation per round. The driver never sees data — iterations are a
+fixed unrolled chain, so Catalyst plans the whole thing as one DAG. At 100 TB the edge relation would be
 localCheckpoint-ed per round like the CC loop; three unrolled rounds
 at bench scale keep the oracle a finite CTE chain.
 
@@ -52,10 +53,18 @@ def q_pagerank_bipartite(spark, sf):
     # materialize the edge relation ONCE (localCheckpoint truncates the
     # orders⋈lineitem lineage) — the unrolled iterations would otherwise
     # re-run the fact join every round; same rule as the CC loop
-    edges = _edges(spark, sf).localCheckpoint()
+    # Partitioned by src BEFORE the checkpoint: LogicalRDD preserves
+    # the hash partitioning, so every iteration's edges⋈ranks join
+    # reuses it instead of re-shuffling the (large) edge side — only
+    # the node-count-sized rank relation moves per round. nodes is
+    # checkpointed too so deg isn't regrouped every iteration.
+    edges = _edges(spark, sf).repartition("src").localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("node"), "deg").crossJoin(
-        F.broadcast(deg.agg(F.count(F.lit(1)).alias("n")))
+    nodes = (
+        deg.select(F.col("src").alias("node"), "deg")
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n"))))
+        .repartition("node")
+        .localCheckpoint()
     )
     # uniform start: pr0 = 1/N
     pr = nodes.select("node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
