@@ -8,6 +8,12 @@ Same package conventions as mining_ops.py: declarative DataFrame API,
 map-side partial aggregation, 60-bit md5-prefix hashes, decimal(30,6)
 exact sums, integer comparisons wherever a float compare could differ
 by an ulp between engines.
+
+Parity note: the reference engine (target/data-validator,
+ValidatorTable.scala:1) has no join-optimization or retrieval
+surface; these rows extend it per the build brief, mirroring Spark's
+own runtime bloom filter, classic skyline queries, and the RRF merge
+used by hybrid retrieval systems.
 """
 
 from __future__ import annotations
