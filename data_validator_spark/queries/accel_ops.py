@@ -46,13 +46,14 @@ def q_bloom_filter_semijoin(spark, sf):
     Scale shape: the filter state is the SET-BIT relation — at most
     min(k·|dim|, m) = 16384 rows regardless of dimension size — built
     with one map-side-combined distinct and broadcast to ALL probe
-    joins; the fact side is probed with three chained broadcast
-    LEFT SEMI joins (one per hash), i.e. a pure map stage over the
-    fact scan, no fact shuffle at all. This is exactly the runtime
+    joins; the fact side is read ONCE: three broadcast left joins
+    (one per hash) plus the broadcast key join attach presence flags
+    in a pure map stage (no fact shuffle), and one fused aggregate
+    emits total/pass/exact together. This is exactly the runtime
     bloom filter Spark injects under
     spark.sql.optimizer.runtime.bloomFilter.enabled, expressed as an
-    explicit, engine-checkable plan. The exact branch (for the audit)
-    is one broadcast semi-join on the real key.
+    explicit, engine-checkable plan — with the audit riding the same
+    single scan.
 
     Determinism: bit positions are 60-bit md5 hashes mod m — exact
     integer arithmetic, identical in both engines.
@@ -69,30 +70,27 @@ def q_bloom_filter_semijoin(spark, sf):
         .distinct()
     )
     probed = orders.select(
-        "o_orderkey",
         "o_custkey",
         *[_bloom_pos(F.col("o_custkey"), j).alias(f"p{j}") for j in range(BLOOM_K)],
     )
-    passed = probed
     for j in range(BLOOM_K):
-        passed = passed.join(
-            F.broadcast(bits.withColumnRenamed("pos", f"p{j}")), f"p{j}", "left_semi"
-        )
-    n_pass = passed.agg(F.count("*").alias("n_bloom_pass"))
-    n_exact = (
-        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi")
-        .agg(F.count("*").alias("n_exact"))
+        marker = bits.select(F.col("pos").alias(f"p{j}"), F.lit(1).alias(f"hit{j}"))
+        probed = probed.join(F.broadcast(marker), f"p{j}", "left")
+    probed = probed.join(
+        F.broadcast(dim.select("c_custkey", F.lit(1).alias("ex"))),
+        probed.o_custkey == F.col("c_custkey"),
+        "left",
     )
-    n_all = orders.agg(F.count("*").alias("n_orders"))
-    return (
-        n_all.crossJoin(F.broadcast(n_pass))
-        .crossJoin(F.broadcast(n_exact))
-        .select(
-            "n_orders",
-            "n_bloom_pass",
-            "n_exact",
-            (F.col("n_bloom_pass") - F.col("n_exact")).alias("n_false_pos"),
-        )
+    bloom_pass = F.lit(True)
+    for j in range(BLOOM_K):
+        bloom_pass = bloom_pass & F.col(f"hit{j}").isNotNull()
+    return probed.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(bloom_pass.cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("ex").isNotNull().cast("long")).alias("n_exact"),
+        (
+            F.sum(bloom_pass.cast("long")) - F.sum(F.col("ex").isNotNull().cast("long"))
+        ).alias("n_false_pos"),
     )
 
 
