@@ -44,7 +44,7 @@ HLL_ALPHA_NUM = repr(0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(2**_
 HLL_SMALL_CUT = repr(2.5 * HLL_M)
 
 
-def _hll_estimate(spark, vals, metric: str):
+def _hll_estimate(vals, metric: str):
     """One HLL sketch over a 1-column ('v') relation plus the exact
     distinct count for comparison. Returns a 1-row DataFrame."""
     hashed = vals.select(_hash60(F.col("v")).alias("h")).select(
@@ -110,8 +110,8 @@ def q_hll_distinct(spark, sf):
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("v")
     ).where(F.length("v") > 0)
     fps = df.select(F.md5(F.encode(normalized_text(F.col("text")), "utf-8")).alias("v"))
-    return _hll_estimate(spark, toks, "tokens").unionAll(
-        _hll_estimate(spark, fps, "fingerprints")
+    return _hll_estimate(toks, "tokens").unionAll(
+        _hll_estimate(fps, "fingerprints")
     ).orderBy("metric")
 
 
