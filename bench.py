@@ -77,6 +77,11 @@ HEADLINE = [
     "minhash_containment",
     "events_json_extract",
     "events_anomaly",
+    "drift_psi",
+    "fk_integrity",
+    "benford_check",
+    "reconciliation_check",
+    "ngram_contamination",
     "bm25_topk",
     "kmeans_embeddings",
     "trigram_lm_score",
@@ -88,6 +93,7 @@ HEADLINE = [
     "cdc_upsert",
     "scd2_intervals",
     "pagerank_bipartite",
+    "triangle_count",
     "hll_distinct",
     "gopher_quality",
     "tfidf_topk",

@@ -130,7 +130,15 @@ def sql_dsum(expr: str, alias: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0 — new this round: mining_ops + accel_ops (r5 session 3) ...
+    # tier 0 — new this round: quality_ops + triangle_count (r5
+    # session 4: never graded, must be first) ...
+    "drift_psi",
+    "fk_integrity",
+    "benford_check",
+    "reconciliation_check",
+    "ngram_contamination",
+    "triangle_count",
+    # ... mining_ops + accel_ops (r5 session 3) ...
     "hll_distinct",
     "gopher_quality",
     "tfidf_topk",
@@ -174,12 +182,6 @@ GRADE_PRIORITY = [
     "dedup_embedding_cosine",
     "minhash_containment",
     # tier 1 — last driver row is r3 (stale); refresh this round
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q22_prospective_customers",
-    "events_asof_join",
-    "events_range_join",
     "events_funnel",
     "text_quality",
     "token_frequencies",
@@ -190,9 +192,16 @@ GRADE_PRIORITY = [
     "dedup_ngram_jaccard",
     # --- driver budget cut (50) falls here ---
     # tier 1b — r3-stale but UNCHANGED since r3 and crowded out by the
-    # 9 never-graded mining/accel entries (never graded >
-    # stale-but-proven): r3-green + ORACLE_LOCAL_r5 green is their
+    # never-graded entries (never graded > stale-but-proven; the six
+    # session-4 quality/graph ops displaced q15/q17/q18/q22 and the
+    # asof/range joins): r3-green + ORACLE_LOCAL_r5 green is their
     # evidence this round
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q22_prospective_customers",
+    "events_asof_join",
+    "events_range_join",
     "token_count",
     "doc_split_sample",
     "dedup_exact",
@@ -265,6 +274,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         mining_ops,
         multimodal,
         pipeline_ops,
+        quality_ops,
         similarity,
         streaming_queries,
         textops,
@@ -289,6 +299,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         accel_ops,
         warehouse_ops,
         graph_ops,
+        quality_ops,
         streaming_queries,
     ):
         queries.update(mod.QUERIES)

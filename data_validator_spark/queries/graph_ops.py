@@ -134,5 +134,113 @@ ORDER BY pr DESC, orig_id LIMIT 20
 """
 
 
-QUERIES = {"pagerank_bipartite": q_pagerank_bipartite}
-ORACLES = {"pagerank_bipartite": _sql_pagerank()}
+# -- triangle_count --------------------------------------------------------
+def q_triangle_count(spark, sf):
+    """Triangle census of the near-duplicate candidate graph (the LSH
+    pair relation shared with the dedup family): node/edge counts,
+    wedge count Σ C(deg,2), triangle count, and global transitivity
+    3·T/W — the cluster-cohesion diagnostic that separates tight dup
+    clusters (cliques → transitivity ≈ 1) from chains of borderline
+    matches (transitivity ≈ 0), i.e. how trustworthy transitive
+    dedup (`dedup_clusters`) is on this corpus.
+
+    Scale shape: the compact-forward pattern on id-ordered edges
+    (doc_a < doc_b, the orientation `_lsh_pairs_df` already emits):
+    wedges anchored at the minimum vertex join back against the edge
+    relation, so each triangle is found exactly once and the join
+    never expands beyond (edges × avg-degree). The edge relation is
+    O(near-duplicates) — orders of magnitude below the corpus — and
+    persisted once per session; degrees come from one
+    map-side-combined groupBy. At 100 TB the same plan holds because
+    every relation here is candidate-scale, not corpus-scale.
+
+    Determinism: all counts are integers; transitivity is one exact
+    int/int division rounded through decimal(30,6).
+    """
+    from data_validator_spark.queries import DEC
+    from data_validator_spark.queries.dedup import _lsh_pairs_df
+
+    pairs = _lsh_pairs_df(spark, sf)
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    edge_stats = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "a")
+        .where(F.col("b") < F.col("c"))
+        .join(e3, ["b", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        node_stats.crossJoin(edge_stats)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.col("n_triangles") * 3).cast("double")
+                / F.col("n_wedges").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .cast(DEC)
+            .cast("double")
+            .alias("transitivity"),
+        )
+    )
+
+
+def _sql_triangles() -> str:
+    from data_validator_spark.queries.dedup import MAX_BUCKET, _sql_minhash_ctes
+
+    return f"""
+WITH {_sql_minhash_ctes()},
+bsize AS (SELECT band, sig, count(*) AS c FROM bands GROUP BY 1, 2),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN bsize ON a.band = bsize.band AND a.sig = bsize.sig
+            AND bsize.c <= {MAX_BUCKET}),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY node),
+node_stats AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg),
+edge_stats AS (SELECT COUNT(*) AS n_edges FROM pairs),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CAST(CAST(CASE WHEN n_wedges > 0
+                 THEN CAST(n_triangles * 3 AS DOUBLE) / n_wedges
+                 ELSE 0.0 END AS DECIMAL(30,6)) AS DOUBLE) AS transitivity
+FROM node_stats CROSS JOIN edge_stats CROSS JOIN tri
+"""
+
+
+QUERIES = {
+    "pagerank_bipartite": q_pagerank_bipartite,
+    "triangle_count": q_triangle_count,
+}
+ORACLES = {
+    "pagerank_bipartite": _sql_pagerank(),
+    "triangle_count": _sql_triangles(),
+}

@@ -1,0 +1,146 @@
+"""Semantic tests for quality_ops + triangle_count: PSI accounting
+identities, FK audit invariants, Benford share accounting,
+reconciliation bookkeeping vs a pandas recompute, n-gram contamination
+vs a brute-force Python recompute, and the triangle census vs a
+brute-force count over the collected pair graph."""
+
+from __future__ import annotations
+
+import itertools
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_drift_psi_accounting(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.quality_ops import PSI_BUCKETS, q_drift_psi
+
+    rows = q_drift_psi(spark, SF).collect()
+    assert len(rows) == PSI_BUCKETS
+    assert [r["bucket"] for r in rows] == list(range(PSI_BUCKETS))
+    n_li = load(spark, SF, "lineitem").count()
+    assert sum(r["ref_cnt"] + r["cur_cnt"] for r in rows) == n_li
+    # smoothed shares each sum to 1 (up to the 1e-6 decimal rounding)
+    assert abs(sum(r["ref_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["cur_share"] for r in rows) - 1.0) < 1e-4
+    # every PSI term is non-negative: (p-q) and ln(p/q) share sign
+    assert all(r["psi_term"] >= -1e-6 for r in rows)
+
+
+def test_fk_integrity_invariants(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.quality_ops import FK_RELATIONS, q_fk_integrity
+
+    rows = {r["relation"]: r for r in q_fk_integrity(spark, SF).collect()}
+    assert set(rows) == {label for label, *_ in FK_RELATIONS}
+    counts = {
+        t: load(spark, SF, t).count()
+        for t in {c for _, c, _, p, _ in FK_RELATIONS for c in (c, p)}
+    }
+    for label, child, _ckey, parent, _pkey in FK_RELATIONS:
+        r = rows[label]
+        # the synthetic generator emits no orphans anywhere
+        assert r["n_orphan_rows"] == 0, label
+        assert r["n_child_rows"] == counts[child], label
+        assert r["n_child_keys"] <= r["n_child_rows"], label
+        assert r["n_matched_keys"] <= r["n_parent_keys"], label
+        assert r["n_parent_keys"] == counts[parent], label
+        expect_cov = round(100.0 * r["n_matched_keys"] / r["n_parent_keys"], 4)
+        assert abs(r["coverage_pct"] - expect_cov) < 1e-3, label
+    # every nation referenced by customers (dense dim)
+    assert rows["customer_nation"]["coverage_pct"] == 100.0
+
+
+def test_benford_shares_account(spark):
+    from data_validator_spark.queries.quality_ops import (
+        BENFORD_EXPECTED,
+        q_benford_check,
+    )
+
+    rows = q_benford_check(spark, SF).collect()
+    assert 1 <= len(rows) <= 9
+    assert all(1 <= r["d"] <= 9 for r in rows)
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["exp_share"] == BENFORD_EXPECTED[r["d"]]
+        assert abs(r["abs_dev"] - round(abs(r["obs_share"] - r["exp_share"]), 6)) < 2e-6
+
+
+def test_reconciliation_matches_pandas(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.quality_ops import q_reconciliation_check
+
+    row = q_reconciliation_check(spark, SF).collect()[0]
+    li = load(spark, SF, "lineitem").toPandas()
+    orders = load(spark, SF, "orders").toPandas()
+    li["line"] = li.l_extendedprice * (1 - li.l_discount) * (1 + li.l_tax)
+    per_order = li.groupby("l_orderkey")["line"].sum()
+    merged = orders.set_index("o_orderkey").join(per_order, how="left")
+    with_lines = merged["line"].notna()
+    diffs = (merged.o_totalprice - merged["line"]).abs()
+    assert row["n_orders"] == len(orders)
+    assert row["n_with_lines"] == int(with_lines.sum())
+    assert row["n_matched"] + row["n_mismatched"] == row["n_with_lines"]
+    assert abs(row["max_abs_diff"] - diffs[with_lines].max()) < 1e-3
+    # mismatch count agrees with the pandas recompute away from the
+    # tolerance boundary (exact decimal vs float64 rounding)
+    assert abs(row["n_mismatched"] - int((diffs[with_lines] > 0.01).sum())) <= 1
+
+
+def test_ngram_contamination_bruteforce(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.quality_ops import CONTAM_N, q_ngram_contamination
+    from data_validator_spark.queries.textops import TRAIN_CUT, VAL_CUT, SPLIT_SALT
+    import hashlib
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{SPLIT_SALT}:{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % 100
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    train_grams: set[str] = set()
+    test_docs: dict[int, set[str]] = {}
+    for r in docs:
+        toks = r["text"].strip().split()
+        grams = {
+            " ".join(toks[i : i + CONTAM_N])
+            for i in range(len(toks) - CONTAM_N + 1)
+        }
+        b = bucket(r["doc_id"])
+        if b < TRAIN_CUT:
+            train_grams |= grams
+        elif b >= VAL_CUT:
+            test_docs[r["doc_id"]] = grams
+
+    rows = {r["doc_id"]: r for r in q_ngram_contamination(spark, SF).collect()}
+    assert set(rows) == {d for d, g in test_docs.items() if g}
+    for d, grams in test_docs.items():
+        if not grams:
+            continue
+        assert rows[d]["n_grams"] == len(grams)
+        assert rows[d]["n_contaminated"] == len(grams & train_grams)
+
+
+def test_triangle_count_bruteforce(spark):
+    from data_validator_spark.queries.dedup import _lsh_pairs_df
+    from data_validator_spark.queries.graph_ops import q_triangle_count
+
+    row = q_triangle_count(spark, SF).collect()[0]
+    pairs = {(r["doc_a"], r["doc_b"]) for r in _lsh_pairs_df(spark, SF).collect()}
+    nodes = {n for e in pairs for n in e}
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        1
+        for x, y, z in itertools.combinations(sorted(nodes), 3)
+        if (x, y) in pairs and (x, z) in pairs and (y, z) in pairs
+    )
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(pairs)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tris
+    expect_t = round(3.0 * tris / wedges, 6) if wedges else 0.0
+    assert abs(row["transitivity"] - expect_t) < 2e-6

@@ -14,6 +14,8 @@ DRIVER_GRADE_BUDGET = 50
 # changed (CC rewrite, ANN derived params, streaming sessionization
 # oracle) — all MUST be inside the grading budget.
 NEW_OR_CHANGED = {
+    "drift_psi", "fk_integrity", "benford_check", "reconciliation_check",
+    "ngram_contamination", "triangle_count",
     "hll_distinct", "gopher_quality", "tfidf_topk", "pmi_collocations",
     "inverted_index", "events_gap_fill",
     "bloom_filter_semijoin", "pareto_skyline", "events_rolling",
@@ -33,18 +35,19 @@ NEW_OR_CHANGED = {
 # Entries whose last driver-green row is CORRECTNESS_r03 (rotated out
 # of the r4 budget) — refreshed this round.
 R3_STALE = {
-    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_volume",
-    "q22_prospective_customers", "events_asof_join",
-    "events_range_join", "events_funnel",
+    "events_funnel",
     "text_quality", "token_frequencies",
     "corpus_train_filter", "dedup_minhash_lsh", "dedup_ngram_jaccard",
 }
 
 # r3-stale but UNCHANGED since r3, crowded out of the 50-entry budget
-# by the nine mining/accel entries (never-graded beats
-# stale-but-proven). Their evidence this round is the r3 driver green
+# by never-graded entries (never-graded beats stale-but-proven; the
+# six session-4 quality/graph ops displaced q15/q17/q18/q22 and the
+# asof/range joins). Their evidence this round is the r3 driver green
 # + ORACLE_LOCAL_r5.
 R3_DEFERRED = {
+    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_volume",
+    "q22_prospective_customers", "events_asof_join", "events_range_join",
     "token_count", "doc_split_sample", "dedup_exact", "dedup_simhash",
     "salted_aggregation", "lang_id", "doc_fingerprint",
     "events_windowed", "events_pivot", "events_retention",
