@@ -82,6 +82,9 @@ HEADLINE = [
     "benford_check",
     "reconciliation_check",
     "ngram_contamination",
+    "drift_ks",
+    "quality_ensemble",
+    "ccnet_buckets",
     "bm25_topk",
     "kmeans_embeddings",
     "trigram_lm_score",

@@ -138,6 +138,9 @@ GRADE_PRIORITY = [
     "reconciliation_check",
     "ngram_contamination",
     "triangle_count",
+    "drift_ks",
+    "quality_ensemble",
+    "ccnet_buckets",
     # ... mining_ops + accel_ops (r5 session 3) ...
     "hll_distinct",
     "gopher_quality",
@@ -182,9 +185,6 @@ GRADE_PRIORITY = [
     "dedup_embedding_cosine",
     "minhash_containment",
     # tier 1 — last driver row is r3 (stale); refresh this round
-    "events_funnel",
-    "text_quality",
-    "token_frequencies",
     "corpus_train_filter",
     # dedup_minhash_lsh / ngram_jaccard share the r5 pairs-cache plan
     # rewrite — they stay inside the budget with the changed tier
@@ -202,6 +202,9 @@ GRADE_PRIORITY = [
     "q22_prospective_customers",
     "events_asof_join",
     "events_range_join",
+    "events_funnel",
+    "text_quality",
+    "token_frequencies",
     "token_count",
     "doc_split_sample",
     "dedup_exact",

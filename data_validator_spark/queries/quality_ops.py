@@ -165,60 +165,81 @@ def q_fk_integrity(spark, sf):
     actually reference — the uniqueCheck's cross-table sibling
     (reference covers only within-table keys, UniqueCheck.scala:1).
 
-    Scale shape: per relation, the child collapses FIRST to distinct
-    keys with per-key row counts (map-side combine), so the
-    verification join moves O(|keys|) rows, never O(|rows|); parent
-    sides project the key column only. Dim parents broadcast; the
-    lineitem→orders edge joins key-to-key after both sides collapse.
-    The final result is a 6-row union of scalar aggregates.
+    Scale shape: every child table is scanned ONCE — tables carrying
+    several FK columns (lineitem carries 3) fan their keys out
+    in-row via an exploded (relation, key) array, so the audit of
+    all 6 edges costs 4 child scans total. The tagged child relation
+    collapses to distinct (relation, key) rows with per-key counts
+    (map-side combine) BEFORE the single verification join against
+    the relation-tagged union of parent key sets — the whole audit
+    is ONE shuffled join moving O(|keys|) rows, never O(|rows|),
+    plus one 6-row final aggregate. Parent row counts ride in on a
+    broadcast of six count-star scans (statistics-only for parquet).
 
     Determinism: pure integer counts; coverage_pct is one exact
     int/int division rounded through decimal(30,6).
     """
-    rows = []
+    by_child: dict[str, list] = {}
     for label, child, ckey, parent, pkey in FK_RELATIONS:
-        c = (
+        by_child.setdefault(child, []).append((label, ckey))
+
+    tagged = None
+    for child, edges in by_child.items():
+        arms = ", ".join(
+            f"struct('{label}' AS rel, CAST({ckey} AS BIGINT) AS k)"
+            for label, ckey in edges
+        )
+        part = (
             spread(load(spark, sf, child))
-            .groupBy(F.col(ckey).alias("k"))
-            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.explode(F.expr(f"array({arms})")).alias("e"))
+            .select("e.rel", "e.k")
         )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    child_keys = tagged.groupBy("rel", "k").agg(F.count(F.lit(1)).alias("n"))
+
+    parents = None
+    pcounts = None
+    for label, _child, _ckey, parent, pkey in FK_RELATIONS:
         p = load(spark, sf, parent).select(
-            F.col(pkey).alias("k"), F.lit(1).alias("present")
+            F.lit(label).alias("rel"),
+            F.col(pkey).cast("bigint").alias("k"),
+            F.lit(1).alias("present"),
         )
-        joined = c.join(p, "k", "left")
-        pstat = load(spark, sf, parent).agg(
-            F.count(F.lit(1)).alias("n_parent_keys")
-        )
-        agg = joined.agg(
+        parents = p if parents is None else parents.unionByName(p)
+        pc = load(spark, sf, parent).agg(F.count(F.lit(1)).alias("n_parent_keys"))
+        pc = pc.select(F.lit(label).alias("rel"), "n_parent_keys")
+        pcounts = pc if pcounts is None else pcounts.unionByName(pc)
+
+    joined = child_keys.join(parents, ["rel", "k"], "left")
+    return (
+        joined.groupBy("rel")
+        .agg(
             F.sum("n").alias("n_child_rows"),
             F.count(F.lit(1)).alias("n_child_keys"),
             F.sum(F.when(F.col("present").isNull(), F.col("n")).otherwise(0)).alias(
                 "n_orphan_rows"
             ),
             F.sum(F.col("present").isNotNull().cast("long")).alias("n_matched_keys"),
-        ).crossJoin(F.broadcast(pstat))
-        rows.append(
-            agg.select(
-                F.lit(label).alias("relation"),
-                "n_child_rows",
-                "n_child_keys",
-                "n_orphan_rows",
-                "n_matched_keys",
-                "n_parent_keys",
-                (
-                    F.col("n_matched_keys").cast("double")
-                    * 100.0
-                    / F.col("n_parent_keys").cast("double")
-                )
-                .cast(DEC)
-                .cast("double")
-                .alias("coverage_pct"),
-            )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("relation")
+        .join(F.broadcast(pcounts), "rel")
+        .select(
+            F.col("rel").alias("relation"),
+            "n_child_rows",
+            "n_child_keys",
+            "n_orphan_rows",
+            "n_matched_keys",
+            "n_parent_keys",
+            (
+                F.col("n_matched_keys").cast("double")
+                * 100.0
+                / F.col("n_parent_keys").cast("double")
+            )
+            .cast(DEC)
+            .cast("double")
+            .alias("coverage_pct"),
+        )
+        .orderBy("relation")
+    )
 
 
 def _sql_fk_integrity() -> str:
@@ -500,12 +521,286 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+# -- drift_ks --------------------------------------------------------------
+def q_drift_ks(spark, sf):
+    """Two-sample Kolmogorov–Smirnov drift statistic between the same
+    two lineitem snapshots as `drift_psi` (shipped before vs after
+    the pivot): D = max |ECDF_ref − ECDF_cur| over l_extendedprice —
+    the non-parametric drift test that needs no bucket choice, so it
+    catches shape changes PSI's 10 buckets can smooth over.
+
+    Scale shape: the stream collapses FIRST to distinct integer cents
+    with per-population counts (map-side combine) — the ordered ECDF
+    pass then runs over the DISTINCT-VALUE relation, which is bounded
+    by the price domain (cents within a fixed business range), not by
+    corpus size, so the single-partition cumulative window is
+    constant-bounded at any SF (the pareto_skyline justification).
+
+    Determinism: cumulative counts are exact integers; each ECDF
+    difference is two exact int/int divisions and one subtraction,
+    bit-identical in both engines; the max of identical doubles picks
+    the identical value, rounded through decimal(30,6) on emit.
+    """
+    from pyspark.sql import Window
+
+    li = spread(load(spark, sf, "lineitem"))
+    cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    is_ref = F.col("l_shipdate") < F.lit(PSI_PIVOT)
+    dist = (
+        li.select(cents.alias("cents"), is_ref.alias("is_ref"))
+        .groupBy("cents")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+        )
+    )
+    totals = dist.agg(
+        F.sum("n_ref").alias("rt"),
+        F.sum("n_cur").alias("ct"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = dist.select(
+        "cents",
+        F.sum("n_ref").over(w).alias("cum_ref"),
+        F.sum("n_cur").over(w).alias("cum_cur"),
+    ).crossJoin(F.broadcast(totals))
+    d = F.abs(
+        F.col("cum_ref").cast("double") / F.col("rt").cast("double")
+        - F.col("cum_cur").cast("double") / F.col("ct").cast("double")
+    )
+    return ecdf.agg(
+        F.max("rt").alias("n_ref_total"),
+        F.max("ct").alias("n_cur_total"),
+        F.max("n_values").alias("n_distinct_values"),
+        F.max(d).cast(DEC).cast("double").alias("ks_d"),
+    )
+
+
+SQL_DRIFT_KS = f"""
+WITH dist AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{PSI_PIVOT} 00:00:00'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{PSI_PIVOT} 00:00:00'
+                  THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM lineitem GROUP BY 1),
+totals AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS rt, CAST(SUM(n_cur) AS BIGINT) AS ct,
+         COUNT(*) AS n_values
+  FROM dist),
+ecdf AS (
+  SELECT CAST(SUM(n_ref) OVER w AS BIGINT) AS cum_ref,
+         CAST(SUM(n_cur) OVER w AS BIGINT) AS cum_cur,
+         rt, ct, n_values
+  FROM dist, totals
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT MAX(rt) AS n_ref_total, MAX(ct) AS n_cur_total,
+       MAX(n_values) AS n_distinct_values,
+       CAST(CAST(MAX(abs(CAST(cum_ref AS DOUBLE) / rt
+                         - CAST(cum_cur AS DOUBLE) / ct))
+            AS DECIMAL(30,6)) AS DOUBLE) AS ks_d
+FROM ecdf
+"""
+
+
+# -- quality_ensemble ------------------------------------------------------
+# Weight of each signal in the fused score; the LM gate threshold is
+# compared on the decimal(30,6)-rounded score so the keep decision is
+# engine-exact even at the boundary.
+ENSEMBLE_LM_MIN = "-5.4"
+ENSEMBLE_ENT_NORM = 4.0  # entropy ceiling used to normalize into [0,1]
+
+
+def q_quality_ensemble(spark, sf):
+    """Fused multi-signal quality filter (the FineWeb/RefinedWeb
+    pattern): Gopher repetition rules + character entropy + trigram-LM
+    score combined into one linear quality score and one keep
+    decision — the single declarative plan a corpus pipeline actually
+    ships, composed from the SAME operator implementations the
+    individual oracle rows grade (`gopher_quality`, `char_entropy`,
+    `trigram_lm_score`), so the ensemble can never disagree with its
+    components.
+
+    Scale shape: three per-doc signal relations, each already
+    map-side combined before its shuffle; the composition is two
+    doc-keyed joins that AQE plans after the per-doc collapses —
+    Catalyst fuses everything into ONE job, no per-signal
+    materialization.
+
+    Determinism: every input component is already DEC-rounded by its
+    source operator (identical in both engines); the score is a
+    fixed-order linear combination of those exact doubles; the LM
+    gate compares the decimal-rounded score against a decimal
+    literal.
+    """
+    from data_validator_spark.queries.corpus_ops import q_trigram_lm_score
+    from data_validator_spark.queries.mining_ops import (
+        q_char_entropy,
+        q_gopher_quality,
+    )
+
+    g = q_gopher_quality(spark, sf).select(
+        "doc_id",
+        "distinct_ratio",
+        "top_token_frac",
+        "dup_bigram_frac",
+        F.col("keep").alias("gopher_keep"),
+    )
+    e = q_char_entropy(spark, sf).select(
+        "doc_id", "entropy", F.col("keep").alias("ent_keep")
+    )
+    t = q_trigram_lm_score(spark, sf).select("doc_id", "avg_logp")
+    lm_keep = (F.col("avg_logp").cast(DEC) >= F.expr(
+        f"CAST({ENSEMBLE_LM_MIN} AS {DEC})"
+    )).cast("int")
+    score = (
+        0.25 * F.col("distinct_ratio")
+        + 0.25 * (1.0 - F.col("top_token_frac"))
+        + 0.25 * (1.0 - F.col("dup_bigram_frac"))
+        + 0.25 * F.least(F.lit(1.0), F.col("entropy") / ENSEMBLE_ENT_NORM)
+    )
+    return (
+        g.join(e, "doc_id")
+        .join(t, "doc_id")
+        .select(
+            "doc_id",
+            # the exact score is a 10-decimal rational (quarter-weighted
+            # 6-decimal components plus entropy/16), so decimal(30,10)
+            # lands ON the grid in both engines; a coarser cast sits
+            # exactly on .5 boundaries and rounds engine-dependently
+            score.cast("decimal(30,10)").cast("double").alias("score"),
+            "gopher_keep",
+            "ent_keep",
+            lm_keep.alias("lm_keep"),
+            (
+                (F.col("gopher_keep") == 1)
+                & (F.col("ent_keep") == 1)
+                & (lm_keep == 1)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_quality_ensemble() -> str:
+    from data_validator_spark.queries.corpus_ops import SQL_TRIGRAM_LM
+    from data_validator_spark.queries.mining_ops import SQL_CHAR_ENTROPY, SQL_GOPHER
+
+    return f"""
+SELECT g.doc_id,
+       CAST(CAST(0.25 * g.distinct_ratio
+                 + 0.25 * (1.0 - g.top_token_frac)
+                 + 0.25 * (1.0 - g.dup_bigram_frac)
+                 + 0.25 * LEAST(1.0, e.entropy / {ENSEMBLE_ENT_NORM})
+            AS DECIMAL(30,10)) AS DOUBLE) AS score,
+       g.keep AS gopher_keep,
+       e.keep AS ent_keep,
+       CAST(CAST(t.avg_logp AS DECIMAL(30,6))
+            >= CAST({ENSEMBLE_LM_MIN} AS DECIMAL(30,6)) AS INTEGER) AS lm_keep,
+       CAST(g.keep = 1 AND e.keep = 1
+            AND CAST(t.avg_logp AS DECIMAL(30,6))
+                >= CAST({ENSEMBLE_LM_MIN} AS DECIMAL(30,6)) AS INTEGER) AS keep
+FROM ({SQL_GOPHER}) g
+JOIN ({SQL_CHAR_ENTROPY}) e ON g.doc_id = e.doc_id
+JOIN ({SQL_TRIGRAM_LM}) t ON g.doc_id = t.doc_id
+ORDER BY g.doc_id
+"""
+
+
+# -- ccnet_buckets ---------------------------------------------------------
+CCNET_TILES = 3  # head / middle / tail
+
+
+def q_ccnet_buckets(spark, sf):
+    """CCNet-style perplexity segmentation: rank every document by its
+    trigram-LM score and deal the corpus into equal head/middle/tail
+    tertiles (head = most-fluent third) — the standard
+    quality-stratified sampling input (train mostly on head, sample
+    middle, audit tail). Reuses `trigram_lm_score` verbatim so the
+    segmentation can never disagree with the graded score.
+
+    Scale shape: the rank runs over the PER-DOC score relation (one
+    row per doc, after the LM scorer's map-side collapses). ntile is
+    rank-exact here for oracle parity; at 100 TB the boundary search
+    swaps to the histogram method `quantile_shard` already
+    demonstrates (integer-exact, window-free) — the output contract
+    is identical.
+
+    Determinism: ordering key is (avg_logp DESC, doc_id) — avg_logp
+    is the same exact double in both engines (decimal sum / int
+    count), doc_id breaks ties; per-tile stats are exact decimal sums
+    with one final division.
+    """
+    from pyspark.sql import Window
+
+    from data_validator_spark.queries.corpus_ops import q_trigram_lm_score
+
+    scores = q_trigram_lm_score(spark, sf)
+    w = Window.orderBy(F.desc("avg_logp"), "doc_id")
+    tiled = scores.select(
+        "doc_id",
+        "n_trigrams",
+        "avg_logp",
+        F.ntile(CCNET_TILES).over(w).alias("tile"),
+    )
+    label = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.groupBy(label.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_trigrams").alias("total_trigrams"),
+            F.min("avg_logp").cast(DEC).cast("double").alias("min_logp"),
+            F.max("avg_logp").cast(DEC).cast("double").alias("max_logp"),
+            (
+                F.sum(F.col("avg_logp").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast(DEC)
+            .cast("double")
+            .alias("mean_logp"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_ccnet() -> str:
+    from data_validator_spark.queries.corpus_ops import SQL_TRIGRAM_LM
+
+    return f"""
+WITH scores AS ({SQL_TRIGRAM_LM}),
+tiled AS (
+  SELECT doc_id, n_trigrams, avg_logp,
+         ntile({CCNET_TILES}) OVER (ORDER BY avg_logp DESC, doc_id) AS tile
+  FROM scores)
+SELECT CASE WHEN tile = 1 THEN 'head'
+            WHEN tile = 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_trigrams) AS BIGINT) AS total_trigrams,
+       CAST(CAST(MIN(avg_logp) AS DECIMAL(30,6)) AS DOUBLE) AS min_logp,
+       CAST(CAST(MAX(avg_logp) AS DECIMAL(30,6)) AS DOUBLE) AS max_logp,
+       CAST(CAST(CAST(SUM(CAST(avg_logp AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*) AS DECIMAL(30,6)) AS DOUBLE) AS mean_logp
+FROM tiled GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "drift_psi": q_drift_psi,
     "fk_integrity": q_fk_integrity,
     "benford_check": q_benford_check,
     "reconciliation_check": q_reconciliation_check,
     "ngram_contamination": q_ngram_contamination,
+    "drift_ks": q_drift_ks,
+    "quality_ensemble": q_quality_ensemble,
+    "ccnet_buckets": q_ccnet_buckets,
 }
 
 ORACLES = {
@@ -514,4 +809,7 @@ ORACLES = {
     "benford_check": _sql_benford(),
     "reconciliation_check": SQL_RECONCILIATION,
     "ngram_contamination": SQL_NGRAM_CONTAMINATION,
+    "drift_ks": SQL_DRIFT_KS,
+    "quality_ensemble": _sql_quality_ensemble(),
+    "ccnet_buckets": _sql_ccnet(),
 }

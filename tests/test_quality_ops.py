@@ -121,6 +121,80 @@ def test_ngram_contamination_bruteforce(spark):
         assert rows[d]["n_contaminated"] == len(grams & train_grams)
 
 
+def test_drift_ks_bruteforce(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.quality_ops import PSI_PIVOT, q_drift_ks
+    import pandas as pd
+
+    row = q_drift_ks(spark, SF).collect()[0]
+    li = load(spark, SF, "lineitem").select("l_extendedprice", "l_shipdate").toPandas()
+    cents = (li.l_extendedprice * 100 + 0.5).apply(lambda x: int(x))
+    is_ref = li.l_shipdate < pd.Timestamp(PSI_PIVOT)
+    ref = sorted(cents[is_ref])
+    cur = sorted(cents[~is_ref])
+    values = sorted(set(cents))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(ref, v) / len(ref)
+            - bisect.bisect_right(cur, v) / len(cur)
+        )
+        for v in values
+    )
+    assert row["n_ref_total"] == len(ref)
+    assert row["n_cur_total"] == len(cur)
+    assert row["n_distinct_values"] == len(values)
+    assert abs(row["ks_d"] - d) < 2e-6
+    assert 0.0 <= row["ks_d"] <= 1.0
+
+
+def test_quality_ensemble_component_agreement(spark):
+    """The ensemble's flags must equal its source operators' flags and
+    the fused keep must be their conjunction."""
+    from data_validator_spark.queries.mining_ops import (
+        q_char_entropy,
+        q_gopher_quality,
+    )
+    from data_validator_spark.queries.quality_ops import q_quality_ensemble
+
+    ens = {r["doc_id"]: r for r in q_quality_ensemble(spark, SF).collect()}
+    gop = {r["doc_id"]: r["keep"] for r in q_gopher_quality(spark, SF).collect()}
+    ent = {r["doc_id"]: r["keep"] for r in q_char_entropy(spark, SF).collect()}
+    assert set(ens) == set(gop) == set(ent)
+    for d, r in ens.items():
+        assert r["gopher_keep"] == gop[d]
+        assert r["ent_keep"] == ent[d]
+        assert r["keep"] == int(
+            r["gopher_keep"] == 1 and r["ent_keep"] == 1 and r["lm_keep"] == 1
+        )
+        assert 0.0 <= r["score"] <= 1.0
+    # at least one gate must actually discriminate on this corpus
+    # (the fused keep can legitimately be all-0 at tiny SF)
+    discriminating = [
+        flag
+        for flag in ("gopher_keep", "ent_keep", "lm_keep")
+        if {r[flag] for r in ens.values()} == {0, 1}
+    ]
+    assert discriminating, "no ensemble gate separates any documents"
+
+
+def test_ccnet_buckets_tertiles(spark):
+    from data_validator_spark.queries.corpus_ops import q_trigram_lm_score
+    from data_validator_spark.queries.quality_ops import q_ccnet_buckets
+
+    rows = {r["bucket"]: r for r in q_ccnet_buckets(spark, SF).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    n_docs = q_trigram_lm_score(spark, SF).count()
+    sizes = [rows[b]["n_docs"] for b in ("head", "middle", "tail")]
+    assert sum(sizes) == n_docs
+    assert max(sizes) - min(sizes) <= 1  # ntile equal-split contract
+    # head is the most fluent tertile: its worst score is no worse
+    # than the best score of middle, and middle's than tail's
+    assert rows["head"]["min_logp"] >= rows["middle"]["max_logp"] - 1e-9
+    assert rows["middle"]["min_logp"] >= rows["tail"]["max_logp"] - 1e-9
+
+
 def test_triangle_count_bruteforce(spark):
     from data_validator_spark.queries.dedup import _lsh_pairs_df
     from data_validator_spark.queries.graph_ops import q_triangle_count
