@@ -85,6 +85,9 @@ HEADLINE = [
     "drift_ks",
     "quality_ensemble",
     "ccnet_buckets",
+    "doc_chunk",
+    "dsir_importance",
+    "ann_recall_eval",
     "bm25_topk",
     "kmeans_embeddings",
     "trigram_lm_score",

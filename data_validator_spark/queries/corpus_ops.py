@@ -630,7 +630,116 @@ ORDER BY est_count DESC, token LIMIT {CMS_TOPK}
 """
 
 
+# -- dsir_importance --------------------------------------------------------
+DSIR_BUCKETS = 4096  # hashed n-gram feature space (DSIR's 10^4 analog)
+
+
+def q_dsir_importance(spark, sf):
+    """DSIR-style importance weights: score every document by how much
+    its hashed unigram+bigram features look like the TARGET
+    distribution (here: documents passing the Gopher repetition
+    rules) vs the RAW corpus — avg_g [ln p_target(b(g)) − ln
+    p_raw(b(g))] with add-1 smoothing over 4096 hash buckets. The
+    data-selection-with-importance-resampling primitive (Xie et al.):
+    rank by weight, resample the corpus toward the target domain.
+
+    Scale shape: grams are built in-row and hashed to a FIXED
+    4096-bucket space, so the feature-count relation is
+    constant-bounded at any corpus size — ONE map-side-combined
+    groupBy(bucket) (with conditional target sums riding the same
+    aggregate) and the whole model broadcasts back to the scoring
+    join; scoring collapses per doc with map-side combine. Target
+    membership reuses the graded `gopher_quality` implementation.
+
+    Determinism: each log-ratio term is ln() of exact (int+1)/(int+B)
+    ratios, accumulated through decimal(30,6); the final per-doc mean
+    is one division by the integer gram count.
+    """
+    from data_validator_spark.queries.mining_ops import q_gopher_quality
+    from data_validator_spark.queries.pipeline_ops import _hash60
+
+    df = spread(load(spark, sf, "documents"))
+    toks = df.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat(toks, CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+                "ELSE array() END)"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.pmod(_hash60(F.col("g")), F.lit(DSIR_BUCKETS)).alias("b"))
+    target = q_gopher_quality(spark, sf).select("doc_id", "keep")
+    tagged = grams.join(target, "doc_id")
+    model = tagged.groupBy("b").agg(
+        F.count(F.lit(1)).alias("ca"),
+        F.sum(F.col("keep").cast("long")).alias("ct"),
+    )
+    totals = model.agg(
+        F.sum("ca").alias("A"), F.sum("ct").alias("T")
+    )
+    scored = tagged.join(F.broadcast(model), "b").crossJoin(F.broadcast(totals))
+    term = F.log(
+        (F.col("ct") + 1).cast("double") / (F.col("T") + DSIR_BUCKETS).cast("double")
+    ) - F.log(
+        (F.col("ca") + 1).cast("double") / (F.col("A") + DSIR_BUCKETS).cast("double")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (F.sum(term.cast(DEC)).cast("double") / F.count(F.lit(1)))
+            .cast(DEC)
+            .cast("double")
+            .alias("dsir_logw"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dsir() -> str:
+    from data_validator_spark.queries.mining_ops import SQL_GOPHER
+    from data_validator_spark.queries.pipeline_ops import _sql_hash60
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         {_sql_hash60("g")} % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, unnest(list_concat(toks,
+             list_transform(range(1, len(toks)),
+               i -> toks[CAST(i AS INTEGER)] || ' ' ||
+                    toks[CAST(i AS INTEGER) + 1]))) AS g
+    FROM t)),
+target AS (SELECT doc_id, keep FROM ({SQL_GOPHER})),
+tagged AS (SELECT g.doc_id, g.b, t.keep
+           FROM grams g JOIN target t ON g.doc_id = t.doc_id),
+model AS (
+  SELECT b, COUNT(*) AS ca,
+         CAST(SUM(CASE WHEN keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM tagged GROUP BY b),
+totals AS (SELECT CAST(SUM(ca) AS BIGINT) AS A, CAST(SUM(ct) AS BIGINT) AS T
+           FROM model),
+scored AS (
+  SELECT tagged.doc_id,
+         ln(CAST(ct + 1 AS DOUBLE) / (T + {DSIR_BUCKETS}))
+         - ln(CAST(ca + 1 AS DOUBLE) / (A + {DSIR_BUCKETS})) AS term
+  FROM tagged JOIN model ON tagged.b = model.b, totals)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(CAST(CAST(SUM(CAST(term AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+            AS DECIMAL(30,6)) AS DOUBLE) AS dsir_logw
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dsir_importance": q_dsir_importance,
     "bm25_topk": q_bm25_topk,
     "kmeans_embeddings": q_kmeans_embeddings,
     "trigram_lm_score": q_trigram_lm_score,
@@ -642,6 +751,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dsir_importance": _sql_dsir(),
     "bm25_topk": _sql_bm25(),
     "kmeans_embeddings": _sql_kmeans(),
     "trigram_lm_score": SQL_TRIGRAM_LM,

@@ -31,14 +31,9 @@ from data_validator_spark.queries.textops import (
 # 60-bit md5-prefix hash (engine-independent; see dedup.py for why not
 # xxhash64): Spark conv(substr(md5, 1, 15), 16, 10), DuckDB
 # CAST('0x' || substr(md5, 1, 15) AS BIGINT).
-def _hash60(col):
-    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 15), 16, 10).cast(
-        "long"
-    )
-
-
-def _sql_hash60(expr: str) -> str:
-    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+# Re-exported for this module's existing importers; canonical
+# definitions live at the package root (queries/__init__).
+from data_validator_spark.queries import _hash60, _sql_hash60  # noqa: E402,F401
 
 
 # -- pii_scrub -------------------------------------------------------------

@@ -358,7 +358,80 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+# -- ann_recall_eval -------------------------------------------------------
+def q_ann_recall_eval(spark, sf):
+    """Recall@k evaluation of the IVF index against brute-force ground
+    truth — the index-quality audit every ANN deployment runs before
+    trusting approximate results: per query, how many of the true
+    top-k neighbors the single-probe IVF search actually returned.
+    Composes the two graded operators (`similarity_topk` is the
+    oracle-checked ground truth, `similarity_ann_ivf` the candidate
+    system), so the metric can never drift from what is graded.
+
+    Scale shape: both inputs are already top-k relations (k rows per
+    query — constant-bounded); the evaluation join and per-query
+    aggregate run at candidate scale, never corpus scale.
+
+    Determinism: hit counts are integers; recall is one exact
+    int/int division rounded through decimal(30,6).
+    """
+    truth = q_similarity_topk(spark, sf).select(
+        "query_id", "neighbor_id", F.lit(1).alias("t")
+    )
+    retrieved = q_similarity_ann_ivf(spark, sf).select(
+        "query_id", "neighbor_id", F.lit(1).alias("r")
+    )
+    joined = truth.join(retrieved, ["query_id", "neighbor_id"], "full_outer")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.sum(F.col("t").isNotNull().cast("long")).alias("n_truth"),
+            F.sum(F.col("r").isNotNull().cast("long")).alias("n_retrieved"),
+            F.sum((F.col("t").isNotNull() & F.col("r").isNotNull()).cast("long")).alias(
+                "n_hit"
+            ),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_retrieved",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_truth").cast("double"))
+            .cast("decimal(30,6)")
+            .cast("double")
+            .alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM ({SQL_SIMILARITY_TOPK})),
+retrieved AS (
+  SELECT query_id, neighbor_id FROM ({SQL_SIMILARITY_ANN_IVF})),
+j AS (
+  SELECT COALESCE(t.query_id, r.query_id) AS query_id,
+         t.query_id IS NOT NULL AS in_t,
+         r.query_id IS NOT NULL AS in_r
+  FROM truth t FULL OUTER JOIN retrieved r
+    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id),
+agg AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         CAST(SUM(CASE WHEN in_r THEN 1 ELSE 0 END) AS BIGINT) AS n_retrieved,
+         CAST(SUM(CASE WHEN in_t AND in_r THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM j GROUP BY query_id)
+SELECT query_id, n_truth, n_retrieved, n_hit,
+       CAST(CAST(CAST(n_hit AS DOUBLE) / n_truth AS DECIMAL(30,6)) AS DOUBLE)
+         AS recall_at_k
+FROM agg ORDER BY query_id
+"""
+
+
 QUERIES = {
+    "ann_recall_eval": q_ann_recall_eval,
     "similarity_topk": q_similarity_topk,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -366,6 +439,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_recall_eval": _sql_ann_recall(),
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "similarity_ann_lsh": _sql_ann_lsh(),
     "similarity_ann_ivf": SQL_SIMILARITY_ANN_IVF,

@@ -335,7 +335,82 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# -- doc_chunk: RAG-style overlapping token windows -------------------------
+CHUNK_W = 64  # window width (tokens)
+CHUNK_S = 48  # stride (tokens) → 16-token overlap between neighbors
+
+
+def q_doc_chunk(spark, sf):
+    """RAG chunking: split every document into overlapping 64-token
+    windows with a 48-token stride (the retrieval-index ingestion
+    primitive). Emits one row per chunk with its token offset, length,
+    and 60-bit content hash — the relation a vector indexer consumes.
+
+    Scale shape: a pure map-stage fan-out — chunk boundaries are
+    computed in-row from the materialized token array
+    (sequence + slice, the multimodal_frame_sample pattern for text),
+    so no shuffle exists at all until the output sort. Chunk count per
+    doc is ceil((n-W)/S)+1 — integer arithmetic in both engines.
+
+    Determinism: chunk identity is the 60-bit md5 prefix of the
+    space-joined token slice; offsets and lengths are integers.
+    """
+    from data_validator_spark.queries import _hash60
+
+    df = spread(load(spark, sf, "documents"))
+    toks = df.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    ).where(F.size("toks") > 0)
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, "
+                f"CASE WHEN size(toks) <= {CHUNK_W} THEN 0 "
+                f"ELSE ((size(toks) - {CHUNK_W} + {CHUNK_S} - 1) div {CHUNK_S}) END), "
+                f"i -> slice(toks, i * {CHUNK_S} + 1, {CHUNK_W}))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * CHUNK_S + 1).alias("start_tok"),
+        F.size("chunk").alias("n_chunk_tokens"),
+        _hash60(F.array_join(F.col("chunk"), " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _sql_doc_chunk() -> str:
+    from data_validator_spark.queries import _sql_hash60
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, CASE WHEN n <= {CHUNK_W} THEN 1
+                         ELSE ((n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}) + 1 END))
+           AS chunk_idx,
+         toks
+  FROM t2),
+sliced AS (
+  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         toks[CAST(chunk_idx * {CHUNK_S} + 1 AS INTEGER)
+              :CAST(chunk_idx * {CHUNK_S} + {CHUNK_W} AS INTEGER)] AS chunk
+  FROM chunks)
+SELECT doc_id, chunk_idx,
+       CAST(chunk_idx * {CHUNK_S} + 1 AS INTEGER) AS start_tok,
+       CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+       {_sql_hash60("array_to_string(chunk, ' ')")} AS chunk_hash
+FROM sliced ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
+    "doc_chunk": q_doc_chunk,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -346,6 +421,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_chunk": _sql_doc_chunk(),
     "token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": _sql_lang_id(),

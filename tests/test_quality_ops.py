@@ -195,6 +195,75 @@ def test_ccnet_buckets_tertiles(spark):
     assert rows["middle"]["min_logp"] >= rows["tail"]["max_logp"] - 1e-9
 
 
+def test_doc_chunk_bruteforce(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.textops import CHUNK_S, CHUNK_W, q_doc_chunk
+
+    rows = q_doc_chunk(spark, SF).collect()
+    docs = {r["doc_id"]: r["text"].strip().split() for r in
+            load(spark, SF, "documents").select("doc_id", "text").collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if t}
+    for d, toks in docs.items():
+        n = len(toks)
+        expect_k = 1 if n <= CHUNK_W else ((n - CHUNK_W + CHUNK_S - 1) // CHUNK_S) + 1
+        chunks = sorted(by_doc[d], key=lambda r: r["chunk_idx"])
+        assert len(chunks) == expect_k, d
+        for r in chunks:
+            start = r["chunk_idx"] * CHUNK_S
+            expect = toks[start : start + CHUNK_W]
+            assert r["start_tok"] == start + 1
+            assert r["n_chunk_tokens"] == len(expect)
+        # neighbors overlap by W-S tokens (except a short last chunk)
+        if expect_k > 1:
+            assert chunks[0]["n_chunk_tokens"] == CHUNK_W
+
+
+def test_dsir_importance_direction(spark):
+    """Target-like docs (gopher keep=1) must average a higher
+    importance weight than non-target docs — the defining DSIR
+    property — and every weight must be finite."""
+    from data_validator_spark.queries.corpus_ops import q_dsir_importance
+    from data_validator_spark.queries.mining_ops import q_gopher_quality
+    import math
+
+    w = {r["doc_id"]: r["dsir_logw"] for r in q_dsir_importance(spark, SF).collect()}
+    keep = {r["doc_id"]: r["keep"] for r in q_gopher_quality(spark, SF).collect()}
+    assert set(w) == set(keep)
+    assert all(math.isfinite(v) for v in w.values())
+    kept = [w[d] for d in w if keep[d] == 1]
+    dropped = [w[d] for d in w if keep[d] == 0]
+    if kept and dropped:
+        assert sum(kept) / len(kept) > sum(dropped) / len(dropped)
+
+
+def test_ann_recall_eval_bounds(spark):
+    from data_validator_spark.queries.similarity import (
+        N_QUERIES,
+        TOP_K,
+        q_ann_recall_eval,
+        q_similarity_ann_ivf,
+        q_similarity_topk,
+    )
+
+    rows = {r["query_id"]: r for r in q_ann_recall_eval(spark, SF).collect()}
+    assert len(rows) == N_QUERIES
+    truth = {}
+    for r in q_similarity_topk(spark, SF).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    retr = {}
+    for r in q_similarity_ann_ivf(spark, SF).collect():
+        retr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid, r in rows.items():
+        assert r["n_truth"] == len(truth[qid]) == TOP_K
+        assert r["n_retrieved"] == len(retr.get(qid, set()))
+        assert r["n_hit"] == len(truth[qid] & retr.get(qid, set()))
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert abs(r["recall_at_k"] - round(r["n_hit"] / r["n_truth"], 6)) < 2e-6
+
+
 def test_triangle_count_bruteforce(spark):
     from data_validator_spark.queries.dedup import _lsh_pairs_df
     from data_validator_spark.queries.graph_ops import q_triangle_count

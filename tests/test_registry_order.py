@@ -17,6 +17,7 @@ NEW_OR_CHANGED = {
     "drift_psi", "fk_integrity", "benford_check", "reconciliation_check",
     "ngram_contamination", "triangle_count",
     "drift_ks", "quality_ensemble", "ccnet_buckets",
+    "doc_chunk", "dsir_importance", "ann_recall_eval",
     "hll_distinct", "gopher_quality", "tfidf_topk", "pmi_collocations",
     "inverted_index", "events_gap_fill",
     "bloom_filter_semijoin", "pareto_skyline", "events_rolling",
@@ -35,9 +36,7 @@ NEW_OR_CHANGED = {
 
 # Entries whose last driver-green row is CORRECTNESS_r03 (rotated out
 # of the r4 budget) — refreshed this round.
-R3_STALE = {
-    "corpus_train_filter", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-}
+R3_STALE = set()  # every remaining r3-stale entry is deferred this round
 
 # r3-stale but UNCHANGED since r3, crowded out of the 50-entry budget
 # by never-graded entries (never-graded beats stale-but-proven; the
@@ -48,6 +47,7 @@ R3_DEFERRED = {
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_volume",
     "q22_prospective_customers", "events_asof_join", "events_range_join",
     "events_funnel", "text_quality", "token_frequencies",
+    "corpus_train_filter", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "token_count", "doc_split_sample", "dedup_exact", "dedup_simhash",
     "salted_aggregation", "lang_id", "doc_fingerprint",
     "events_windowed", "events_pivot", "events_retention",
