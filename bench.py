@@ -127,6 +127,7 @@ HEADLINE = [
     "streaming_dedup",
     "streaming_enriched",
     "streaming_join",
+    "streaming_drift",
 ]
 
 

@@ -158,6 +158,7 @@ GRADE_PRIORITY = [
     "doc_chunk",
     "dsir_importance",
     "ann_recall_eval",
+    "streaming_drift",
     # ... mining_ops + accel_ops (r5 session 3) ...
     "hll_distinct",
     "gopher_quality",
@@ -200,9 +201,10 @@ GRADE_PRIORITY = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "dedup_embedding_cosine",
-    "minhash_containment",
     # --- driver budget cut (50) falls here: the 50 never-graded r5
-    # entries fill the budget exactly ---
+    # entries fill the budget exactly (minhash_containment, r4-green,
+    # rotated down to make room for streaming_drift) ---
+    "minhash_containment",
     # tier 1b — r3-stale, or r5-plan-rewritten with unchanged
     # semantics (corpus_train_filter and the two LSH dedup entries),
     # crowded out by the never-graded entries (never graded >

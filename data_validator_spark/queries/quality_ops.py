@@ -172,9 +172,10 @@ def q_fk_integrity(spark, sf):
     collapses to distinct (relation, key) rows with per-key counts
     (map-side combine) BEFORE the single verification join against
     the relation-tagged union of parent key sets — the whole audit
-    is ONE shuffled join moving O(|keys|) rows, never O(|rows|),
-    plus one 6-row final aggregate. Parent row counts ride in on a
-    broadcast of six count-star scans (statistics-only for parquet).
+    is ONE shuffled FULL-OUTER join moving O(|keys|) rows, never
+    O(|rows|), and one 6-row final aggregate — parent-key totals fall
+    out of the same join (parent-only rows), so no separate per-parent
+    count jobs exist at all.
 
     Determinism: pure integer counts; coverage_pct is one exact
     int/int division rounded through decimal(30,6).
@@ -198,7 +199,6 @@ def q_fk_integrity(spark, sf):
     child_keys = tagged.groupBy("rel", "k").agg(F.count(F.lit(1)).alias("n"))
 
     parents = None
-    pcounts = None
     for label, _child, _ckey, parent, pkey in FK_RELATIONS:
         p = load(spark, sf, parent).select(
             F.lit(label).alias("rel"),
@@ -206,22 +206,24 @@ def q_fk_integrity(spark, sf):
             F.lit(1).alias("present"),
         )
         parents = p if parents is None else parents.unionByName(p)
-        pc = load(spark, sf, parent).agg(F.count(F.lit(1)).alias("n_parent_keys"))
-        pc = pc.select(F.lit(label).alias("rel"), "n_parent_keys")
-        pcounts = pc if pcounts is None else pcounts.unionByName(pc)
 
-    joined = child_keys.join(parents, ["rel", "k"], "left")
+    # FULL OUTER so parent-key totals fall out of the same join —
+    # parent-only rows carry present=1/n=NULL, child-only rows the
+    # reverse; no separate per-parent count jobs needed
+    joined = child_keys.join(parents, ["rel", "k"], "full_outer")
     return (
         joined.groupBy("rel")
         .agg(
             F.sum("n").alias("n_child_rows"),
-            F.count(F.lit(1)).alias("n_child_keys"),
+            F.sum(F.col("n").isNotNull().cast("long")).alias("n_child_keys"),
             F.sum(F.when(F.col("present").isNull(), F.col("n")).otherwise(0)).alias(
                 "n_orphan_rows"
             ),
-            F.sum(F.col("present").isNotNull().cast("long")).alias("n_matched_keys"),
+            F.sum(
+                (F.col("n").isNotNull() & F.col("present").isNotNull()).cast("long")
+            ).alias("n_matched_keys"),
+            F.sum(F.col("present").isNotNull().cast("long")).alias("n_parent_keys"),
         )
-        .join(F.broadcast(pcounts), "rel")
         .select(
             F.col("rel").alias("relation"),
             "n_child_rows",

@@ -365,7 +365,148 @@ GROUP BY 1, 2 ORDER BY purchase_id
 """
 
 
+# -- streaming_drift -------------------------------------------------------
+def q_streaming_drift(spark, sf):
+    """Streaming PSI drift monitor: the 'current' lineitem population
+    (shipped on/after the pivot) arrives as a live stream and
+    accumulates into drift buckets fixed from the STATIC reference
+    snapshot — the production shape of `drift_psi`, where the
+    reference histogram is computed once and the live feed is scored
+    against it. Bucket boundaries come from the reference min/max
+    (broadcast into the stream as a stream-static join; out-of-range
+    live values clamp to the edge buckets), per-bucket counts
+    accumulate in complete mode, and the PSI assembly joins the
+    final accumulated state against the static reference relation.
+
+    Scale shape: per micro-batch the stream does one broadcast join
+    against a single-row stats relation plus a map-side-combined
+    groupBy to ≤10 running buckets — state is O(buckets), not
+    O(rows), at any rate.
+
+    Determinism: identical integer-cents bucketing to drift_psi
+    (clamped BEFORE the division so no negative numerator meets the
+    engines' differing integer-division conventions); the oracle
+    recomputes the same ref-bucketed PSI in DuckDB.
+    """
+    li = load(spark, sf, "lineitem")
+    cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    ref = li.where(F.col("l_shipdate") < F.lit(DRIFT_PIVOT)).select(
+        cents.alias("cents")
+    )
+    stats = ref.agg(
+        F.min("cents").alias("minc"),
+        F.max("cents").alias("maxc"),
+        F.count(F.lit(1)).alias("ref_tot"),
+    )
+    clamped = F.expr(
+        f"least({DRIFT_BUCKETS - 1}, "
+        f"((least(maxc, greatest(minc, cents)) - minc) * {DRIFT_BUCKETS}) "
+        f"div (maxc - minc + 1))"
+    )
+    ref_counts = (
+        ref.crossJoin(F.broadcast(stats))
+        .groupBy(clamped.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("ref_cnt"))
+    )
+    stats1 = stats.withColumn("one", F.lit(1))
+
+    stream = _stream_reader(spark, sf, "lineitem")
+    cur_stream = (
+        stream.where(F.col("l_shipdate") >= F.lit(DRIFT_PIVOT))
+        .select(cents.alias("cents"), F.lit(1).alias("one"))
+    )
+
+    def agg(df):
+        return (
+            df.join(F.broadcast(stats1), "one")
+            .groupBy(clamped.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cur_cnt"))
+        )
+
+    cur = _run_to_memory(cur_stream, agg)
+    cur_tot = cur.agg(F.sum("cur_cnt").alias("ct"))
+    spine = spark.range(DRIFT_BUCKETS).select(F.col("id").alias("bucket"))
+    grid = (
+        spine.join(F.broadcast(ref_counts), "bucket", "left")
+        .join(F.broadcast(cur), "bucket", "left")
+        .crossJoin(F.broadcast(stats.select("ref_tot")))
+        .crossJoin(F.broadcast(cur_tot))
+        .select(
+            "bucket",
+            F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt"),
+            F.col("ref_tot").alias("rt"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    p = (F.col("ref_cnt") + 1).cast("double") / (
+        F.col("rt") + DRIFT_BUCKETS
+    ).cast("double")
+    q = (F.col("cur_cnt") + 1).cast("double") / (
+        F.col("ct") + DRIFT_BUCKETS
+    ).cast("double")
+    return grid.select(
+        "bucket",
+        "ref_cnt",
+        "cur_cnt",
+        p.cast("decimal(30,6)").cast("double").alias("ref_share"),
+        q.cast("decimal(30,6)").cast("double").alias("cur_share"),
+        ((p - q) * F.log(p / q))
+        .cast("decimal(30,6)")
+        .cast("double")
+        .alias("psi_term"),
+    ).orderBy("bucket")
+
+
+DRIFT_PIVOT = "1998-07-01"  # shared with quality_ops.drift_psi
+DRIFT_BUCKETS = 10
+
+SQL_STREAMING_DRIFT = f"""
+WITH ref AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{DRIFT_PIVOT} 00:00:00'),
+stats AS (
+  SELECT MIN(cents) AS minc, MAX(cents) AS maxc, COUNT(*) AS ref_tot FROM ref),
+ref_counts AS (
+  SELECT LEAST({DRIFT_BUCKETS - 1},
+               ((LEAST(maxc, GREATEST(minc, cents)) - minc) * {DRIFT_BUCKETS})
+               // (maxc - minc + 1)) AS bucket,
+         COUNT(*) AS ref_cnt
+  FROM ref, stats GROUP BY 1),
+cur AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '{DRIFT_PIVOT} 00:00:00'),
+cur_counts AS (
+  SELECT LEAST({DRIFT_BUCKETS - 1},
+               ((LEAST(maxc, GREATEST(minc, cents)) - minc) * {DRIFT_BUCKETS})
+               // (maxc - minc + 1)) AS bucket,
+         COUNT(*) AS cur_cnt
+  FROM cur, stats GROUP BY 1),
+ct AS (SELECT COUNT(*) AS ct FROM cur),
+spine AS (SELECT unnest(range(0, {DRIFT_BUCKETS})) AS bucket),
+grid AS (
+  SELECT s.bucket,
+         COALESCE(r.ref_cnt, 0) AS ref_cnt,
+         COALESCE(c.cur_cnt, 0) AS cur_cnt,
+         stats.ref_tot AS rt, ct.ct AS ct
+  FROM spine s
+  LEFT JOIN ref_counts r ON s.bucket = r.bucket
+  LEFT JOIN cur_counts c ON s.bucket = c.bucket, stats, ct),
+shares AS (
+  SELECT bucket, ref_cnt, cur_cnt,
+         CAST(ref_cnt + 1 AS DOUBLE) / (rt + {DRIFT_BUCKETS}) AS p,
+         CAST(cur_cnt + 1 AS DOUBLE) / (ct + {DRIFT_BUCKETS}) AS q
+  FROM grid)
+SELECT bucket, ref_cnt, cur_cnt,
+       CAST(CAST(p AS DECIMAL(30,6)) AS DOUBLE) AS ref_share,
+       CAST(CAST(q AS DECIMAL(30,6)) AS DOUBLE) AS cur_share,
+       CAST(CAST((p - q) * ln(p / q) AS DECIMAL(30,6)) AS DOUBLE) AS psi_term
+FROM shares ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "streaming_drift": q_streaming_drift,
     "streaming_windowed": q_streaming_windowed,
     "streaming_validation": q_streaming_validation,
     "streaming_sessionized": q_streaming_sessionized,
@@ -375,6 +516,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_drift": SQL_STREAMING_DRIFT,
     "streaming_windowed": SQL_STREAMING_WINDOWED,
     "streaming_sessionized": SQL_STREAMING_SESSIONIZED,
     "streaming_dedup": SQL_STREAMING_DEDUP,

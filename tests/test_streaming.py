@@ -279,3 +279,29 @@ def test_streaming_join_matches_batch_interval_join(spark):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_streaming_drift_matches_batch_psi_accounting(spark):
+    """The streamed PSI monitor must account for every 'current' row
+    exactly once in the reference-derived buckets, and its ref side
+    must equal the batch-computed reference histogram."""
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.streaming_queries import (
+        DRIFT_BUCKETS,
+        DRIFT_PIVOT,
+        q_streaming_drift,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_streaming_drift(spark, sf).collect()
+    assert len(rows) == DRIFT_BUCKETS
+    li = load(spark, sf, "lineitem")
+    n_ref = li.where(F.col("l_shipdate") < F.lit(DRIFT_PIVOT)).count()
+    n_cur = li.where(F.col("l_shipdate") >= F.lit(DRIFT_PIVOT)).count()
+    assert sum(r["ref_cnt"] for r in rows) == n_ref
+    assert sum(r["cur_cnt"] for r in rows) == n_cur
+    # smoothed shares each sum to 1; PSI terms are non-negative
+    assert abs(sum(r["ref_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["cur_share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["psi_term"] >= -1e-6 for r in rows)
