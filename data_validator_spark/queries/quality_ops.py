@@ -1,7 +1,9 @@
 """Data-quality audit operators beyond the reference's per-column
-checks — distribution drift (PSI), referential integrity, Benford
-first-digit conformance, order/line reconciliation, and train/eval
-n-gram contamination.
+checks — distribution drift (PSI and two-sample KS), referential
+integrity, Benford first-digit conformance, order/line
+reconciliation, train/eval n-gram contamination, the fused
+multi-signal quality ensemble, and CCNet-style perplexity
+segmentation.
 
 These extend the reference validator surface (target/data-validator
 covers per-column checks only — ValidatorTable.scala:1, RowBased.scala:1)
