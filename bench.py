@@ -88,6 +88,9 @@ HEADLINE = [
     "doc_chunk",
     "dsir_importance",
     "ann_recall_eval",
+    "fd_check",
+    "mad_outliers",
+    "key_skew_audit",
     "bm25_topk",
     "kmeans_embeddings",
     "trigram_lm_score",

@@ -159,6 +159,9 @@ GRADE_PRIORITY = [
     "dsir_importance",
     "ann_recall_eval",
     "streaming_drift",
+    "fd_check",
+    "mad_outliers",
+    "key_skew_audit",
     # ... mining_ops + accel_ops (r5 session 3) ...
     "hll_distinct",
     "gopher_quality",
@@ -198,12 +201,14 @@ GRADE_PRIORITY = [
     "q21_waiting_orders",
     "streaming_sessionized",
     "dedup_clusters",
+    # --- driver budget cut (50) falls here: the 50 never-graded r5
+    # entries fill the budget exactly (the r4-green ANN/embedding and
+    # containment entries rotated down to make room for the session-4
+    # additions; their r5 plan changes are re-proven by
+    # ORACLE_LOCAL_r5) ---
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "dedup_embedding_cosine",
-    # --- driver budget cut (50) falls here: the 50 never-graded r5
-    # entries fill the budget exactly (minhash_containment, r4-green,
-    # rotated down to make room for streaming_drift) ---
     "minhash_containment",
     # tier 1b — r3-stale, or r5-plan-rewritten with unchanged
     # semantics (corpus_train_filter and the two LSH dedup entries),

@@ -796,6 +796,240 @@ FROM tiled GROUP BY 1 ORDER BY 1
 """
 
 
+# -- fd_check --------------------------------------------------------------
+# Candidate functional dependencies to audit: (table, lhs, rhs).
+# Deliberately a mix — the nation PK trivially holds; the rest are
+# real "does this determine that?" profiling questions.
+FD_CANDIDATES = [
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("events", "user_id", "event_type"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+]
+
+
+def q_fd_check(spark, sf):
+    """Functional-dependency audit (the profiling generalization of the
+    reference's uniqueCheck, UniqueCheck.scala:1): for each candidate
+    lhs→rhs dependency, how many lhs groups map to MORE than one rhs
+    value — violation counts for schema discovery, denormalization
+    safety, and dimension-integrity monitoring.
+
+    Scale shape: one scan per audited table; each candidate collapses
+    via groupBy(lhs) with a distinct-count of rhs (two-level partial
+    aggregation) and the per-FD verdict is a scalar aggregate over
+    the group relation. The 5-row output unions scalar aggregates.
+
+    Determinism: integer counts; violation_pct is one exact int/int
+    division rounded through decimal(30,6).
+    """
+    rows = []
+    for table, lhs, rhs in FD_CANDIDATES:
+        df = spread(load(spark, sf, table))
+        groups = df.groupBy(F.col(lhs).alias("k")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col(rhs)).alias("nd"),
+        )
+        agg = groups.agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_violating_groups"),
+        )
+        rows.append(
+            agg.select(
+                F.lit(f"{table}.{lhs}->{rhs}").alias("fd"),
+                "n_rows",
+                "n_groups",
+                "n_violating_groups",
+                (
+                    F.col("n_violating_groups").cast("double")
+                    * 100.0
+                    / F.col("n_groups").cast("double")
+                )
+                .cast(DEC)
+                .cast("double")
+                .alias("violation_pct"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fd")
+
+
+def _sql_fd_check() -> str:
+    arms = []
+    for table, lhs, rhs in FD_CANDIDATES:
+        arms.append(f"""
+SELECT '{table}.{lhs}->{rhs}' AS fd,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(CAST(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 * 100.0 / COUNT(*) AS DECIMAL(30,6)) AS DOUBLE)
+         AS violation_pct
+FROM (SELECT {lhs} AS k, COUNT(*) AS n, COUNT(DISTINCT {rhs}) AS nd
+      FROM {table} GROUP BY 1)""")
+    return " UNION ALL ".join(arms) + " ORDER BY fd"
+
+
+# -- mad_outliers ----------------------------------------------------------
+MAD_COLUMN = "l_extendedprice"
+MAD_KS = (1.0, 2.0, 3.0)
+
+
+def q_mad_outliers(spark, sf):
+    """Robust outlier screen on l_extendedprice via median absolute
+    deviation — the outlier detector that, unlike z-scores, cannot be
+    masked by the outliers themselves. Reports the exact median, the
+    MAD, and outlier counts at 1/2/3 MAD thresholds.
+
+    Scale shape: three sequential scan+aggregate passes (median →
+    MAD → threshold counts), each a single fused aggregate with the
+    prior scalar broadcast in — the col_quantiles pattern chained.
+    Exact `percentile` matches DuckDB `quantile_cont` bit-for-bit
+    (sorted linear interpolation); at 100 TB the same plan swaps to
+    percentile_approx exactly like col_quantiles' approx_profile
+    path.
+
+    Determinism: median/MAD are the identical doubles in both
+    engines; thresholds are products of exact doubles, so the strict
+    > comparisons agree bit-for-bit; emitted stats round through
+    decimal(30,6).
+    """
+    li = spread(load(spark, sf, "lineitem"))
+    x = F.col(MAD_COLUMN)
+    med = li.agg(F.expr(f"percentile({MAD_COLUMN}, 0.5D)").alias("med"))
+    dev = li.crossJoin(F.broadcast(med)).select(
+        x.alias("x"), F.abs(x - F.col("med")).alias("ad"), F.col("med")
+    )
+    mad = dev.agg(
+        F.max("med").alias("med"), F.expr("percentile(ad, 0.5D)").alias("mad")
+    )
+    counts = dev.select("ad").crossJoin(F.broadcast(mad.select("mad")))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for k in MAD_KS:
+        aggs.append(
+            F.sum((F.col("ad") > k * F.col("mad")).cast("long")).alias(
+                f"n_out_{int(k)}mad"
+            )
+        )
+    return (
+        counts.agg(*aggs)
+        .crossJoin(F.broadcast(mad))
+        .select(
+            F.lit(MAD_COLUMN).alias("column_name"),
+            "n_rows",
+            F.col("med").cast(DEC).cast("double").alias("median"),
+            F.col("mad").cast(DEC).cast("double").alias("mad"),
+            *[F.col(f"n_out_{int(k)}mad") for k in MAD_KS],
+        )
+    )
+
+
+def _sql_mad() -> str:
+    outs = ", ".join(
+        f"CAST(SUM(CASE WHEN ad > {k} * mad THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_out_{int(k)}mad"
+        for k in MAD_KS
+    )
+    return f"""
+WITH med AS (SELECT quantile_cont({MAD_COLUMN}, 0.5) AS med FROM lineitem),
+dev AS (SELECT abs({MAD_COLUMN} - med.med) AS ad, med.med FROM lineitem, med),
+mad AS (SELECT MAX(med) AS med, quantile_cont(ad, 0.5) AS mad FROM dev)
+SELECT '{MAD_COLUMN}' AS column_name,
+       COUNT(*) AS n_rows,
+       CAST(CAST(MAX(mad.med) AS DECIMAL(30,6)) AS DOUBLE) AS median,
+       CAST(CAST(MAX(mad.mad) AS DECIMAL(30,6)) AS DOUBLE) AS mad,
+       {outs}
+FROM dev, mad
+"""
+
+
+# -- key_skew_audit --------------------------------------------------------
+# Join/aggregation keys whose distribution decides shuffle health.
+SKEW_KEYS = [
+    ("events", "user_id"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+]
+
+
+def q_key_skew_audit(spark, sf):
+    """Shuffle-key skew profiler: for each join/aggregation key, the
+    per-key frequency distribution stats that decide whether a shuffle
+    needs salting or AQE skew handling — max frequency, p99 frequency,
+    the max/avg skew factor, and the heaviest key's share of all rows.
+    This is the measurement side of operators/skew.py's salting and
+    the planning input SCALE.md's shuffle rules assume.
+
+    Scale shape: per key, one map-side-combined groupBy collapses the
+    table to its key-frequency relation; all statistics (including the
+    exact p99 via `percentile`) aggregate that relation, never the
+    table. 4-row union of scalar aggregates.
+
+    Determinism: frequencies are integers; p99 interpolates
+    identically in both engines (col_quantiles rule); ratios are
+    exact divisions rounded through decimal(30,6).
+    """
+    rows = []
+    for table, key in SKEW_KEYS:
+        df = spread(load(spark, sf, table))
+        freq = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("f"))
+        agg = freq.agg(
+            F.sum("f").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("f").alias("max_freq"),
+            F.expr("percentile(f, 0.99D)").alias("p99_freq"),
+        )
+        rows.append(
+            agg.select(
+                F.lit(f"{table}.{key}").alias("key"),
+                "n_rows",
+                "n_keys",
+                "max_freq",
+                F.col("p99_freq").cast(DEC).cast("double").alias("p99_freq"),
+                (
+                    F.col("max_freq").cast("double")
+                    * F.col("n_keys").cast("double")
+                    / F.col("n_rows").cast("double")
+                )
+                .cast(DEC)
+                .cast("double")
+                .alias("skew_factor"),
+                (F.col("max_freq").cast("double") / F.col("n_rows").cast("double"))
+                .cast(DEC)
+                .cast("double")
+                .alias("top_share"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("key")
+
+
+def _sql_key_skew() -> str:
+    arms = []
+    for table, key in SKEW_KEYS:
+        arms.append(f"""
+SELECT '{table}.{key}' AS key,
+       CAST(SUM(f) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       CAST(MAX(f) AS BIGINT) AS max_freq,
+       CAST(CAST(quantile_cont(f, 0.99) AS DECIMAL(30,6)) AS DOUBLE)
+         AS p99_freq,
+       CAST(CAST(CAST(MAX(f) AS DOUBLE) * COUNT(*) / SUM(f)
+            AS DECIMAL(30,6)) AS DOUBLE) AS skew_factor,
+       CAST(CAST(CAST(MAX(f) AS DOUBLE) / SUM(f) AS DECIMAL(30,6)) AS DOUBLE)
+         AS top_share
+FROM (SELECT {key} AS k, COUNT(*) AS f FROM {table} GROUP BY 1)""")
+    return " UNION ALL ".join(arms) + " ORDER BY key"
+
+
 QUERIES = {
     "drift_psi": q_drift_psi,
     "fk_integrity": q_fk_integrity,
@@ -805,6 +1039,9 @@ QUERIES = {
     "drift_ks": q_drift_ks,
     "quality_ensemble": q_quality_ensemble,
     "ccnet_buckets": q_ccnet_buckets,
+    "fd_check": q_fd_check,
+    "mad_outliers": q_mad_outliers,
+    "key_skew_audit": q_key_skew_audit,
 }
 
 ORACLES = {
@@ -816,4 +1053,7 @@ ORACLES = {
     "drift_ks": SQL_DRIFT_KS,
     "quality_ensemble": _sql_quality_ensemble(),
     "ccnet_buckets": _sql_ccnet(),
+    "fd_check": _sql_fd_check(),
+    "mad_outliers": _sql_mad(),
+    "key_skew_audit": _sql_key_skew(),
 }

@@ -264,6 +264,77 @@ def test_ann_recall_eval_bounds(spark):
         assert abs(r["recall_at_k"] - round(r["n_hit"] / r["n_truth"], 6)) < 2e-6
 
 
+def test_fd_check_bruteforce(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.quality_ops import FD_CANDIDATES, q_fd_check
+
+    rows = {r["fd"]: r for r in q_fd_check(spark, SF).collect()}
+    assert set(rows) == {f"{t}.{l}->{r}" for t, l, r in FD_CANDIDATES}
+    for table, lhs, rhs in FD_CANDIDATES:
+        r = rows[f"{table}.{lhs}->{rhs}"]
+        data = load(spark, SF, table).select(lhs, rhs).collect()
+        groups: dict = {}
+        for row in data:
+            groups.setdefault(row[lhs], set()).add(row[rhs])
+        assert r["n_rows"] == len(data)
+        assert r["n_groups"] == len(groups)
+        assert r["n_violating_groups"] == sum(1 for v in groups.values() if len(v) > 1)
+    # the nation PK dependency must hold exactly
+    assert rows["nation.n_nationkey->n_regionkey"]["n_violating_groups"] == 0
+
+
+def test_mad_outliers_bruteforce(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.quality_ops import (
+        MAD_COLUMN,
+        MAD_KS,
+        q_mad_outliers,
+    )
+    import statistics
+
+    row = q_mad_outliers(spark, SF).collect()[0]
+    xs = [r[MAD_COLUMN] for r in load(spark, SF, "lineitem").select(MAD_COLUMN).collect()]
+    med = statistics.median(xs)
+    ads = [abs(x - med) for x in xs]
+    mad = statistics.median(ads)
+    assert row["n_rows"] == len(xs)
+    assert abs(row["median"] - med) < 1e-3
+    assert abs(row["mad"] - mad) < 1e-3
+    for k in MAD_KS:
+        got = row[f"n_out_{int(k)}mad"]
+        want = sum(1 for a in ads if a > k * mad)
+        assert abs(got - want) <= 1, k  # median interp rounding slack
+    # counts must be monotonically non-increasing in k
+    counts = [row[f"n_out_{int(k)}mad"] for k in MAD_KS]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_key_skew_audit_bruteforce(spark):
+    from collections import Counter
+
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.quality_ops import SKEW_KEYS, q_key_skew_audit
+
+    rows = {r["key"]: r for r in q_key_skew_audit(spark, SF).collect()}
+    assert set(rows) == {f"{t}.{k}" for t, k in SKEW_KEYS}
+    for table, key in SKEW_KEYS:
+        r = rows[f"{table}.{key}"]
+        freqs = Counter(
+            row[key] for row in load(spark, SF, table).select(key).collect()
+        )
+        assert r["n_rows"] == sum(freqs.values())
+        assert r["n_keys"] == len(freqs)
+        assert r["max_freq"] == max(freqs.values())
+        expect_skew = round(
+            max(freqs.values()) * len(freqs) / sum(freqs.values()), 6
+        )
+        assert abs(r["skew_factor"] - expect_skew) < 2e-6
+        assert abs(
+            r["top_share"] - round(max(freqs.values()) / sum(freqs.values()), 6)
+        ) < 2e-6
+        assert r["skew_factor"] >= 1.0 - 1e-9
+
+
 def test_triangle_count_bruteforce(spark):
     from data_validator_spark.queries.dedup import _lsh_pairs_df
     from data_validator_spark.queries.graph_ops import q_triangle_count

@@ -18,6 +18,7 @@ NEW_OR_CHANGED = {
     "ngram_contamination", "triangle_count",
     "drift_ks", "quality_ensemble", "ccnet_buckets",
     "doc_chunk", "dsir_importance", "ann_recall_eval", "streaming_drift",
+    "fd_check", "mad_outliers", "key_skew_audit",
     "hll_distinct", "gopher_quality", "tfidf_topk", "pmi_collocations",
     "inverted_index", "events_gap_fill",
     "bloom_filter_semijoin", "pareto_skyline", "events_rolling",
@@ -30,7 +31,6 @@ NEW_OR_CHANGED = {
     "q12_shipmode_priority", "q16_parts_supplier",
     "q19_discounted_revenue", "q20_potential_promotion",
     "q21_waiting_orders", "streaming_sessionized", "dedup_clusters",
-    "similarity_ann_lsh", "similarity_ann_ivf", "dedup_embedding_cosine",
 }
 
 # Entries whose last driver-green row is CORRECTNESS_r03 (rotated out
