@@ -3,15 +3,18 @@ customer–supplier bipartite graph (who-buys-from-whom), the iterative
 DataFrame pattern that complements the connected-components family in
 dedup.py / operators/cc_star.py.
 
-Scale shape: one edge relation (distinct customer–supplier pairs from
-one orders⋈lineitem join) hash-partitioned by src ONCE and
-checkpointed — the partitioning survives the checkpoint, so each
-power iteration's edges ⋈ ranks join moves only the node-count-sized
-rank relation, never the edges — plus one groupBy(dst) with partial
-aggregation per round. The driver never sees data — iterations are a
-fixed unrolled chain, so Catalyst plans the whole thing as one DAG. At 100 TB the edge relation would be
-localCheckpoint-ed per round like the CC loop; three unrolled rounds
-at bench scale keep the oracle a finite CTE chain.
+Scale shape: the distinct pair relation is checkpointed ONCE (the
+orders projection broadcasts into the fact join, so the build pays a
+single wide exchange) and both edge directions derive from it
+map-side; each power iteration broadcasts the node-count-sized rank
+relation into the edge join — the edge side never moves — and pays
+exactly one exchange (the map-side-combined groupBy(dst)). The
+driver never sees data — iterations are a fixed unrolled chain, so
+Catalyst plans the whole thing as one DAG. When node count outgrows
+the broadcast threshold (billions of nodes at 100 TB), the loop
+flips to a src-hash-partitioned edge checkpoint with a shuffle join,
+leaving the algebra unchanged; three unrolled rounds at bench scale
+keep the oracle a finite CTE chain.
 
 Cross-engine determinism: rank contributions are summed through
 decimal(38,18) (exact, order-independent — rank mass is ~1/N, far
@@ -31,51 +34,56 @@ PR_ITERS = 3
 DEC18 = "decimal(38,18)"
 
 
-def _edges(spark, sf):
-    """Undirected bipartite edges as (src, dst) both ways; node id =
-    2*custkey for customers, 2*suppkey+1 for suppliers."""
+def _pairs(spark, sf):
+    """Distinct customer–supplier purchase pairs; node id = 2*custkey
+    for customers, 2*suppkey+1 for suppliers. The orders projection
+    (two ints) broadcasts into the fact join, so the only wide
+    exchange in the edge build is the pair distinct."""
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
+    return (
+        l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
-    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
 
 
 def q_pagerank_bipartite(spark, sf):
-    # materialize the edge relation ONCE (localCheckpoint truncates the
-    # orders⋈lineitem lineage) — the unrolled iterations would otherwise
-    # re-run the fact join every round; same rule as the CC loop
-    # Partitioned by src BEFORE the checkpoint: LogicalRDD preserves
-    # the hash partitioning, so every iteration's edges⋈ranks join
-    # reuses it instead of re-shuffling the (large) edge side — only
-    # the node-count-sized rank relation moves per round. nodes is
-    # checkpointed too so deg isn't regrouped every iteration.
-    edges = _edges(spark, sf).repartition("src").localCheckpoint()
+    # Materialize the DISTINCT PAIR relation once (localCheckpoint
+    # truncates the orders⋈lineitem lineage — the unrolled iterations
+    # would otherwise re-run the fact join every round, same rule as
+    # the CC loop) and derive both edge directions map-side from it:
+    # half the checkpoint size of materializing the doubled relation,
+    # and no repartition shuffle at all, because the per-iteration
+    # rank join BROADCASTS the node-count-sized rank relation — the
+    # edge side never moves; each round pays exactly ONE exchange
+    # (the map-side-combined groupBy(dst)). At node counts beyond the
+    # broadcast threshold (billions of nodes at 100 TB) the same loop
+    # flips to the src-hash-partitioned checkpoint + shuffle join —
+    # the formulation this replaced — without touching the algebra.
+    pairs = _pairs(spark, sf).localCheckpoint()
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         deg.select(F.col("src").alias("node"), "deg")
         .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n"))))
-        .repartition("node")
         .localCheckpoint()
     )
     # uniform start: pr0 = 1/N
     pr = nodes.select("node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
     for _ in range(PR_ITERS):
         contrib = edges.join(
-            pr.select(F.col("node").alias("src"), "deg", "pr"), "src"
+            F.broadcast(pr.select(F.col("node").alias("src"), "deg", "pr")), "src"
         ).select("dst", (F.col("pr") / F.col("deg")).alias("w"))
         sums = contrib.groupBy("dst").agg(
             F.sum(F.col("w").cast(DEC18)).cast("double").alias("mass")
         )
-        pr = nodes.join(sums, nodes.node == sums.dst, "left").select(
+        pr = nodes.join(F.broadcast(sums), nodes.node == sums.dst, "left").select(
             "node",
             "deg",
             "n",
