@@ -674,25 +674,15 @@ def q_dsir_importance(spark, sf):
         ).alias("g"),
     ).select("doc_id", F.pmod(_hash60(F.col("g")), F.lit(DSIR_BUCKETS)).alias("b"))
     target = q_gopher_quality(spark, sf).select("doc_id", "keep")
-    # collapse the gram stream to per-(doc, bucket) counts FIRST — the
-    # corpus-scale gram relation is consumed exactly once, and the
-    # model aggregate, the scoring join, and the per-doc rollup all
-    # run on the collapsed (≤ docs × 4096) relation. Every gram in
-    # bucket b contributes the identical DEC-rounded term, so
-    # cnt·DEC(term) is bit-equal to summing the term per occurrence.
-    gb = (
-        grams.join(target, "doc_id")
-        .groupBy("doc_id", "b", "keep")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    model = gb.groupBy("b").agg(
-        F.sum("c").alias("ca"),
-        F.sum(F.when(F.col("keep") == 1, F.col("c")).otherwise(0)).alias("ct"),
+    tagged = grams.join(target, "doc_id")
+    model = tagged.groupBy("b").agg(
+        F.count(F.lit(1)).alias("ca"),
+        F.sum(F.col("keep").cast("long")).alias("ct"),
     )
     totals = model.agg(
         F.sum("ca").alias("A"), F.sum("ct").alias("T")
     )
-    scored = gb.join(F.broadcast(model), "b").crossJoin(F.broadcast(totals))
+    scored = tagged.join(F.broadcast(model), "b").crossJoin(F.broadcast(totals))
     term = F.log(
         (F.col("ct") + 1).cast("double") / (F.col("T") + DSIR_BUCKETS).cast("double")
     ) - F.log(
@@ -701,8 +691,8 @@ def q_dsir_importance(spark, sf):
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_grams"),
-            (F.sum(term.cast(DEC) * F.col("c")).cast("double") / F.sum("c"))
+            F.count(F.lit(1)).alias("n_grams"),
+            (F.sum(term.cast(DEC)).cast("double") / F.count(F.lit(1)))
             .cast(DEC)
             .cast("double")
             .alias("dsir_logw"),
@@ -728,22 +718,21 @@ grams AS (
                     toks[CAST(i AS INTEGER) + 1]))) AS g
     FROM t)),
 target AS (SELECT doc_id, keep FROM ({SQL_GOPHER})),
-gb AS (SELECT g.doc_id, g.b, t.keep, COUNT(*) AS c
-       FROM grams g JOIN target t ON g.doc_id = t.doc_id
-       GROUP BY g.doc_id, g.b, t.keep),
+tagged AS (SELECT g.doc_id, g.b, t.keep
+           FROM grams g JOIN target t ON g.doc_id = t.doc_id),
 model AS (
-  SELECT b, CAST(SUM(c) AS BIGINT) AS ca,
-         CAST(SUM(CASE WHEN keep = 1 THEN c ELSE 0 END) AS BIGINT) AS ct
-  FROM gb GROUP BY b),
+  SELECT b, COUNT(*) AS ca,
+         CAST(SUM(CASE WHEN keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM tagged GROUP BY b),
 totals AS (SELECT CAST(SUM(ca) AS BIGINT) AS A, CAST(SUM(ct) AS BIGINT) AS T
            FROM model),
 scored AS (
-  SELECT gb.doc_id, gb.c,
+  SELECT tagged.doc_id,
          ln(CAST(ct + 1 AS DOUBLE) / (T + {DSIR_BUCKETS}))
          - ln(CAST(ca + 1 AS DOUBLE) / (A + {DSIR_BUCKETS})) AS term
-  FROM gb JOIN model ON gb.b = model.b, totals)
-SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
-       CAST(CAST(CAST(SUM(CAST(term AS DECIMAL(30,6)) * c) AS DOUBLE) / SUM(c)
+  FROM tagged JOIN model ON tagged.b = model.b, totals)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(CAST(CAST(SUM(CAST(term AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
             AS DECIMAL(30,6)) AS DOUBLE) AS dsir_logw
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
