@@ -1,0 +1,104 @@
+"""Physical-plan assertions for the session-4 quality/selection
+operators: the scale properties their docstrings claim (zero wide
+joins, single shuffled verification join, map-only fan-out, cache
+reuse, all-native expression evaluation) must appear in the executed
+plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_validator_spark.queries import build_registry
+
+SF = "/root/testdata/sf0.001"
+
+WIDE_JOINS = ("SortMergeJoin", "ShuffledHashJoin")
+
+
+@pytest.fixture(scope="module")
+def registry():
+    q, _ = build_registry()
+    return q
+
+
+def plan_of(spark, registry, name):
+    return registry[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def n_wide_joins(plan: str) -> int:
+    return sum(plan.count(j) for j in WIDE_JOINS)
+
+
+def test_drift_psi_has_no_wide_joins(spark, registry):
+    """Both PSI passes are scan+aggregate with broadcast scalars —
+    a shuffled join anywhere means the stats row stopped
+    broadcasting."""
+    plan = plan_of(spark, registry, "drift_psi")
+    assert n_wide_joins(plan) == 0
+
+
+def test_drift_ks_has_no_wide_joins(spark, registry):
+    plan = plan_of(spark, registry, "drift_ks")
+    assert n_wide_joins(plan) == 0
+    assert "Window" in plan  # the ECDF cumulative pass
+
+
+def test_benford_single_table_no_wide_joins(spark, registry):
+    plan = plan_of(spark, registry, "benford_check")
+    assert n_wide_joins(plan) == 0
+
+
+def test_fd_check_is_pure_aggregation(spark, registry):
+    """Five candidate FDs = groupBy + distinct-count unions; no join
+    operator of any kind belongs in this plan."""
+    plan = plan_of(spark, registry, "fd_check")
+    assert "Join" not in plan
+
+
+def test_key_skew_audit_is_pure_aggregation(spark, registry):
+    plan = plan_of(spark, registry, "key_skew_audit")
+    assert "Join" not in plan
+
+
+def test_mad_outliers_has_no_wide_joins(spark, registry):
+    """Median/MAD scalars must broadcast into the scan passes."""
+    plan = plan_of(spark, registry, "mad_outliers")
+    assert n_wide_joins(plan) == 0
+
+
+def test_fk_integrity_single_shuffled_verification_join(spark, registry):
+    """All six FK edges verify through ONE shuffled full-outer join of
+    the tagged key relations."""
+    plan = plan_of(spark, registry, "fk_integrity")
+    assert n_wide_joins(plan) == 1, plan.count("Join")
+
+
+def test_doc_chunk_is_map_only(spark, registry):
+    """Chunking fans out in-row; the only exchange allowed is the
+    final output ordering's range partitioning."""
+    plan = plan_of(spark, registry, "doc_chunk")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_quality_ensemble_stays_jvm_native(spark, registry):
+    """The fused three-signal plan must contain no Python evaluation
+    stage — every signal is native column expressions."""
+    plan = plan_of(spark, registry, "quality_ensemble")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_triangle_count_reuses_cached_pair_relation(spark, registry):
+    """The LSH candidate-pair relation is persisted per session; the
+    triangle plan must read the cache, not re-derive the LSH pipeline
+    for each of its self-join arms."""
+    plan = plan_of(spark, registry, "triangle_count")
+    assert "InMemoryTableScan" in plan
+
+
+def test_pagerank_broadcasts_rank_relation(spark, registry):
+    """Each power iteration joins edges against the BROADCAST rank
+    relation — the edge side must never shuffle for the join."""
+    plan = plan_of(spark, registry, "pagerank_bipartite")
+    assert "BroadcastHashJoin" in plan
