@@ -91,6 +91,9 @@ HEADLINE = [
     "fd_check",
     "mad_outliers",
     "key_skew_audit",
+    "event_transitions",
+    "conversion_lag",
+    "weighted_sample",
     "bm25_topk",
     "kmeans_embeddings",
     "trigram_lm_score",

@@ -206,6 +206,13 @@ GRADE_PRIORITY = [
     # containment entries rotated down to make room for the session-4
     # additions; their r5 plan changes are re-proven by
     # ORACLE_LOCAL_r5) ---
+    # tier 0b — ALSO new this session, but the budget is saturated
+    # with never-graded entries; displacing any of them would merely
+    # trade one ungraded entry for another. Evidence for these three:
+    # the 3-SF local oracle proof + brute-force pytest.
+    "event_transitions",
+    "conversion_lag",
+    "weighted_sample",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "dedup_embedding_cosine",

@@ -1136,6 +1136,154 @@ FROM daily ORDER BY event_type, day
 """
 
 
+# -- event_transitions: next-event Markov transition matrix -----------------
+def q_event_transitions(spark, sf):
+    """First-order Markov transition matrix over each user's event
+    stream: for every (from_type, to_type) pair, the transition count
+    and conditional probability P(to|from) — the clickstream
+    next-action model behind recommendation priors and anomaly
+    detection on behavioral sequences.
+
+    Scale shape: one shuffle keyed by user_id (the lag window), then
+    the transition stream collapses map-side to the |types|² relation
+    (≤25 rows here) and the per-from totals come from a window over
+    that tiny relation. Rate-independent after the first collapse.
+
+    Determinism: ordering is (ts, event_id) — the sessionization
+    convention; counts are integers and the probability is one exact
+    int/int division rounded through decimal(30,6).
+    """
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wf).cast("double"))
+        .cast(DEC)
+        .cast("double")
+        .alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER w AS from_type, event_type AS to_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type)
+SELECT from_type, to_type, n,
+       CAST(CAST(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type)
+            AS DECIMAL(30,6)) AS DOUBLE) AS prob
+FROM counts ORDER BY from_type, to_type
+"""
+
+
+# -- conversion_lag: signup→purchase time-to-convert ------------------------
+def q_conversion_lag(spark, sf):
+    """Time-to-convert funnel statistics: of the users who signed up,
+    how many later purchased, and how long the first signup→first
+    subsequent purchase took (median and p90 lag) — the companion
+    metric to `events_funnel`'s stage counts.
+
+    Scale shape: signups collapse to one min-timestamp row per user
+    (map-side combine); that per-user relation joins the purchase
+    stream key-to-key and the lag distribution collapses in a single
+    fused aggregate with exact percentiles (the col_quantiles parity
+    rule; percentile_approx is the documented 100 TB swap).
+
+    Determinism: lags are exact integer microsecond differences
+    converted to whole seconds with integer div; percentile
+    interpolation is identical in both engines.
+    """
+    ev = load(spark, sf, "events")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        purchases.join(signups, "user_id")
+        .where(F.col("p_ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("signup_ts").alias("signup_ts"),
+            F.min("p_ts").alias("first_purchase_ts"),
+        )
+    )
+    lag_s = F.expr(
+        "(unix_micros(first_purchase_ts) - unix_micros(signup_ts)) div 1000000"
+    )
+    lags = first_purchase.select(lag_s.alias("lag_s"))
+    stats = lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(lag_s, 0.5D)").alias("p50"),
+        F.expr("percentile(lag_s, 0.9D)").alias("p90"),
+    )
+    n_signup = signups.agg(F.count(F.lit(1)).alias("n_signup_users"))
+    return (
+        n_signup.crossJoin(F.broadcast(stats))
+        .select(
+            "n_signup_users",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double")
+                * 100.0
+                / F.col("n_signup_users").cast("double")
+            )
+            .cast(DEC)
+            .cast("double")
+            .alias("conversion_pct"),
+            F.col("p50").cast(DEC).cast("double").alias("p50_lag_s"),
+            F.col("p90").cast(DEC).cast("double").alias("p90_lag_s"),
+        )
+    )
+
+
+SQL_CONVERSION_LAG = """
+WITH signups AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+first_purchase AS (
+  SELECT e.user_id, MIN(s.signup_ts) AS signup_ts, MIN(e.ts) AS first_purchase_ts
+  FROM events e JOIN signups s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY e.user_id),
+lags AS (
+  SELECT (epoch_us(first_purchase_ts) - epoch_us(signup_ts)) // 1000000 AS lag_s
+  FROM first_purchase),
+stats AS (
+  SELECT COUNT(*) AS n_converted,
+         quantile_cont(lag_s, 0.5) AS p50, quantile_cont(lag_s, 0.9) AS p90
+  FROM lags),
+ns AS (SELECT COUNT(*) AS n_signup_users FROM signups)
+SELECT n_signup_users, n_converted,
+       CAST(CAST(CAST(n_converted AS DOUBLE) * 100.0 / n_signup_users
+            AS DECIMAL(30,6)) AS DOUBLE) AS conversion_pct,
+       CAST(CAST(p50 AS DECIMAL(30,6)) AS DOUBLE) AS p50_lag_s,
+       CAST(CAST(p90 AS DECIMAL(30,6)) AS DOUBLE) AS p90_lag_s
+FROM ns CROSS JOIN stats
+"""
+
+
 QUERIES = {
     "events_json_extract": events_json_extract,
     "events_anomaly": events_anomaly,
@@ -1155,6 +1303,8 @@ QUERIES = {
     "q18_large_volume": q18_large_volume,
     "events_windowed": events_windowed,
     "events_sessionized": events_sessionized,
+    "event_transitions": q_event_transitions,
+    "conversion_lag": q_conversion_lag,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_rollup": events_rollup,
@@ -1183,6 +1333,8 @@ ORACLES = {
     "q18_large_volume": SQL_Q18,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_sessionized": SQL_EVENTS_SESSIONIZED,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "conversion_lag": SQL_CONVERSION_LAG,
     "events_asof_join": SQL_EVENTS_ASOF,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_rollup": SQL_EVENTS_ROLLUP,

@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_validator_spark.functions.text import token_count
-from data_validator_spark.queries import load, spread
+from data_validator_spark.queries import DEC, load, spread
 from data_validator_spark.queries.textops import (
     SQL_NORM,
     SQL_SPLIT_BUCKET,
@@ -424,7 +424,56 @@ FROM ev GROUP BY split ORDER BY split
 """
 
 
+# -- weighted_sample: deterministic Efraimidis–Spirakis weighted pick -------
+WSAMPLE_SALT = "dv-wsample-v1"
+WSAMPLE_K = 20
+
+
+def q_weighted_sample(spark, sf):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): pick 20 documents with probability proportional to length
+    (n_chars) — the quality/importance-weighted selection step of a
+    curation pipeline — made fully deterministic by deriving each
+    item's uniform draw from a salted 60-bit hash instead of an RNG,
+    so the sample is stable under re-partitioning, retries, and
+    engine swap (the same property as `doc_split_sample`).
+
+    A-ES: key = ln(u) / w with u ∈ (0,1]; the k LARGEST keys are the
+    sample. One map stage computes keys; the top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+
+    Determinism: u = (hash60 + 1) / 2^60 is an exact dyadic rational;
+    ln(u)/w rounds through decimal(30,6) BEFORE the ordering (the
+    tfidf rule) and ties break on doc_id, so a 1-ulp ln() difference
+    cannot reorder the cut.
+    """
+    df = spread(load(spark, sf, "documents"))
+    u = (
+        _hash60(F.concat(F.lit(WSAMPLE_SALT + ":"), F.col("doc_id").cast("string")))
+        + 1
+    ).cast("double") / F.lit(float(2**60))
+    key = (F.log(u) / F.col("n_chars").cast("double")).cast(DEC).cast("double")
+    return (
+        df.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
+def _sql_weighted_sample() -> str:
+    salted = f"'{WSAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)"
+    u = f"CAST({_sql_hash60(salted)} + 1 AS DOUBLE) / {float(2**60)!r}"
+    return f"""
+SELECT doc_id, n_chars,
+       CAST(CAST(ln({u}) / CAST(n_chars AS DOUBLE) AS DECIMAL(30,6)) AS DOUBLE)
+         AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id LIMIT {WSAMPLE_K}
+"""
+
+
 QUERIES = {
+    "weighted_sample": q_weighted_sample,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
     "sequence_pack": q_sequence_pack,
@@ -434,6 +483,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weighted_sample": _sql_weighted_sample(),
     "pii_scrub": SQL_PII_SCRUB,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "sequence_pack": SQL_SEQUENCE_PACK,

@@ -335,6 +335,104 @@ def test_key_skew_audit_bruteforce(spark):
         assert r["skew_factor"] >= 1.0 - 1e-9
 
 
+def test_event_transitions_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.analytics import q_event_transitions
+
+    rows = {(r["from_type"], r["to_type"]): r for r in
+            q_event_transitions(spark, SF).collect()}
+    ev = load(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    counts: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    assert set(rows) == set(counts)
+    from_tot: Counter = Counter()
+    for (a, _), n in counts.items():
+        from_tot[a] += n
+    for k, n in counts.items():
+        assert rows[k]["n"] == n
+        assert abs(rows[k]["prob"] - round(n / from_tot[k[0]], 6)) < 2e-6
+    # each from-row's probabilities sum to 1
+    for a in from_tot:
+        tot = sum(r["prob"] for (f, _), r in rows.items() if f == a)
+        assert abs(tot - 1.0) < 1e-4
+
+
+def test_conversion_lag_bruteforce(spark):
+    from collections import defaultdict
+
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.analytics import q_conversion_lag
+
+    row = q_conversion_lag(spark, SF).collect()[0]
+    ev = load(spark, SF, "events").select("user_id", "ts", "event_type").collect()
+    signups: dict = {}
+    purchases = defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "signup":
+            s = signups.get(r["user_id"])
+            if s is None or r["ts"] < s:
+                signups[r["user_id"]] = r["ts"]
+        elif r["event_type"] == "purchase":
+            purchases[r["user_id"]].append(r["ts"])
+    lags = []
+    for u, s in signups.items():
+        after = [p for p in purchases.get(u, []) if p >= s]
+        if after:
+            lags.append(int((min(after) - s).total_seconds()))
+    assert row["n_signup_users"] == len(signups)
+    assert row["n_converted"] == len(lags)
+    import statistics
+
+    if lags:
+        assert abs(row["p50_lag_s"] - statistics.median(lags)) < 1.0
+        assert row["p50_lag_s"] <= row["p90_lag_s"]
+    assert abs(
+        row["conversion_pct"] - round(100.0 * len(lags) / len(signups), 6)
+    ) < 2e-6
+
+
+def test_weighted_sample_deterministic_and_correct(spark):
+    import hashlib
+    import math
+
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.pipeline_ops import (
+        WSAMPLE_K,
+        WSAMPLE_SALT,
+        q_weighted_sample,
+    )
+
+    rows = q_weighted_sample(spark, SF).collect()
+    assert len(rows) == WSAMPLE_K
+    docs = load(spark, SF, "documents").select("doc_id", "n_chars").collect()
+
+    def key(doc_id: int, w: int) -> float:
+        h = int(
+            hashlib.md5(f"{WSAMPLE_SALT}:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        u = (h + 1) / float(2**60)
+        return round(math.log(u) / w, 6)
+
+    ranked = sorted(
+        ((key(r["doc_id"], r["n_chars"]), r["doc_id"]) for r in docs),
+        key=lambda t: (-t[0], t[1]),
+    )[:WSAMPLE_K]
+    assert [r["doc_id"] for r in rows] == [d for _, d in ranked]
+    # re-running yields the identical sample (hash-derived, no RNG)
+    rows2 = q_weighted_sample(spark, SF).collect()
+    assert [r["doc_id"] for r in rows2] == [r["doc_id"] for r in rows]
+
+
 def test_triangle_count_bruteforce(spark):
     from data_validator_spark.queries.dedup import _lsh_pairs_df
     from data_validator_spark.queries.graph_ops import q_triangle_count
