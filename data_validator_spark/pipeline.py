@@ -24,7 +24,8 @@ pipeline:
 
 Step catalog (each: DataFrame -> DataFrame, all native expressions):
 dedupExact, qualityFilter, langFilter, split, splitFilter, tokenCount,
-piiScrub, sample, select. Steps reuse the exact same column functions
+piiScrub, sample, select, chunk, weightedSample. Steps reuse the
+exact same column functions
 the oracle-checked queries use (functions/text.py, textops.split_bucket,
 pipeline_ops PII patterns) so pipeline behavior never diverges from
 the graded operators.
@@ -132,6 +133,70 @@ def _step_select(df: DataFrame, opts: dict) -> DataFrame:
     return df.select(*cols)
 
 
+def _step_chunk(df: DataFrame, opts: dict) -> DataFrame:
+    """Fan each document into overlapping token windows (RAG ingestion;
+    the doc_chunk operator as a pipeline stage). Adds chunk_idx /
+    n_chunk_tokens and replaces text with the chunk text — a pure
+    map-stage fan-out, no shuffle."""
+    from data_validator_spark.queries.textops import CHUNK_S, CHUNK_W
+
+    width = int(opts.get("width", CHUNK_W))
+    stride = int(opts.get("stride", CHUNK_S))
+    if width <= 0 or stride <= 0:
+        raise PipelineConfigError("chunk width/stride must be positive")
+    toks = df.withColumn("_toks", F.split(F.trim(F.col("text")), r"\s+")).where(
+        F.size("_toks") > 0
+    )
+    chunks = toks.select(
+        "*",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, "
+                f"CASE WHEN size(_toks) <= {width} THEN 0 "
+                f"ELSE ((size(_toks) - {width} + {stride} - 1) div {stride}) END), "
+                f"i -> slice(_toks, i * {stride} + 1, {width}))"
+            )
+        ).alias("chunk_idx", "_chunk"),
+    )
+    return (
+        chunks.withColumn("text", F.array_join(F.col("_chunk"), " "))
+        .withColumn("n_chunk_tokens", F.size("_chunk"))
+        .drop("_toks", "_chunk")
+    )
+
+
+def _step_weighted_sample(df: DataFrame, opts: dict) -> DataFrame:
+    """Keep the top-k documents by the deterministic Efraimidis–
+    Spirakis key ln(u)/w (the weighted_sample operator as a pipeline
+    stage); weightColumn defaults to n_chars."""
+    from data_validator_spark.queries.pipeline_ops import WSAMPLE_SALT
+
+    k = int(opts.get("k", 20))
+    wcol = opts.get("weightColumn", "n_chars")
+    if k <= 0:
+        raise PipelineConfigError("weightedSample k must be positive")
+    if wcol not in df.columns:
+        raise PipelineConfigError(f"weightedSample weightColumn {wcol!r} not found")
+    # the draw is keyed by doc_id — plus chunk_idx when the frame has
+    # been fanned out by a chunk step, so every ROW gets its own
+    # uniform and the k-boundary can never tie between same-doc rows
+    ident = F.col("doc_id").cast("string")
+    tiebreak = [F.col("doc_id")]
+    if "chunk_idx" in df.columns:
+        ident = F.concat(ident, F.lit(":"), F.col("chunk_idx").cast("string"))
+        tiebreak.append(F.col("chunk_idx"))
+    u = (
+        _hash60(F.concat(F.lit(WSAMPLE_SALT + ":"), ident)) + 1
+    ).cast("double") / F.lit(float(2**60))
+    key = (F.log(u) / F.col(wcol).cast("double")).cast("decimal(30,6)")
+    return (
+        df.withColumn("_wkey", key)
+        .orderBy(F.desc("_wkey"), *tiebreak)
+        .limit(k)
+        .drop("_wkey")
+    )
+
+
 STEPS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "dedupExact": _step_dedup_exact,
     "qualityFilter": _step_quality_filter,
@@ -142,6 +207,8 @@ STEPS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "piiScrub": _step_pii_scrub,
     "sample": _step_sample,
     "select": _step_select,
+    "chunk": _step_chunk,
+    "weightedSample": _step_weighted_sample,
 }
 
 

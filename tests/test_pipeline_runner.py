@@ -140,3 +140,68 @@ def test_cli_exit_2_on_bad_config(tmp_path):
     )
     assert r.returncode == 2, (r.returncode, r.stderr[-500:])
     assert "PIPELINE_CONFIG_ERROR" in r.stderr
+
+
+def test_chunk_step_agrees_with_doc_chunk_operator(spark):
+    """The pipeline chunk step must produce exactly the chunks the
+    graded doc_chunk operator reports (same windows, same counts)."""
+    from data_validator_spark.pipeline import build_pipeline
+    from data_validator_spark.queries.textops import q_doc_chunk
+
+    cfg = {
+        "pipeline": {
+            "source": {"table": "documents"},
+            "steps": [{"chunk": {}}],
+        }
+    }
+    df = build_pipeline(spark, cfg, sf_dir=SF)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["text"].split())
+        for r in df.select("doc_id", "chunk_idx", "n_chunk_tokens", "text").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): r["n_chunk_tokens"]
+        for r in q_doc_chunk(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, toks) in got.items():
+        assert n == want[k]
+        assert len(toks) == n
+
+
+def test_weighted_sample_step_agrees_with_operator(spark):
+    from data_validator_spark.pipeline import build_pipeline
+    from data_validator_spark.queries.pipeline_ops import (
+        WSAMPLE_K,
+        q_weighted_sample,
+    )
+
+    cfg = {
+        "pipeline": {
+            "source": {"table": "documents"},
+            "steps": [{"weightedSample": {"k": WSAMPLE_K}}],
+        }
+    }
+    df = build_pipeline(spark, cfg, sf_dir=SF)
+    got = sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    want = sorted(r["doc_id"] for r in q_weighted_sample(spark, SF).collect())
+    assert got == want
+
+
+def test_chunk_and_weighted_sample_bad_configs(spark):
+    from data_validator_spark.pipeline import build_pipeline
+
+    with pytest.raises(PipelineConfigError):
+        build_pipeline(
+            spark,
+            {"pipeline": {"source": {"table": "documents"},
+                          "steps": [{"chunk": {"width": 0}}]}},
+            sf_dir=SF,
+        )
+    with pytest.raises(PipelineConfigError):
+        build_pipeline(
+            spark,
+            {"pipeline": {"source": {"table": "documents"},
+                          "steps": [{"weightedSample": {"weightColumn": "nope"}}]}},
+            sf_dir=SF,
+        )
