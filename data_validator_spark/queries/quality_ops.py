@@ -120,13 +120,13 @@ WITH base AS (
 stats AS (
   SELECT MIN(cents) AS minc, MAX(cents) AS maxc,
          CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_tot,
-         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_tot
+         CAST(SUM(CASE WHEN is_ref = false THEN 1 ELSE 0 END) AS BIGINT) AS cur_tot
   FROM base),
 counts AS (
   SELECT LEAST({PSI_BUCKETS - 1},
                ((cents - minc) * {PSI_BUCKETS}) // (maxc - minc + 1)) AS bucket,
          CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
-         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+         CAST(SUM(CASE WHEN is_ref = false THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
   FROM base, stats GROUP BY 1),
 spine AS (SELECT unnest(range(0, {PSI_BUCKETS})) AS bucket),
 grid AS (
@@ -586,8 +586,8 @@ WITH dist AS (
   SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
          CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{PSI_PIVOT} 00:00:00'
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{PSI_PIVOT} 00:00:00'
-                  THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+         CAST(SUM(CASE WHEN NOT (l_shipdate < TIMESTAMP '{PSI_PIVOT} 00:00:00')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
   FROM lineitem GROUP BY 1),
 totals AS (
   SELECT CAST(SUM(n_ref) AS BIGINT) AS rt, CAST(SUM(n_cur) AS BIGINT) AS ct,
@@ -903,7 +903,7 @@ def q_mad_outliers(spark, sf):
     x = F.col(MAD_COLUMN)
     med = li.agg(F.expr(f"percentile({MAD_COLUMN}, 0.5D)").alias("med"))
     dev = li.crossJoin(F.broadcast(med)).select(
-        x.alias("x"), F.abs(x - F.col("med")).alias("ad"), F.col("med")
+        F.abs(x - F.col("med")).alias("ad"), F.col("med")
     )
     mad = dev.agg(
         F.max("med").alias("med"), F.expr("percentile(ad, 0.5D)").alias("mad")
