@@ -100,7 +100,7 @@ def q_pagerank_bipartite(spark, sf):
             F.expr("node div 2").alias("orig_id"),
             F.round("pr", 12).alias("pr"),
         )
-        .orderBy(F.desc("pr"), "orig_id")
+        .orderBy(F.desc("pr"), "orig_id", "node_type")
         .limit(20)
     )
 
@@ -113,7 +113,7 @@ def _sql_pagerank() -> str:
             f"""
 pr{i} AS (
   SELECT n.node, n.deg, n.n,
-         (1.0 - {DAMPING}) / n.n + {DAMPING} * COALESCE(s.mass, 0.0) AS pr
+         {1.0 - DAMPING!r} / n.n + {DAMPING} * COALESCE(s.mass, 0.0) AS pr
   FROM nodes n LEFT JOIN (
     SELECT e.dst,
            CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(38,18))) AS DOUBLE) AS mass
@@ -138,7 +138,7 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
        node // 2 AS orig_id,
        ROUND(pr, 12) AS pr
 FROM {prev}
-ORDER BY pr DESC, orig_id LIMIT 20
+ORDER BY pr DESC, orig_id, node_type LIMIT 20
 """
 
 

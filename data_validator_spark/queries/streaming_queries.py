@@ -22,20 +22,41 @@ from pyspark.sql import functions as F
 from data_validator_spark.queries import dsum, load, normalize_events_ts, sql_dsum
 
 
-def _stream_reader(spark, sf, name):
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp tracked for end-of-process cleanup (repeated bench/test
+    sessions otherwise accumulate unbounded /tmp entries)."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(x, ignore_errors=True) for x in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+def _stream_reader(spark, sf, name, copies: int = 1):
     """readStream twin of queries.load (schema from a batch read; events
     ns-timestamps truncated to µs exactly like the batch loader).
 
     The file source requires a DIRECTORY; the synthetic tables are
-    single files, so link each into a scratch dir (zero-copy)."""
+    single files, so link each into a scratch dir (zero-copy).
+    ``copies`` links the file N times — the at-least-once-redelivery
+    feed the streaming-dedup query consumes."""
     import os
 
     load(spark, sf, name)  # sets UTC + nanosAsLong session confs
     src = os.path.abspath(f"{sf}/{name}.parquet")
     # raw on-disk schema (pre ns→µs conversion: events.ts is int64)
     raw_schema = spark.read.parquet(src).schema
-    d = tempfile.mkdtemp(prefix=f"dv_stream_{name}_")
-    os.symlink(src, os.path.join(d, f"{name}.parquet"))
+    d = _scratch_dir(f"dv_stream_{name}_")
+    for i in range(copies):
+        os.symlink(src, os.path.join(d, f"{name}_{i}.parquet"))
     df = spark.readStream.schema(raw_schema).format("parquet").load(d)
     if name == "events":
         df = normalize_events_ts(df)
@@ -71,6 +92,8 @@ def _run_to_memory(stream_df, agg_builder, output_mode: str = "complete"):
     """Run a bounded stream to completion into a memory sink; return
     the final table. ``output_mode``: "complete" for aggregations,
     "append" for joins/stateful emit-on-close operators."""
+    import shutil
+
     name = f"dv_stream_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
     spark = stream_df.sparkSession
@@ -87,7 +110,13 @@ def _run_to_memory(stream_df, agg_builder, output_mode: str = "complete"):
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.table(name)
+    # materialize the (small) final table off the memory sink so the
+    # sink table and checkpoint can be released immediately — repeated
+    # runs otherwise accumulate driver-memory tables and /tmp state
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 def q_streaming_windowed(spark, sf):
@@ -129,7 +158,7 @@ def q_streaming_validation(spark, sf):
         lambda: [NullCheck("l_returnflag"), NegativeCheck("l_quantity")]
     )
     stream = _stream_reader(spark, sf, "lineitem")
-    ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
+    ckpt = _scratch_dir("dv_ckpt_")
     q = sv.start(stream, checkpointLocation=ckpt)
     try:
         q.processAllAvailable()
@@ -159,7 +188,7 @@ def q_streaming_sessionized(spark, sf):
 
     ev = _stream_reader(spark, sf, "events")
     name = f"dv_sess_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
+    ckpt = _scratch_dir("dv_ckpt_")
     # NOT scoped by _stream_partitions: this operator is bound by the
     # PYTHON stateful workers (applyInPandasWithState), so partitions
     # = parallel pandas kernels; shrinking them to state-store scale
@@ -234,16 +263,7 @@ def q_streaming_dedup(spark, sf):
     per-type aggregate hash-matches the batch oracle over the
     single-copy table, which only holds if dedup removed exactly the
     duplicate delivery."""
-    import os
-
-    load(spark, sf, "events")  # sets UTC + nanosAsLong session confs
-    src = os.path.abspath(f"{sf}/events.parquet")
-    raw_schema = spark.read.parquet(src).schema
-    d = tempfile.mkdtemp(prefix="dv_stream_dup_")
-    os.symlink(src, os.path.join(d, "copy1.parquet"))
-    os.symlink(src, os.path.join(d, "copy2.parquet"))
-    df = spark.readStream.schema(raw_schema).format("parquet").load(d)
-    df = normalize_events_ts(df)
+    df = _stream_reader(spark, sf, "events", copies=2)
 
     deduped = _run_to_memory(
         df,
@@ -393,11 +413,15 @@ def q_streaming_drift(spark, sf):
     ref = li.where(F.col("l_shipdate") < F.lit(DRIFT_PIVOT)).select(
         cents.alias("cents")
     )
+    # the static side of a stream-static join is re-evaluated per
+    # micro-batch — localCheckpoint materializes the 1-row stats
+    # relation once so each batch broadcasts a constant instead of
+    # re-scanning the reference table
     stats = ref.agg(
         F.min("cents").alias("minc"),
         F.max("cents").alias("maxc"),
         F.count(F.lit(1)).alias("ref_tot"),
-    )
+    ).localCheckpoint()
     clamped = F.expr(
         f"least({DRIFT_BUCKETS - 1}, "
         f"((least(maxc, greatest(minc, cents)) - minc) * {DRIFT_BUCKETS}) "
@@ -407,6 +431,7 @@ def q_streaming_drift(spark, sf):
         ref.crossJoin(F.broadcast(stats))
         .groupBy(clamped.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("ref_cnt"))
+        .localCheckpoint()
     )
     stats1 = stats.withColumn("one", F.lit(1))
 
@@ -458,8 +483,12 @@ def q_streaming_drift(spark, sf):
     ).orderBy("bucket")
 
 
-DRIFT_PIVOT = "1998-07-01"  # shared with quality_ops.drift_psi
-DRIFT_BUCKETS = 10
+# THE shared drift policy: the streaming monitor and the batch
+# drift_psi audit the same pivot/bucket grid by construction
+from data_validator_spark.queries.quality_ops import (  # noqa: E402
+    PSI_BUCKETS as DRIFT_BUCKETS,
+    PSI_PIVOT as DRIFT_PIVOT,
+)
 
 SQL_STREAMING_DRIFT = f"""
 WITH ref AS (
