@@ -104,8 +104,12 @@ def _step_split(df: DataFrame, opts: dict) -> DataFrame:
 
 def _step_split_filter(df: DataFrame, opts: dict) -> DataFrame:
     keep = opts.get("keep", "train")
-    out = df if "split" in df.columns else _step_split(df, opts)
-    return out.where(F.col("split") == keep)
+    had_split = "split" in df.columns
+    out = df if had_split else _step_split(df, opts)
+    out = out.where(F.col("split") == keep)
+    # the internally materialized column must not leak into the output
+    # schema — only an explicit split step adds it
+    return out if had_split else out.drop("split")
 
 
 def _step_token_count(df: DataFrame, opts: dict) -> DataFrame:
@@ -144,24 +148,21 @@ def _step_chunk(df: DataFrame, opts: dict) -> DataFrame:
     stride = int(opts.get("stride", CHUNK_S))
     if width <= 0 or stride <= 0:
         raise PipelineConfigError("chunk width/stride must be positive")
-    toks = df.withColumn("_toks", F.split(F.trim(F.col("text")), r"\s+")).where(
-        F.size("_toks") > 0
+    from data_validator_spark.queries.textops import chunk_windows
+
+    toks = df.where(F.length(F.trim(F.col("text"))) > 0).withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+")
     )
     chunks = toks.select(
         "*",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, "
-                f"CASE WHEN size(_toks) <= {width} THEN 0 "
-                f"ELSE ((size(_toks) - {width} + {stride} - 1) div {stride}) END), "
-                f"i -> slice(_toks, i * {stride} + 1, {width}))"
-            )
-        ).alias("chunk_idx", "_chunk"),
+        F.posexplode(F.expr(chunk_windows(width, stride))).alias(
+            "chunk_idx", "_chunk"
+        ),
     )
     return (
         chunks.withColumn("text", F.array_join(F.col("_chunk"), " "))
         .withColumn("n_chunk_tokens", F.size("_chunk"))
-        .drop("_toks", "_chunk")
+        .drop("toks", "_chunk")
     )
 
 

@@ -125,7 +125,7 @@ def _derived_params(spark, sf) -> tuple[int, int]:
 # DuckDB mirror of _derived_params (same clamp arithmetic, count(*)).
 _SQL_PARAMS = f"""
 params AS (
-  SELECT LEAST(GREATEST(CAST(ceil(log2(count(*) / {TARGET_BUCKET_POP}.0)) AS INT),
+  SELECT LEAST(GREATEST(CAST(ceil(log2(GREATEST(count(*), 1) / {TARGET_BUCKET_POP}.0)) AS INT),
                {MIN_PLANES}), {MAX_PLANES}) AS np,
          LEAST(GREATEST(CAST(ceil(sqrt(count(*))) AS INT),
                {MIN_NLIST}), {MAX_NLIST}) AS nl

@@ -340,6 +340,19 @@ CHUNK_W = 64  # window width (tokens)
 CHUNK_S = 48  # stride (tokens) → 16-token overlap between neighbors
 
 
+def chunk_windows(width: int, stride: int):
+    """SQL expression producing the list of token-window slices for a
+    bound array column named `toks` — THE chunking definition, shared
+    by the graded q_doc_chunk operator and the pipeline `chunk` step
+    so the two can never diverge."""
+    return (
+        f"transform(sequence(0, "
+        f"CASE WHEN size(toks) <= {width} THEN 0 "
+        f"ELSE ((size(toks) - {width} + {stride} - 1) div {stride}) END), "
+        f"i -> slice(toks, i * {stride} + 1, {width}))"
+    )
+
+
 def q_doc_chunk(spark, sf):
     """RAG chunking: split every document into overlapping 64-token
     windows with a 48-token stride (the retrieval-index ingestion
@@ -358,20 +371,17 @@ def q_doc_chunk(spark, sf):
     from data_validator_spark.queries import _hash60
 
     df = spread(load(spark, sf, "documents"))
-    toks = df.select(
+    # split('') yields [''] (size 1, never 0) — guard on trimmed text
+    # length, the token_count rule, so blank docs emit no phantom chunk
+    toks = df.where(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    ).where(F.size("toks") > 0)
+    )
     chunks = toks.select(
         "doc_id",
         "toks",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, "
-                f"CASE WHEN size(toks) <= {CHUNK_W} THEN 0 "
-                f"ELSE ((size(toks) - {CHUNK_W} + {CHUNK_S} - 1) div {CHUNK_S}) END), "
-                f"i -> slice(toks, i * {CHUNK_S} + 1, {CHUNK_W}))"
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.expr(chunk_windows(CHUNK_W, CHUNK_S))).alias(
+            "chunk_idx", "chunk"
+        ),
     )
     return chunks.select(
         "doc_id",
@@ -387,8 +397,9 @@ def _sql_doc_chunk() -> str:
 
     return f"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
 chunks AS (
   SELECT doc_id,
          unnest(range(0, CASE WHEN n <= {CHUNK_W} THEN 1
