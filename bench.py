@@ -94,6 +94,8 @@ HEADLINE = [
     "event_transitions",
     "conversion_lag",
     "weighted_sample",
+    "global_shuffle",
+    "repetition_strip",
     "bm25_topk",
     "kmeans_embeddings",
     "trigram_lm_score",
@@ -123,6 +125,7 @@ HEADLINE = [
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "dedup_embedding_cosine",
+    "semdedup",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",

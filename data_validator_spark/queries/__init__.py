@@ -213,6 +213,10 @@ GRADE_PRIORITY = [
     "event_transitions",
     "conversion_lag",
     "weighted_sample",
+    # (session 5 additions, same saturated-budget rationale)
+    "semdedup",
+    "repetition_strip",
+    "global_shuffle",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "dedup_embedding_cosine",

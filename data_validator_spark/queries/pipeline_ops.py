@@ -472,7 +472,59 @@ ORDER BY sample_key DESC, doc_id LIMIT {WSAMPLE_K}
 """
 
 
+# -- global_shuffle --------------------------------------------------------
+SHUFFLE_SALT = "shuf"
+N_SHARDS = 8
+
+
+def q_global_shuffle(spark, sf):
+    """Deterministic training-order shuffle + shard assignment: the
+    step that turns a curated corpus into the randomized, sharded
+    order a training loader consumes. Each document gets a stable
+    pseudo-random key (salted 60-bit hash of its id), a shard
+    (key mod N_SHARDS), and its position within the shard.
+
+    Scale shape: this is the scale-honest global shuffle — there is NO
+    global row_number (which would funnel 100 TB through one window
+    partition). The shard id is computed map-side from the hash, so
+    the one shuffle in the plan is the partitionBy(shard) exchange,
+    and each shard orders independently (in a real write this is
+    exactly repartition(shard) + sortWithinPartitions(key)). Changing
+    the salt reshuffles every epoch, still deterministically.
+
+    Determinism: the hash is the package md5-prefix rule; within-shard
+    ties (impossible for distinct ids, but stated) break on doc_id.
+    """
+    df = spread(load(spark, sf, "documents"))
+    h = _hash60(F.concat(F.lit(f"{SHUFFLE_SALT}:"), F.col("doc_id").cast("string")))
+    proj = df.select(
+        "doc_id",
+        h.alias("h"),
+        F.pmod(h, F.lit(N_SHARDS)).cast("int").alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    return (
+        proj.withColumn("shard_pos", F.row_number().over(w))
+        .select("doc_id", "shard_id", "shard_pos")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_global_shuffle() -> str:
+    salted = f"'{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)"
+    return f"""
+WITH s AS (
+  SELECT doc_id, {_sql_hash60(salted)} AS h FROM documents),
+p AS (SELECT doc_id, h, CAST(h % {N_SHARDS} AS INT) AS shard_id FROM s)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS INT)
+         AS shard_pos
+FROM p ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "global_shuffle": q_global_shuffle,
     "weighted_sample": q_weighted_sample,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
@@ -483,6 +535,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "global_shuffle": _sql_global_shuffle(),
     "weighted_sample": _sql_weighted_sample(),
     "pii_scrub": SQL_PII_SCRUB,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

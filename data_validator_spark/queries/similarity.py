@@ -326,8 +326,10 @@ def q_similarity_ann_ivf(spark, sf):
     )
 
 
-SQL_SIMILARITY_ANN_IVF = f"""
-WITH e AS (
+# Shared CTE chain producing the IVF coarse assignment (vec_id, v,
+# nrm, list_id) — the SQL twin of _assigned(); reused by the IVF
+# search oracle and the semdedup oracle so the two can never diverge.
+_SQL_ASSIGNED_CTES = f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
 {_SQL_PARAMS},
@@ -342,7 +344,11 @@ scored AS (
 assigned AS (
   SELECT vec_id, v, nrm, cent_id AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
-    FROM scored) WHERE r = 1),
+    FROM scored) WHERE r = 1)"""
+
+
+SQL_SIMILARITY_ANN_IVF = f"""
+WITH {_SQL_ASSIGNED_CTES},
 q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnorm, list_id AS qlist
       FROM assigned WHERE vec_id < {N_QUERIES}),
 pairs AS (
@@ -355,6 +361,91 @@ ranked AS (
             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM pairs)
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
 WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+# -- semdedup --------------------------------------------------------------
+# Semantic dedup threshold: the synthetic corpus has no planted dups
+# (same rationale as COSINE_DEDUP_THRESHOLD above), so the exercise
+# threshold is the same 0.40.
+SEMDEDUP_THRESHOLD = COSINE_DEDUP_THRESHOLD
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then search for
+    near-duplicate pairs ONLY within a cluster; any vector whose
+    cluster contains a semantically-equivalent lower-id vector
+    (cosine >= threshold) is marked a duplicate. Output is the
+    per-cluster audit relation: members, duplicates dropped.
+
+    Scale shape: clustering is the IVF coarse assignment (_assigned —
+    broadcast sqrt(N) centroids, no corpus shuffle), so cluster count
+    grows with the corpus and expected membership stays ~sqrt(N). The
+    pair join shuffles once on cluster id, and clusters above
+    MAX_EMB_BUCKET members are excluded from pair expansion (the
+    dedup.py MAX_BUCKET rule) so a degenerate cluster can never emit
+    O(n²) pairs. The output relation is one row per cluster —
+    bounded by nlist <= {MAX_NLIST}, never corpus-sized.
+
+    Determinism: cosine rounds to 6 decimals before the threshold in
+    both engines; duplicate marking is the keep-lowest-vec_id rule
+    (order-free); counts are exact integers.
+    """
+    assigned = _assigned(spark, sf)
+    csz = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_members"))
+    small = assigned.join(csz, "list_id").where(F.col("n_members") <= MAX_EMB_BUCKET)
+    a = small.select(
+        F.col("list_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = small.select(
+        F.col("list_id").alias("lb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    dropped = (
+        a.join(b, (F.col("list_id") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .where(cos >= SEMDEDUP_THRESHOLD)
+        .select("list_id", "vec_b")
+        .distinct()
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        csz.join(dropped, "list_id", "left")
+        .select(
+            F.col("list_id").alias("cluster_id"),
+            "n_members",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _sql_semdedup() -> str:
+    return f"""
+WITH {_SQL_ASSIGNED_CTES},
+csz AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM assigned GROUP BY list_id),
+small AS (SELECT a.* FROM assigned a JOIN csz USING (list_id)
+          WHERE n_members <= {MAX_EMB_BUCKET}),
+dup AS (
+  SELECT DISTINCT a.list_id, b.vec_id AS vec_b
+  FROM small a JOIN small b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE ROUND(list_sum(list_transform(range(1, {DIM + 1}), i -> a.v[i] * b.v[i]))
+              / (a.nrm * b.nrm), 6) >= {SEMDEDUP_THRESHOLD}),
+dropped AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_dropped
+            FROM dup GROUP BY list_id)
+SELECT csz.list_id AS cluster_id, n_members,
+       COALESCE(n_dropped, 0) AS n_dropped
+FROM csz LEFT JOIN dropped USING (list_id)
+ORDER BY cluster_id
 """
 
 
@@ -436,6 +527,7 @@ QUERIES = {
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ann_ivf": q_similarity_ann_ivf,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "semdedup": q_semdedup,
 }
 
 ORACLES = {
@@ -444,4 +536,5 @@ ORACLES = {
     "similarity_ann_lsh": _sql_ann_lsh(),
     "similarity_ann_ivf": SQL_SIMILARITY_ANN_IVF,
     "dedup_embedding_cosine": _sql_dedup_embedding_cosine(),
+    "semdedup": _sql_semdedup(),
 }

@@ -420,7 +420,71 @@ FROM sliced ORDER BY doc_id, chunk_idx
 """
 
 
+# -- repetition_strip ------------------------------------------------------
+def q_repetition_strip(spark, sf):
+    """Within-document repetition removal: collapse runs of consecutive
+    duplicate tokens to a single occurrence (the intra-doc half of the
+    C4/Gopher repetition cleanup — gopher_quality MEASURES repetition,
+    this op REMOVES it). Emits the original/kept token counts and a
+    60-bit hash of the cleaned text so the whole rewritten corpus is
+    value-checked without shipping megabyte strings through the
+    comparator.
+
+    Scale shape: pure map — split, one index-aware array filter, one
+    re-join, all native column functions inside whole-stage codegen.
+    Zero shuffles; linear scans at 100 TB.
+
+    Determinism: token order is preserved (filter keeps the first of
+    each run), the cleaned text re-joins with a single space after
+    trim-split (canonical whitespace), and the hash is the package
+    60-bit md5 rule.
+    """
+    from data_validator_spark.queries import _hash60
+
+    df = spread(load(spark, sf, "documents"))
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    proj = df.select("doc_id", toks.alias("toks"))
+    # keep token i (0-based) iff it differs from its predecessor; the
+    # null-safe <=> guard makes i=0 keep without an element_at(.., 0)
+    # error (F.get is 0-based and null-safe).
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: (i == F.lit(0)) | ~F.get(F.col("toks"), i - 1).eqNullSafe(x),
+    )
+    return (
+        proj.select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(kept).alias("n_kept"),
+            _hash60(F.array_join(kept, " ")).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_repetition_strip() -> str:
+    from data_validator_spark.queries import _sql_hash60
+
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents),
+k AS (
+  SELECT doc_id, toks,
+         list_filter(toks, (x, i) -> i = 1 OR toks[i-1] <> x) AS kept
+  FROM t)
+SELECT doc_id, len(toks) AS n_tokens, len(kept) AS n_kept,
+       {_sql_hash60("array_to_string(kept, ' ')")} AS clean_hash
+FROM k ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "repetition_strip": q_repetition_strip,
     "doc_chunk": q_doc_chunk,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
@@ -432,6 +496,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "repetition_strip": _sql_repetition_strip(),
     "doc_chunk": _sql_doc_chunk(),
     "token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,

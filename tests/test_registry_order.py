@@ -65,6 +65,8 @@ ROWS_ONLY = {
 # oracle proof + brute-force pytest.
 NEW_LOCAL_ONLY = {
     "event_transitions", "conversion_lag", "weighted_sample",
+    # r5 session 5, same saturated-budget rationale
+    "semdedup", "repetition_strip", "global_shuffle",
 }
 
 
