@@ -154,7 +154,7 @@ ORDER BY doc_id
 
 
 # -- frame sampling: 1→N row fan-out through mapInPandas --------------------
-FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int, frame_len int, frame_md5 string"
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int, frame_len int, frame_hash bigint"
 
 N_FRAMES = 4
 
@@ -163,12 +163,16 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     """STUB for video frame sampling (ffmpeg/PyAV keyframe extraction).
     Treats the payload as N_FRAMES evenly-spaced byte slices and emits
     one output row per sampled frame — the 1→N fan-out shape a real
-    frame sampler has. frame_md5 hashes the slice so content (not just
-    offsets) is covered by the rows-only check."""
+    frame sampler has. frame_hash is the package 60-bit md5 rule over
+    the UPPERCASE HEX encoding of the slice: hashing the hex (not the
+    raw bytes) is what makes a SQL oracle possible — DuckDB's md5 is
+    VARCHAR-only and cannot slice BLOBs, but hex(blob) is byte-aligned
+    (byte i ↔ hex chars 2i+1..2i+2), so both engines hash the
+    identical string."""
     import hashlib
 
     for pdf in batches:
-        out: dict[str, list] = {k: [] for k in ("doc_id", "frame_idx", "frame_offset", "frame_len", "frame_md5")}
+        out: dict[str, list] = {k: [] for k in ("doc_id", "frame_idx", "frame_offset", "frame_len", "frame_hash")}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             raw = bytes(payload)
             n = len(raw)
@@ -180,14 +184,39 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 out["frame_idx"].append(i)
                 out["frame_offset"].append(off)
                 out["frame_len"].append(len(chunk))
-                out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+                out["frame_hash"].append(
+                    int(hashlib.md5(chunk.hex().upper().encode()).hexdigest()[:15], 16)
+                )
         yield pd.DataFrame(out)
 
 
+SQL_MULTIMODAL_FRAME_SAMPLE = f"""
+WITH m AS (
+  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+         octet_length(CAST(text AS BLOB)) AS n
+  FROM documents),
+f AS (
+  SELECT doc_id, hx, n, GREATEST(n // {N_FRAMES}, 1) AS step,
+         unnest(range(0, {N_FRAMES})) AS fi
+  FROM m),
+s AS (
+  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+         CAST(LEAST(fi * step, n) AS INT) AS frame_offset,
+         substr(hx, CAST(LEAST(fi * step, n) AS INT) * 2 + 1,
+                CAST(step AS INT) * 2) AS chunk_hex
+  FROM f)
+SELECT doc_id, frame_idx, frame_offset,
+       CAST(length(chunk_hex) // 2 AS INT) AS frame_len,
+       CAST('0x' || substr(md5(chunk_hex), 1, 15) AS BIGINT) AS frame_hash
+FROM s ORDER BY doc_id, frame_idx
+"""
+
+
 def q_multimodal_frame_sample(spark, sf):
-    """Video-shaped fan-out: each payload yields N_FRAMES rows. Stays
-    rows-only (byte-slice md5 has no clean SQL twin), but offsets and
-    lengths are deterministic and pytest-pinned."""
+    """Video-shaped fan-out: each payload yields N_FRAMES rows.
+    Oracle-checked: offsets/lengths are deterministic arithmetic and
+    the per-frame content hash goes through the hex-string equivalence
+    (see _frame_sample_batches) so DuckDB reproduces it exactly."""
     media = media_table(spark, sf)
     return media.select("doc_id", "payload").mapInPandas(
         _frame_sample_batches, schema=FRAMES_SCHEMA
@@ -264,4 +293,5 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
 }

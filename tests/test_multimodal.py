@@ -61,8 +61,13 @@ def test_frame_sample_fanout_and_content(spark, docs_dir):
     frames = sorted(by_doc[1], key=lambda r: r["frame_idx"])
     # len("hello")=5, step=1: offsets 0..3, single-byte slices
     assert [f["frame_offset"] for f in frames] == [0, 1, 2, 3]
-    assert frames[0]["frame_md5"] == hashlib.md5(b"h").hexdigest()
-    assert frames[3]["frame_md5"] == hashlib.md5(b"l").hexdigest()
+    # frame_hash = 60-bit md5 over the UPPERCASE hex of the byte slice
+    # (the encoding that lets DuckDB reproduce it — see SQL oracle)
+    def hex_hash(b: bytes) -> int:
+        return int(hashlib.md5(b.hex().upper().encode()).hexdigest()[:15], 16)
+
+    assert frames[0]["frame_hash"] == hex_hash(b"h")
+    assert frames[3]["frame_hash"] == hex_hash(b"l")
 
 
 def test_features_normalized_histogram(spark, docs_dir):
