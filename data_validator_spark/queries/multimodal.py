@@ -260,27 +260,74 @@ def features_table(spark, sf):
     )
 
 
+# Oracle for the featurizer: the per-byte histogram is re-derived in
+# SQL from hex pairs (same equivalence as the frame oracle), and the
+# float32 quantization the Arrow array<float> schema imposes is
+# reproduced with CAST(.. AS FLOAT). Emission is fixed-point
+# floor(x*1e6 + 0.5) micro-units — identical IEEE doubles through an
+# identical floor in both engines — because the values are dyadic
+# rationals (count/2^k) that CAN sit exactly on a 6-decimal midpoint,
+# where decimal-formatting rounding modes disagree (observed:
+# 17/128 -> 0.132813 Java HALF_UP vs 0.132812 printf half-even).
+SQL_MULTIMODAL_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+         octet_length(CAST(text AS BLOB)) AS n
+  FROM documents),
+by AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hx, CAST(i AS INT) * 2 + 1, 2)) AS INT)
+           % {N_FEATURES} AS bucket
+  FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM m WHERE n > 0)),
+cnt AS (
+  SELECT doc_id, bucket, count(*) AS c FROM by GROUP BY doc_id, bucket),
+grid AS (
+  SELECT m.doc_id, GREATEST(m.n, 1) AS total, g.bucket
+  FROM m CROSS JOIN (SELECT unnest(range(0, {N_FEATURES})) AS bucket) g),
+feat AS (
+  SELECT grid.doc_id, grid.bucket,
+         CAST(CAST(CAST(COALESCE(cnt.c, 0) AS DOUBLE) / grid.total AS FLOAT)
+              AS DOUBLE) AS f
+  FROM grid LEFT JOIN cnt
+    ON cnt.doc_id = grid.doc_id AND cnt.bucket = grid.bucket),
+vecs AS (
+  SELECT doc_id, list(f ORDER BY bucket) AS v FROM feat GROUP BY doc_id)
+SELECT doc_id, CAST({N_FEATURES} AS INT) AS n_features,
+       CAST(floor(list_sum(v) * 1000000 + 0.5) AS BIGINT) AS l1_sum_q6,
+       array_to_string(
+         list_transform(v, x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                                     AS VARCHAR)), ',')
+         AS features_q6_csv
+FROM vecs ORDER BY doc_id
+"""
+
+
 def q_multimodal_features(spark, sf):
     """Registered (driver-facing) view of features_table: the vector is
     serialized to a fixed 6-decimal CSV string — list-typed columns
     crash pandas-side canonicalizers, so arrays never cross the
-    comparator boundary. Similarity ops consume features_table()."""
+    comparator boundary. Similarity ops consume features_table().
+    Oracle-checked via the hex-pair byte histogram + explicit float32
+    quantization (SQL_MULTIMODAL_FEATURES above)."""
     ft = features_table(spark, sf)
+
+    def q6(x):
+        # fixed-point micro-units: floor(x*1e6 + 0.5) — the package's
+        # engine-identical rounding rule (embedding_norm_quant). %.6f
+        # strings are NOT safe here: feature values are dyadic
+        # (count/2^k) and can sit exactly on the 6-decimal midpoint,
+        # where Java's HALF_UP and printf's half-even disagree.
+        return F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
     return ft.select(
         "doc_id",
         F.size("features").alias("n_features"),
-        F.round(
-            F.aggregate(
-                "features", F.lit(0.0), lambda a, x: a + x.cast("double")
-            ),
-            6,
-        ).alias("l1_sum"),
+        q6(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double"))
+        ).alias("l1_sum_q6"),
         F.concat_ws(
-            ",",
-            F.transform(
-                "features", lambda x: F.format_string("%.6f", x.cast("double"))
-            ),
-        ).alias("features_csv"),
+            ",", F.transform("features", lambda x: q6(x).cast("string"))
+        ).alias("features_q6_csv"),
     ).orderBy("doc_id")
 
 
@@ -294,4 +341,5 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

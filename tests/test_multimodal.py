@@ -99,10 +99,11 @@ def test_registered_features_output_is_driver_safe(spark, docs_dir):
     df = q_multimodal_features(spark, docs_dir)
     assert not any("array" in t or "struct" in t or "map" in t for _, t in df.dtypes)
     out = {r["doc_id"]: r for r in df.collect()}
-    got = [float(x) for x in out[1]["features_csv"].split(",")]
-    exp = fake_features(b"hello")
-    assert all(abs(a - b) < 1e-6 for a, b in zip(got, exp))
-    assert abs(out[1]["l1_sum"] - 1.0) < 1e-5
+    # fixed-point micro-units (floor(x*1e6+0.5)) — engine-identical
+    got = [int(x) for x in out[1]["features_q6_csv"].split(",")]
+    exp = [int(x * 1e6 + 0.5) for x in fake_features(b"hello")]
+    assert got == exp
+    assert out[1]["l1_sum_q6"] == 1_000_000
 
 
 def test_features_feed_similarity(spark, docs_dir):

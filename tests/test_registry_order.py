@@ -56,7 +56,7 @@ R3_DEFERRED = {
 # No SQL oracle by design — a driver row adds no hash evidence, their
 # bar is pytest (pinned values) + the local rows-only run.
 ROWS_ONLY = {
-    "multimodal_features", "streaming_validation",
+    "streaming_validation",
 }
 
 # New in r5 session 4 AFTER the grading budget saturated with
@@ -69,7 +69,7 @@ NEW_LOCAL_ONLY = {
     # multimodal_frame_sample graduated rows-only -> SQL oracle (hex-slice
     # hash) this session, so its fresh evidence is also the local proof
     "semdedup", "repetition_strip", "global_shuffle",
-    "multimodal_frame_sample",
+    "multimodal_frame_sample", "multimodal_features",
 }
 
 
