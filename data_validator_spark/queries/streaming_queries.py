@@ -151,6 +151,16 @@ ORDER BY 1, 2
 
 
 def q_streaming_validation(spark, sf):
+    """Streaming validation full cycle: readStream → foreachBatch
+    running the SAME fused validator scan the batch runner uses.
+
+    Registered output is the stream TOTAL, not the per-batch rows:
+    micro-batch boundaries are an execution detail of the file source
+    (chunking can legally differ run to run), so per-batch rows have
+    no stable hash — but their SUMS are batch-boundary-independent,
+    which is what lets this entry carry a real DuckDB oracle (the
+    plain batch aggregate over the same table). Per-batch structure
+    stays pinned in pytest (test_streaming)."""
     from data_validator_spark.streaming import StreamingValidator
     from data_validator_spark.validators.row_based import NegativeCheck, NullCheck
 
@@ -164,8 +174,35 @@ def q_streaming_validation(spark, sf):
         q.processAllAvailable()
     finally:
         q.stop()
-    rows = [(b["batchId"], b["rowCount"], b["failed"]) for b in sv.batches]
-    return spark.createDataFrame(rows, "batch_id bigint, row_count bigint, failed boolean")
+    total_rows = sum(b["rowCount"] for b in sv.batches)
+    errs = {"nullCheck": 0, "negativeCheck": 0}
+    for b in sv.batches:
+        for c in b["checks"]:
+            for e in c["events"]:
+                if e.get("type") == "counter" and e.get("name") == "errorCount":
+                    errs[c["type"]] += int(e["value"])
+    any_failed = any(b["failed"] for b in sv.batches)
+    rows = [(total_rows, errs["nullCheck"], errs["negativeCheck"], any_failed)]
+    return spark.createDataFrame(
+        rows,
+        "total_rows bigint, null_errors bigint, negative_errors bigint, "
+        "any_failed boolean",
+    )
+
+
+# Zero-threshold checks: a batch fails iff it saw any error, so
+# any-batch-failed ≡ total errors > 0 — the equivalence that makes the
+# stream total oracle-checkable.
+SQL_STREAMING_VALIDATION = """
+SELECT CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_errors,
+       CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS negative_errors,
+       (SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        + SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)) > 0 AS any_failed
+FROM lineitem
+"""
 
 
 def q_streaming_sessionized(spark, sf):
@@ -545,6 +582,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_validation": SQL_STREAMING_VALIDATION,
     "streaming_drift": SQL_STREAMING_DRIFT,
     "streaming_windowed": SQL_STREAMING_WINDOWED,
     "streaming_sessionized": SQL_STREAMING_SESSIONIZED,

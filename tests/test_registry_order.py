@@ -53,11 +53,12 @@ R3_DEFERRED = {
     "events_rollup",
 }
 
-# No SQL oracle by design — a driver row adds no hash evidence, their
-# bar is pytest (pinned values) + the local rows-only run.
-ROWS_ONLY = {
-    "streaming_validation",
-}
+# No SQL oracle by design. EMPTY as of r5 session 5: the last
+# rows-only entries graduated (multimodal via the hex-string
+# equivalence, streaming_validation via the batch-boundary-independent
+# stream-total reformulation) — every registry entry now carries a
+# hash oracle.
+ROWS_ONLY: set[str] = set()
 
 # New in r5 session 4 AFTER the grading budget saturated with
 # never-graded entries (displacement would be zero-sum) — deliberately
@@ -70,6 +71,7 @@ NEW_LOCAL_ONLY = {
     # hash) this session, so its fresh evidence is also the local proof
     "semdedup", "repetition_strip", "global_shuffle",
     "multimodal_frame_sample", "multimodal_features",
+    "streaming_validation",
 }
 
 
