@@ -97,6 +97,15 @@ def test_triangle_count_reuses_cached_pair_relation(spark, registry):
     assert "InMemoryTableScan" in plan
 
 
+def test_semdedup_reuses_cached_assignment(spark, registry):
+    """The IVF coarse assignment is persisted per session (an index
+    build); semdedup's cluster census and self-join arms must read
+    that cache, not re-run scan + centroid probe + argmax window."""
+    registry["similarity_ann_ivf"](spark, SF)
+    plan = plan_of(spark, registry, "semdedup")
+    assert "InMemoryTableScan" in plan
+
+
 def test_pagerank_broadcasts_rank_relation(spark, registry):
     """Each power iteration joins edges against the BROADCAST rank
     relation — the edge side must never shuffle for the join."""
