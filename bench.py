@@ -108,6 +108,7 @@ HEADLINE = [
     "scd2_intervals",
     "pagerank_bipartite",
     "triangle_count",
+    "copurchase_similarity",
     "hll_distinct",
     "gopher_quality",
     "tfidf_topk",

@@ -217,6 +217,7 @@ GRADE_PRIORITY = [
     "semdedup",
     "repetition_strip",
     "global_shuffle",
+    "copurchase_similarity",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
     "dedup_embedding_cosine",

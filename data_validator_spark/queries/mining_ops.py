@@ -782,7 +782,102 @@ FROM ent ORDER BY doc_id
 """
 
 
+# -- copurchase_similarity -------------------------------------------------
+# Baskets (orders) above this line-count are excluded from pair
+# expansion: per-basket pair fan-out is quadratic in basket size, and
+# one degenerate 10k-line order would emit 5*10^7 pairs. Same
+# cap-and-mirror rule as dedup.py MAX_BUCKET / similarity MAX_EMB_BUCKET.
+MAX_BASKET = 64
+MIN_CO_ORDERS = 2
+COPURCHASE_TOPK = 100
+
+
+def q_copurchase_similarity(spark, sf):
+    """Market-basket item-item similarity (the co-purchase /
+    'customers also bought' recommender primitive): for every pair of
+    parts appearing in the same order, count co-occurrences and score
+    Jaccard = co / (n_a + n_b - co); emit the strongest 100 pairs.
+
+    Scale shape: pairs are generated ONLY within an order — the
+    self-join key is l_orderkey, so the shuffle is one order-keyed
+    exchange and fan-out is quadratic in BASKET size, not corpus size
+    (and baskets over MAX_BASKET lines are excluded, the standard
+    degenerate-bucket rule). Per-part order counts are one map-side-
+    combined aggregate joined back by part key. The final top-k is
+    TakeOrdered over the MIN_CO_ORDERS-filtered pair relation — no
+    global sort materializes.
+
+    Determinism: co/n_a/n_b are exact integers; Jaccard is emitted as
+    fixed-point floor(x*1e6+0.5) micro-units (int/int rationals can
+    sit exactly on decimal midpoints — the multimodal_features rule);
+    ordering ties break on (part_a, part_b).
+    """
+    li = (
+        spread(load(spark, sf, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    bsz = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket"))
+    small = li.join(bsz, "l_orderkey").where(F.col("basket") <= MAX_BASKET)
+    a = small.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = small.select(
+        F.col("l_orderkey").alias("ob"), F.col("l_partkey").alias("part_b")
+    )
+    co = (
+        a.join(b, (F.col("l_orderkey") == F.col("ob")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+        .where(F.col("co_orders") >= MIN_CO_ORDERS)
+    )
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb"))
+    jac = F.col("co_orders").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("co_orders")
+    ).cast("double")
+    return (
+        co.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "co_orders",
+            F.col("na").alias("n_orders_a"),
+            F.col("nb").alias("n_orders_b"),
+            F.floor(jac * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("jaccard_q6"),
+        )
+        .orderBy(F.col("co_orders").desc(), "part_a", "part_b")
+        .limit(COPURCHASE_TOPK)
+    )
+
+
+SQL_COPURCHASE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+bsz AS (SELECT l_orderkey, count(*) AS basket FROM li GROUP BY l_orderkey),
+small AS (SELECT li.* FROM li JOIN bsz USING (l_orderkey)
+          WHERE basket <= {MAX_BASKET}),
+co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS co_orders
+  FROM small a JOIN small b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+  HAVING count(*) >= {MIN_CO_ORDERS}),
+freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+         FROM li GROUP BY l_partkey)
+SELECT part_a, part_b, co_orders,
+       fa.n_orders AS n_orders_a, fb.n_orders AS n_orders_b,
+       CAST(floor(CAST(co_orders AS DOUBLE)
+                  / (fa.n_orders + fb.n_orders - co_orders) * 1000000 + 0.5)
+            AS BIGINT) AS jaccard_q6
+FROM co JOIN freq fa ON co.part_a = fa.l_partkey
+        JOIN freq fb ON co.part_b = fb.l_partkey
+ORDER BY co_orders DESC, part_a, part_b LIMIT {COPURCHASE_TOPK}
+"""
+
+
 QUERIES = {
+    "copurchase_similarity": q_copurchase_similarity,
     "hll_distinct": q_hll_distinct,
     "gopher_quality": q_gopher_quality,
     "tfidf_topk": q_tfidf_topk,
@@ -794,6 +889,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "copurchase_similarity": SQL_COPURCHASE,
     "hll_distinct": SQL_HLL_DISTINCT,
     "gopher_quality": SQL_GOPHER,
     "tfidf_topk": _sql_tfidf(),

@@ -70,6 +70,7 @@ NEW_LOCAL_ONLY = {
     # multimodal_frame_sample graduated rows-only -> SQL oracle (hex-slice
     # hash) this session, so its fresh evidence is also the local proof
     "semdedup", "repetition_strip", "global_shuffle",
+    "copurchase_similarity",
     "multimodal_frame_sample", "multimodal_features",
     "streaming_validation",
 }

@@ -110,6 +110,74 @@ def test_global_shuffle_deterministic(spark):
     assert a == b
 
 
+# -- copurchase_similarity -------------------------------------------------
+@pytest.fixture(scope="module")
+def basket_dir(spark, tmp_path_factory):
+    """Orders: 1={10,20,30}, 2={10,20}, 3={10,20,40}, 4={40} plus a
+    degenerate order 5 with 70 distinct parts (over MAX_BASKET) that
+    must be excluded from pair expansion. Order 1 also repeats part 10
+    on two lines — co-occurrence must count ORDERS, not lines."""
+    rows = [(1, 10), (1, 10), (1, 20), (1, 30), (2, 10), (2, 20),
+            (3, 10), (3, 20), (3, 40), (4, 40)]
+    rows += [(5, 1000 + i) for i in range(70)]
+    d = tmp_path_factory.mktemp("baskets")
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+def test_copurchase_counts_and_jaccard(spark, basket_dir):
+    from data_validator_spark.queries.mining_ops import q_copurchase_similarity
+
+    out = {(r["part_a"], r["part_b"]): r for r in q_copurchase_similarity(spark, basket_dir).collect()}
+    # (10,20) co-occurs in orders 1,2,3; (10,30)/(20,30)/(10,40)/(20,40)
+    # each in ONE order only -> below MIN_CO_ORDERS; order 5 capped out
+    assert set(out) == {(10, 20)}
+    r = out[(10, 20)]
+    assert r["co_orders"] == 3
+    assert (r["n_orders_a"], r["n_orders_b"]) == (3, 3)
+    # jaccard = 3 / (3 + 3 - 3) = 1.0
+    assert r["jaccard_q6"] == 1_000_000
+
+
+def test_copurchase_brute_force_on_corpus(spark):
+    """Top rows agree with a Python brute force over the real table."""
+    import itertools
+
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.mining_ops import (
+        MAX_BASKET,
+        MIN_CO_ORDERS,
+        q_copurchase_similarity,
+    )
+
+    li = {(r["l_orderkey"], r["l_partkey"]) for r in
+          load(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()}
+    baskets: dict[int, set] = {}
+    for o, p in li:
+        baskets.setdefault(o, set()).add(p)
+    from collections import Counter
+    co = Counter()
+    freq = Counter()
+    for o, parts in baskets.items():
+        for p in parts:
+            freq[p] += 1
+        if len(parts) <= MAX_BASKET:
+            for x, y in itertools.combinations(sorted(parts), 2):
+                co[(x, y)] += 1
+    exp = sorted(
+        ((c, a, b) for (a, b), c in co.items() if c >= MIN_CO_ORDERS),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:100]
+    got = q_copurchase_similarity(spark, SF).collect()
+    assert [(r["co_orders"], r["part_a"], r["part_b"]) for r in got] == exp
+    for r in got:
+        a, b, c = r["part_a"], r["part_b"], r["co_orders"]
+        jac = c / (freq[a] + freq[b] - c)
+        assert r["jaccard_q6"] == int(jac * 1e6 + 0.5)
+
+
 # -- semdedup --------------------------------------------------------------
 @pytest.fixture(scope="module")
 def emb_dir(spark, tmp_path_factory):
