@@ -791,6 +791,30 @@ MAX_BASKET = 64
 MIN_CO_ORDERS = 2
 COPURCHASE_TOPK = 100
 
+# The DISTINCT (order, part) relation feeds FIVE subplan arms (basket
+# census, both self-join sides, and the two frequency joins); without
+# materialization Catalyst re-runs the distinct shuffle per arm — the
+# same shape _ASSIGNED_CACHE/_HS_CACHE fix elsewhere, so the same
+# session-keyed persist.
+_BASKET_CACHE: dict = {}
+
+
+def _basket_lines(spark, sf):
+    key = (spark.sparkContext.applicationId, str(sf))
+    cached = _BASKET_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = (
+        spread(load(spark, sf, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    li = li.persist(StorageLevel.MEMORY_AND_DISK)
+    _BASKET_CACHE[key] = li
+    return li
+
 
 def q_copurchase_similarity(spark, sf):
     """Market-basket item-item similarity (the co-purchase /
@@ -802,21 +826,20 @@ def q_copurchase_similarity(spark, sf):
     self-join key is l_orderkey, so the shuffle is one order-keyed
     exchange and fan-out is quadratic in BASKET size, not corpus size
     (and baskets over MAX_BASKET lines are excluded, the standard
-    degenerate-bucket rule). Per-part order counts are one map-side-
-    combined aggregate joined back by part key. The final top-k is
-    TakeOrdered over the MIN_CO_ORDERS-filtered pair relation — no
-    global sort materializes.
+    degenerate-bucket rule). The DISTINCT (order, part) relation is
+    persisted per session (_basket_lines) because five subplan arms
+    consume it — without that, Catalyst re-runs the distinct shuffle
+    per arm. Per-part order counts are one map-side-combined
+    aggregate joined back by part key. The final top-k is TakeOrdered
+    over the MIN_CO_ORDERS-filtered pair relation — no global sort
+    materializes.
 
     Determinism: co/n_a/n_b are exact integers; Jaccard is emitted as
     fixed-point floor(x*1e6+0.5) micro-units (int/int rationals can
     sit exactly on decimal midpoints — the multimodal_features rule);
     ordering ties break on (part_a, part_b).
     """
-    li = (
-        spread(load(spark, sf, "lineitem"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _basket_lines(spark, sf)
     bsz = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket"))
     small = li.join(bsz, "l_orderkey").where(F.col("basket") <= MAX_BASKET)
     a = small.select("l_orderkey", F.col("l_partkey").alias("part_a"))

@@ -17,7 +17,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import load, spread
+from data_validator_spark.queries import _sql_hash60, load, spread
 
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes int, fake_width int, fake_height int"
@@ -80,9 +80,9 @@ def q_multimodal_meta(spark, sf):
 SQL_MULTIMODAL_META = """
 SELECT doc_id,
        'text/fake-image' AS media_type,
-       octet_length(CAST(text AS BLOB)) AS n_bytes,
-       (octet_length(CAST(text AS BLOB)) % 640) + 1 AS fake_width,
-       (octet_length(CAST(text AS BLOB)) % 480) + 1 AS fake_height
+       octet_length(encode(text)) AS n_bytes,
+       (octet_length(encode(text)) % 640) + 1 AS fake_width,
+       (octet_length(encode(text)) % 480) + 1 AS fake_height
 FROM documents
 ORDER BY doc_id
 """
@@ -138,8 +138,8 @@ def q_multimodal_resize(spark, sf):
 SQL_MULTIMODAL_RESIZE = f"""
 WITH d AS (
   SELECT doc_id,
-         (octet_length(CAST(text AS BLOB)) % 640) + 1 AS w,
-         (octet_length(CAST(text AS BLOB)) % 480) + 1 AS h
+         (octet_length(encode(text)) % 640) + 1 AS w,
+         (octet_length(encode(text)) % 480) + 1 AS h
   FROM documents
 ), s AS (
   SELECT doc_id, w, h, LEAST({FIT}.0 / w, {FIT}.0 / h, 1.0) AS scale FROM d
@@ -192,8 +192,8 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 SQL_MULTIMODAL_FRAME_SAMPLE = f"""
 WITH m AS (
-  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
-         octet_length(CAST(text AS BLOB)) AS n
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
   FROM documents),
 f AS (
   SELECT doc_id, hx, n, GREATEST(n // {N_FRAMES}, 1) AS step,
@@ -207,7 +207,7 @@ s AS (
   FROM f)
 SELECT doc_id, frame_idx, frame_offset,
        CAST(length(chunk_hex) // 2 AS INT) AS frame_len,
-       CAST('0x' || substr(md5(chunk_hex), 1, 15) AS BIGINT) AS frame_hash
+       {_sql_hash60("chunk_hex")} AS frame_hash
 FROM s ORDER BY doc_id, frame_idx
 """
 
@@ -271,8 +271,8 @@ def features_table(spark, sf):
 # 17/128 -> 0.132813 Java HALF_UP vs 0.132812 printf half-even).
 SQL_MULTIMODAL_FEATURES = f"""
 WITH m AS (
-  SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
-         octet_length(CAST(text AS BLOB)) AS n
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
   FROM documents),
 by AS (
   SELECT doc_id,

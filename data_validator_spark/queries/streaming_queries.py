@@ -195,12 +195,13 @@ def q_streaming_validation(spark, sf):
 # stream total oracle-checkable.
 SQL_STREAMING_VALIDATION = """
 SELECT CAST(count(*) AS BIGINT) AS total_rows,
-       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS null_errors,
-       CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS negative_errors,
-       (SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
-        + SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)) > 0 AS any_failed
+       COALESCE(CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT), 0) AS null_errors,
+       COALESCE(CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)
+                AS BIGINT), 0) AS negative_errors,
+       COALESCE((SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        + SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)) > 0, FALSE)
+         AS any_failed
 FROM lineitem
 """
 

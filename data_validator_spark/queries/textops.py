@@ -442,9 +442,13 @@ def q_repetition_strip(spark, sf):
     from data_validator_spark.queries import _hash60
 
     df = spread(load(spark, sf, "documents"))
+    # regexp-trim ALL leading/trailing whitespace (F.trim strips only
+    # spaces — a trailing '\n' would survive it and split() would then
+    # emit a phantom '' token into the cleaned text)
+    stripped = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
     toks = F.when(
-        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+        F.length(stripped) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(stripped, r"\s+"))
     proj = df.select("doc_id", toks.alias("toks"))
     # keep token i (0-based) iff it differs from its predecessor; the
     # null-safe <=> guard makes i=0 keep without an element_at(.., 0)
@@ -468,17 +472,20 @@ def _sql_repetition_strip() -> str:
     from data_validator_spark.queries import _sql_hash60
 
     return rf"""
-WITH t AS (
-  SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(trim(text), '\s+') END AS toks
+WITH s AS (
+  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS st
   FROM documents),
+t AS (
+  SELECT doc_id,
+         CASE WHEN length(st) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(st, '\s+') END AS toks
+  FROM s),
 k AS (
   SELECT doc_id, toks,
          list_filter(toks, (x, i) -> i = 1 OR toks[i-1] <> x) AS kept
   FROM t)
 SELECT doc_id, len(toks) AS n_tokens, len(kept) AS n_kept,
-       {_sql_hash60("array_to_string(kept, ' ')")} AS clean_hash
+       {_sql_hash60("COALESCE(array_to_string(kept, ' '), '')")} AS clean_hash
 FROM k ORDER BY doc_id
 """
 

@@ -110,6 +110,120 @@ def test_global_shuffle_deterministic(spark):
     assert a == b
 
 
+# -- cross-engine edge corpus ----------------------------------------------
+# Regression tests for oracle edge cases the synthetic corpus masks:
+# blank / whitespace-only / trailing-newline / non-ASCII documents.
+# Both engines run on the SAME crafted parquet and must agree exactly
+# (DuckDB array_to_string returns NULL on empty lists; CAST(text AS
+# BLOB) rejects non-ASCII — both burned the first oracle drafts).
+@pytest.fixture(scope="module")
+def edge_doc_dir(spark, tmp_path_factory):
+    rows = [
+        (0, "", "en", "s", 0),
+        (1, "  \t ", "en", "s", 4),
+        (2, "x\n", "en", "s", 2),
+        (3, "héllo wörld wörld", "de", "s", 17),
+        (4, "a a b", "en", "s", 5),
+    ]
+    d = tmp_path_factory.mktemp("edgedocs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _duck_on(sql: str, doc_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{doc_dir}/documents.parquet/*.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+def _assert_engines_agree(spark_df, duck_pdf):
+    sp = spark_df.toPandas()
+    cols = sorted(sp.columns)
+    assert cols == sorted(duck_pdf.columns)
+    a = sp[cols].sort_values(cols).reset_index(drop=True)
+    b = duck_pdf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        av, bv = list(a[c]), list(b[c])
+        for x, y in zip(av, bv):
+            if isinstance(x, float):
+                assert x == pytest.approx(y, abs=0, rel=0), (c, x, y)
+            else:
+                assert x == y or int(x) == int(y), (c, x, y)
+
+
+def test_repetition_strip_oracle_agrees_on_edge_docs(spark, edge_doc_dir):
+    from data_validator_spark.queries.textops import (
+        _sql_repetition_strip,
+        q_repetition_strip,
+    )
+
+    _assert_engines_agree(
+        q_repetition_strip(spark, edge_doc_dir),
+        _duck_on(_sql_repetition_strip(), edge_doc_dir),
+    )
+    out = {r["doc_id"]: r for r in q_repetition_strip(spark, edge_doc_dir).collect()}
+    # whitespace-only doc -> zero tokens; trailing newline -> ONE token
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (0, 0)
+    assert (out[2]["n_tokens"], out[2]["n_kept"]) == (1, 1)
+    assert out[2]["clean_hash"] == _hash60_py("x")
+
+
+def test_multimodal_oracles_agree_on_edge_docs(spark, edge_doc_dir):
+    from data_validator_spark.queries.multimodal import (
+        SQL_MULTIMODAL_FEATURES,
+        SQL_MULTIMODAL_FRAME_SAMPLE,
+        SQL_MULTIMODAL_META,
+        SQL_MULTIMODAL_RESIZE,
+        q_multimodal_features,
+        q_multimodal_frame_sample,
+        q_multimodal_meta,
+        q_multimodal_resize,
+    )
+
+    for fn, sql in [
+        (q_multimodal_meta, SQL_MULTIMODAL_META),
+        (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+        (q_multimodal_frame_sample, SQL_MULTIMODAL_FRAME_SAMPLE),
+        (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    ]:
+        _assert_engines_agree(fn(spark, edge_doc_dir), _duck_on(sql, edge_doc_dir))
+
+
+def test_streaming_validation_oracle_empty_table(spark, tmp_path):
+    """Empty lineitem: the oracle must COALESCE its sums to 0/False,
+    matching the Spark side's empty-batch totals."""
+    import duckdb
+
+    d = tmp_path / "empty"
+    spark.createDataFrame(
+        [], "l_orderkey long, l_linenumber long, l_returnflag string, l_quantity double"
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    from data_validator_spark.queries.streaming_queries import (
+        SQL_STREAMING_VALIDATION,
+        q_streaming_validation,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{d}/lineitem.parquet/*.parquet')"
+    )
+    duck = con.execute(SQL_STREAMING_VALIDATION).df().iloc[0]
+    assert (duck["total_rows"], duck["null_errors"], duck["negative_errors"]) == (0, 0, 0)
+    assert bool(duck["any_failed"]) is False
+    srow = q_streaming_validation(spark, str(d)).collect()[0]
+    assert (srow["total_rows"], srow["null_errors"], srow["negative_errors"]) == (0, 0, 0)
+    assert srow["any_failed"] is False
+
+
 # -- copurchase_similarity -------------------------------------------------
 @pytest.fixture(scope="module")
 def basket_dir(spark, tmp_path_factory):
