@@ -144,89 +144,33 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0 — new this round: quality_ops + triangle_count (r5
-    # session 4: never graded, must be first) ...
-    "drift_psi",
-    "fk_integrity",
-    "benford_check",
-    "reconciliation_check",
-    "ngram_contamination",
-    "triangle_count",
-    "drift_ks",
-    "quality_ensemble",
-    "ccnet_buckets",
-    "doc_chunk",
-    "dsir_importance",
-    "ann_recall_eval",
-    "streaming_drift",
-    "fd_check",
-    "mad_outliers",
-    "key_skew_audit",
-    # ... mining_ops + accel_ops (r5 session 3) ...
-    "hll_distinct",
-    "gopher_quality",
-    "tfidf_topk",
-    "pmi_collocations",
-    "inverted_index",
-    "events_gap_fill",
-    "bloom_filter_semijoin",
-    "pareto_skyline",
-    "events_rolling",
-    "events_time_weighted",
-    "char_entropy",
-    "rrf_fusion",
-    "ivm_agg",
-    # ... corpus_ops + warehouse_ops + graph_ops (r5 sessions 1-2) ...
-    "pagerank_bipartite",
-    "cdc_upsert",
-    "scd2_intervals",
-    "bm25_topk",
-    "kmeans_embeddings",
-    "trigram_lm_score",
-    "substring_dedup",
-    "quantile_shard",
-    "domain_mix_sample",
-    "k_anonymity",
-    "heavy_hitters_cms",
-    # ... and tpch_ext / semantics-or-plan changed (pairs cache + CC
-    # loop rewrite; ANN derived parameters; sessionization oracle
-    # cutoff)
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q16_parts_supplier",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_orders",
-    "streaming_sessionized",
-    "dedup_clusters",
-    # --- driver budget cut (50) falls here: the 50 never-graded r5
-    # entries fill the budget exactly (the r4-green ANN/embedding and
-    # containment entries rotated down to make room for the session-4
-    # additions; their r5 plan changes are re-proven by
-    # ORACLE_LOCAL_r5) ---
-    # tier 0b — ALSO new this session, but the budget is saturated
-    # with never-graded entries; displacing any of them would merely
-    # trade one ungraded entry for another. Evidence for these three:
-    # the 3-SF local oracle proof + brute-force pytest.
+    # tier 0a — the 10 entries that have NEVER had a driver hash-green
+    # row (r5 verdict item #1): the 7 added after the r5 budget
+    # saturated plus the 3 whose hash oracles postdate their last
+    # driver row (multimodal pair via the hex-string equivalence,
+    # streaming_validation via the batch-boundary-independent total).
     "event_transitions",
     "conversion_lag",
     "weighted_sample",
-    # (session 5 additions, same saturated-budget rationale)
     "semdedup",
     "repetition_strip",
     "global_shuffle",
     "copurchase_similarity",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "dedup_embedding_cosine",
-    "minhash_containment",
-    # tier 1b — r3-stale, or r5-plan-rewritten with unchanged
-    # semantics (corpus_train_filter and the two LSH dedup entries),
-    # crowded out by the never-graded entries (never graded >
-    # stale-but-proven): r3-green + ORACLE_LOCAL_r5 green is their
-    # evidence this round
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "streaming_validation",
+    # tier 0b — plans changed this round (r6): approx_profile wiring
+    # (mad_outliers, conversion_lag above), quality_ensemble shared
+    # sub-relation, dsir_importance single exploded feature relation,
+    # pagerank fused convergence aggregates, embedding_norm_quant
+    # regression re-pin.
+    "mad_outliers",
+    "quality_ensemble",
+    "dsir_importance",
+    "pagerank_bipartite",
+    "embedding_norm_quant",
+    # tier 1 — last driver green in r3 (the 23 oldest rows), refreshed
+    # this round.
     "corpus_train_filter",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -250,13 +194,13 @@ GRADE_PRIORITY = [
     "events_pivot",
     "events_retention",
     "events_rollup",
-    # tier 2 — green exactly once (r4)
+    # tier 2 — green exactly once (r4), filling the remaining budget
+    # slots to exactly 50.
     "similarity_topk",
     "pii_scrub",
     "stratified_sample",
     "sequence_pack",
     "dedup_keep_best",
-    "embedding_norm_quant",
     "split_contamination",
     "events_json_extract",
     "events_anomaly",
@@ -265,13 +209,65 @@ GRADE_PRIORITY = [
     "multimodal_resize",
     "streaming_windowed",
     # --- driver budget cut (50) falls here ---
-    # tier 3 — r4-green (and mostly r2/r3-green too) or rows-only by
-    # design; rotated out this round
+    # tier 3 — r4-green entries that didn't fit the budget, then the
+    # 46 r5-green entries (freshest evidence), then the validator /
+    # TPC-H core rows green every round since r1/r2. All re-proven
+    # locally each round via tools/oracle_check.py (ORACLE_LOCAL_r6).
     "streaming_dedup",
     "streaming_enriched",
-    "streaming_validation",
-    "multimodal_frame_sample",
-    "multimodal_features",
+    "events_sessionized",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "dedup_embedding_cosine",
+    "minhash_containment",
+    # r5-green:
+    "drift_psi",
+    "fk_integrity",
+    "benford_check",
+    "reconciliation_check",
+    "ngram_contamination",
+    "triangle_count",
+    "drift_ks",
+    "ccnet_buckets",
+    "doc_chunk",
+    "ann_recall_eval",
+    "streaming_drift",
+    "fd_check",
+    "key_skew_audit",
+    "hll_distinct",
+    "gopher_quality",
+    "tfidf_topk",
+    "pmi_collocations",
+    "inverted_index",
+    "events_gap_fill",
+    "bloom_filter_semijoin",
+    "pareto_skyline",
+    "events_rolling",
+    "events_time_weighted",
+    "char_entropy",
+    "rrf_fusion",
+    "ivm_agg",
+    "cdc_upsert",
+    "scd2_intervals",
+    "bm25_topk",
+    "kmeans_embeddings",
+    "trigram_lm_score",
+    "substring_dedup",
+    "quantile_shard",
+    "domain_mix_sample",
+    "k_anonymity",
+    "heavy_hitters_cms",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_parts_supplier",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_orders",
+    "streaming_sessionized",
+    "dedup_clusters",
+    # validator / TPC-H core rows:
     "row_count",
     "null_check",
     "negative_check",
@@ -287,7 +283,6 @@ GRADE_PRIORITY = [
     "profile_table",
     "detailed_errors",
     "combined_single_pass",
-    "events_sessionized",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -1,6 +1,6 @@
 """The driver grades registry entries in dict-insertion order and has
 cut after exactly 50 entries in every graded round — so ordering IS
-grading coverage. These tests pin the r5 rotation contract from
+grading coverage. These tests pin the r6 rotation contract from
 data_validator_spark/queries/__init__.py:GRADE_PRIORITY."""
 
 from __future__ import annotations
@@ -9,40 +9,24 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 
 DRIVER_GRADE_BUDGET = 50
 
-# Tier 0 this round: new queries (mining_ops, corpus_ops,
-# warehouse_ops, graph_ops, tpch_ext) or entries whose semantics/plan
-# changed (CC rewrite, ANN derived params, streaming sessionization
-# oracle) — all MUST be inside the grading budget.
+# Tier 0 this round: the 10 entries that had never been driver-graded
+# before r6 (7 added after the r5 budget saturated + 3 whose hash
+# oracles postdate their last driver row), plus the 5 entries whose
+# physical plans change this round (approx_profile wiring, shared
+# sub-relations, pagerank fused aggregates, embedding_norm_quant
+# re-pin) — all MUST be inside the grading budget.
 NEW_OR_CHANGED = {
-    "drift_psi", "fk_integrity", "benford_check", "reconciliation_check",
-    "ngram_contamination", "triangle_count",
-    "drift_ks", "quality_ensemble", "ccnet_buckets",
-    "doc_chunk", "dsir_importance", "ann_recall_eval", "streaming_drift",
-    "fd_check", "mad_outliers", "key_skew_audit",
-    "hll_distinct", "gopher_quality", "tfidf_topk", "pmi_collocations",
-    "inverted_index", "events_gap_fill",
-    "bloom_filter_semijoin", "pareto_skyline", "events_rolling",
-    "events_time_weighted", "char_entropy", "rrf_fusion", "ivm_agg",
-    "pagerank_bipartite", "cdc_upsert", "scd2_intervals",
-    "bm25_topk", "kmeans_embeddings", "trigram_lm_score",
-    "substring_dedup", "quantile_shard", "domain_mix_sample",
-    "k_anonymity", "heavy_hitters_cms",
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-    "q12_shipmode_priority", "q16_parts_supplier",
-    "q19_discounted_revenue", "q20_potential_promotion",
-    "q21_waiting_orders", "streaming_sessionized", "dedup_clusters",
+    "event_transitions", "conversion_lag", "weighted_sample",
+    "semdedup", "repetition_strip", "global_shuffle",
+    "copurchase_similarity", "multimodal_frame_sample",
+    "multimodal_features", "streaming_validation",
+    "mad_outliers", "quality_ensemble", "dsir_importance",
+    "pagerank_bipartite", "embedding_norm_quant",
 }
 
 # Entries whose last driver-green row is CORRECTNESS_r03 (rotated out
-# of the r4 budget) — refreshed this round.
-R3_STALE = set()  # every remaining r3-stale entry is deferred this round
-
-# r3-stale but UNCHANGED since r3, crowded out of the 50-entry budget
-# by never-graded entries (never-graded beats stale-but-proven; the
-# six session-4 quality/graph ops displaced q15/q17/q18/q22 and the
-# asof/range joins). Their evidence this round is the r3 driver green
-# + ORACLE_LOCAL_r5.
-R3_DEFERRED = {
+# of the r4 and r5 budgets) — refreshed this round.
+R3_STALE = {
     "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_volume",
     "q22_prospective_customers", "events_asof_join", "events_range_join",
     "events_funnel", "text_quality", "token_frequencies",
@@ -53,27 +37,13 @@ R3_DEFERRED = {
     "events_rollup",
 }
 
-# No SQL oracle by design. EMPTY as of r5 session 5: the last
-# rows-only entries graduated (multimodal via the hex-string
-# equivalence, streaming_validation via the batch-boundary-independent
-# stream-total reformulation) — every registry entry now carries a
-# hash oracle.
+# No SQL oracle by design — EMPTY since r5 session 5: every registry
+# entry carries a hash oracle.
 ROWS_ONLY: set[str] = set()
 
-# New in r5 session 4 AFTER the grading budget saturated with
-# never-graded entries (displacement would be zero-sum) — deliberately
-# placed below the cut; their evidence is the committed 3-SF local
-# oracle proof + brute-force pytest.
-NEW_LOCAL_ONLY = {
-    "event_transitions", "conversion_lag", "weighted_sample",
-    # r5 session 5, same saturated-budget rationale;
-    # multimodal_frame_sample graduated rows-only -> SQL oracle (hex-slice
-    # hash) this session, so its fresh evidence is also the local proof
-    "semdedup", "repetition_strip", "global_shuffle",
-    "copurchase_similarity",
-    "multimodal_frame_sample", "multimodal_features",
-    "streaming_validation",
-}
+# Entries below the budget cut with no driver row — EMPTY as of r6:
+# the r5 backlog was promoted into tier 0a.
+NEW_LOCAL_ONLY: set[str] = set()
 
 
 def test_priority_list_matches_registry():
@@ -90,9 +60,8 @@ def test_new_and_stale_entries_fit_grading_budget():
 
 def test_rotated_out_entries_hold_recent_driver_green():
     """Whatever falls past the grading budget must already hold a
-    driver-green row in CORRECTNESS_r04 — or r03 for the four
-    explicitly deferred unchanged entries — or be rows-only by design,
-    where a driver row carries no hash evidence."""
+    driver-green row in CORRECTNESS_r05 or r04 (the freshest evidence
+    tiers), or be rows-only by design."""
     import json
     import pathlib
 
@@ -105,14 +74,12 @@ def test_rotated_out_entries_hold_recent_driver_green():
             if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
         }
 
-    green_r4 = green("CORRECTNESS_r04.json")
-    green_r3 = green("CORRECTNESS_r03.json")
+    green_recent = green("CORRECTNESS_r05.json") | green("CORRECTNESS_r04.json")
     q, _ = build_registry()
     overflow = list(q)[DRIVER_GRADE_BUDGET:]
     not_proven = [
         k for k in overflow
-        if k not in green_r4
-        and not (k in R3_DEFERRED and k in green_r3)
+        if k not in green_recent
         and k not in ROWS_ONLY
         and k not in NEW_LOCAL_ONLY
     ]
