@@ -421,6 +421,17 @@ FROM sliced ORDER BY doc_id, chunk_idx
 
 
 # -- repetition_strip ------------------------------------------------------
+# Whitespace class spelled identically for Java regex (Spark) and RE2
+# (DuckDB): Java's \s = [ \t\n\x0B\f\r] but RE2's \s excludes \x0B, so
+# a bare \s+ is an engine-divergent tokenizer. Both engines parse the
+# \xhh escape. (The other textops oracles still use \s+; their graded
+# driver rows pin that form, and the synthetic corpus contains no
+# \x0B — migrate them to this class only alongside a re-grade.)
+_WS_CLASS = r"[ \t\n\x0B\f\r]"
+_WS_RE = _WS_CLASS + "+"
+_WS_TRIM_RE = rf"^{_WS_CLASS}+|{_WS_CLASS}+$"
+
+
 def q_repetition_strip(spark, sf):
     """Within-document repetition removal: collapse runs of consecutive
     duplicate tokens to a single occurrence (the intra-doc half of the
@@ -437,18 +448,22 @@ def q_repetition_strip(spark, sf):
     Determinism: token order is preserved (filter keeps the first of
     each run), the cleaned text re-joins with a single space after
     trim-split (canonical whitespace), and the hash is the package
-    60-bit md5 rule.
+    60-bit md5 rule. Whitespace is the EXPLICIT class [ \\t\\n\\x0B
+    \\f\\r] on both engines — Java's \\s includes \\x0B but RE2's does
+    not, so a bare \\s+ tokenizes a vertical-tab document differently
+    per engine. NULL text coalesces to '' on both sides.
     """
     from data_validator_spark.queries import _hash60
 
     df = spread(load(spark, sf, "documents"))
+    text = F.coalesce(F.col("text"), F.lit(""))
     # regexp-trim ALL leading/trailing whitespace (F.trim strips only
     # spaces — a trailing '\n' would survive it and split() would then
     # emit a phantom '' token into the cleaned text)
-    stripped = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(text, _WS_TRIM_RE, "")
     toks = F.when(
         F.length(stripped) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(stripped, r"\s+"))
+    ).otherwise(F.split(stripped, _WS_RE))
     proj = df.select("doc_id", toks.alias("toks"))
     # keep token i (0-based) iff it differs from its predecessor; the
     # null-safe <=> guard makes i=0 keep without an element_at(.., 0)
@@ -473,12 +488,13 @@ def _sql_repetition_strip() -> str:
 
     return rf"""
 WITH s AS (
-  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS st
+  SELECT doc_id,
+         regexp_replace(COALESCE(text, ''), '{_WS_TRIM_RE}', '', 'g') AS st
   FROM documents),
 t AS (
   SELECT doc_id,
          CASE WHEN length(st) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE string_split_regex(st, '\s+') END AS toks
+              ELSE string_split_regex(st, '{_WS_RE}') END AS toks
   FROM s),
 k AS (
   SELECT doc_id, toks,

@@ -176,6 +176,51 @@ def test_repetition_strip_oracle_agrees_on_edge_docs(spark, edge_doc_dir):
     assert out[2]["clean_hash"] == _hash60_py("x")
 
 
+@pytest.fixture(scope="module")
+def ws_edge_doc_dir(spark, tmp_path_factory):
+    """Edge docs the shared edge corpus can't carry without breaking
+    other ops' oracles: a vertical-tab (\\x0B) document — Java \\s
+    matches it, RE2 \\s does not, so only an explicit class tokenizes
+    it identically — and a NULL text document."""
+    rows = [
+        (0, "a\x0ba a", "en", "s", 5),
+        (1, None, "en", "s", 0),
+        (2, "\x0b\x0b", "en", "s", 2),
+        (3, "b\fb\vb\tb", "en", "s", 7),
+    ]
+    d = tmp_path_factory.mktemp("wsdocs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_strip_vertical_tab_and_null_text(spark, ws_edge_doc_dir):
+    from data_validator_spark.queries.textops import (
+        _sql_repetition_strip,
+        q_repetition_strip,
+    )
+
+    _assert_engines_agree(
+        q_repetition_strip(spark, ws_edge_doc_dir),
+        _duck_on(_sql_repetition_strip(), ws_edge_doc_dir),
+    )
+    out = {
+        r["doc_id"]: r for r in q_repetition_strip(spark, ws_edge_doc_dir).collect()
+    }
+    # \x0B separates tokens (explicit class): "a\x0Ba a" -> [a,a,a] -> [a]
+    assert (out[0]["n_tokens"], out[0]["n_kept"]) == (3, 1)
+    assert out[0]["clean_hash"] == _hash60_py("a")
+    # NULL text behaves as empty text on BOTH engines
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (0, 0)
+    assert out[1]["clean_hash"] == _hash60_py("")
+    # \x0B-only doc trims to empty
+    assert (out[2]["n_tokens"], out[2]["n_kept"]) == (0, 0)
+    # mixed \f \v \t separators all split
+    assert (out[3]["n_tokens"], out[3]["n_kept"]) == (4, 1)
+    assert out[3]["clean_hash"] == _hash60_py("b")
+
+
 def test_multimodal_oracles_agree_on_edge_docs(spark, edge_doc_dir):
     from data_validator_spark.queries.multimodal import (
         SQL_MULTIMODAL_FEATURES,
