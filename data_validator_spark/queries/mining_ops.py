@@ -830,8 +830,12 @@ def q_copurchase_similarity(spark, sf):
     persisted per session (_basket_lines) because five subplan arms
     consume it — without that, Catalyst re-runs the distinct shuffle
     per arm. Per-part order counts are one map-side-combined
-    aggregate joined back by part key. The final top-k is TakeOrdered
-    over the MIN_CO_ORDERS-filtered pair relation — no global sort
+    aggregate joined back by part key, computed over the SAME capped
+    universe as the pair counts (baskets > MAX_BASKET are excluded
+    from both numerator and denominators — Jaccard over the capped
+    universe, not a mixed-universe ratio that would understate parts
+    frequent in large baskets). The final top-k is TakeOrdered over
+    the MIN_CO_ORDERS-filtered pair relation — no global sort
     materializes.
 
     Determinism: co/n_a/n_b are exact integers; Jaccard is emitted as
@@ -852,7 +856,7 @@ def q_copurchase_similarity(spark, sf):
         .agg(F.count(F.lit(1)).alias("co_orders"))
         .where(F.col("co_orders") >= MIN_CO_ORDERS)
     )
-    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    freq = small.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
     fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na"))
     fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb"))
     jac = F.col("co_orders").cast("double") / (
@@ -887,7 +891,7 @@ co AS (
   GROUP BY part_a, part_b
   HAVING count(*) >= {MIN_CO_ORDERS}),
 freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
-         FROM li GROUP BY l_partkey)
+         FROM small GROUP BY l_partkey)
 SELECT part_a, part_b, co_orders,
        fa.n_orders AS n_orders_a, fb.n_orders AS n_orders_b,
        CAST(floor(CAST(co_orders AS DOUBLE)
