@@ -890,23 +890,30 @@ def q_mad_outliers(spark, sf):
     MAD → threshold counts), each a single fused aggregate with the
     prior scalar broadcast in — the col_quantiles pattern chained.
     Exact `percentile` matches DuckDB `quantile_cont` bit-for-bit
-    (sorted linear interpolation); at 100 TB the same plan swaps to
-    percentile_approx exactly like col_quantiles' approx_profile
-    path.
+    (sorted linear interpolation) and is the oracle-checkable
+    default; setting ``spark.data_validator.approx_profile=true``
+    swaps BOTH percentile aggregates for percentile_approx (bounded-
+    memory KLL-style sketch, same plan shape/schema) — exact
+    percentile buffers and sorts the full column per pass, which a
+    10^12-row column cannot afford (tests/test_approx_profile.py
+    asserts the sketch lands in the physical plan).
 
-    Determinism: median/MAD are the identical doubles in both
-    engines; thresholds are products of exact doubles, so the strict
-    > comparisons agree bit-for-bit; emitted stats round through
-    decimal(30,6).
+    Determinism (exact mode): median/MAD are the identical doubles in
+    both engines; thresholds are products of exact doubles, so the
+    strict > comparisons agree bit-for-bit; emitted stats round
+    through decimal(30,6).
     """
+    from data_validator_spark.queries.validator_queries import _approx_enabled
+
+    pctl = "percentile_approx" if _approx_enabled(spark) else "percentile"
     li = spread(load(spark, sf, "lineitem"))
     x = F.col(MAD_COLUMN)
-    med = li.agg(F.expr(f"percentile({MAD_COLUMN}, 0.5D)").alias("med"))
+    med = li.agg(F.expr(f"{pctl}({MAD_COLUMN}, 0.5D)").alias("med"))
     dev = li.crossJoin(F.broadcast(med)).select(
         F.abs(x - F.col("med")).alias("ad"), F.col("med")
     )
     mad = dev.agg(
-        F.max("med").alias("med"), F.expr("percentile(ad, 0.5D)").alias("mad")
+        F.max("med").alias("med"), F.expr(f"{pctl}(ad, 0.5D)").alias("mad")
     )
     counts = dev.select("ad").crossJoin(F.broadcast(mad.select("mad")))
     aggs = [F.count(F.lit(1)).alias("n_rows")]

@@ -59,6 +59,44 @@ def test_profile_exact_plan_has_expand(spark):
     assert "Expand" in _plan(q_profile_table(spark, SF))
 
 
+def test_mad_outliers_approx_plan_and_values(approx):
+    """r6: mad_outliers routes BOTH chained percentile passes through
+    the flag — the sketch must reach the physical plan, and the approx
+    median/MAD must sit near the exact ones."""
+    from data_validator_spark.queries.quality_ops import q_mad_outliers
+
+    spark = approx
+    plan = _plan(q_mad_outliers(spark, SF))
+    assert "percentile_approx" in plan
+    ap = q_mad_outliers(spark, SF).collect()[0]
+    spark.conf.unset(APPROX_PROFILE_CONF)
+    plan_exact = _plan(q_mad_outliers(spark, SF))
+    assert "percentile_approx" not in plan_exact
+    ex = q_mad_outliers(spark, SF).collect()[0]
+    assert ap.__fields__ == ex.__fields__
+    assert ap["n_rows"] == ex["n_rows"]
+    for c in ("median", "mad"):
+        assert abs(ap[c] - ex[c]) <= 0.05 * max(abs(ex[c]), 1.0), (c, ap[c], ex[c])
+
+
+def test_conversion_lag_approx_plan_and_values(approx):
+    from data_validator_spark.queries.analytics import q_conversion_lag
+
+    spark = approx
+    plan = _plan(q_conversion_lag(spark, SF))
+    assert "percentile_approx" in plan
+    ap = q_conversion_lag(spark, SF).collect()[0]
+    spark.conf.unset(APPROX_PROFILE_CONF)
+    assert "percentile_approx" not in _plan(q_conversion_lag(spark, SF))
+    ex = q_conversion_lag(spark, SF).collect()[0]
+    assert ap.__fields__ == ex.__fields__
+    assert ap["n_signup_users"] == ex["n_signup_users"]
+    assert ap["n_converted"] == ex["n_converted"]
+    assert ap["conversion_pct"] == ex["conversion_pct"]
+    for c in ("p50_lag_s", "p90_lag_s"):
+        assert abs(ap[c] - ex[c]) <= 0.10 * max(abs(ex[c]), 1.0), (c, ap[c], ex[c])
+
+
 def test_profile_approx_counts_within_tolerance(approx):
     spark = approx
     ap = {r["column_name"]: r for r in q_profile_table(spark, SF).collect()}
