@@ -245,7 +245,7 @@ FROM a2 GROUP BY cl ORDER BY cluster_id
 
 
 # -- trigram_lm_score ------------------------------------------------------
-def q_trigram_lm_score(spark, sf):
+def q_trigram_lm_score(spark, sf, base=None):
     """Char-trigram language-model quality score (the CCNet-style
     perplexity filter shape): estimate trigram probabilities from the
     corpus itself, then score each document by its mean log-probability.
@@ -260,10 +260,18 @@ def q_trigram_lm_score(spark, sf):
     Determinism: p = cnt/total is exact-int division in double;
     ln(p) values accumulate through decimal(30,6) so the per-doc sum
     is order-independent.
+
+    `base` (optional): quality_ensemble's shared persisted
+    (doc_id, text, norm) relation — the `tri` relation is consumed by
+    THREE subplan arms (model counts, total, scoring join), so reading
+    norm from a materialized base turns three parquet scans into three
+    in-memory scans.
     """
-    df = spread(load(spark, sf, "documents"))
-    norm = normalized_text(F.col("text"))
-    docs = df.select("doc_id", norm.alias("norm"))
+    if base is not None:
+        docs = base.select("doc_id", "norm")
+    else:
+        df = spread(load(spark, sf, "documents"))
+        docs = df.select("doc_id", normalized_text(F.col("text")).alias("norm"))
     tri = docs.select(
         "doc_id",
         F.explode(

@@ -159,7 +159,7 @@ GOPHER_MAX_TOP_TOKEN_FRAC = 0.30
 GOPHER_MAX_DUP_BIGRAM_FRAC = 0.90
 
 
-def q_gopher_quality(spark, sf):
+def q_gopher_quality(spark, sf, base=None):
     """Repetition-based quality filter (the Gopher/MassiveText rules):
     per-document distinct-token ratio, most-common-token fraction, and
     duplicate-bigram mass fraction, plus the combined keep/drop flag.
@@ -176,8 +176,12 @@ def q_gopher_quality(spark, sf):
     (identical in both engines; the keep flag compares those exact
     doubles, so branch decisions agree bit-for-bit); emitted ratios
     then round through decimal(30,6).
+
+    `base` (optional): a pre-persisted (doc_id, text, norm) relation —
+    quality_ensemble passes its shared cached docs so all three signal
+    arms read ONE materialized scan instead of each re-reading parquet.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = base if base is not None else spread(load(spark, sf, "documents"))
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
     ).where(F.length("t") > 0)
@@ -712,7 +716,7 @@ FROM timed GROUP BY event_type ORDER BY event_type
 ENTROPY_MIN = 3.0
 
 
-def q_char_entropy(spark, sf):
+def q_char_entropy(spark, sf, base=None):
     """Character-entropy quality filter: Shannon entropy of each
     document's normalized character distribution — near-zero for
     degenerate/repetitive text, ~4 bits-in-nats for natural English;
@@ -728,9 +732,16 @@ def q_char_entropy(spark, sf):
     accumulate through decimal(30,6) so the per-doc sum is
     order-independent; the keep flag compares the PRE-rounded decimal
     sum in both engines.
+
+    `base` (optional): quality_ensemble's shared persisted
+    (doc_id, text, norm) relation — norm is read from it instead of
+    recomputed off a fresh parquet scan.
     """
-    df = spread(load(spark, sf, "documents"))
-    docs = df.select("doc_id", normalized_text(F.col("text")).alias("norm"))
+    if base is not None:
+        docs = base.select("doc_id", "norm")
+    else:
+        df = spread(load(spark, sf, "documents"))
+        docs = df.select("doc_id", normalized_text(F.col("text")).alias("norm"))
     chars = docs.select(
         "doc_id",
         F.explode(

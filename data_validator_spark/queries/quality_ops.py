@@ -616,6 +616,32 @@ ENSEMBLE_LM_MIN = "-5.4"
 ENSEMBLE_ENT_NORM = 4.0  # entropy ceiling used to normalize into [0,1]
 
 
+# The ensemble's three signal arms (gopher, entropy, trigram-LM) all
+# derive from the same (doc_id, text, norm) projection, and the
+# trigram arm alone consumes it three times — without materialization
+# Catalyst re-scans documents.parquet and recomputes norm per arm (7
+# scans total, the r5 plan audit's finding). Same session-keyed
+# persist discipline as dedup._PAIRS_CACHE / mining_ops._BASKET_CACHE.
+_ENSEMBLE_DOCS_CACHE: dict = {}
+
+
+def _ensemble_docs(spark, sf):
+    from data_validator_spark.functions.text import normalized_text
+
+    key = (spark.sparkContext.applicationId, str(sf))
+    cached = _ENSEMBLE_DOCS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spread(load(spark, sf, "documents")).select(
+        "doc_id", "text", normalized_text(F.col("text")).alias("norm")
+    )
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _ENSEMBLE_DOCS_CACHE[key] = df
+    return df
+
+
 def q_quality_ensemble(spark, sf):
     """Fused multi-signal quality filter (the FineWeb/RefinedWeb
     pattern): Gopher repetition rules + character entropy + trigram-LM
@@ -626,11 +652,12 @@ def q_quality_ensemble(spark, sf):
     `trigram_lm_score`), so the ensemble can never disagree with its
     components.
 
-    Scale shape: three per-doc signal relations, each already
-    map-side combined before its shuffle; the composition is two
-    doc-keyed joins that AQE plans after the per-doc collapses —
-    Catalyst fuses everything into ONE job, no per-signal
-    materialization.
+    Scale shape: the three signal arms all read ONE session-persisted
+    (doc_id, text, norm) relation (_ensemble_docs) — one parquet scan
+    and one norm computation total instead of a re-scan per arm (the
+    r5 plan audit counted 7). Each arm is map-side combined before
+    its shuffle; the composition is two doc-keyed joins that AQE
+    plans after the per-doc collapses.
 
     Determinism: every input component is already DEC-rounded by its
     source operator (identical in both engines); the score is a
@@ -644,17 +671,18 @@ def q_quality_ensemble(spark, sf):
         q_gopher_quality,
     )
 
-    g = q_gopher_quality(spark, sf).select(
+    base = _ensemble_docs(spark, sf)
+    g = q_gopher_quality(spark, sf, base=base).select(
         "doc_id",
         "distinct_ratio",
         "top_token_frac",
         "dup_bigram_frac",
         F.col("keep").alias("gopher_keep"),
     )
-    e = q_char_entropy(spark, sf).select(
+    e = q_char_entropy(spark, sf, base=base).select(
         "doc_id", "entropy", F.col("keep").alias("ent_keep")
     )
-    t = q_trigram_lm_score(spark, sf).select("doc_id", "avg_logp")
+    t = q_trigram_lm_score(spark, sf, base=base).select("doc_id", "avg_logp")
     lm_keep = (F.col("avg_logp").cast(DEC) >= F.expr(
         f"CAST({ENSEMBLE_LM_MIN} AS {DEC})"
     )).cast("int")
