@@ -642,30 +642,25 @@ ORDER BY est_count DESC, token LIMIT {CMS_TOPK}
 DSIR_BUCKETS = 4096  # hashed n-gram feature space (DSIR's 10^4 analog)
 
 
-def q_dsir_importance(spark, sf):
-    """DSIR-style importance weights: score every document by how much
-    its hashed unigram+bigram features look like the TARGET
-    distribution (here: documents passing the Gopher repetition
-    rules) vs the RAW corpus — avg_g [ln p_target(b(g)) − ln
-    p_raw(b(g))] with add-1 smoothing over 4096 hash buckets. The
-    data-selection-with-importance-resampling primitive (Xie et al.):
-    rank by weight, resample the corpus toward the target domain.
+# dsir's (doc_id, bucket, count, keep) relation feeds THREE subplan
+# arms (bucket model, model totals, per-doc scoring); unmaterialized,
+# Catalyst re-runs the gram explode + gopher target join per arm (the
+# r5 plan audit counted 8 scans / 22 exchanges). Collapsing to
+# per-(doc, bucket) counts BEFORE the joins bounds the persisted
+# relation at |docs| × min(grams/doc, DSIR_BUCKETS) rows — far below
+# gram scale — and the session-keyed persist follows the
+# _BASKET_CACHE / _PAIRS_CACHE convention.
+_DSIR_CACHE: dict = {}
 
-    Scale shape: grams are built in-row and hashed to a FIXED
-    4096-bucket space, so the feature-count relation is
-    constant-bounded at any corpus size — ONE map-side-combined
-    groupBy(bucket) (with conditional target sums riding the same
-    aggregate) and the whole model broadcasts back to the scoring
-    join; scoring collapses per doc with map-side combine. Target
-    membership reuses the graded `gopher_quality` implementation.
 
-    Determinism: each log-ratio term is ln() of exact (int+1)/(int+B)
-    ratios, accumulated through decimal(30,6); the final per-doc mean
-    is one division by the integer gram count.
-    """
+def _dsir_tagged(spark, sf):
     from data_validator_spark.queries.mining_ops import q_gopher_quality
     from data_validator_spark.queries.pipeline_ops import _hash60
 
+    key = (spark.sparkContext.applicationId, str(sf))
+    cached = _DSIR_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spread(load(spark, sf, "documents"))
     toks = df.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
@@ -681,11 +676,47 @@ def q_dsir_importance(spark, sf):
             )
         ).alias("g"),
     ).select("doc_id", F.pmod(_hash60(F.col("g")), F.lit(DSIR_BUCKETS)).alias("b"))
+    dcounts = grams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     target = q_gopher_quality(spark, sf).select("doc_id", "keep")
-    tagged = grams.join(target, "doc_id")
+    tagged = dcounts.join(target, "doc_id")
+    from pyspark import StorageLevel
+
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    _DSIR_CACHE[key] = tagged
+    return tagged
+
+
+def q_dsir_importance(spark, sf):
+    """DSIR-style importance weights: score every document by how much
+    its hashed unigram+bigram features look like the TARGET
+    distribution (here: documents passing the Gopher repetition
+    rules) vs the RAW corpus — avg_g [ln p_target(b(g)) − ln
+    p_raw(b(g))] with add-1 smoothing over 4096 hash buckets. The
+    data-selection-with-importance-resampling primitive (Xie et al.):
+    rank by weight, resample the corpus toward the target domain.
+
+    Scale shape: grams are built in-row and hashed to a FIXED
+    4096-bucket space, then IMMEDIATELY collapsed to per-(doc, bucket)
+    counts — the relation every downstream arm consumes is bounded at
+    |docs| × min(grams/doc, 4096) rows and session-persisted
+    (_dsir_tagged), so the gram explode and the gopher target join run
+    ONCE, not once per arm. The bucket model is one map-side-combined
+    groupBy(bucket) over it (conditional target sums riding the same
+    aggregate, weighted by the pre-collapsed counts) and broadcasts to
+    the scoring join; scoring collapses per doc with map-side combine.
+    Target membership reuses the graded `gopher_quality`
+    implementation.
+
+    Determinism: each log-ratio term is ln() of exact (int+1)/(int+B)
+    ratios, DEC-rounded per gram and THEN multiplied by the exact
+    integer bucket count — bit-identical to summing the rounded term
+    per gram; the final per-doc mean is one division by the integer
+    gram count.
+    """
+    tagged = _dsir_tagged(spark, sf)
     model = tagged.groupBy("b").agg(
-        F.count(F.lit(1)).alias("ca"),
-        F.sum(F.col("keep").cast("long")).alias("ct"),
+        F.sum("c").alias("ca"),
+        F.sum(F.col("c") * F.col("keep").cast("long")).alias("ct"),
     )
     totals = model.agg(
         F.sum("ca").alias("A"), F.sum("ct").alias("T")
@@ -699,8 +730,11 @@ def q_dsir_importance(spark, sf):
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            (F.sum(term.cast(DEC)).cast("double") / F.count(F.lit(1)))
+            F.sum("c").alias("n_grams"),
+            (
+                F.sum(term.cast(DEC) * F.col("c")).cast("double")
+                / F.sum("c")
+            )
             .cast(DEC)
             .cast("double")
             .alias("dsir_logw"),
