@@ -3,6 +3,8 @@
 Parity: reference CliOptionParser.scala / Main.scala:
   --config (required), --jsonReport, --htmlReport, --vars k1=v1,...,
   --exitErrorOnFail true|false, --emailOnPass true|false, --verbose.
+Plus --checkConfig: the parse-only mode of the reference's separate
+ConfigParser entrypoint (README 'Configuration parser check').
 Run as: python -m data_validator_spark.cli --config config.yaml
 """
 
@@ -44,11 +46,27 @@ def main(argv: Optional[list[str]] = None) -> int:
     p.add_argument("--vars", help="k1=v1,k2=v2,...")
     p.add_argument("--exitErrorOnFail", type=str2bool, default=True)
     p.add_argument("--emailOnPass", type=str2bool, default=False)
+    p.add_argument(
+        "--checkConfig",
+        action="store_true",
+        help="parse-only config check: no Spark session, no variable "
+        "resolution, no checks run (reference ConfigParser entrypoint); "
+        "exit 0 if the config decodes, 1 otherwise",
+    )
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--version", action="version", version="data-validator-spark 0.1.0")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO)
+
+    if args.checkConfig:
+        from data_validator_spark.config import check_config_file
+
+        errs = check_config_file(args.config)
+        for e in errs:
+            print(f"CONFIG ERROR: {e}", file=sys.stderr)
+        print(f"DATA_VALIDATOR_CONFIG={'INVALID' if errs else 'OK'}")
+        return 1 if errs else 0
 
     spark = (
         SparkSession.builder.appName("data-validator-spark")

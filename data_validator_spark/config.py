@@ -15,7 +15,7 @@ import yaml
 
 from data_validator_spark.sources import TableSource, source_from_dict
 from data_validator_spark.substitution import VarSubstitution, build_dict
-from data_validator_spark.validators import Check, check_from_dict
+from data_validator_spark.validators import CHECK_TYPES, Check, check_from_dict
 
 
 @dataclass
@@ -137,3 +137,99 @@ def parse_config(
 def load_config(path: str, spark: Optional[Any] = None, cli_vars: Optional[dict[str, str]] = None) -> ValidatorConfig:
     with open(path) as f:
         return parse_config(f.read(), spark, cli_vars)
+
+
+def check_config_text(text: str) -> list[str]:
+    """Parse-only configuration check — no SparkSession, no variable
+    resolution, no table reads. Parity: the reference ships a
+    config-check entrypoint (ConfigParser.scala:68 main; README
+    'Configuration parser check') that verifies the YAML decodes into
+    the config model and explicitly does NOT resolve variables
+    ('those have runtime implications'). Returns a list of error
+    strings (empty = config OK).
+
+    Beyond raw decoding, each table's source and checks are
+    trial-constructed to catch type-key typos early — but an entry
+    whose fields still contain unresolved ``$var`` placeholders only
+    gets the structural pass (its deep validation needs runtime
+    values, same caveat as the reference).
+    """
+    import json as _json
+
+    errors: list[str] = []
+    try:
+        raw = yaml.safe_load(text) or {}
+    except yaml.YAMLError as e:
+        return [f"YAML parse error: {e}"]
+    if not isinstance(raw, dict):
+        return [f"Config root must be a mapping, got {type(raw).__name__}"]
+
+    for spec in raw.get("vars") or []:
+        if not isinstance(spec, dict) or "name" not in spec:
+            errors.append(f"vars entry missing 'name': {spec!r}")
+        elif not any(k in spec for k in ("value", "env", "shell", "sql")):
+            errors.append(
+                f"Variable '{spec['name']}' has no value/env/shell/sql source"
+            )
+
+    for i, t in enumerate(raw.get("tables") or []):
+        if not isinstance(t, dict):
+            errors.append(f"tables[{i}] must be a mapping, got {type(t).__name__}")
+            continue
+        label = f"tables[{i}]"
+        has_placeholder = "$" in _json.dumps(t)
+        t = dict(t)
+        checks = t.pop("checks", []) or []
+        try:
+            source_from_dict(t)
+        except Exception as e:
+            if not has_placeholder:
+                errors.append(f"{label}: {e}")
+        for j, c in enumerate(checks):
+            if not isinstance(c, dict):
+                errors.append(f"{label}.checks[{j}] must be a mapping")
+                continue
+            try:
+                check_from_dict(c)
+            except Exception as e:
+                # an unknown `type:` is a hard error even with
+                # placeholders present; parameter errors are deferred
+                # when the entry needs variable resolution
+                if not has_placeholder or c.get("type") not in CHECK_TYPES:
+                    errors.append(f"{label}.checks[{j}]: {e}")
+    return errors
+
+
+def check_config_file(path: str) -> list[str]:
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError as e:
+        return [f"Cannot read config file: {e}"]
+    return check_config_text(text)
+
+
+def main(argv: Optional[list] = None) -> int:
+    """``python -m data_validator_spark.config config.yaml`` — the
+    standalone config-check entrypoint (reference ConfigParser main:
+    print a message and exit non-zero on error)."""
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    if len(args) != 1:
+        print("usage: python -m data_validator_spark.config <config.yaml>", file=sys.stderr)
+        return 2
+    errs = check_config_file(args[0])
+    if errs:
+        for e in errs:
+            print(f"CONFIG ERROR: {e}", file=sys.stderr)
+        print("DATA_VALIDATOR_CONFIG=INVALID")
+        return 1
+    print("DATA_VALIDATOR_CONFIG=OK")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
