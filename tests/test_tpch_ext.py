@@ -64,10 +64,23 @@ def test_derivation_is_stable_across_partitionings(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
-def test_q12_pushes_shipdate_bound_to_scan(spark):
+def test_q12_pushes_shipdate_bound_to_scan(spark, monkeypatch):
     """The receipt-window filter sits on derived columns, so q12
-    explicitly pushes the equivalent l_shipdate bound — the scan must
-    show a pushed filter on l_shipdate."""
+    explicitly pushes the equivalent l_shipdate bound. With the
+    session cache bypassed (the real-deployment shape, where the ship
+    columns come straight off the table), the parquet scan must show
+    a pushed filter on l_shipdate."""
+    monkeypatch.setattr(tx, "_cached", lambda spark, sf, name, build: build())
     plan = tx.q12_shipmode_priority(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "l_shipdate" in plan.split("PushedFilters: [", 1)[1][:200]
+
+
+def test_lineitem_ext_is_cached_for_consumers(spark):
+    """q12/q19/q21 share the session-persisted derived relation — the
+    executed plan must read the in-memory relation, not re-run the
+    md5 derivation against parquet (r6 explain finding: unpersisted,
+    the derived filter ran on ONE scan split)."""
+    tx.lineitem_ext_df(spark, SF).count()  # materialize
+    plan = tx.q12_shipmode_priority(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
