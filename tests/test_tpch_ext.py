@@ -70,6 +70,12 @@ def test_q12_pushes_shipdate_bound_to_scan(spark, monkeypatch):
     session cache bypassed (the real-deployment shape, where the ship
     columns come straight off the table), the parquet scan must show
     a pushed filter on l_shipdate."""
+    # Spark's CacheManager substitutes any matching persisted plan
+    # fragment, so bypassing _cached is not enough — drop the persisted
+    # relations too (later tests re-materialize on demand).
+    for df in tx._EXT_CACHE.values():
+        df.unpersist()
+    tx._EXT_CACHE.clear()
     monkeypatch.setattr(tx, "_cached", lambda spark, sf, name, build: build())
     plan = tx.q12_shipmode_priority(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
