@@ -73,6 +73,39 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
 _SPLIT_COUNT_CACHE: dict[tuple, int] = {}
 
+# Registry of every module-level session cache that pins persisted
+# DataFrames (keys are (applicationId, sf[, name]); values are
+# DataFrames or tuples of DataFrames). The caches deliberately live
+# for the whole application — the bench/driver pattern touches each
+# dataset repeatedly — but a long-lived session hopping across many
+# datasets accumulates pinned relations; evict_session_caches() is
+# the explicit release valve (ADVICE r5).
+_SESSION_CACHES: list[dict] = []
+
+
+def register_session_cache(cache: dict) -> dict:
+    _SESSION_CACHES.append(cache)
+    return cache
+
+
+def evict_session_caches(sf_dir: str | None = None) -> int:
+    """Unpersist and drop every registered cached relation (or only
+    those built for `sf_dir`). Returns the number of evicted entries.
+    Safe to call at any point — consumers re-materialize on demand."""
+    evicted = 0
+    for cache in _SESSION_CACHES:
+        for key in list(cache):
+            if sf_dir is not None and str(sf_dir) not in map(str, key):
+                continue
+            val = cache.pop(key)
+            for df in val if isinstance(val, tuple) else (val,):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            evicted += 1
+    return evicted
+
 
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the source has

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, load, spread
+from data_validator_spark.queries import DEC, load, register_session_cache, spread
 from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
 from data_validator_spark.functions.text import normalized_text, token_count
 from data_validator_spark.queries.textops import SQL_NORM
@@ -650,7 +650,7 @@ DSIR_BUCKETS = 4096  # hashed n-gram feature space (DSIR's 10^4 analog)
 # relation at |docs| × min(grams/doc, DSIR_BUCKETS) rows — far below
 # gram scale — and the session-keyed persist follows the
 # _BASKET_CACHE / _PAIRS_CACHE convention.
-_DSIR_CACHE: dict = {}
+_DSIR_CACHE: dict = register_session_cache({})
 
 
 def _dsir_tagged(spark, sf):

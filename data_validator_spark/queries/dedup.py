@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from data_validator_spark.functions.text import rolling_shingle_hashes
 from data_validator_spark.operators.checkpoint import free_local_checkpoint
-from data_validator_spark.queries import load, spread
+from data_validator_spark.queries import load, register_session_cache, spread
 
 # MinHash parameters: 64 permutations h_i(x) = (a_i*(x mod P) + b_i) mod P,
 # banded 16×4. P = 2^31-1 keeps a_i*(x%P)+b_i < 2^62 (no int64 overflow,
@@ -61,7 +61,7 @@ hs AS (SELECT doc_id,
 # on both sides of its Jaccard join (the nondeterministic projection
 # barrier would otherwise defeat ReuseExchange and hash the corpus
 # twice in one query).
-_HS_CACHE: dict = {}
+_HS_CACHE: dict = register_session_cache({})
 
 
 def _shingle_hashes_df(spark, sf):
@@ -217,7 +217,7 @@ MAX_BUCKET = 256
 # orders of magnitude smaller than the corpus at 100 TB — and a real
 # pipeline materializes the candidate set once, then runs every
 # verifier against it.
-_PAIRS_CACHE: dict = {}
+_PAIRS_CACHE: dict = register_session_cache({})
 
 
 def _lsh_pairs_df(spark, sf):

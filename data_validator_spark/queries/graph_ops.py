@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import load
+from data_validator_spark.queries import load, register_session_cache
 
 DAMPING = 0.85
 PR_ITERS = 3
@@ -38,7 +38,7 @@ DEC18 = "decimal(38,18)"
 # + two localCheckpoint actions) before a single iteration ran — the
 # same repeated-heavy-relation shape _BASKET_CACHE / _PAIRS_CACHE
 # already fix, so the same session-keyed cache.
-_GRAPH_CACHE: dict = {}
+_GRAPH_CACHE: dict = register_session_cache({})
 
 
 def _pairs(spark, sf):

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, load, spread
+from data_validator_spark.queries import DEC, load, register_session_cache, spread
 from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
 from data_validator_spark.queries.textops import SQL_NORM
 from data_validator_spark.functions.text import normalized_text
@@ -807,7 +807,7 @@ COPURCHASE_TOPK = 100
 # materialization Catalyst re-runs the distinct shuffle per arm — the
 # same shape _ASSIGNED_CACHE/_HS_CACHE fix elsewhere, so the same
 # session-keyed persist.
-_BASKET_CACHE: dict = {}
+_BASKET_CACHE: dict = register_session_cache({})
 
 
 def _basket_lines(spark, sf):

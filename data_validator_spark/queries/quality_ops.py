@@ -25,7 +25,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, load, spread
+from data_validator_spark.queries import DEC, load, register_session_cache, spread
 from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
 from data_validator_spark.queries.textops import (
     SQL_SPLIT_BUCKET,
@@ -622,7 +622,7 @@ ENSEMBLE_ENT_NORM = 4.0  # entropy ceiling used to normalize into [0,1]
 # Catalyst re-scans documents.parquet and recomputes norm per arm (7
 # scans total, the r5 plan audit's finding). Same session-keyed
 # persist discipline as dedup._PAIRS_CACHE / mining_ops._BASKET_CACHE.
-_ENSEMBLE_DOCS_CACHE: dict = {}
+_ENSEMBLE_DOCS_CACHE: dict = register_session_cache({})
 
 
 def _ensemble_docs(spark, sf):

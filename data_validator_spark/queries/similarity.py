@@ -42,7 +42,7 @@ import hashlib
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import load, spread
+from data_validator_spark.queries import load, register_session_cache, spread
 
 DIM = 64
 N_QUERIES = 10
@@ -287,7 +287,7 @@ WHERE cos_sim >= {COSINE_DEDUP_THRESHOLD} ORDER BY vec_a, vec_b
 # plan paid 10 scans / 21 exchanges; with it, the corpus is scanned
 # once and every consumer reads the cached relation). Same pattern
 # and rationale as dedup.py's _HS_CACHE shingle relation.
-_ASSIGNED_CACHE: dict = {}
+_ASSIGNED_CACHE: dict = register_session_cache({})
 
 
 def _assigned(spark, sf):

@@ -28,7 +28,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, dsum, load, spread, sql_dsum
+from data_validator_spark.queries import (
+    DEC,
+    dsum,
+    load,
+    register_session_cache,
+    spread,
+    sql_dsum,
+)
 
 MODES = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
 INSTRUCTS = ["COLLECT COD", "DELIVER IN PERSON", "NONE", "TAKE BACK RETURN"]
@@ -59,7 +66,7 @@ def _hash60(*cols):
 # _BASKET_CACHE / _PAIRS_CACHE. (These relations only exist because
 # the synthetic corpus lacks the columns; a real deployment reads real
 # partsupp/shipmode columns and needs no cache.)
-_EXT_CACHE: dict = {}
+_EXT_CACHE: dict = register_session_cache({})
 
 
 def _cached(spark, sf, name, build):

@@ -381,3 +381,22 @@ def test_semdedup_members_cover_corpus(spark):
     assert sum(r["n_members"] for r in rows) == 500
     for r in rows:
         assert 0 <= r["n_dropped"] <= r["n_members"] - 1
+
+
+def test_evict_session_caches(spark):
+    """Every module-level persisted-relation cache is registered and
+    releasable (ADVICE r5 hygiene): populate two of them, evict, and
+    confirm the dicts empty and re-materialization still works."""
+    from data_validator_spark.queries import evict_session_caches
+    from data_validator_spark.queries.tpch_ext import _EXT_CACHE, part_ext_df
+    from data_validator_spark.queries.mining_ops import _BASKET_CACHE, _basket_lines
+
+    part_ext_df(spark, SF).count()
+    _basket_lines(spark, SF).count()
+    assert _EXT_CACHE and _BASKET_CACHE
+    n = evict_session_caches()
+    assert n >= 2
+    assert not _EXT_CACHE and not _BASKET_CACHE
+    # consumers re-materialize on demand
+    assert part_ext_df(spark, SF).count() > 0
+    evict_session_caches(SF)
