@@ -936,6 +936,12 @@ def q_mad_outliers(spark, sf):
     pctl = "percentile_approx" if _approx_enabled(spark) else "percentile"
     li = spread(load(spark, sf, "lineitem"))
     x = F.col(MAD_COLUMN)
+    # (r6 measurement note: the bench cost of this query is the exact
+    # `percentile` aggregate itself — ~1.7s per pass over 600k rows at
+    # sf0.1, independent of scan parallelism; checkpointing the scalar
+    # rows was tried and made it slower by serializing the passes. The
+    # approx_profile flag above is the scale path; exact stays the
+    # oracle-checkable default.)
     med = li.agg(F.expr(f"{pctl}({MAD_COLUMN}, 0.5D)").alias("med"))
     dev = li.crossJoin(F.broadcast(med)).select(
         F.abs(x - F.col("med")).alias("ad"), F.col("med")
