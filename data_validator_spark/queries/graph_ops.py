@@ -98,6 +98,14 @@ def q_pagerank_bipartite(spark, sf):
     )
     # uniform start: pr0 = 1/N
     pr = nodes.select("node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
+    # ONE broadcast of the static node relation, reused by every round
+    # (identical exchange → ReuseExchange dedupes it); per round the
+    # only broadcast BUILD is the rank relation itself. The inner join
+    # is lossless: the edge set is the symmetric union of both pair
+    # directions, so every node is the dst of at least one edge and
+    # sums covers the full node universe (the oracle keeps its LEFT
+    # JOIN + COALESCE spelling — same rows either way).
+    nodes_b = F.broadcast(nodes)
     for _ in range(PR_ITERS):
         contrib = edges.join(
             F.broadcast(pr.select(F.col("node").alias("src"), "deg", "pr")), "src"
@@ -105,7 +113,7 @@ def q_pagerank_bipartite(spark, sf):
         sums = contrib.groupBy("dst").agg(
             F.sum(F.col("w").cast(DEC18)).cast("double").alias("mass")
         )
-        pr = nodes.join(F.broadcast(sums), nodes.node == sums.dst, "left").select(
+        pr = sums.join(nodes_b, sums.dst == nodes.node).select(
             "node",
             "deg",
             "n",
