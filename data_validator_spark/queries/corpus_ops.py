@@ -283,9 +283,16 @@ def q_trigram_lm_score(spark, sf, base=None):
         ).alias("t"),
     )
     counts = tri.groupBy("t").agg(F.count("*").alias("cnt"))
-    total = tri.agg(F.count("*").alias("total"))
-    model = counts.crossJoin(F.broadcast(total)).select(
-        "t", (F.col("cnt").cast("double") / F.col("total")).alias("p")
+    # total trigram count derived from the VOCABULARY-scale counts
+    # relation (≤ |charset|³ rows) with one empty-frame window — a
+    # corpus-scale `tri.count()` here would re-run the whole explode a
+    # second time just to produce one integer (sum(cnt) is the same
+    # exact long either way; the oracle keeps its CROSS JOIN spelling)
+    from pyspark.sql import Window
+
+    total = F.sum("cnt").over(Window.partitionBy())
+    model = counts.select(
+        "t", (F.col("cnt").cast("double") / total).alias("p")
     )
     return (
         tri.join(F.broadcast(model), "t")
