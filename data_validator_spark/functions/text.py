@@ -22,7 +22,7 @@ LANG_STOPWORDS = {"en": STOPWORDS_EN, "es": STOPWORDS_ES, "fr": STOPWORDS_FR, "d
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of trimmed text → array<string>."""
-    return F.split(F.trim(text), r"\s+")
+    return F.split(F.trim(text), r"[ \t\n\x0B\f\r]+")
 
 
 def token_count(text: Column) -> Column:
@@ -35,7 +35,7 @@ def bpe_ish_token_count(text: Column) -> Column:
     individual punctuation marks — a cheap proxy for BPE token counts
     used to budget LLM context lengths. RE2-safe pattern (no
     lookarounds) so the DuckDB oracle reproduces it exactly."""
-    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"), F.lit(0)))
 
 
 def stopword_hits(text: Column, stopwords: list[str]) -> Column:

@@ -151,7 +151,7 @@ def _step_chunk(df: DataFrame, opts: dict) -> DataFrame:
     from data_validator_spark.queries.textops import chunk_windows
 
     toks = df.where(F.length(F.trim(F.col("text"))) > 0).withColumn(
-        "toks", F.split(F.trim(F.col("text")), r"\s+")
+        "toks", F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")
     )
     chunks = toks.select(
         "*",

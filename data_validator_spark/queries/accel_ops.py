@@ -141,7 +141,7 @@ def q_pareto_skyline(spark, sf):
     """
     df = spread(load(spark, sf, "documents"))
     toks = df.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
     ).where(F.length("t") > 0)
     vocab = toks.groupBy("doc_id").agg(F.countDistinct("t").alias("v"))
     docs = df.select("doc_id", "n_chars").join(vocab, "doc_id")
@@ -167,7 +167,7 @@ def q_pareto_skyline(spark, sf):
 SQL_PARETO = r"""
 WITH toks AS (
   SELECT doc_id, t FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+    SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS t
     FROM documents)
   WHERE length(t) > 0),
 vocab AS (SELECT doc_id, COUNT(DISTINCT t) AS v FROM toks GROUP BY doc_id),
@@ -278,7 +278,7 @@ def q_rrf_fusion(spark, sf):
     """
     df = spread(load(spark, sf, "documents"))
     toks = df.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
     ).where(F.length("t") > 0)
     scores = toks.groupBy("doc_id").agg(
         F.sum(F.col("t").isin(RRF_TERMS).cast("long")).alias("rel"),
@@ -318,7 +318,7 @@ def _sql_rrf() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, t FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+    SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t
     FROM documents)
   WHERE length(t) > 0),
 scores AS (

@@ -31,7 +31,7 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 20
 
-SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+SQL_TOKENS = r"string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')"
 
 
 def q_bm25_topk(spark, sf):
@@ -51,7 +51,7 @@ def q_bm25_topk(spark, sf):
     engines; the emitted score passes through decimal(30,6).
     """
     df = spread(load(spark, sf, "documents"))
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")
     dl = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(F.size(toks))
 
     def tf(term: str):
@@ -443,7 +443,7 @@ SQL_QUANTILE_SHARD = f"""
 WITH docs AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS tc
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS tc
   FROM documents),
 hist AS (SELECT tc, COUNT(*) AS cnt FROM docs GROUP BY tc),
 tot AS (SELECT SUM(cnt) AS n_total FROM hist),
@@ -579,7 +579,7 @@ def q_heavy_hitters_cms(spark, sf):
     """
     df = spread(load(spark, sf, "documents"))
     toks = df.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("token")
     ).where(F.length("token") > 0)
     tf = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
     hashed = tf.select(
@@ -631,7 +631,7 @@ def _sql_cms() -> str:
     buckets = " UNION ALL ".join(arms)
     return f"""
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS token
   FROM documents),
 tf AS (SELECT token, COUNT(*) AS exact_count
        FROM toks WHERE length(token) > 0 GROUP BY token),
@@ -670,7 +670,7 @@ def _dsir_tagged(spark, sf):
         return cached
     df = spread(load(spark, sf, "documents"))
     toks = df.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        "doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("toks")
     )
     grams = toks.select(
         "doc_id",

@@ -39,7 +39,7 @@ _SQL_NORM = (
     "'[^a-z0-9_ \\t\\n]', '', 'g'), '[ \\t\\n]+', ' ', 'g'))"
 )
 _SQL_SHINGLE_CTES = f"""
-toks AS (SELECT doc_id, string_split_regex({_SQL_NORM}, '\\s+') AS t FROM documents),
+toks AS (SELECT doc_id, string_split_regex({_SQL_NORM}, '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents),
 sh AS (SELECT doc_id,
       CASE WHEN len(t) >= {SHINGLE_K}
            THEN list_transform(range(0, len(t) - {SHINGLE_K} + 1),
@@ -470,7 +470,7 @@ def _sql_simhash() -> str:
     )
     return f"""
 WITH t AS (SELECT doc_id,
-    list_distinct(list_transform(string_split_regex({_SQL_NORM}, '\\s+'),
+    list_distinct(list_transform(string_split_regex({_SQL_NORM}, '[ \\t\\n\\x0B\\f\\r]+'),
       x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS th
   FROM documents)
 SELECT doc_id, ({terms}) AS simhash FROM t ORDER BY doc_id

@@ -24,7 +24,7 @@ from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
 from data_validator_spark.queries.textops import SQL_NORM
 from data_validator_spark.functions.text import normalized_text
 
-SQL_TOKENS = r"string_split_regex(trim(text), '\s+')"
+SQL_TOKENS = r"string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')"
 
 
 # -- hll_distinct ----------------------------------------------------------
@@ -107,7 +107,7 @@ def q_hll_distinct(spark, sf):
     """
     df = spread(load(spark, sf, "documents"))
     toks = df.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("v")
+        F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("v")
     ).where(F.length("v") > 0)
     fps = df.select(F.md5(F.encode(normalized_text(F.col("text")), "utf-8")).alias("v"))
     return _hll_estimate(toks, "tokens").unionAll(
@@ -183,7 +183,7 @@ def q_gopher_quality(spark, sf, base=None):
     """
     df = base if base is not None else spread(load(spark, sf, "documents"))
     toks = df.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
     ).where(F.length("t") > 0)
     tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
     tok_stats = tf.groupBy("doc_id").agg(
@@ -195,7 +195,7 @@ def q_gopher_quality(spark, sf, base=None):
     # transform lambda then reads the bound array — inlining split()
     # into the lambda would re-split the text per element (O(n²)/doc)
     bi = df.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        "doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("toks")
     ).select(
         "doc_id",
         F.explode(
@@ -305,7 +305,7 @@ def q_tfidf_topk(spark, sf):
     df = spread(load(spark, sf, "documents"))
     n = df.agg(F.count("*").cast("double").alias("n_docs"))
     toks = df.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
     ).where(F.length("t") > 0)
     tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
@@ -388,12 +388,12 @@ def q_pmi_collocations(spark, sf):
     """
     df = spread(load(spark, sf, "documents"))
     toks = df.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
     ).where(F.length("t") > 0)
     uni = toks.groupBy("t").agg(F.count("*").alias("c"))
     n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
     # materialize toks before the lambda — see q_gopher_quality
-    bi = df.select(F.split(F.trim(F.col("text")), r"\s+").alias("toks")).select(
+    bi = df.select(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("toks")).select(
         F.explode(
             F.expr(
                 "CASE WHEN size(toks) >= 2 THEN "
@@ -491,7 +491,7 @@ def q_inverted_index(spark, sf):
     """
     df = spread(load(spark, sf, "documents"))
     toks = df.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
     ).where(F.length("t") > 0)
     tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     term_stats = tf.groupBy("t").agg(

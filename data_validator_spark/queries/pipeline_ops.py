@@ -202,7 +202,7 @@ SQL_SEQUENCE_PACK = f"""
 WITH t AS (
   SELECT lang, doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
   FROM documents),
 c AS (
   SELECT lang, doc_id, n_tokens,

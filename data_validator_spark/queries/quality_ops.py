@@ -454,7 +454,7 @@ def q_ngram_contamination(spark, sf):
     toks = df.select(
         "doc_id",
         bucket.alias("bucket"),
-        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+        F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("toks"),
     )
     grams = toks.select(
         "doc_id",
@@ -499,7 +499,7 @@ def q_ngram_contamination(spark, sf):
 SQL_NGRAM_CONTAMINATION = f"""
 WITH toks AS (
   SELECT doc_id, {SQL_SPLIT_BUCKET} AS bucket,
-         string_split_regex(trim(text), '\\s+') AS toks
+         string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
   FROM documents),
 grams AS (
   SELECT doc_id, bucket,

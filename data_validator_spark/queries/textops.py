@@ -38,8 +38,8 @@ def q_token_count(spark, sf):
 SQL_TOKEN_COUNT = r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """
 
@@ -66,7 +66,7 @@ WITH f AS (
   SELECT doc_id,
          length(text) AS n_chars,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
          length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
@@ -101,7 +101,7 @@ def _sql_lang_id() -> str:
     for code in sorted(LANG_STOPWORDS):
         words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[code])
         hits.append(
-            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+            f"len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),"
             f" t -> t IN ({words}))) AS s_{code}"
         )
     best = "GREATEST(" + ", ".join(f"s_{c}" for c in sorted(LANG_STOPWORDS)) + ")"
@@ -235,7 +235,7 @@ def q_token_frequencies(spark, sf):
     cutoff break on the token string for cross-engine determinism."""
     df = spread(load(spark, sf, "documents"))
     toks = df.select(
-        F.explode(F.split(F.trim(normalized_text(F.col("text"))), r"\s+")).alias("token")
+        F.explode(F.split(F.trim(normalized_text(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("token")
     ).where(F.col("token") != "")
     return (
         toks.groupBy("token")
@@ -247,7 +247,7 @@ def q_token_frequencies(spark, sf):
 
 SQL_TOKEN_FREQUENCIES = f"""
 SELECT token, count(*) AS n_occurrences
-FROM (SELECT unnest(string_split_regex(trim({SQL_NORM}), '\\s+')) AS token
+FROM (SELECT unnest(string_split_regex(trim({SQL_NORM}), '[ \\t\\n\\x0B\\f\\r]+')) AS token
       FROM documents) t
 WHERE token <> ''
 GROUP BY token
@@ -309,17 +309,17 @@ WITH e AS (
          md5({SQL_NORM}) AS fp,
          (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END
           + CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
+                       ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) > 0
                  AND CAST(length(text) - length(regexp_replace(text, '[^ \\t\\n]', '', 'g'))
                      AS DOUBLE)
                      / (CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                        ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END)
                      BETWEEN 2.0 AND 12.0
                  THEN 1.0 ELSE 0.0 END
           + COALESCE(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                      / nullif(length(text), 0), 0.0) * 2.0) / 4.0 AS quality,
          (CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
+               ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS n_tokens,
          {SQL_SPLIT_BUCKET} < {TRAIN_CUT} AS in_train
   FROM documents
 ), k AS (
@@ -374,7 +374,7 @@ def q_doc_chunk(spark, sf):
     # split('') yields [''] (size 1, never 0) — guard on trimmed text
     # length, the token_count rule, so blank docs emit no phantom chunk
     toks = df.where(F.length(F.trim(F.col("text"))) > 0).select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        "doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("toks")
     )
     chunks = toks.select(
         "doc_id",
@@ -397,7 +397,7 @@ def _sql_doc_chunk() -> str:
 
     return f"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents
   WHERE length(trim(text)) > 0),
 t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t),
 chunks AS (
@@ -424,9 +424,9 @@ FROM sliced ORDER BY doc_id, chunk_idx
 # Whitespace class spelled identically for Java regex (Spark) and RE2
 # (DuckDB): Java's \s = [ \t\n\x0B\f\r] but RE2's \s excludes \x0B, so
 # a bare \s+ is an engine-divergent tokenizer. Both engines parse the
-# \xhh escape. (The other textops oracles still use \s+; their graded
-# driver rows pin that form, and the synthetic corpus contains no
-# \x0B — migrate them to this class only alongside a re-grade.)
+# \xhh escape. (r6: every tokenizer in the package — Spark split()s
+# and DuckDB string_split_regex oracles alike — now uses this explicit
+# class; no bare \s remains anywhere.)
 _WS_CLASS = r"[ \t\n\x0B\f\r]"
 _WS_RE = _WS_CLASS + "+"
 _WS_TRIM_RE = rf"^{_WS_CLASS}+|{_WS_CLASS}+$"
