@@ -81,8 +81,8 @@ def main() -> int:
     table = build_table(bench, base)
     runs = len(benches)
     stamp = (
-        f"Numbers from {date.today().isoformat()}, r5 final "
-        f"(best-of-{runs} per query, seconds):"
+        f"Numbers from {date.today().isoformat()} "
+        f"(best-of-{runs} per query, seconds, both columns same boot):"
     )
     pattern = re.compile(
         r"Numbers from [^\n]*\n\n\| query \| DuckDB \|.*?\n\n", re.DOTALL
