@@ -282,18 +282,27 @@ def q_trigram_lm_score(spark, sf, base=None):
             )
         ).alias("t"),
     )
-    counts = tri.groupBy("t").agg(F.count("*").alias("cnt"))
-    # total trigram count derived from the VOCABULARY-scale counts
-    # relation (≤ |charset|³ rows) with one empty-frame window — a
-    # corpus-scale `tri.count()` here would re-run the whole explode a
-    # second time just to produce one integer (sum(cnt) is the same
-    # exact long either way; the oracle keeps its CROSS JOIN spelling)
-    from pyspark.sql import Window
+    key = (spark.sparkContext.applicationId, str(sf))
+    model = _TRIGRAM_MODEL_CACHE.get(key)
+    if model is None:
+        counts = tri.groupBy("t").agg(F.count("*").alias("cnt"))
+        # total trigram count derived from the VOCABULARY-scale counts
+        # relation (≤ |charset|³ rows) with one empty-frame window — a
+        # corpus-scale `tri.count()` here would re-run the whole
+        # explode a second time just to produce one integer (sum(cnt)
+        # is the same exact long either way; the oracle keeps its
+        # CROSS JOIN spelling)
+        total = F.sum("cnt").over(Window.partitionBy())
+        model = counts.select(
+            "t", (F.col("cnt").cast("double") / total).alias("p")
+        )
+        from pyspark import StorageLevel
 
-    total = F.sum("cnt").over(Window.partitionBy())
-    model = counts.select(
-        "t", (F.col("cnt").cast("double") / total).alias("p")
-    )
+        # the model is a vocabulary-scale relation (≤|Σ|³ rows) shared
+        # by trigram_lm_score, quality_ensemble, and ccnet_buckets —
+        # persist it so repeat consumers pay only the scoring pass
+        model = model.persist(StorageLevel.MEMORY_AND_DISK)
+        _TRIGRAM_MODEL_CACHE[key] = model
     return (
         tri.join(F.broadcast(model), "t")
         .groupBy("doc_id")
@@ -647,6 +656,10 @@ ORDER BY est_count DESC, token LIMIT {CMS_TOPK}
 
 # -- dsir_importance --------------------------------------------------------
 DSIR_BUCKETS = 4096  # hashed n-gram feature space (DSIR's 10^4 analog)
+
+
+# The trigram-LM probability model, shared by three registry entries.
+_TRIGRAM_MODEL_CACHE: dict = register_session_cache({})
 
 
 # dsir's (doc_id, bucket, count, keep) relation feeds THREE subplan

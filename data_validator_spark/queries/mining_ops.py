@@ -159,10 +159,23 @@ GOPHER_MAX_TOP_TOKEN_FRAC = 0.30
 GOPHER_MAX_DUP_BIGRAM_FRAC = 0.90
 
 
+# Gopher's per-doc stats relation is consumed by THREE registry
+# entries (gopher_quality itself, quality_ensemble's first arm, and
+# dsir_importance's target membership) — session-persist it like the
+# shingle/basket relations so each consumer reads the collapsed
+# doc-scale rows instead of re-running both explode+groupBy pipelines.
+_GOPHER_CACHE: dict = register_session_cache({})
+
+# char_entropy's per-doc relation, shared with quality_ensemble.
+_ENTROPY_CACHE: dict = register_session_cache({})
+
+
 def q_gopher_quality(spark, sf, base=None):
     """Repetition-based quality filter (the Gopher/MassiveText rules):
     per-document distinct-token ratio, most-common-token fraction, and
     duplicate-bigram mass fraction, plus the combined keep/drop flag.
+    The per-doc stats relation is session-persisted (_GOPHER_CACHE);
+    the ordered projection below it stays lazy per call.
 
     Scale shape: two shuffles, both map-side combined and both keyed
     by (doc_id, gram) — per-doc token counts and per-doc bigram
@@ -181,6 +194,10 @@ def q_gopher_quality(spark, sf, base=None):
     quality_ensemble passes its shared cached docs so all three signal
     arms read ONE materialized scan instead of each re-reading parquet.
     """
+    key = (spark.sparkContext.applicationId, str(sf))
+    cached = _GOPHER_CACHE.get(key)
+    if cached is not None:
+        return cached.orderBy("doc_id")
     df = base if base is not None else spread(load(spark, sf, "documents"))
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
@@ -230,7 +247,7 @@ def q_gopher_quality(spark, sf, base=None):
         & (F.col("ttf") <= GOPHER_MAX_TOP_TOKEN_FRAC)
         & (F.col("dbf") <= GOPHER_MAX_DUP_BIGRAM_FRAC)
     )
-    return joined.select(
+    stats = joined.select(
         "doc_id",
         "n_tokens",
         "n_distinct",
@@ -238,7 +255,12 @@ def q_gopher_quality(spark, sf, base=None):
         F.col("ttf").cast(DEC).cast("double").alias("top_token_frac"),
         F.col("dbf").cast(DEC).cast("double").alias("dup_bigram_frac"),
         keep.cast("int").alias("keep"),
-    ).orderBy("doc_id")
+    )
+    from pyspark import StorageLevel
+
+    stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
+    _GOPHER_CACHE[key] = stats
+    return stats.orderBy("doc_id")
 
 
 SQL_GOPHER = f"""
@@ -735,8 +757,14 @@ def q_char_entropy(spark, sf, base=None):
 
     `base` (optional): quality_ensemble's shared persisted
     (doc_id, text, norm) relation — norm is read from it instead of
-    recomputed off a fresh parquet scan.
+    recomputed off a fresh parquet scan. The per-doc entropy relation
+    is session-persisted (_ENTROPY_CACHE — consumed by both
+    char_entropy and quality_ensemble's second arm).
     """
+    key = (spark.sparkContext.applicationId, str(sf))
+    cached = _ENTROPY_CACHE.get(key)
+    if cached is not None:
+        return cached.orderBy("doc_id")
     if base is not None:
         docs = base.select("doc_id", "norm")
     else:
@@ -763,12 +791,17 @@ def q_char_entropy(spark, sf, base=None):
             (-F.sum((p * F.log(p)).cast(DEC))).alias("ent_dec"),
         )
     )
-    return ent.select(
+    out = ent.select(
         "doc_id",
         "n_chars_norm",
         F.col("ent_dec").cast("double").alias("entropy"),
         (F.col("ent_dec") >= ENTROPY_MIN).cast("int").alias("keep"),
-    ).orderBy("doc_id")
+    )
+    from pyspark import StorageLevel
+
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    _ENTROPY_CACHE[key] = out
+    return out.orderBy("doc_id")
 
 
 SQL_CHAR_ENTROPY = f"""
