@@ -150,11 +150,26 @@ def check_config_text(text: str) -> list[str]:
 
     Beyond raw decoding, each table's source and checks are
     trial-constructed to catch type-key typos early — but an entry
-    whose fields still contain unresolved ``$var`` placeholders only
-    gets the structural pass (its deep validation needs runtime
-    values, same caveat as the reference).
+    whose fields still contain unresolved ``$var`` / ``${var}``
+    placeholders only gets the structural pass (its deep validation
+    needs runtime values, same caveat as the reference). Placeholder
+    detection matches the actual substitution token syntax
+    (VarSubstitution.scala:141 ``\\$\\{?[A-Za-z]\\w*\\}?``) against
+    string leaves only, and suppression is scoped to the specific
+    entry carrying the placeholder — a literal ``$`` in e.g. a regex
+    anchor (``abc$``) does not defer validation, and a placeholder in
+    one check does not mask errors in its siblings or the source.
     """
-    import json as _json
+    from data_validator_spark.substitution import _VAR_RE
+
+    def _has_placeholder(value: Any) -> bool:
+        if isinstance(value, str):
+            return _VAR_RE.search(value) is not None
+        if isinstance(value, dict):
+            return any(_has_placeholder(v) for v in value.values())
+        if isinstance(value, (list, tuple)):
+            return any(_has_placeholder(v) for v in value)
+        return False
 
     errors: list[str] = []
     try:
@@ -177,26 +192,34 @@ def check_config_text(text: str) -> list[str]:
             errors.append(f"tables[{i}] must be a mapping, got {type(t).__name__}")
             continue
         label = f"tables[{i}]"
-        has_placeholder = "$" in _json.dumps(t)
-        t = dict(t)
-        checks = t.pop("checks", []) or []
         try:
-            source_from_dict(t)
-        except Exception as e:
-            if not has_placeholder:
-                errors.append(f"{label}: {e}")
-        for j, c in enumerate(checks):
-            if not isinstance(c, dict):
-                errors.append(f"{label}.checks[{j}] must be a mapping")
-                continue
+            t = dict(t)
+            checks = t.pop("checks", []) or []
             try:
-                check_from_dict(c)
+                source_from_dict(t)
             except Exception as e:
-                # an unknown `type:` is a hard error even with
-                # placeholders present; parameter errors are deferred
-                # when the entry needs variable resolution
-                if not has_placeholder or c.get("type") not in CHECK_TYPES:
-                    errors.append(f"{label}.checks[{j}]: {e}")
+                # deep source validation is deferred only when the
+                # source entry itself carries a placeholder
+                if not _has_placeholder(t):
+                    errors.append(f"{label}: {e}")
+            if not isinstance(checks, list):
+                errors.append(f"{label}.checks must be a list, got {type(checks).__name__}")
+                continue
+            for j, c in enumerate(checks):
+                if not isinstance(c, dict):
+                    errors.append(f"{label}.checks[{j}] must be a mapping")
+                    continue
+                try:
+                    check_from_dict(c)
+                except Exception as e:
+                    # an unknown `type:` is a hard error even with
+                    # placeholders present; parameter errors are
+                    # deferred only for the check that needs variable
+                    # resolution, never for its siblings
+                    if not _has_placeholder(c) or c.get("type") not in CHECK_TYPES:
+                        errors.append(f"{label}.checks[{j}]: {e}")
+        except Exception as e:  # any unexpected failure = config error, not a crash
+            errors.append(f"{label}: unexpected error during config check: {e!r}")
     return errors
 
 

@@ -208,3 +208,70 @@ tables:
     assert built[1][0].condition == "foo < 10"
     # check counts per table match the config
     assert [len(checks) for _, checks in built] == [2, 1, 1, 1]
+
+
+# --- check_config_text placeholder scoping (r7 ADVICE fixes) ---------------
+
+def test_check_config_nonjson_scalar_does_not_crash():
+    """ADVICE r6: an unquoted YAML date (parsed to datetime.date) used
+    to crash the placeholder scan via json.dumps; it must simply be
+    checked like any other config."""
+    from data_validator_spark.config import check_config_text
+
+    errs = check_config_text(
+        "tables:\n"
+        "  - parquetFile: /x.parquet\n"
+        "    checks:\n"
+        "      - type: rangeCheck\n"
+        "        column: a\n"
+        "        minValue: 2020-01-01\n"
+    )
+    assert errs == []
+
+
+def test_check_config_literal_dollar_does_not_suppress_validation():
+    """ADVICE r6: a literal '$' (regex anchor) is not a substitution
+    token — unknown sources and broken sibling checks must still
+    error."""
+    from data_validator_spark.config import check_config_text
+
+    errs = check_config_text(
+        "tables:\n"
+        "  - bogusSourceKey: /x\n"
+        "    checks:\n"
+        "      - type: stringRegexCheck\n"
+        "        column: a\n"
+        "        regex: 'abc$'\n"
+        "      - type: nullCheck\n"
+    )
+    # both the unknown source and the column-less nullCheck surface
+    assert any("tables[0]:" in e for e in errs)
+    assert any("checks[1]" in e for e in errs)
+
+
+def test_check_config_placeholder_suppression_is_per_entry():
+    """A $var in one check defers only that check's deep validation;
+    the source and sibling checks are still fully validated."""
+    from data_validator_spark.config import check_config_text
+
+    errs = check_config_text(
+        "tables:\n"
+        "  - parquetFile: $base/x.parquet\n"
+        "    checks:\n"
+        "      - type: rangeCheck\n"
+        "        column: a\n"
+        "        minValue: $lo\n"
+        "      - type: nullCheck\n"
+    )
+    assert errs == ["tables[0].checks[1]: 'column'"]
+
+
+def test_check_config_braced_placeholder_detected():
+    from data_validator_spark.config import check_config_text
+
+    errs = check_config_text(
+        "tables:\n"
+        "  - parquetFile: ${base}/x.parquet\n"
+        "    checks: []\n"
+    )
+    assert errs == []
