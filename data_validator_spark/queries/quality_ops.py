@@ -756,28 +756,67 @@ def q_ccnet_buckets(spark, sf):
 
     Scale shape: the rank runs over the PER-DOC score relation (one
     row per doc, after the LM scorer's map-side collapses). ntile is
-    rank-exact here for oracle parity; at 100 TB the boundary search
-    swaps to the histogram method `quantile_shard` already
-    demonstrates (integer-exact, window-free) — the output contract
-    is identical.
+    rank-exact and the oracle-checkable default; with
+    ``spark.data_validator.approx_profile=true`` the tertile
+    boundaries come instead from a SCORE HISTOGRAM — the
+    `quantile_shard` method (corpus_ops.py): avg_logp is binned to
+    1e-4 resolution (distinct bins bounded by the trigram-logp DOMAIN,
+    ≤ ~|range|·10^4 rows, corpus-size-independent), the cumulative
+    count runs as a window over that tiny aggregated relation, tile =
+    (3·cum_before) div n_total + 1 is integer-exact, and assignment
+    joins back by broadcast. No corpus-scale single-partition window
+    anywhere on the approx path (tests/test_approx_profile.py asserts
+    ntile leaves the plan). Output contract identical; docs sharing a
+    1e-4 bin land in one tile, so bucket sizes can differ from exact
+    ntile by at most one bin's population.
 
-    Determinism: ordering key is (avg_logp DESC, doc_id) — avg_logp
-    is the same exact double in both engines (decimal sum / int
-    count), doc_id breaks ties; per-tile stats are exact decimal sums
-    with one final division.
+    Determinism (exact mode): ordering key is (avg_logp DESC, doc_id)
+    — avg_logp is the same exact double in both engines (decimal sum /
+    int count), doc_id breaks ties; per-tile stats are exact decimal
+    sums with one final division. The approx path is also
+    deterministic (floor + integer div, no sketches).
     """
     from pyspark.sql import Window
 
     from data_validator_spark.queries.corpus_ops import q_trigram_lm_score
+    from data_validator_spark.queries.validator_queries import _approx_enabled
 
     scores = q_trigram_lm_score(spark, sf)
-    w = Window.orderBy(F.desc("avg_logp"), "doc_id")
-    tiled = scores.select(
-        "doc_id",
-        "n_trigrams",
-        "avg_logp",
-        F.ntile(CCNET_TILES).over(w).alias("tile"),
-    )
+    if _approx_enabled(spark):
+        # histogram-derived tertile boundaries: head = highest scores,
+        # so the cumulative count runs over bins in DESCENDING order
+        binned = scores.withColumn(
+            "bin", F.floor(F.col("avg_logp") * F.lit(10000.0)).cast("long")
+        )
+        hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+        wh = Window.orderBy(F.desc("bin")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        tot = hist.agg(F.sum("cnt").alias("n_total"))
+        edges = (
+            hist.withColumn(
+                "cum_before", F.coalesce(F.sum("cnt").over(wh), F.lit(0))
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "bin",
+                # integer div — exact tile boundaries, no float rounding
+                (
+                    F.expr(f"({CCNET_TILES} * cum_before) div n_total") + F.lit(1)
+                ).alias("tile"),
+            )
+        )
+        tiled = binned.join(F.broadcast(edges), "bin").select(
+            "doc_id", "n_trigrams", "avg_logp", "tile"
+        )
+    else:
+        w = Window.orderBy(F.desc("avg_logp"), "doc_id")
+        tiled = scores.select(
+            "doc_id",
+            "n_trigrams",
+            "avg_logp",
+            F.ntile(CCNET_TILES).over(w).alias("tile"),
+        )
     label = (
         F.when(F.col("tile") == 1, "head")
         .when(F.col("tile") == 2, "middle")

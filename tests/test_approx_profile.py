@@ -109,3 +109,34 @@ def test_profile_approx_counts_within_tolerance(approx):
         assert ap[c]["max_val"] == ex[c]["max_val"]
         rel = abs(ap[c]["n_distinct"] - ex[c]["n_distinct"]) / max(ex[c]["n_distinct"], 1)
         assert rel <= 0.05, (c, ap[c]["n_distinct"], ex[c]["n_distinct"])
+
+
+def test_ccnet_buckets_approx_plan_and_values(approx):
+    """r7: under the flag the tertile boundaries come from the score
+    histogram (quantile_shard method) — ntile must leave the physical
+    plan (no corpus-scale single-partition window), while bucket
+    composition stays close to the rank-exact default."""
+    from data_validator_spark.queries.quality_ops import q_ccnet_buckets
+
+    spark = approx
+    plan = _plan(q_ccnet_buckets(spark, SF))
+    assert "ntile" not in plan
+    ap = {r["bucket"]: r for r in q_ccnet_buckets(spark, SF).collect()}
+    spark.conf.unset(APPROX_PROFILE_CONF)
+    plan_exact = _plan(q_ccnet_buckets(spark, SF))
+    assert "ntile" in plan_exact
+    ex = {r["bucket"]: r for r in q_ccnet_buckets(spark, SF).collect()}
+    assert set(ap) == set(ex) == {"head", "middle", "tail"}
+    assert sum(r["n_docs"] for r in ap.values()) == sum(
+        r["n_docs"] for r in ex.values()
+    )
+    for b in ex:
+        # a 1e-4 score bin straddling a boundary moves at most that
+        # bin's docs between adjacent buckets
+        assert abs(ap[b]["n_docs"] - ex[b]["n_docs"]) <= max(
+            5, 0.05 * ex[b]["n_docs"]
+        ), (b, ap[b]["n_docs"], ex[b]["n_docs"])
+        assert abs(ap[b]["mean_logp"] - ex[b]["mean_logp"]) <= 0.05 * max(
+            abs(ex[b]["mean_logp"]), 1.0
+        )
+        assert ap[b].__fields__ == ex[b].__fields__
