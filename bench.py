@@ -21,6 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "combined_single_pass",
+    "row_count",
+    "null_check",
+    "negative_check",
+    "range_check",
+    "string_length_check",
+    "string_regex_check",
+    "column_max_check",
+    "column_sum_check",
+    "col_stats_histogram",
+    "detailed_errors",
     "unique_check",
     "col_stats",
     "col_quantiles",

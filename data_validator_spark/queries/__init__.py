@@ -177,75 +177,16 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0a — the 10 entries that have NEVER had a driver hash-green
-    # row (r5 verdict item #1): the 7 added after the r5 budget
-    # saturated plus the 3 whose hash oracles postdate their last
-    # driver row (multimodal pair via the hex-string equivalence,
-    # streaming_validation via the batch-boundary-independent total).
-    "event_transitions",
-    "conversion_lag",
-    "weighted_sample",
-    "semdedup",
-    "repetition_strip",
-    "global_shuffle",
-    "copurchase_similarity",
-    "multimodal_frame_sample",
-    "multimodal_features",
-    "streaming_validation",
-    # tier 0b — plans changed this round (r6): approx_profile wiring
-    # (mad_outliers, conversion_lag above), quality_ensemble shared
-    # sub-relation, dsir_importance single exploded feature relation,
-    # pagerank fused convergence aggregates, embedding_norm_quant
-    # regression re-pin.
-    "mad_outliers",
-    "quality_ensemble",
-    "dsir_importance",
-    "pagerank_bipartite",
-    "embedding_norm_quant",
-    # tier 1 — last driver green in r3 (the 23 oldest rows), refreshed
-    # this round.
-    "corpus_train_filter",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q22_prospective_customers",
-    "events_asof_join",
-    "events_range_join",
-    "events_funnel",
-    "text_quality",
-    "token_frequencies",
-    "token_count",
-    "doc_split_sample",
-    "dedup_exact",
-    "dedup_simhash",
-    "salted_aggregation",
-    "lang_id",
-    "doc_fingerprint",
-    "events_windowed",
-    "events_pivot",
-    "events_retention",
-    "events_rollup",
-    # tier 2 — green exactly once (r4), filling the remaining budget
-    # slots to exactly 50.
-    "similarity_topk",
-    "pii_scrub",
-    "stratified_sample",
-    "sequence_pack",
-    "dedup_keep_best",
-    "split_contamination",
-    "events_json_extract",
-    "events_anomaly",
-    "streaming_join",
-    "multimodal_meta",
-    "multimodal_resize",
-    "streaming_windowed",
-    # --- driver budget cut (50) falls here ---
-    # tier 3 — r4-green entries that didn't fit the budget, then the
-    # 46 r5-green entries (freshest evidence), then the validator /
-    # TPC-H core rows green every round since r1/r2. All re-proven
-    # locally each round via tools/oracle_check.py (ORACLE_LOCAL_r6).
+    # tier 0 — plans changed this round (r7): ccnet_buckets grew the
+    # histogram tertile path, streaming_sessionized gets the derived
+    # state-partition count, dedup_clusters exercises the star-CC path
+    # on a registry operator.
+    "ccnet_buckets",
+    "streaming_sessionized",
+    "dedup_clusters",
+    # tier 1 — the 32 entries whose last driver-green row is r4, now
+    # the oldest evidence in the registry (r6 verdict item #2):
+    # streaming pair, ANN trio, validator core, TPC-H q1-q14 core.
     "streaming_dedup",
     "streaming_enriched",
     "events_sessionized",
@@ -253,54 +194,6 @@ GRADE_PRIORITY = [
     "similarity_ann_ivf",
     "dedup_embedding_cosine",
     "minhash_containment",
-    # r5-green:
-    "drift_psi",
-    "fk_integrity",
-    "benford_check",
-    "reconciliation_check",
-    "ngram_contamination",
-    "triangle_count",
-    "drift_ks",
-    "ccnet_buckets",
-    "doc_chunk",
-    "ann_recall_eval",
-    "streaming_drift",
-    "fd_check",
-    "key_skew_audit",
-    "hll_distinct",
-    "gopher_quality",
-    "tfidf_topk",
-    "pmi_collocations",
-    "inverted_index",
-    "events_gap_fill",
-    "bloom_filter_semijoin",
-    "pareto_skyline",
-    "events_rolling",
-    "events_time_weighted",
-    "char_entropy",
-    "rrf_fusion",
-    "ivm_agg",
-    "cdc_upsert",
-    "scd2_intervals",
-    "bm25_topk",
-    "kmeans_embeddings",
-    "trigram_lm_score",
-    "substring_dedup",
-    "quantile_shard",
-    "domain_mix_sample",
-    "k_anonymity",
-    "heavy_hitters_cms",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q16_parts_supplier",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_orders",
-    "streaming_sessionized",
-    "dedup_clusters",
-    # validator / TPC-H core rows:
     "row_count",
     "null_check",
     "negative_check",
@@ -326,6 +219,108 @@ GRADE_PRIORITY = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",
+    # tier 2 — budget fill to exactly 50: r5-green-once entries whose
+    # upstream relations changed in r6 without a driver re-grade (the
+    # session-persisted gopher/entropy/trigram signal relations and
+    # the eight derived-relation TPC-H queries), then the next
+    # r5-green-once rows in registry order.
+    "gopher_quality",
+    "char_entropy",
+    "trigram_lm_score",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_parts_supplier",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_orders",
+    "drift_psi",
+    "fk_integrity",
+    "benford_check",
+    "reconciliation_check",
+    # --- driver budget cut (50) falls here ---
+    # tier 3 — rotated out: the remaining r5-green entries, then the
+    # 50 r6-green entries (freshest evidence). All re-proven locally
+    # each round via tools/oracle_check.py (ORACLE_LOCAL_r7).
+    "ngram_contamination",
+    "triangle_count",
+    "drift_ks",
+    "doc_chunk",
+    "ann_recall_eval",
+    "streaming_drift",
+    "fd_check",
+    "key_skew_audit",
+    "hll_distinct",
+    "tfidf_topk",
+    "pmi_collocations",
+    "inverted_index",
+    "events_gap_fill",
+    "bloom_filter_semijoin",
+    "pareto_skyline",
+    "events_rolling",
+    "events_time_weighted",
+    "rrf_fusion",
+    "ivm_agg",
+    "cdc_upsert",
+    "scd2_intervals",
+    "bm25_topk",
+    "kmeans_embeddings",
+    "substring_dedup",
+    "quantile_shard",
+    "domain_mix_sample",
+    "k_anonymity",
+    "heavy_hitters_cms",
+    "event_transitions",
+    "conversion_lag",
+    "weighted_sample",
+    "semdedup",
+    "repetition_strip",
+    "global_shuffle",
+    "copurchase_similarity",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "streaming_validation",
+    "mad_outliers",
+    "quality_ensemble",
+    "dsir_importance",
+    "pagerank_bipartite",
+    "embedding_norm_quant",
+    "corpus_train_filter",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q22_prospective_customers",
+    "events_asof_join",
+    "events_range_join",
+    "events_funnel",
+    "text_quality",
+    "token_frequencies",
+    "token_count",
+    "doc_split_sample",
+    "dedup_exact",
+    "dedup_simhash",
+    "salted_aggregation",
+    "lang_id",
+    "doc_fingerprint",
+    "events_windowed",
+    "events_pivot",
+    "events_retention",
+    "events_rollup",
+    "similarity_topk",
+    "pii_scrub",
+    "stratified_sample",
+    "sequence_pack",
+    "dedup_keep_best",
+    "split_contamination",
+    "events_json_extract",
+    "events_anomaly",
+    "streaming_join",
+    "multimodal_meta",
+    "multimodal_resize",
+    "streaming_windowed",
 ]
 
 

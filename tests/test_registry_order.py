@@ -1,6 +1,6 @@
 """The driver grades registry entries in dict-insertion order and has
 cut after exactly 50 entries in every graded round — so ordering IS
-grading coverage. These tests pin the r6 rotation contract from
+grading coverage. These tests pin the r7 rotation contract from
 data_validator_spark/queries/__init__.py:GRADE_PRIORITY."""
 
 from __future__ import annotations
@@ -9,40 +9,35 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 
 DRIVER_GRADE_BUDGET = 50
 
-# Tier 0 this round: the 10 entries that had never been driver-graded
-# before r6 (7 added after the r5 budget saturated + 3 whose hash
-# oracles postdate their last driver row), plus the 5 entries whose
-# physical plans change this round (approx_profile wiring, shared
-# sub-relations, pagerank fused aggregates, embedding_norm_quant
-# re-pin) — all MUST be inside the grading budget.
+# Tier 0 this round: entries whose physical plans change in r7
+# (ccnet histogram tertile path, streaming_sessionized derived state
+# partitions, dedup_clusters star-CC default exercise) — all MUST be
+# inside the grading budget.
 NEW_OR_CHANGED = {
-    "event_transitions", "conversion_lag", "weighted_sample",
-    "semdedup", "repetition_strip", "global_shuffle",
-    "copurchase_similarity", "multimodal_frame_sample",
-    "multimodal_features", "streaming_validation",
-    "mad_outliers", "quality_ensemble", "dsir_importance",
-    "pagerank_bipartite", "embedding_norm_quant",
+    "ccnet_buckets", "streaming_sessionized", "dedup_clusters",
 }
 
-# Entries whose last driver-green row is CORRECTNESS_r03 (rotated out
-# of the r4 and r5 budgets) — refreshed this round.
-R3_STALE = {
-    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_volume",
-    "q22_prospective_customers", "events_asof_join", "events_range_join",
-    "events_funnel", "text_quality", "token_frequencies",
-    "corpus_train_filter", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "token_count", "doc_split_sample", "dedup_exact", "dedup_simhash",
-    "salted_aggregation", "lang_id", "doc_fingerprint",
-    "events_windowed", "events_pivot", "events_retention",
-    "events_rollup",
+# Entries whose last driver-green row is CORRECTNESS_r04 (rotated out
+# of the r5 and r6 budgets) — now the oldest evidence in the
+# registry, refreshed this round (r6 verdict item #2).
+R4_STALE = {
+    "streaming_dedup", "streaming_enriched", "events_sessionized",
+    "similarity_ann_lsh", "similarity_ann_ivf", "dedup_embedding_cosine",
+    "minhash_containment", "row_count", "null_check", "negative_check",
+    "range_check", "string_length_check", "string_regex_check",
+    "column_max_check", "column_sum_check", "unique_check", "col_stats",
+    "col_stats_histogram", "col_quantiles", "profile_table",
+    "detailed_errors", "combined_single_pass", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
 }
 
 # No SQL oracle by design — EMPTY since r5 session 5: every registry
 # entry carries a hash oracle.
 ROWS_ONLY: set[str] = set()
 
-# Entries below the budget cut with no driver row — EMPTY as of r6:
-# the r5 backlog was promoted into tier 0a.
+# Entries below the budget cut with no driver row — EMPTY as of r6.
 NEW_LOCAL_ONLY: set[str] = set()
 
 
@@ -55,12 +50,12 @@ def test_new_and_stale_entries_fit_grading_budget():
     q, _ = build_registry()
     graded = set(list(q)[:DRIVER_GRADE_BUDGET])
     assert NEW_OR_CHANGED <= graded, NEW_OR_CHANGED - graded
-    assert R3_STALE <= graded, R3_STALE - graded
+    assert R4_STALE <= graded, R4_STALE - graded
 
 
 def test_rotated_out_entries_hold_recent_driver_green():
     """Whatever falls past the grading budget must already hold a
-    driver-green row in CORRECTNESS_r05 or r04 (the freshest evidence
+    driver-green row in CORRECTNESS_r06 or r05 (the freshest evidence
     tiers), or be rows-only by design."""
     import json
     import pathlib
@@ -74,7 +69,7 @@ def test_rotated_out_entries_hold_recent_driver_green():
             if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
         }
 
-    green_recent = green("CORRECTNESS_r05.json") | green("CORRECTNESS_r04.json")
+    green_recent = green("CORRECTNESS_r06.json") | green("CORRECTNESS_r05.json")
     q, _ = build_registry()
     overflow = list(q)[DRIVER_GRADE_BUDGET:]
     not_proven = [
@@ -102,6 +97,6 @@ def test_bench_headline_keys_exist_in_registry():
     missing = [k for k in bench.HEADLINE if k not in q]
     assert not missing, f"bench HEADLINE keys not in registry: {missing}"
     unbenched = [
-        k for k in (NEW_OR_CHANGED | R3_STALE) if k not in bench.HEADLINE
+        k for k in (NEW_OR_CHANGED | R4_STALE) if k not in bench.HEADLINE
     ]
     assert not unbenched, f"priority entries missing from bench: {unbenched}"
