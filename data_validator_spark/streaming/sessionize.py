@@ -18,6 +18,7 @@ Spark shape for custom stateful operators.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -32,13 +33,25 @@ _US = 1_000_000
 
 
 def _emit(user_id, start_us, last_us, n, total) -> pd.DataFrame:
+    return _emit_many(user_id, [(start_us, last_us, n, total)])
+
+
+def _emit_many(user_id, sessions) -> pd.DataFrame:
+    """One output frame for ALL of a group's closed sessions — a
+    per-session 1-row DataFrame costs ~100µs of pandas construction,
+    which dominated the micro-batch when thousands of sessions close
+    in one trigger."""
     return pd.DataFrame(
         {
-            "user_id": [user_id],
-            "session_start": [pd.Timestamp(start_us, unit="us")],
-            "session_end": [pd.Timestamp(last_us, unit="us")],
-            "n_events": [n],
-            "session_value": [total],
+            "user_id": [user_id] * len(sessions),
+            "session_start": pd.to_datetime(
+                [s[0] for s in sessions], unit="us"
+            ),
+            "session_end": pd.to_datetime(
+                [s[1] for s in sessions], unit="us"
+            ),
+            "n_events": [s[2] for s in sessions],
+            "session_value": [s[3] for s in sessions],
         }
     )
 
@@ -62,27 +75,55 @@ def make_sessionizer(gap_minutes: float = 30.0):
             start = last = None
             n, total = 0, 0.0
 
+        # One sorted view of the whole trigger's events for this user
+        # (a group can span several Arrow batches, which arrive in
+        # shuffle order — per-batch sorting would mis-split sessions on
+        # the batch seams), then VECTORIZED gap-splitting: the r6 bench
+        # showed the per-row Python loop dominating the micro-batch
+        # (5.7s addBatch for 100k events); numpy segment reduction does
+        # the same splits in array ops. Boundaries depend only on ts
+        # values, so ties need no ordering tie-break.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            segments = []
+        else:
+            pdf = pdf.sort_values("ts", kind="stable")
+            us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+            vals = pdf["value"].to_numpy(dtype="float64")
+            brk = np.empty(len(us), dtype=bool)
+            brk[0] = last is not None and us[0] - last > gap_us
+            if len(us) > 1:
+                brk[1:] = (us[1:] - us[:-1]) > gap_us
+            # segment k spans idx_start[k] .. idx_start[k+1]-1
+            idx_start = np.flatnonzero(
+                np.concatenate(([True], brk[1:]))
+            )
+            counts = np.diff(np.concatenate((idx_start, [len(us)])))
+            sums = np.add.reduceat(vals, idx_start)
+            idx_end = np.concatenate((idx_start[1:], [len(us)])) - 1
+            segments = [
+                (int(us[idx_start[k]]), int(us[idx_end[k]]),
+                 int(counts[k]), float(sums[k]))
+                for k in range(len(idx_start))
+            ]
+            if last is not None and not brk[0]:
+                # first segment continues the carried-over open session
+                s0, e0, c0, t0 = segments[0]
+                segments[0] = (start, e0, n + c0, total + t0)
+            elif last is not None:
+                segments.insert(0, (start, last, n, total))
+
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, val in zip(pdf["ts"], pdf["value"]):
-                us = ts.value // 1000  # pandas ns → µs
-                if last is not None and us - last > gap_us:
-                    closed.append((start, last, n, total))
-                    start, n, total = None, 0, 0.0
-                if start is None:
-                    start = us
-                last = us
-                n += 1
-                total += float(val)
+        if segments:
+            *closed, (start, last, n, total) = segments
 
         state.update((start, last, n, total))
         # close by silence once the watermark passes last + gap; the
         # timestamp must stay ahead of the current watermark
         timeout_ms = max((last + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
         state.setTimeoutTimestamp(timeout_ms)
-        for s in closed:
-            yield _emit(user_id, *s)
+        if closed:
+            yield _emit_many(user_id, closed)
 
     return fn
 
