@@ -480,13 +480,24 @@ SELECT doc_id, ({terms}) AS simhash FROM t ORDER BY doc_id
 # -- dedup_clusters: connected components over the near-dup graph ----------
 MAX_CC_ITERATIONS = 20  # graph diameter bound; LSH dup clusters are shallow
 
-# spark.data_validator.cc_algorithm: "propagation" (default — one
-# shuffle-join per round, rounds = diameter; right for the shallow
-# clusters banded LSH produces) or "star" (large-star/small-star,
-# O(log n) rounds; right at 100 TB where a single pathological chain
-# component would stall propagation). tests/test_dedup_similarity.py
-# property-checks the two paths emit identical clusters.
+# spark.data_validator.cc_algorithm: "auto" (default — propagation
+# bounded to CC_AUTO_ROUNDS, escaping to star when a deep component
+# blows the budget), "propagation" (one shuffle-join per round, rounds
+# = diameter; right for the shallow clusters banded LSH produces) or
+# "star" (large-star/small-star, O(log n) rounds; right at 100 TB
+# where a single pathological chain component would stall
+# propagation). tests/test_dedup_similarity.py property-checks that
+# all paths emit identical clusters.
 CC_ALGORITHM_CONF = "spark.data_validator.cc_algorithm"
+# auto-mode propagation budget: LSH dup graphs converge in a handful
+# of rounds, so 8 covers every healthy graph; a graph still moving
+# after 8 rounds has a deep component that propagation would crawl
+# through at O(diameter) — the star rewrite finishes it in O(log n).
+CC_AUTO_ROUNDS = 8
+
+
+class ConvergenceError(RuntimeError):
+    """Propagation exceeded its round budget (deep component)."""
 
 
 def q_dedup_clusters(spark, sf):
@@ -503,15 +514,38 @@ def q_dedup_clusters(spark, sf):
     At 100 TB scale the same loop runs with the large-star/small-star
     optimization (alternating stars shrink diameter to O(log n)
     rounds); dup clusters from banded LSH are shallow, so the plain
-    loop converges in a handful of rounds."""
+    loop converges in a handful of rounds.
+
+    Default mode "auto" (r7): propagation runs with a CC_AUTO_ROUNDS
+    budget; on a healthy LSH graph it converges inside the budget and
+    the plan is identical to cc_algorithm=propagation. If a deep
+    component is still moving at the budget, the operator escapes to
+    the large-star/small-star rewrite (operators/cc_star.py) — the
+    bounded rounds are the probe cost of detecting depth, and the
+    O(log n) star loop replaces the O(diameter) crawl. Both paths
+    label components by min doc_id, so the emitted clusters are
+    byte-identical (property-tested)."""
     pairs = _lsh_pairs_df(spark, sf)
-    if spark.conf.get(CC_ALGORITHM_CONF, "propagation") == "star":
+    return _cluster_rollup(cluster_labels(spark, pairs))
+
+
+def cluster_labels(spark, pairs):
+    """(doc_a, doc_b) pair graph -> (node, label) component labels via
+    the configured cc_algorithm ("auto" default — see
+    q_dedup_clusters)."""
+    algo = spark.conf.get(CC_ALGORITHM_CONF, "auto")
+    if algo == "star":
         from data_validator_spark.operators.cc_star import connected_components
 
-        labels = connected_components(pairs, max_iter=MAX_CC_ITERATIONS)
-        return _cluster_rollup(labels)
-    labels = propagation_components(pairs, max_iter=MAX_CC_ITERATIONS)
-    return _cluster_rollup(labels)
+        return connected_components(pairs, max_iter=MAX_CC_ITERATIONS)
+    if algo == "propagation":
+        return propagation_components(pairs, max_iter=MAX_CC_ITERATIONS)
+    try:
+        return propagation_components(pairs, max_iter=CC_AUTO_ROUNDS)
+    except ConvergenceError:
+        from data_validator_spark.operators.cc_star import connected_components
+
+        return connected_components(pairs, max_iter=MAX_CC_ITERATIONS)
 
 
 def propagation_components(pairs, max_iter=None, stats: dict | None = None):
@@ -583,7 +617,11 @@ def propagation_components(pairs, max_iter=None, stats: dict | None = None):
             break
         prev_fp = fp
     else:
-        raise RuntimeError(
+        # release before raising: auto-mode catches this and re-runs on
+        # the star path, which re-derives its own edge relation
+        edges.unpersist()
+        free_local_checkpoint(prev_checkpoint)
+        raise ConvergenceError(
             f"propagation_components did not converge within {max_iter} "
             "rounds — the pair graph has an unusually deep component; "
             "raise max_iter or switch to large-star/small-star "

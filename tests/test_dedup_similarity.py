@@ -325,3 +325,49 @@ def test_star_converges_in_log_rounds_on_deep_chain(spark):
     assert all(label == ids[-1] for _, label in prop)
     assert s_prop["rounds"] >= n - 1  # O(diameter)
     assert s_star["rounds"] <= 8  # O(log n) + confirming round
+
+
+def test_cc_auto_escapes_to_star_on_deep_graph(spark, monkeypatch):
+    """r7: cc_algorithm=auto (the new default) on the REGISTRY operator
+    — a deep-diameter pair graph must blow the bounded propagation
+    budget, escape to the star rewrite, and still emit exactly the
+    clusters unbounded propagation computes."""
+    from data_validator_spark.queries import dedup as D
+
+    # 80-node permuted chain: diameter 79 >> CC_AUTO_ROUNDS
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(200, 280))
+    rng.shuffle(ids)
+    chain = [(min(a, b), max(a, b)) for a, b in zip(ids, ids[1:])]
+    deep = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    monkeypatch.setattr(D, "_lsh_pairs_df", lambda *_: deep)
+
+    assert spark.conf.get(D.CC_ALGORITHM_CONF, "auto") == "auto"
+    got = [tuple(r) for r in D.q_dedup_clusters(spark, "unused").collect()]
+
+    # oracle: unbounded propagation on the same graph
+    labels = D.propagation_components(deep, max_iter=200)
+    want = [tuple(r) for r in D._cluster_rollup(labels).collect()]
+    assert got == want
+    # one component, keeper = min id
+    assert len(got) == 1 and got[0][0] == min(ids)
+
+
+def test_cc_auto_matches_propagation_on_real_graph(spark):
+    """auto on the healthy LSH graph stays inside the propagation
+    budget and emits the same clusters as forced propagation."""
+    from data_validator_spark.queries.dedup import (
+        CC_ALGORITHM_CONF,
+        q_dedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    auto = [tuple(r) for r in q_dedup_clusters(spark, sf).collect()]
+    spark.conf.set(CC_ALGORITHM_CONF, "propagation")
+    try:
+        prop = [tuple(r) for r in q_dedup_clusters(spark, sf).collect()]
+    finally:
+        spark.conf.unset(CC_ALGORITHM_CONF)
+    assert auto == prop
