@@ -207,6 +207,54 @@ def main() -> int:
     # zero over a real 100 TB job, so steady-state is the honest
     # throughput number. RUNS is recorded in the output line.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+
+    # Prime pass (r6 verdict item: cold-cache accounting): several
+    # queries share session-persisted relations (trigram model, gopher/
+    # entropy signals, derived TPC-H relations, dup-pair candidates —
+    # queries/__init__.py:_SESSION_CACHES). Without priming, whichever
+    # consumer the bench happens to reach first is charged the one-time
+    # build (observed: 15.1s trigram build landing on ccnet_buckets,
+    # 7.6s Python-worker spin-up landing on multimodal_meta in the r6
+    # driver run). One untimed execution of each cache-building query
+    # materializes every shared relation; the cost is reported
+    # separately as prime_pass_sec instead of polluting a victim
+    # query's row. (A full-HEADLINE prime was measured at ~194s — 3×
+    # the cache cost for no extra warm coverage — so the list is the
+    # declared cache builders plus one mapInPandas query to spin the
+    # Python-worker pool.)
+    PRIME = [
+        # _SESSION_CACHES builders, one consumer per cache
+        "trigram_lm_score",       # corpus_ops._TRIGRAM_MODEL_CACHE
+        "dsir_importance",        # corpus_ops._DSIR_CACHE
+        "gopher_quality",         # mining_ops._GOPHER_CACHE
+        "char_entropy",           # mining_ops._ENTROPY_CACHE
+        "copurchase_similarity",  # mining_ops._BASKET_CACHE
+        "pagerank_bipartite",     # graph_ops._GRAPH_CACHE
+        "dedup_minhash_lsh",      # dedup._HS_CACHE
+        "dedup_ngram_jaccard",    # dedup._PAIRS_CACHE
+        "quality_ensemble",       # quality_ops._ENSEMBLE_DOCS_CACHE
+        "similarity_ann_ivf",     # similarity._ASSIGNED_CACHE
+        # tpch_ext._EXT_CACHE is keyed per derived relation
+        "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+        "q12_shipmode_priority", "q16_parts_supplier",
+        "q19_discounted_revenue", "q20_potential_promotion",
+        "q21_waiting_orders",
+        # mapInPandas worker pool (pandas_udf warm-up above uses a
+        # different eval type; spin the mapInPandas path too)
+        "multimodal_meta",
+    ]
+    prime_sec = 0.0
+    if os.environ.get("SPARK_GRAFT_BENCH_PRIME", "1") != "0":
+        t0 = time.time()
+        for name in PRIME:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:
+                print(f"prime error in {name}: {e}", file=sys.stderr)
+        prime_sec = round(time.time() - t0, 3)
     results: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -236,6 +284,7 @@ def main() -> int:
         "queries": results,
         "sf": sf,
         "runs_per_query": runs,
+        "prime_pass_sec": prime_sec,
     }
     if os.environ.get("SPARK_GRAFT_CC_BENCH", "1") != "0":
         try:
