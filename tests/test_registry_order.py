@@ -100,3 +100,26 @@ def test_bench_headline_keys_exist_in_registry():
         k for k in (NEW_OR_CHANGED | R4_STALE) if k not in bench.HEADLINE
     ]
     assert not unbenched, f"priority entries missing from bench: {unbenched}"
+
+
+def test_bench_prime_keys_exist_in_registry():
+    """The prime-phase list must name real registry entries (typo
+    guard — a misspelled primer would silently skip a cache build)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    q, _ = build_registry()
+    # PRIME is local to main(); read it from the source text instead
+    src = (pathlib.Path(__file__).resolve().parent.parent / "bench.py").read_text()
+    import re
+
+    block = re.search(r"PRIME = \[(.*?)\]", src, re.S).group(1)
+    primers = re.findall(r'"(\w+)"', block)
+    assert primers, "PRIME list not found"
+    missing = [k for k in primers if k not in q]
+    assert not missing, f"PRIME keys not in registry: {missing}"
