@@ -177,10 +177,11 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0 — plans changed this round (r7): ccnet_buckets grew the
-    # histogram tertile path, streaming_sessionized gets the derived
-    # state-partition count, dedup_clusters exercises the star-CC path
-    # on a registry operator.
+    # tier 0 — changed this round (r7): ccnet_buckets grew the
+    # histogram tertile path, streaming_sessionized's stateful kernel
+    # was vectorized (numpy segment reduction + batched emission —
+    # same emission rule, new Python execution path), dedup_clusters
+    # defaults to auto (bounded propagation with star escape).
     "ccnet_buckets",
     "streaming_sessionized",
     "dedup_clusters",

@@ -83,10 +83,11 @@ def make_sessionizer(gap_minutes: float = 30.0):
         # (5.7s addBatch for 100k events); numpy segment reduction does
         # the same splits in array ops. Boundaries depend only on ts
         # values, so ties need no ordering tie-break.
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        if len(pdf) == 0:
+        frames = [f for f in pdfs if len(f)]
+        if not frames:
             segments = []
         else:
+            pdf = pd.concat(frames, ignore_index=True)
             pdf = pdf.sort_values("ts", kind="stable")
             us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns → µs
             vals = pdf["value"].to_numpy(dtype="float64")
