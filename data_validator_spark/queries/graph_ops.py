@@ -92,6 +92,14 @@ def q_pagerank_bipartite(spark, sf):
     # (billions of nodes at 100 TB) the same loop flips to the
     # src-hash-partitioned checkpoint + shuffle join — the
     # formulation this replaced — without touching the algebra.
+    #
+    # Cost note (r7, measured): the decimal(38,18) contribution sums
+    # are ~half the warm runtime at sf0.1 (0.84s double vs 1.6s
+    # decimal, best-of-3). They stay: with plain double sums the
+    # cross-engine error window (~1e-14 after 3 rounds) against the
+    # ROUND(pr,12) emission grid flips last digits for ~2% of nodes
+    # depending on summation order — the exact failure mode the
+    # package's decimal-sum convention exists to prevent.
     pairs, nodes = _graph(spark, sf)
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
