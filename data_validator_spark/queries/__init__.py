@@ -181,10 +181,13 @@ GRADE_PRIORITY = [
     # histogram tertile path, streaming_sessionized's stateful kernel
     # was vectorized (numpy segment reduction + batched emission —
     # same emission rule, new Python execution path), dedup_clusters
-    # defaults to auto (bounded propagation with star escape).
+    # defaults to auto (bounded propagation with star escape),
+    # pagerank_bipartite's contribution sums moved from decimal(38,18)
+    # to exact fixed-point BIGINT (2^-50 units, oracle re-derived).
     "ccnet_buckets",
     "streaming_sessionized",
     "dedup_clusters",
+    "pagerank_bipartite",
     # tier 1 — the 32 entries whose last driver-green row is r4, now
     # the oldest evidence in the registry (r6 verdict item #2):
     # streaming pair, ANN trio, validator core, TPC-H q1-q14 core.
@@ -285,7 +288,6 @@ GRADE_PRIORITY = [
     "mad_outliers",
     "quality_ensemble",
     "dsir_importance",
-    "pagerank_bipartite",
     "embedding_norm_quant",
     "corpus_train_filter",
     "dedup_minhash_lsh",

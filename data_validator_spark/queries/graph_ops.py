@@ -16,11 +16,17 @@ flips to a src-hash-partitioned edge checkpoint with a shuffle join,
 leaving the algebra unchanged; three unrolled rounds at bench scale
 keep the oracle a finite CTE chain.
 
-Cross-engine determinism: rank contributions are summed through
-decimal(38,18) (exact, order-independent — rank mass is ~1/N, far
-below the package's money-scale decimal(30,6)); the per-edge division
-pr/deg is IEEE double in both engines; the final output rounds to 12
-decimals.
+Cross-engine determinism: rank contributions are summed in exact
+fixed-point — each per-edge weight pr/deg (IEEE double, identical in
+both engines) is quantized to integer units of 2^-50 via
+floor(w·2^50 + 0.5) (every step exact: scaling by a power of two
+never rounds below 2^53, and 0.5 is a multiple of the ulp at these
+magnitudes), and the BIGINT sum is order-independent. Overflow-free
+at ANY scale by the stochastic-matrix bound: the true mass into one
+node is ≤ Σ pr = 1, so the integer sum stays ≤ 2^50 + indegree/2 ≪
+2^63 — unlike money sums, which is why this query may use longs
+where the package-wide convention needs decimal(30,6). The final
+output rounds to 12 decimals.
 """
 
 from __future__ import annotations
@@ -31,7 +37,10 @@ from data_validator_spark.queries import load, register_session_cache
 
 DAMPING = 0.85
 PR_ITERS = 3
-DEC18 = "decimal(38,18)"
+# Fixed-point scale for the per-round contribution sums (module
+# docstring): 2^50 units keep every quantization step exact in IEEE
+# double and the per-node BIGINT sum overflow-free at any SF.
+PR_FIX = 1 << 50
 
 # The checkpointed pair/node relations are static per (session, SF)
 # and every pagerank invocation re-derived them (fact join + distinct
@@ -93,13 +102,15 @@ def q_pagerank_bipartite(spark, sf):
     # src-hash-partitioned checkpoint + shuffle join — the
     # formulation this replaced — without touching the algebra.
     #
-    # Cost note (r7, measured): the decimal(38,18) contribution sums
-    # are ~half the warm runtime at sf0.1 (0.84s double vs 1.6s
-    # decimal, best-of-3). They stay: with plain double sums the
-    # cross-engine error window (~1e-14 after 3 rounds) against the
-    # ROUND(pr,12) emission grid flips last digits for ~2% of nodes
-    # depending on summation order — the exact failure mode the
-    # package's decimal-sum convention exists to prevent.
+    # Cost note (r7, measured): decimal(38,18) contribution sums were
+    # ~half the warm runtime at sf0.1 (0.84s double vs 1.6s decimal,
+    # best-of-3). Plain double sums are out — the cross-engine error
+    # window (~1e-14 after 3 rounds) against the ROUND(pr,12) emission
+    # grid flips last digits for ~2% of nodes depending on summation
+    # order. The fixed-point BIGINT sums (module docstring) give the
+    # same order-independent exactness at long-sum speed, because the
+    # per-node mass — unlike a money column — is mathematically
+    # bounded by 1, so 2^50-unit integers can never overflow.
     pairs, nodes = _graph(spark, sf)
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
@@ -117,9 +128,12 @@ def q_pagerank_bipartite(spark, sf):
     for _ in range(PR_ITERS):
         contrib = edges.join(
             F.broadcast(pr.select(F.col("node").alias("src"), "deg", "pr")), "src"
-        ).select("dst", (F.col("pr") / F.col("deg")).alias("w"))
+        ).select(
+            "dst",
+            F.expr(f"CAST(floor(pr / deg * {PR_FIX} + 0.5D) AS BIGINT)").alias("w"),
+        )
         sums = contrib.groupBy("dst").agg(
-            F.sum(F.col("w").cast(DEC18)).cast("double").alias("mass")
+            (F.sum("w").cast("double") / F.lit(float(PR_FIX))).alias("mass")
         )
         pr = sums.join(nodes_b, sums.dst == nodes.node).select(
             "node",
@@ -154,7 +168,8 @@ pr{i} AS (
          {1.0 - DAMPING!r} / n.n + {DAMPING} * COALESCE(s.mass, 0.0) AS pr
   FROM nodes n LEFT JOIN (
     SELECT e.dst,
-           CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(38,18))) AS DOUBLE) AS mass
+           CAST(SUM(CAST(floor(p.pr / p.deg * {PR_FIX} + 0.5) AS BIGINT))
+                AS DOUBLE) / {PR_FIX} AS mass
     FROM edges e JOIN {prev} p ON e.src = p.node
     GROUP BY e.dst) s ON n.node = s.dst)"""
         )

@@ -11,10 +11,12 @@ DRIVER_GRADE_BUDGET = 50
 
 # Tier 0 this round: entries whose execution changes in r7 (ccnet
 # histogram tertile path, streaming_sessionized vectorized stateful
-# kernel, dedup_clusters auto default with star escape) — all MUST be
+# kernel, dedup_clusters auto default with star escape,
+# pagerank_bipartite fixed-point contribution sums) — all MUST be
 # inside the grading budget.
 NEW_OR_CHANGED = {
     "ccnet_buckets", "streaming_sessionized", "dedup_clusters",
+    "pagerank_bipartite",
 }
 
 # Entries whose last driver-green row is CORRECTNESS_r04 (rotated out

@@ -94,6 +94,61 @@ def test_pagerank_star_center_dominates(spark, tmp_path):
     assert top["pr"] > 3 * leaf["pr"]
 
 
+def test_pagerank_fixed_point_bit_identical(spark, tmp_path):
+    """The 2^-50 fixed-point contribution sums (graph_ops.PR_FIX) must
+    make the whole recurrence engine-independent: every step is exact
+    IEEE arithmetic, so Spark's emitted pr values are BIT-identical to
+    a pure-Python double reference of the same quantized recurrence —
+    no tolerance. This is the determinism contract the oracle hash
+    rides on, pinned at the kernel level."""
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    orders = [(i, i % 3) for i in range(9)]  # 9 orders over 3 customers
+    lines = [(i, i % 4) for i in range(9)] + [(0, 3), (5, 2)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    from data_validator_spark.queries.graph_ops import (
+        DAMPING,
+        PR_FIX,
+        PR_ITERS,
+        q_pagerank_bipartite,
+    )
+
+    # reference: identical quantized recurrence in Python doubles
+    cust = {o: c for o, c in orders}
+    pairs = sorted({(cust[o] * 2, s * 2 + 1) for o, s in lines})
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(deg)
+    pr = {v: 1.0 / n for v in deg}
+    for _ in range(PR_ITERS):
+        mass = defaultdict(int)
+        for s, d in edges:
+            mass[d] += math.floor(pr[s] / deg[s] * PR_FIX + 0.5)
+        pr = {
+            v: (1.0 - DAMPING) / n + DAMPING * (float(mass[v]) / PR_FIX)
+            for v in deg
+        }
+
+    def round12(x: float) -> float:  # Spark ROUND(double, 12): HALF_UP
+        return float(Decimal(x).quantize(Decimal("1e-12"), ROUND_HALF_UP))
+
+    rows = q_pagerank_bipartite(spark, str(tmp_path)).collect()
+    assert len(rows) == n  # n < 20, so the limit keeps every node
+    for r in rows:
+        node = r["orig_id"] * 2 + (0 if r["node_type"] == "customer" else 1)
+        assert r["pr"] == round12(pr[node]), (node, r["pr"], pr[node])
+
+
 def test_ivm_merge_equals_recompute(spark):
     """The IVM merge must equal a full recompute over
     (base - deletes + inserts) — same invariant the oracle hash pins,
