@@ -116,6 +116,16 @@ def spread(df: DataFrame) -> DataFrame:
     scale the scan has thousands of splits and this is a no-op; the
     round-robin shuffle only triggers when splits < cores, and costs
     far less than the serial compute it unblocks.
+
+    When NOT to use it (r7 A/B sweep): if the per-row work before the
+    first aggregation is trivial (a cast, a compare, an explode of
+    small structs), the map-side combine IS the first real stage and
+    the extra exchange only adds cost — measured 0.3-0.7s per query
+    at sf0.1 (drift_psi 1.27s→0.54s, benford 0.98s→0.43s, fk_integrity
+    2.58s→2.09s). Spread stays where the A/B shows it paying: heavy
+    expression aggregates (q1's decimal casts: 0.99s vs 1.55s
+    without), percentile buffers (mad_outliers 3.09s vs 3.89s), and
+    the text/vector kernels it was built for.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -188,6 +198,23 @@ GRADE_PRIORITY = [
     "streaming_sessionized",
     "dedup_clusters",
     "pagerank_bipartite",
+    # tier 0b — plan-changed this round (r7 spread/fusion sweep):
+    # identical results (oracles untouched, re-proven at 3 SFs) but
+    # new physical plans — parallelism spread dropped where per-row
+    # work is trivial, fd_check's cascade replaced countDistinct,
+    # key_skew_audit fused onto one lineitem scan. The r6 precedent
+    # (tier 0b = plan-changed) says these get fresh driver rows.
+    "drift_psi",
+    "fk_integrity",
+    "benford_check",
+    "reconciliation_check",
+    "drift_ks",
+    "fd_check",
+    "key_skew_audit",
+    "hll_distinct",
+    "events_gap_fill",
+    "events_time_weighted",
+    "events_rolling",
     # tier 1 — the 32 entries whose last driver-green row is r4, now
     # the oldest evidence in the registry (r6 verdict item #2):
     # streaming pair, ANN trio, validator core, TPC-H q1-q14 core.
@@ -225,12 +252,17 @@ GRADE_PRIORITY = [
     "q14_promo_revenue",
     # tier 2 — budget fill to exactly 50: r5-green-once entries whose
     # upstream relations changed in r6 without a driver re-grade (the
-    # session-persisted gopher/entropy/trigram signal relations and
-    # the eight derived-relation TPC-H queries), then the next
-    # r5-green-once rows in registry order.
+    # session-persisted gopher/entropy/trigram signal relations). The
+    # eight derived-relation TPC-H queries that filled this tier
+    # earlier in r7 were displaced below the cut by tier 0b — they
+    # hold r5 driver rows and the 3-SF local proofs.
     "gopher_quality",
     "char_entropy",
     "trigram_lm_score",
+    # --- driver budget cut (50) falls here ---
+    # tier 3 — rotated out: the remaining r5-green entries, then the
+    # 50 r6-green entries (freshest evidence). All re-proven locally
+    # each round via tools/oracle_check.py (ORACLE_LOCAL_r7).
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -239,31 +271,16 @@ GRADE_PRIORITY = [
     "q19_discounted_revenue",
     "q20_potential_promotion",
     "q21_waiting_orders",
-    "drift_psi",
-    "fk_integrity",
-    "benford_check",
-    "reconciliation_check",
-    # --- driver budget cut (50) falls here ---
-    # tier 3 — rotated out: the remaining r5-green entries, then the
-    # 50 r6-green entries (freshest evidence). All re-proven locally
-    # each round via tools/oracle_check.py (ORACLE_LOCAL_r7).
     "ngram_contamination",
     "triangle_count",
-    "drift_ks",
     "doc_chunk",
     "ann_recall_eval",
     "streaming_drift",
-    "fd_check",
-    "key_skew_audit",
-    "hll_distinct",
     "tfidf_topk",
     "pmi_collocations",
     "inverted_index",
-    "events_gap_fill",
     "bloom_filter_semijoin",
     "pareto_skyline",
-    "events_rolling",
-    "events_time_weighted",
     "rrf_fusion",
     "ivm_agg",
     "cdc_upsert",

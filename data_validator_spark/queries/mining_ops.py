@@ -105,7 +105,10 @@ def q_hll_distinct(spark, sf):
     the linear-counting branch condition compares that exact double,
     so both engines take the same branch.
     """
-    df = spread(load(spark, sf, "documents"))
+    # no parallelism spread: it would shuffle the full-width text
+    # column only to feed split/md5 work the register groupBy already
+    # combines map-side (A/B 1.23s vs 0.78s at sf0.1, r7)
+    df = load(spark, sf, "documents")
     toks = df.select(
         F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("v")
     ).where(F.length("v") > 0)
@@ -579,7 +582,9 @@ def q_events_gap_fill(spark, sf):
     counts), where Spark's decimal cast rounds half-up but DuckDB's
     rounds half-even (same rule as warehouse_ops._r2).
     """
-    ev = spread(load(spark, sf, "events").select("event_type", "ts", "value"))
+    # no parallelism spread — trivial per-row bucketing, map-side
+    # combined hourly groupBy (drift_psi rule; A/B 0.93s vs 0.63s, r7)
+    ev = load(spark, sf, "events").select("event_type", "ts", "value")
     hourly = (
         ev.select(
             "event_type",
@@ -686,9 +691,9 @@ def q_events_time_weighted(spark, sf):
     decimal(30,6)×BIGINT = exact decimals, summed exactly; ordering
     ties on identical timestamps break on event_id.
     """
-    ev = spread(
-        load(spark, sf, "events").select("event_type", "ts", "value", "event_id")
-    )
+    # no parallelism spread — the window exchange on event_type is the
+    # first real stage either way (A/B 0.83s vs 0.60s at sf0.1, r7)
+    ev = load(spark, sf, "events").select("event_type", "ts", "value", "event_id")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     timed = ev.select(
         "event_type",

@@ -60,9 +60,11 @@ def q_drift_psi(spark, sf):
     the smoothed shares are single exact int/int divisions and the
     ln() product rounds through decimal(30,6).
     """
-    # project before spread: pruning does not push through the
-    # round-robin exchange, so shuffle only the two used columns
-    li = spread(load(spark, sf, "lineitem").select("l_extendedprice", "l_shipdate"))
+    # no parallelism spread: the per-row work (one multiply + one
+    # compare) is trivial, so the map-side combine IS the first real
+    # stage — a round-robin exchange here costs more than it unblocks
+    # (A/B measured 1.27s vs 0.54s at sf0.1, r7)
+    li = load(spark, sf, "lineitem").select("l_extendedprice", "l_shipdate")
     cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
     is_ref = F.col("l_shipdate") < F.lit(PSI_PIVOT)
     base = li.select(cents.alias("cents"), is_ref.alias("is_ref"))
@@ -194,12 +196,12 @@ def q_fk_integrity(spark, sf):
             f"struct('{label}' AS rel, CAST({ckey} AS BIGINT) AS k)"
             for label, ckey in edges
         )
-        # project to the key columns BEFORE spread: column pruning does
-        # not push through the round-robin exchange, so spreading the
-        # full-width child shuffles every column to explode only the
-        # keys (measured ~0.7s of the row's cost at sf0.1)
+        # project to the key columns only, and no parallelism spread:
+        # the explode is trivial per-row work and the (rel, k) groupBy
+        # combines map-side (drift_psi rule; A/B 2.58s vs 2.09s, r7)
         part = (
-            spread(load(spark, sf, child).select(*[ckey for _, ckey in edges]))
+            load(spark, sf, child)
+            .select(*[ckey for _, ckey in edges])
             .select(F.explode(F.expr(f"array({arms})")).alias("e"))
             .select("e.rel", "e.k")
         )
@@ -296,7 +298,9 @@ def q_benford_check(spark, sf):
     engines; shares are single int/int divisions rounded through
     decimal(30,6).
     """
-    li = spread(load(spark, sf, "lineitem").select("l_extendedprice"))
+    # no parallelism spread — trivial per-row work, the digit groupBy
+    # combines map-side (drift_psi rule; A/B 0.98s vs 0.43s, r7)
+    li = load(spark, sf, "lineitem").select("l_extendedprice")
     cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
     digits = (
         li.select(cents.alias("cents"))
@@ -378,10 +382,10 @@ def q_reconciliation_check(spark, sf):
     decimal(30,6); o_totalprice is compared in decimal, so the
     tolerance test is exact in both engines.
     """
-    li = spread(
-        load(spark, sf, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
-        )
+    # no parallelism spread — the per-line product is three flops and
+    # the per-order groupBy combines map-side (drift_psi rule)
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
     )
     computed = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.sum(
@@ -557,7 +561,9 @@ def q_drift_ks(spark, sf):
     """
     from pyspark.sql import Window
 
-    li = spread(load(spark, sf, "lineitem").select("l_extendedprice", "l_shipdate"))
+    # no parallelism spread — same trivial-work rule as drift_psi
+    # (A/B 1.58s vs 1.03s at sf0.1, r7)
+    li = load(spark, sf, "lineitem").select("l_extendedprice", "l_shipdate")
     cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
     is_ref = F.col("l_shipdate") < F.lit(PSI_PIVOT)
     dist = (
@@ -906,22 +912,37 @@ def q_fd_check(spark, sf):
     value — violation counts for schema discovery, denormalization
     safety, and dimension-integrity monitoring.
 
-    Scale shape: one scan per audited table; each candidate collapses
-    via groupBy(lhs) with a distinct-count of rhs (two-level partial
-    aggregation) and the per-FD verdict is a scalar aggregate over
-    the group relation. The 5-row output unions scalar aggregates.
+    Scale shape: one scan per audited table, and per candidate a
+    three-level aggregation cascade on NATIVE key types: (lhs, rhs)
+    counts collapse map-side first, the lhs-group relation derives
+    from that, and the verdict is a scalar aggregate — no Expand
+    anywhere (the distinct-rhs count falls out of the (lhs,rhs)
+    pre-aggregation instead of a countDistinct rewrite, which at
+    scale would double every shuffled row). No parallelism spread —
+    the per-row work is zero and every cascade level combines
+    map-side (drift_psi rule). Fusing all five candidates into one
+    tagged union was A/B-measured SLOWER here (2.0s vs 1.4s at
+    sf0.1): the arms live on five different tables, so fusion shares
+    no scan, and tagging forces key columns of mixed types through
+    string casts — more expensive per row than five independent
+    native-typed cascades that run concurrently anyway (contrast
+    key_skew_audit, where two keys share the lineitem scan and all
+    keys are BIGINT, so its fused form costs nothing and halves the
+    fact-table IO).
 
     Determinism: integer counts; violation_pct is one exact int/int
     division rounded through decimal(30,6).
     """
     rows = []
     for table, lhs, rhs in FD_CANDIDATES:
-        # project to the two audited columns before spread (pruning
-        # does not push through the round-robin exchange)
-        df = spread(load(spark, sf, table).select(lhs, rhs))
-        groups = df.groupBy(F.col(lhs).alias("k")).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(F.col(rhs)).alias("nd"),
+        df = load(spark, sf, table).select(lhs, rhs)
+        lvl = df.groupBy(F.col(lhs).alias("k"), F.col(rhs).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        groups = lvl.groupBy("k").agg(
+            F.sum("c").alias("n"),
+            # countDistinct semantics: NULL rhs never counts as a value
+            F.sum(F.col("v").isNotNull().cast("long")).alias("nd"),
         )
         agg = groups.agg(
             F.sum("n").alias("n_rows"),
@@ -1071,50 +1092,67 @@ def q_key_skew_audit(spark, sf):
     This is the measurement side of operators/skew.py's salting and
     the planning input SCALE.md's shuffle rules assume.
 
-    Scale shape: per key, one map-side-combined groupBy collapses the
-    table to its key-frequency relation; all statistics (including the
-    exact p99 via `percentile`) aggregate that relation, never the
-    table. 4-row union of scalar aggregates.
+    Scale shape: one scan per audited table (lineitem carries two
+    keys and fans them out in-row via an exploded tagged struct
+    array — the fk_integrity pattern), then ALL keys share ONE
+    aggregation cascade: the (key, value) frequency groupBy collapses
+    map-side, and every statistic — including the exact per-key p99
+    via grouped `percentile` — aggregates the collapsed frequency
+    relation in a single 4-row groupBy — two successively-collapsing
+    shuffles total, and the shared lineitem scan halves the
+    fact-table IO vs four independent pipelines. No parallelism
+    spread: the explode is trivial per-row work and the frequency
+    groupBy combines map-side (drift_psi rule; together measured
+    1.63s→0.87s at sf0.1, r7).
 
     Determinism: frequencies are integers; p99 interpolates
     identically in both engines (col_quantiles rule); ratios are
     exact divisions rounded through decimal(30,6).
     """
-    rows = []
+    by_table: dict[str, list] = {}
     for table, key in SKEW_KEYS:
-        df = spread(load(spark, sf, table).select(key))
-        freq = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("f"))
-        agg = freq.agg(
-            F.sum("f").alias("n_rows"),
-            F.count(F.lit(1)).alias("n_keys"),
-            F.max("f").alias("max_freq"),
-            F.expr("percentile(f, 0.99D)").alias("p99_freq"),
+        by_table.setdefault(table, []).append(key)
+
+    tagged = None
+    for table, keys in by_table.items():
+        arms = ", ".join(
+            f"struct('{table}.{key}' AS key, CAST({key} AS BIGINT) AS k)"
+            for key in keys
         )
-        rows.append(
-            agg.select(
-                F.lit(f"{table}.{key}").alias("key"),
-                "n_rows",
-                "n_keys",
-                "max_freq",
-                F.col("p99_freq").cast(DEC).cast("double").alias("p99_freq"),
-                (
-                    F.col("max_freq").cast("double")
-                    * F.col("n_keys").cast("double")
-                    / F.col("n_rows").cast("double")
-                )
-                .cast(DEC)
-                .cast("double")
-                .alias("skew_factor"),
-                (F.col("max_freq").cast("double") / F.col("n_rows").cast("double"))
-                .cast(DEC)
-                .cast("double")
-                .alias("top_share"),
-            )
+        part = (
+            load(spark, sf, table)
+            .select(*keys)
+            .select(F.explode(F.expr(f"array({arms})")).alias("e"))
+            .select("e.key", "e.k")
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("key")
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    freq = tagged.groupBy("key", "k").agg(F.count(F.lit(1)).alias("f"))
+    agg = freq.groupBy("key").agg(
+        F.sum("f").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("f").alias("max_freq"),
+        F.expr("percentile(f, 0.99D)").alias("p99_freq"),
+    )
+    return agg.select(
+        "key",
+        "n_rows",
+        "n_keys",
+        "max_freq",
+        F.col("p99_freq").cast(DEC).cast("double").alias("p99_freq"),
+        (
+            F.col("max_freq").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double")
+        )
+        .cast(DEC)
+        .cast("double")
+        .alias("skew_factor"),
+        (F.col("max_freq").cast("double") / F.col("n_rows").cast("double"))
+        .cast(DEC)
+        .cast("double")
+        .alias("top_share"),
+    ).orderBy("key")
 
 
 def _sql_key_skew() -> str:

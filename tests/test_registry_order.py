@@ -12,11 +12,16 @@ DRIVER_GRADE_BUDGET = 50
 # Tier 0 this round: entries whose execution changes in r7 (ccnet
 # histogram tertile path, streaming_sessionized vectorized stateful
 # kernel, dedup_clusters auto default with star escape,
-# pagerank_bipartite fixed-point contribution sums) — all MUST be
-# inside the grading budget.
+# pagerank_bipartite fixed-point contribution sums, plus the 11
+# plan-changed by the spread/fusion sweep) — all MUST be inside the
+# grading budget.
 NEW_OR_CHANGED = {
     "ccnet_buckets", "streaming_sessionized", "dedup_clusters",
     "pagerank_bipartite",
+    # r7 spread/fusion sweep (results identical, plans new)
+    "drift_psi", "fk_integrity", "benford_check", "reconciliation_check",
+    "drift_ks", "fd_check", "key_skew_audit", "hll_distinct",
+    "events_gap_fill", "events_time_weighted", "events_rolling",
 }
 
 # Entries whose last driver-green row is CORRECTNESS_r04 (rotated out
