@@ -216,8 +216,11 @@ GRADE_PRIORITY = [
     "events_time_weighted",
     "events_rolling",
     # tier 0b cont.: copurchase pairs now fan out in-row from the
-    # persisted capped basket arrays (self-join + census join gone).
+    # persisted capped basket arrays (self-join + census join gone);
+    # semdedup's pair search moved to the per-cluster blocked numpy
+    # kernel (dimension-order fold keeps bit-parity; 3-SF proven).
     "copurchase_similarity",
+    "semdedup",
     # tier 1 — the 32 entries whose last driver-green row is r4, now
     # the oldest evidence in the registry (r6 verdict item #2):
     # streaming pair, ANN trio, validator core, TPC-H q1-q14 core.
@@ -260,8 +263,8 @@ GRADE_PRIORITY = [
     # this tier earlier in r7 were displaced below the cut by tier
     # 0b — they hold r5 driver rows and the 3-SF local proofs.
     "gopher_quality",
-    "char_entropy",
     # --- driver budget cut (50) falls here ---
+    "char_entropy",
     # tier 3 — rotated out: the remaining r5-green entries, then the
     # 50 r6-green entries (freshest evidence). All re-proven locally
     # each round via tools/oracle_check.py (ORACLE_LOCAL_r7).
@@ -298,7 +301,6 @@ GRADE_PRIORITY = [
     "event_transitions",
     "conversion_lag",
     "weighted_sample",
-    "semdedup",
     "repetition_strip",
     "global_shuffle",
     "multimodal_frame_sample",

@@ -402,35 +402,73 @@ def q_semdedup(spark, sf):
     Scale shape: clustering is the IVF coarse assignment (_assigned —
     broadcast sqrt(N) centroids, no corpus shuffle), so cluster count
     grows with the corpus and expected membership stays ~sqrt(N). The
-    pair join shuffles once on cluster id, and clusters above
-    MAX_EMB_BUCKET members are excluded from pair expansion (the
+    pair search is the paper's own blocked shape: ONE shuffle on
+    cluster id feeds a per-cluster Arrow-batched numpy kernel
+    (applyInPandas) that materializes the m×m cosine block with 64
+    vectorized outer-product accumulations — no pair self-join
+    relation ever exists (r7: replaced the within-cluster self-join +
+    per-pair F.aggregate dot, 2.2s→1.0s warm at sf0.1). Clusters
+    above MAX_EMB_BUCKET members are skipped inside the kernel (the
     dedup.py MAX_BUCKET rule) so a degenerate cluster can never emit
-    O(n²) pairs. The output relation is one row per cluster —
-    bounded by nlist <= {MAX_NLIST}, never corpus-sized.
+    O(n²) pairs, and m ≤ 256 bounds the block at trivial memory. The
+    output relation is one row per cluster — bounded by nlist <=
+    {MAX_NLIST}, never corpus-sized.
 
-    Determinism: cosine rounds to 6 decimals before the threshold in
-    both engines; duplicate marking is the keep-lowest-vec_id rule
-    (order-free); counts are exact integers.
+    Determinism: the kernel accumulates the dot in DIMENSION ORDER
+    (one vectorized outer-product add per component), which is
+    bit-identical to the 0.0-seeded left fold both F.aggregate and
+    DuckDB's list_sum compute — every per-element IEEE multiply/add
+    happens in the same sequence, just vectorized across pairs. The
+    kernel pre-filters on a conservative raw threshold (−1e-6 guard);
+    the EXACT decision — round to 6 decimals, then >= threshold — is
+    evaluated JVM-side with the same F.round the expression path
+    used, so the engine-parity contract is unchanged. Duplicate
+    marking is the keep-lowest-vec_id rule (order-free); counts are
+    exact integers.
     """
+    import numpy as np
+    import pandas as pd
+
     assigned = _assigned(spark, sf)
     csz = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_members"))
-    small = assigned.join(csz, "list_id").where(F.col("n_members") <= MAX_EMB_BUCKET)
-    a = small.select(
-        F.col("list_id"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("norm").alias("na"),
+
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2 or m > MAX_EMB_BUCKET:
+            return pd.DataFrame(
+                {
+                    "list_id": pd.Series([], dtype="int64"),
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cos_raw": pd.Series([], dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values("vec_id")
+        V = np.stack(pdf["v"].to_numpy())
+        nrm = pdf["norm"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        C = np.zeros((m, m))
+        for i in range(DIM):  # dimension-order fold == engines' left fold
+            C += np.outer(V[:, i], V[:, i])
+        cos = C / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(m, 1)
+        keep = cos[ia, ib] >= SEMDEDUP_THRESHOLD - 1e-6
+        return pd.DataFrame(
+            {
+                "list_id": np.full(
+                    int(keep.sum()), pdf["list_id"].iloc[0], dtype="int64"
+                ),
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_raw": cos[ia, ib][keep],
+            }
+        )
+
+    pairs = assigned.groupBy("list_id").applyInPandas(
+        _cluster_pairs, "list_id long, vec_a long, vec_b long, cos_raw double"
     )
-    b = small.select(
-        F.col("list_id").alias("lb"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     dropped = (
-        a.join(b, (F.col("list_id") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .where(cos >= SEMDEDUP_THRESHOLD)
+        pairs.where(F.round(F.col("cos_raw"), 6) >= SEMDEDUP_THRESHOLD)
         .select("list_id", "vec_b")
         .distinct()
         .groupBy("list_id")

@@ -22,7 +22,7 @@ NEW_OR_CHANGED = {
     "drift_psi", "fk_integrity", "benford_check", "reconciliation_check",
     "drift_ks", "fd_check", "key_skew_audit", "hll_distinct",
     "events_gap_fill", "events_time_weighted", "events_rolling",
-    "copurchase_similarity",
+    "copurchase_similarity", "semdedup",
 }
 
 # Entries whose last driver-green row is CORRECTNESS_r04 (rotated out
