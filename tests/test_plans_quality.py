@@ -49,10 +49,14 @@ def test_benford_single_table_no_wide_joins(spark, registry):
 
 
 def test_fd_check_is_pure_aggregation(spark, registry):
-    """Five candidate FDs = groupBy + distinct-count unions; no join
-    operator of any kind belongs in this plan."""
+    """Five candidate FDs = three-level aggregation cascades; no join
+    operator of any kind belongs in this plan, and no Expand — the
+    distinct-rhs count comes from the (lhs,rhs) pre-aggregation, not
+    a countDistinct rewrite that would double every shuffled row at
+    scale (r7)."""
     plan = plan_of(spark, registry, "fd_check")
     assert "Join" not in plan
+    assert "Expand" not in plan
 
 
 def test_key_skew_audit_is_pure_aggregation(spark, registry):
@@ -99,15 +103,37 @@ def test_triangle_count_reuses_cached_pair_relation(spark, registry):
 
 def test_semdedup_reuses_cached_assignment(spark, registry):
     """The IVF coarse assignment is persisted per session (an index
-    build); semdedup's cluster census and self-join arms must read
-    that cache, not re-run scan + centroid probe + argmax window."""
+    build); semdedup's cluster census and pair-kernel input must read
+    that cache, not re-run scan + centroid probe + argmax window. The
+    pair search itself must be the per-cluster Arrow kernel (r7) —
+    one FlatMapGroupsInPandas stage, NO pair self-join — the only
+    join left is the ≤nlist-row census ⋈ dropped-count left join."""
     registry["similarity_ann_ivf"](spark, SF)
     plan = plan_of(spark, registry, "semdedup")
     assert "InMemoryTableScan" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert n_wide_joins(plan) <= 1
 
 
 def test_pagerank_broadcasts_rank_relation(spark, registry):
     """Each power iteration joins edges against the BROADCAST rank
-    relation — the edge side must never shuffle for the join."""
+    relation — the edge side must never shuffle for the join — and
+    the contribution sums are fixed-point BIGINT (r7): no decimal
+    aggregate buffer belongs in this plan."""
     plan = plan_of(spark, registry, "pagerank_bipartite")
     assert "BroadcastHashJoin" in plan
+    assert "decimal(38,18)" not in plan
+
+
+def test_copurchase_pairs_fan_out_in_row(spark, registry):
+    """Pairs derive map-side from the persisted capped basket arrays
+    (r7): the plan must read the cache and fan out via Generate
+    (explode of the in-row pair structs) — the order-keyed self-join
+    and basket-census join are gone, so the only joins left are the
+    two part-frequency lookups."""
+    registry["copurchase_similarity"](spark, SF)  # build the cache
+    plan = plan_of(spark, registry, "copurchase_similarity")
+    assert "InMemoryTableScan" in plan
+    assert "Generate explode" in plan
+    # pairs ⋈ freq(part_a) ⋈ freq(part_b); never a basket self-join
+    assert plan.count("Join") <= 2, plan.count("Join")
