@@ -242,6 +242,9 @@ def main() -> int:
         # mapInPandas worker pool (pandas_udf warm-up above uses a
         # different eval type; spin the mapInPandas path too)
         "multimodal_meta",
+        # grouped-map (applyInPandas) worker pool — semdedup's r7
+        # blocked kernel is the only batch consumer of that eval type
+        "semdedup",
     ]
     prime_sec = 0.0
     if os.environ.get("SPARK_GRAFT_BENCH_PRIME", "1") != "0":
