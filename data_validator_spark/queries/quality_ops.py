@@ -164,6 +164,32 @@ FK_RELATIONS = [
 ]
 
 
+def _tagged_key_union(spark, sf, by_table):
+    """ONE scan per table: every (tag, key-column) pair fans out
+    in-row via an exploded tagged-struct array, so a table carrying
+    several audited keys (lineitem carries 3 FK edges / 2 skew keys)
+    is still read once. No parallelism spread: the explode is trivial
+    per-row work and the downstream groupBy combines map-side
+    (drift_psi rule; fk A/B 2.58s vs 2.09s, r7). Shared by
+    q_fk_integrity (tags = FK edge labels) and q_key_skew_audit
+    (tags = table.column names) so the injection-prone f-string
+    builder exists exactly once."""
+    tagged = None
+    for table, arms in by_table.items():
+        arm_sql = ", ".join(
+            f"struct('{tag}' AS tag, CAST({col} AS BIGINT) AS k)"
+            for tag, col in arms
+        )
+        part = (
+            load(spark, sf, table)
+            .select(*[col for _, col in arms])
+            .select(F.explode(F.expr(f"array({arm_sql})")).alias("e"))
+            .select("e.tag", "e.k")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return tagged
+
+
 def q_fk_integrity(spark, sf):
     """Referential-integrity audit over every foreign-key edge of the
     star schema: child row/key counts, orphan rows (child key absent
@@ -190,22 +216,9 @@ def q_fk_integrity(spark, sf):
     for label, child, ckey, parent, pkey in FK_RELATIONS:
         by_child.setdefault(child, []).append((label, ckey))
 
-    tagged = None
-    for child, edges in by_child.items():
-        arms = ", ".join(
-            f"struct('{label}' AS rel, CAST({ckey} AS BIGINT) AS k)"
-            for label, ckey in edges
-        )
-        # project to the key columns only, and no parallelism spread:
-        # the explode is trivial per-row work and the (rel, k) groupBy
-        # combines map-side (drift_psi rule; A/B 2.58s vs 2.09s, r7)
-        part = (
-            load(spark, sf, child)
-            .select(*[ckey for _, ckey in edges])
-            .select(F.explode(F.expr(f"array({arms})")).alias("e"))
-            .select("e.rel", "e.k")
-        )
-        tagged = part if tagged is None else tagged.unionByName(part)
+    tagged = _tagged_key_union(spark, sf, by_child).select(
+        F.col("tag").alias("rel"), "k"
+    )
     child_keys = tagged.groupBy("rel", "k").agg(F.count(F.lit(1)).alias("n"))
 
     parents = None
@@ -1111,21 +1124,11 @@ def q_key_skew_audit(spark, sf):
     """
     by_table: dict[str, list] = {}
     for table, key in SKEW_KEYS:
-        by_table.setdefault(table, []).append(key)
+        by_table.setdefault(table, []).append((f"{table}.{key}", key))
 
-    tagged = None
-    for table, keys in by_table.items():
-        arms = ", ".join(
-            f"struct('{table}.{key}' AS key, CAST({key} AS BIGINT) AS k)"
-            for key in keys
-        )
-        part = (
-            load(spark, sf, table)
-            .select(*keys)
-            .select(F.explode(F.expr(f"array({arms})")).alias("e"))
-            .select("e.key", "e.k")
-        )
-        tagged = part if tagged is None else tagged.unionByName(part)
+    tagged = _tagged_key_union(spark, sf, by_table).select(
+        F.col("tag").alias("key"), "k"
+    )
 
     freq = tagged.groupBy("key", "k").agg(F.count(F.lit(1)).alias("f"))
     agg = freq.groupBy("key").agg(
@@ -1134,10 +1137,23 @@ def q_key_skew_audit(spark, sf):
         F.max("f").alias("max_freq"),
         F.expr("percentile(f, 0.99D)").alias("p99_freq"),
     )
+    # The audit's shape contract is ONE row per audited key even when
+    # a table is empty (the oracle's per-key scalar aggregates always
+    # emit their row — n_keys 0, stats NULL); a bare groupBy('key')
+    # would silently drop the empty table, the one an audit most needs
+    # to report. The 4-row literal key dimension broadcast-joins for
+    # free and restores that guarantee.
+    keys_dim = spark.createDataFrame(
+        [(f"{t}.{k}",) for t, k in SKEW_KEYS], "key string"
+    )
+    # agg is ≤|SKEW_KEYS| rows by construction — broadcast it as the
+    # build side (a left join can only build right, so the hint goes
+    # on the aggregate, not the literal dimension)
+    agg = keys_dim.join(F.broadcast(agg), "key", "left")
     return agg.select(
         "key",
         "n_rows",
-        "n_keys",
+        F.coalesce(F.col("n_keys"), F.lit(0).cast("long")).alias("n_keys"),
         "max_freq",
         F.col("p99_freq").cast(DEC).cast("double").alias("p99_freq"),
         (

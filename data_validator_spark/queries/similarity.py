@@ -391,6 +391,53 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 SEMDEDUP_THRESHOLD = COSINE_DEDUP_THRESHOLD
 
 
+def _semdedup_cluster_pairs(pdf):
+    """Per-cluster pair kernel (module-level so tests can exercise the
+    NaN / degenerate paths directly): m×m cosine block via 64
+    dimension-order outer-product accumulations, upper-triangle pair
+    emission behind the conservative raw pre-filter. See q_semdedup's
+    docstring for the determinism contract."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(pdf)
+    if m < 2 or m > MAX_EMB_BUCKET:
+        return pd.DataFrame(
+            {
+                "list_id": pd.Series([], dtype="int64"),
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cos_raw": pd.Series([], dtype="float64"),
+            }
+        )
+    pdf = pdf.sort_values("vec_id")
+    V = np.stack(pdf["v"].to_numpy())
+    nrm = pdf["norm"].to_numpy()
+    ids = pdf["vec_id"].to_numpy()
+    C = np.zeros((m, m))
+    for i in range(DIM):  # dimension-order fold == engines' left fold
+        C += np.outer(V[:, i], V[:, i])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = C / np.outer(nrm, nrm)
+    ia, ib = np.triu_indices(m, 1)
+    raw = cos[ia, ib]
+    # NaN/±inf cosines (zero-norm vectors) must SURVIVE the pre-filter:
+    # both engines order NaN above every numeric value, so the exact
+    # JVM-side decision ROUND(cos,6) >= T is TRUE there — spelling the
+    # filter `raw >= T - guard` would drop NaN (numpy comparisons with
+    # NaN are False) and silently diverge from the oracle, so keep
+    # everything NOT strictly below the guarded threshold instead.
+    keep = ~(raw < SEMDEDUP_THRESHOLD - 1e-6)
+    return pd.DataFrame(
+        {
+            "list_id": np.full(int(keep.sum()), pdf["list_id"].iloc[0], dtype="int64"),
+            "vec_a": ids[ia[keep]],
+            "vec_b": ids[ib[keep]],
+            "cos_raw": raw[keep],
+        }
+    )
+
+
 def q_semdedup(spark, sf):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then search for
@@ -408,9 +455,12 @@ def q_semdedup(spark, sf):
     vectorized outer-product accumulations — no pair self-join
     relation ever exists (r7: replaced the within-cluster self-join +
     per-pair F.aggregate dot, 2.2s→1.0s warm at sf0.1). Clusters
-    above MAX_EMB_BUCKET members are skipped inside the kernel (the
-    dedup.py MAX_BUCKET rule) so a degenerate cluster can never emit
-    O(n²) pairs, and m ≤ 256 bounds the block at trivial memory. The
+    above MAX_EMB_BUCKET members never reach the kernel: a broadcast
+    left-semi join against the cluster census (the dedup.py
+    MAX_BUCKET rule, the oracle's `small` CTE) drops them before the
+    grouped-map shuffle, so a degenerate cluster is neither
+    Arrow-transferred nor materialized in a worker, and m ≤ 256
+    bounds the cosine block at trivial memory. The
     output relation is one row per cluster — bounded by nlist <=
     {MAX_NLIST}, never corpus-sized.
 
@@ -426,46 +476,27 @@ def q_semdedup(spark, sf):
     marking is the keep-lowest-vec_id rule (order-free); counts are
     exact integers.
     """
-    import numpy as np
-    import pandas as pd
-
     assigned = _assigned(spark, sf)
     csz = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_members"))
-
-    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2 or m > MAX_EMB_BUCKET:
-            return pd.DataFrame(
-                {
-                    "list_id": pd.Series([], dtype="int64"),
-                    "vec_a": pd.Series([], dtype="int64"),
-                    "vec_b": pd.Series([], dtype="int64"),
-                    "cos_raw": pd.Series([], dtype="float64"),
-                }
-            )
-        pdf = pdf.sort_values("vec_id")
-        V = np.stack(pdf["v"].to_numpy())
-        nrm = pdf["norm"].to_numpy()
-        ids = pdf["vec_id"].to_numpy()
-        C = np.zeros((m, m))
-        for i in range(DIM):  # dimension-order fold == engines' left fold
-            C += np.outer(V[:, i], V[:, i])
-        cos = C / np.outer(nrm, nrm)
-        ia, ib = np.triu_indices(m, 1)
-        keep = cos[ia, ib] >= SEMDEDUP_THRESHOLD - 1e-6
-        return pd.DataFrame(
-            {
-                "list_id": np.full(
-                    int(keep.sum()), pdf["list_id"].iloc[0], dtype="int64"
-                ),
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cos_raw": cos[ia, ib][keep],
-            }
-        )
-
-    pairs = assigned.groupBy("list_id").applyInPandas(
-        _cluster_pairs, "list_id long, vec_a long, vec_b long, cos_raw double"
+    # Filter degenerate/singleton clusters BEFORE the grouped-map
+    # shuffle: without this, an over-MAX_EMB_BUCKET cluster (the exact
+    # case the cap guards — e.g. a near-identical embedding pile-up in
+    # one IVF cell) is Arrow-shuffled and fully materialized in one
+    # Python worker only for the kernel to discard it. The broadcast
+    # left-semi against the ≤nlist-row census restores the expression
+    # path's pre-expansion bound (the oracle's `small` CTE) for one
+    # cheap broadcast; the kernel keeps its own guard as defense.
+    searchable = assigned.join(
+        F.broadcast(
+            csz.where(
+                (F.col("n_members") >= 2) & (F.col("n_members") <= MAX_EMB_BUCKET)
+            ).select("list_id")
+        ),
+        "list_id",
+        "left_semi",
+    )
+    pairs = searchable.groupBy("list_id").applyInPandas(
+        _semdedup_cluster_pairs, "list_id long, vec_a long, vec_b long, cos_raw double"
     )
     dropped = (
         pairs.where(F.round(F.col("cos_raw"), 6) >= SEMDEDUP_THRESHOLD)

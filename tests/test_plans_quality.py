@@ -60,8 +60,12 @@ def test_fd_check_is_pure_aggregation(spark, registry):
 
 
 def test_key_skew_audit_is_pure_aggregation(spark, registry):
+    """The heavy path is the two-level aggregation cascade; the only
+    join allowed is the 4-row literal key-dimension broadcast that
+    guarantees the one-row-per-audited-key output shape."""
     plan = plan_of(spark, registry, "key_skew_audit")
-    assert "Join" not in plan
+    assert n_wide_joins(plan) == 0, plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_mad_outliers_has_no_wide_joins(spark, registry):
@@ -113,6 +117,9 @@ def test_semdedup_reuses_cached_assignment(spark, registry):
     assert "InMemoryTableScan" in plan
     assert "FlatMapGroupsInPandas" in plan
     assert n_wide_joins(plan) <= 1
+    # degenerate clusters are dropped BEFORE the grouped-map shuffle —
+    # the broadcast semi-join against the census must be in the plan
+    assert "LeftSemi" in plan
 
 
 def test_pagerank_broadcasts_rank_relation(spark, registry):

@@ -335,6 +335,44 @@ def test_key_skew_audit_bruteforce(spark):
         assert r["skew_factor"] >= 1.0 - 1e-9
 
 
+def test_key_skew_audit_empty_table_parity(spark, tmp_path):
+    """An EMPTY audited table must still get its audit row with the
+    oracle's scalar-aggregate semantics (n_keys 0, every other stat
+    NULL) — a bare groupBy('key') would silently drop the one table an
+    audit most needs to report. Proven by running the real DuckDB
+    oracle on the same parquet files and comparing full row sets."""
+    import duckdb
+
+    from data_validator_spark.queries.quality_ops import (
+        _sql_key_skew,
+        q_key_skew_audit,
+    )
+
+    spark.createDataFrame([], "user_id long").coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "l_partkey long, l_suppkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(5,), (5,), (6,)], "o_custkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = [tuple(r) for r in q_key_skew_audit(spark, str(tmp_path)).collect()]
+
+    con = duckdb.connect()
+    for t in ("events", "lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    want = [tuple(r) for r in con.execute(_sql_key_skew()).fetchall()]
+    con.close()
+    assert got == want
+    empty = dict(zip([r[0] for r in got], got))["events.user_id"]
+    assert empty[1] is None and empty[2] == 0 and empty[3] is None
+
+
 def test_event_transitions_bruteforce(spark):
     from collections import Counter, defaultdict
 

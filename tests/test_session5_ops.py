@@ -371,6 +371,49 @@ def test_semdedup_drops_exact_semantic_dups(spark, emb_dir):
     assert sum(r["n_members"] for r in out.values()) == 18
 
 
+def test_semdedup_kernel_keeps_nan_cosines():
+    """Zero-norm vectors make the cosine NaN (0/0). Both engines order
+    NaN above every numeric value, so the exact JVM/DuckDB decision
+    ROUND(cos,6) >= T is TRUE there — the kernel's conservative
+    pre-filter must therefore KEEP NaN pairs (spelled `raw >= T-guard`
+    it would drop them, a silent oracle divergence), while still
+    dropping genuinely-below-threshold pairs."""
+    import math
+
+    import pandas as pd
+
+    from data_validator_spark.queries.similarity import (
+        DIM,
+        _semdedup_cluster_pairs,
+    )
+
+    def onehot(i):
+        v = [0.0] * DIM
+        v[i] = 1.0
+        return v
+
+    zero = [0.0] * DIM
+    pdf = pd.DataFrame(
+        {
+            "list_id": [7] * 5,
+            "vec_id": [1, 2, 3, 4, 5],
+            "v": [zero, zero, onehot(0), onehot(0), onehot(1)],
+            "norm": [0.0, 0.0, 1.0, 1.0, 1.0],
+        }
+    )
+    out = _semdedup_cluster_pairs(pdf)
+    pairs = {
+        (a, b): c
+        for a, b, c in zip(out["vec_a"], out["vec_b"], out["cos_raw"])
+    }
+    assert (1, 2) in pairs and math.isnan(pairs[(1, 2)])  # 0/0 survives
+    assert (3, 4) in pairs and pairs[(3, 4)] == 1.0  # exact dup kept
+    assert (3, 5) not in pairs and (4, 5) not in pairs  # orthogonal dropped
+    # every zero-norm pairing is NaN and all survive the pre-filter
+    for b in (3, 4, 5):
+        assert math.isnan(pairs[(1, b)]) and math.isnan(pairs[(2, b)])
+
+
 def test_semdedup_members_cover_corpus(spark):
     """On the real corpus the per-cluster member counts sum to the
     corpus size (every vector lands in exactly one cluster), and

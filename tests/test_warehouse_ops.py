@@ -139,8 +139,15 @@ def test_pagerank_fixed_point_bit_identical(spark, tmp_path):
             for v in deg
         }
 
-    def round12(x: float) -> float:  # Spark ROUND(double, 12): HALF_UP
-        return float(Decimal(x).quantize(Decimal("1e-12"), ROUND_HALF_UP))
+    def round12(x: float) -> float:
+        # Spark's ROUND(double, 12) goes through BigDecimal.valueOf(d)
+        # — Double.toString's SHORTEST round-trip decimal — then
+        # setScale(12, HALF_UP). Python's repr is the same shortest
+        # round-trip string, so Decimal(repr(x)) models it; Decimal(x)
+        # (the exact binary expansion) would round the wrong way when
+        # the shortest repr ends in a '5' digit at the 13th decimal
+        # while the binary value sits just below it.
+        return float(Decimal(repr(x)).quantize(Decimal("1e-12"), ROUND_HALF_UP))
 
     rows = q_pagerank_bipartite(spark, str(tmp_path)).collect()
     assert len(rows) == n  # n < 20, so the limit keeps every node
