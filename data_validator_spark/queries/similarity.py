@@ -421,13 +421,16 @@ def _semdedup_cluster_pairs(pdf):
         cos = C / np.outer(nrm, nrm)
     ia, ib = np.triu_indices(m, 1)
     raw = cos[ia, ib]
-    # NaN/±inf cosines (zero-norm vectors) must SURVIVE the pre-filter:
-    # both engines order NaN above every numeric value, so the exact
-    # JVM-side decision ROUND(cos,6) >= T is TRUE there — spelling the
-    # filter `raw >= T - guard` would drop NaN (numpy comparisons with
-    # NaN are False) and silently diverge from the oracle, so keep
-    # everything NOT strictly below the guarded threshold instead.
-    keep = ~(raw < SEMDEDUP_THRESHOLD - 1e-6)
+    # Zero-norm vectors make the cosine non-finite (numpy 0/0 = NaN,
+    # x/0 = ±inf) and the engines disagree about what happens next:
+    # DuckDB double division by zero yields NULL, so the oracle's
+    # WHERE ROUND(cos,6) >= T filters the pair OUT, while Spark orders
+    # NaN/inf above every numeric, so a non-finite cos_raw reaching
+    # the JVM-side decision would be kept (verified empirically on
+    # both engines, r7). Parity therefore requires DROPPING non-finite
+    # cosines here — which `raw >= T - guard` does for NaN (numpy NaN
+    # comparisons are False) and the isfinite guard extends to ±inf.
+    keep = (raw >= SEMDEDUP_THRESHOLD - 1e-6) & np.isfinite(raw)
     return pd.DataFrame(
         {
             "list_id": np.full(int(keep.sum()), pdf["list_id"].iloc[0], dtype="int64"),

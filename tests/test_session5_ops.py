@@ -371,21 +371,34 @@ def test_semdedup_drops_exact_semantic_dups(spark, emb_dir):
     assert sum(r["n_members"] for r in out.values()) == 18
 
 
-def test_semdedup_kernel_keeps_nan_cosines():
-    """Zero-norm vectors make the cosine NaN (0/0). Both engines order
-    NaN above every numeric value, so the exact JVM/DuckDB decision
-    ROUND(cos,6) >= T is TRUE there — the kernel's conservative
-    pre-filter must therefore KEEP NaN pairs (spelled `raw >= T-guard`
-    it would drop them, a silent oracle divergence), while still
-    dropping genuinely-below-threshold pairs."""
-    import math
-
+def test_semdedup_kernel_drops_nonfinite_cosines():
+    """Zero-norm vectors make the numpy cosine non-finite (0/0 = NaN),
+    and the engines then DISAGREE: DuckDB double division by zero
+    yields NULL, so the oracle's WHERE ROUND(cos,6) >= T filters the
+    pair OUT, while Spark orders NaN above every numeric and would
+    keep a NaN cos_raw that reached the JVM decision. Parity requires
+    the kernel to DROP non-finite cosines — proven here against the
+    kernel directly, with the DuckDB division semantics the contract
+    rests on re-checked live (if a DuckDB upgrade ever flips 0/0 to
+    IEEE NaN, this test fails loudly instead of the oracle hash)."""
+    import duckdb
     import pandas as pd
 
     from data_validator_spark.queries.similarity import (
         DIM,
         _semdedup_cluster_pairs,
     )
+
+    # the oracle-side semantics the kernel's drop rule mirrors
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT CAST(0.0 AS DOUBLE)/CAST(0.0 AS DOUBLE)"
+    ).fetchone() == (None,)
+    assert con.execute(
+        "SELECT count(*) FROM (SELECT 1) "
+        "WHERE ROUND(CAST(0.0 AS DOUBLE)/CAST(0.0 AS DOUBLE), 6) >= 0.4"
+    ).fetchone() == (0,)
+    con.close()
 
     def onehot(i):
         v = [0.0] * DIM
@@ -406,12 +419,10 @@ def test_semdedup_kernel_keeps_nan_cosines():
         (a, b): c
         for a, b, c in zip(out["vec_a"], out["vec_b"], out["cos_raw"])
     }
-    assert (1, 2) in pairs and math.isnan(pairs[(1, 2)])  # 0/0 survives
     assert (3, 4) in pairs and pairs[(3, 4)] == 1.0  # exact dup kept
     assert (3, 5) not in pairs and (4, 5) not in pairs  # orthogonal dropped
-    # every zero-norm pairing is NaN and all survive the pre-filter
-    for b in (3, 4, 5):
-        assert math.isnan(pairs[(1, b)]) and math.isnan(pairs[(2, b)])
+    # every zero-norm pairing is NaN and none survives the pre-filter
+    assert set(pairs) == {(3, 4)}
 
 
 def test_semdedup_members_cover_corpus(spark):
