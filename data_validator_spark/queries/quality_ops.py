@@ -1031,40 +1031,80 @@ def q_mad_outliers(spark, sf):
     """
     from data_validator_spark.queries.validator_queries import _approx_enabled
 
-    pctl = "percentile_approx" if _approx_enabled(spark) else "percentile"
-    li = spread(load(spark, sf, "lineitem"))
     x = F.col(MAD_COLUMN)
-    # (r6 measurement note: the bench cost of this query is the exact
-    # `percentile` aggregate itself — ~1.7s per pass over 600k rows at
-    # sf0.1, independent of scan parallelism; checkpointing the scalar
-    # rows was tried and made it slower by serializing the passes. The
-    # approx_profile flag above is the scale path; exact stays the
-    # oracle-checkable default.)
-    med = li.agg(F.expr(f"{pctl}({MAD_COLUMN}, 0.5D)").alias("med"))
-    dev = li.crossJoin(F.broadcast(med)).select(
-        F.abs(x - F.col("med")).alias("ad"), F.col("med")
+    if _approx_enabled(spark):
+        # one-pass-per-stage sketch chain: percentile_approx scalars
+        # broadcast into the following scan
+        li = spread(load(spark, sf, "lineitem"))
+        med = li.agg(F.expr(f"percentile_approx({MAD_COLUMN}, 0.5D)").alias("med"))
+        dev = li.crossJoin(F.broadcast(med)).select(
+            F.abs(x - F.col("med")).alias("ad"), F.col("med")
+        )
+        mad = dev.agg(
+            F.max("med").alias("med"), F.expr("percentile_approx(ad, 0.5D)").alias("mad")
+        )
+        counts = dev.select("ad").crossJoin(F.broadcast(mad.select("mad")))
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for k in MAD_KS:
+            aggs.append(
+                F.sum((F.col("ad") > k * F.col("mad")).cast("long")).alias(
+                    f"n_out_{int(k)}mad"
+                )
+            )
+        return (
+            counts.agg(*aggs)
+            .crossJoin(F.broadcast(mad))
+            .select(
+                F.lit(MAD_COLUMN).alias("column_name"),
+                "n_rows",
+                F.col("med").cast(DEC).cast("double").alias("median"),
+                F.col("mad").cast(DEC).cast("double").alias("mad"),
+                *[F.col(f"n_out_{int(k)}mad") for k in MAD_KS],
+            )
+        )
+    # exact mode: chained bounded-memory exact medians
+    # (operators/exact_quantile.py — bit-identical to quantile_cont,
+    # never buffers the column; see q_col_quantiles). The deviation
+    # pass reuses the median pass's count/min/max: |x - med| is
+    # bounded by [0, max(mx - med, med - mn)], so only the histogram
+    # and selection scans run for it. The final threshold counts are
+    # one plain aggregate with the med/mad scalars inlined as
+    # literals — no crossJoin broadcasts anywhere.
+    from data_validator_spark.operators.exact_quantile import (
+        QuantileSpec,
+        exact_quantiles,
     )
-    mad = dev.agg(
-        F.max("med").alias("med"), F.expr(f"{pctl}(ad, 0.5D)").alias("mad")
-    )
-    counts = dev.select("ad").crossJoin(F.broadcast(mad.select("mad")))
+
+    li = load(spark, sf, "lineitem")
+    r_med = exact_quantiles(li, [QuantileSpec("x", x, (0.5,))])["x"]
+    med = r_med.values[0]
+    if med is None:
+        return spark.createDataFrame(
+            [(MAD_COLUMN, 0, None, None) + (0,) * len(MAD_KS)],
+            "column_name string, n_rows long, median double, mad double, "
+            + ", ".join(f"n_out_{int(k)}mad long" for k in MAD_KS),
+        )
+    ad = F.abs(x - F.lit(med))
+    ad_hi = max(r_med.mx - med, med - r_med.mn)
+    mad = exact_quantiles(
+        li,
+        [QuantileSpec("ad", ad, (0.5,), bounds=(r_med.n, 0.0, ad_hi))],
+    )["ad"].values[0]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for k in MAD_KS:
         aggs.append(
-            F.sum((F.col("ad") > k * F.col("mad")).cast("long")).alias(
+            F.sum((ad > F.lit(k) * F.lit(mad)).cast("long")).alias(
                 f"n_out_{int(k)}mad"
             )
         )
-    return (
-        counts.agg(*aggs)
-        .crossJoin(F.broadcast(mad))
-        .select(
-            F.lit(MAD_COLUMN).alias("column_name"),
-            "n_rows",
-            F.col("med").cast(DEC).cast("double").alias("median"),
-            F.col("mad").cast(DEC).cast("double").alias("mad"),
-            *[F.col(f"n_out_{int(k)}mad") for k in MAD_KS],
-        )
+    # n_rows counts every row (NULL x contributes a NULL deviation
+    # that the threshold sums skip), matching the oracle's COUNT(*)
+    return li.agg(*aggs).select(
+        F.lit(MAD_COLUMN).alias("column_name"),
+        "n_rows",
+        F.lit(med).cast(DEC).cast("double").alias("median"),
+        F.lit(mad).cast(DEC).cast("double").alias("mad"),
+        *[F.col(f"n_out_{int(k)}mad") for k in MAD_KS],
     )
 
 

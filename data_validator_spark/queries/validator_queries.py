@@ -298,45 +298,74 @@ def _approx_enabled(spark) -> bool:
 
 
 def q_col_quantiles(spark, sf):
-    """Exact p25/p50/p75/p95 of three lineitem measures, ALL columns in
-    one scan, then pivoted to one row per column.
+    """Exact p25/p50/p75/p95 of three lineitem measures, one row per
+    column.
 
-    Spark's exact `percentile` matches DuckDB's `quantile_cont`
-    bit-for-bit (same sorted-linear-interpolation definition), which
-    is what makes this oracle-checkable. Exact percentiles buffer and
-    sort each column's values per partition-merge — fine at validation
-    width, a memory/straggler killer at 100 TB. Setting
-    ``spark.data_validator.approx_profile=true`` swaps in
-    `percentile_approx` (KLL-style bounded-memory sketch, same plan
-    shape, same output schema) and trades the bit-exact oracle for
-    scale; tests/test_colstats.py asserts both modes share the
-    single-scan plan."""
+    Exact mode (the oracle default) runs the bounded multi-pass
+    histogram-refinement selection of operators/exact_quantile.py:
+    one fused count/min/max scan, one fused per-bucket histogram scan
+    (<= 3x2048 aggregated rows ever leave the executors), and one
+    bounded-window selection — bit-identical to DuckDB's
+    `quantile_cont` (same sorted-linear-interpolation definition,
+    verified in tests/test_exact_quantile.py) while holding only
+    bounded state at ANY scale, unlike Spark's `percentile` aggregate
+    which buffers the whole column into one final merge task (and is
+    ~3x slower here). Setting
+    ``spark.data_validator.approx_profile=true`` swaps in a single
+    `percentile_approx` scan (KLL-style bounded-memory sketch, same
+    output schema) when a one-pass answer is worth the approximation.
+
+    Reference parity: colstats second pass,
+    src/main/scala/com/target/data_validator/stats (quantile
+    semantics); the physical strategy is ours."""
     df = load(spark, sf, "lineitem")
-    qarr = "array(" + ", ".join(f"{q}D" for q in QUANTILES) + ")"
-    fn = "percentile_approx" if _approx_enabled(spark) else "percentile"
-    agg = df.agg(
-        *[
-            F.expr(f"CAST({fn}({c}, {qarr}) AS array<double>)").alias(c)
-            for c in _QCOLS
-        ]
+    if _approx_enabled(spark):
+        qarr = "array(" + ", ".join(f"{q}D" for q in QUANTILES) + ")"
+        agg = df.agg(
+            *[
+                F.expr(f"CAST(percentile_approx({c}, {qarr}) AS array<double>)").alias(
+                    c
+                )
+                for c in _QCOLS
+            ]
+        )
+        per_col = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(c)[0].alias("p25"),
+                    F.col(c)[1].alias("p50"),
+                    F.col(c)[2].alias("p75"),
+                    F.col(c)[3].alias("p95"),
+                )
+                for c in _QCOLS
+            ]
+        )
+        return (
+            agg.select(F.explode(per_col).alias("s"))
+            .select("s.*")
+            .orderBy("column_name")
+        )
+    from data_validator_spark.operators.exact_quantile import (
+        QuantileSpec,
+        exact_quantiles,
     )
-    per_col = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.col(c)[0].alias("p25"),
-                F.col(c)[1].alias("p50"),
-                F.col(c)[2].alias("p75"),
-                F.col(c)[3].alias("p95"),
-            )
-            for c in _QCOLS
-        ]
+
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    res = exact_quantiles(
+        df, [QuantileSpec(c, F.col(c), QUANTILES) for c in _QCOLS]
     )
-    return (
-        agg.select(F.explode(per_col).alias("s"))
-        .select("s.*")
-        .orderBy("column_name")
+    rows = [
+        (c, *res[c].values)
+        for c in sorted(_QCOLS)
+    ]
+    # column_name non-nullable to match the approx path's lit() field
+    schema = StructType(
+        [StructField("column_name", StringType(), False)]
+        + [StructField(p, DoubleType(), True) for p in ("p25", "p50", "p75", "p95")]
     )
+    return spark.createDataFrame(rows, schema)
 
 
 def _sql_col_quantiles() -> str:
