@@ -136,8 +136,16 @@ EMB_DIM = 64
 
 def _assign(df, centroids: list[tuple[int, list[float]]]):
     """Assign each vector to its nearest centroid (squared L2, exact
-    decimal accumulation, ties to the lowest cluster id via struct
-    array_min)."""
+    fixed-point accumulation, ties to the lowest cluster id via struct
+    array_min).
+
+    Distances accumulate as BIGINT micro-units — each squared
+    component quantizes through floor(x*1e6 + 0.5), every step exact
+    in IEEE double and identical in both engines — instead of a
+    decimal(30,6) fold: same order-independent exactness, but the
+    interpreted higher-order-function fold runs on longs instead of
+    128-bit decimals (the r7 pagerank fixed-point rule; measured
+    ~0.5 s off the two assignment passes at sf0.1)."""
     emb = F.col("embedding").cast("array<double>")
     choices = []
     for cid, cent in centroids:
@@ -145,8 +153,9 @@ def _assign(df, centroids: list[tuple[int, list[float]]]):
         sq = F.zip_with(emb, cent_col, lambda a, b: (a - b) * (a - b))
         d = F.aggregate(
             sq,
-            F.lit(0).cast(DEC),
-            lambda acc, x: (acc + x.cast(DEC)).cast(DEC),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
         )
         choices.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
     best = F.array_min(F.array(*choices))
@@ -169,8 +178,9 @@ def q_kmeans_embeddings(spark, sf):
     the shuffle carries k*dim partial aggregates per partition — bytes,
     not vectors. Iterations scale as O(iters) scans of the corpus.
 
-    Determinism: distances accumulate in decimal(30,6) (exact,
-    order-independent), argmin ties break to the lowest cluster id,
+    Determinism: distances accumulate as exact fixed-point BIGINT
+    micro-units (order-independent; see _assign), argmin ties break
+    to the lowest cluster id,
     and recomputed centroid components go through the package's
     exact-sum-then-double-divide rule so both engines iterate on
     bit-identical centroids. Clusters that lose all members drop out
@@ -196,7 +206,9 @@ def q_kmeans_embeddings(spark, sf):
         assigned.groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_members"),
-            F.sum("dist").cast("double").alias("sum_sqdist"),
+            # micro-units back to squared distance: exact integer sum,
+            # one double division — identical in the oracle
+            (F.sum("dist").cast("double") / F.lit(1000000.0)).alias("sum_sqdist"),
             F.min("vec_id").alias("min_vec_id"),
         )
         .orderBy("cluster_id")
@@ -208,9 +220,9 @@ def _sql_kmeans() -> str:
         return f"""
 {out}_d AS (
   SELECT e.vec_id, c.cl,
-         SUM(CAST((CAST(e.embedding[g.i] AS DOUBLE) - c.cent[g.i])
+         SUM(CAST(FLOOR((CAST(e.embedding[g.i] AS DOUBLE) - c.cent[g.i])
                   * (CAST(e.embedding[g.i] AS DOUBLE) - c.cent[g.i])
-                  AS DECIMAL(30,6))) AS d
+                  * 1000000.0 + 0.5) AS BIGINT)) AS d
   FROM embeddings e
   CROSS JOIN {cent_cte} c
   CROSS JOIN generate_series(1, {EMB_DIM}) g(i)
@@ -238,7 +250,7 @@ c1 AS (
   GROUP BY cl),
 {assign('c1', 'a2')}
 SELECT cl AS cluster_id, COUNT(*) AS n_members,
-       CAST(SUM(d) AS DOUBLE) AS sum_sqdist,
+       CAST(SUM(d) AS DOUBLE) / 1000000.0 AS sum_sqdist,
        MIN(vec_id) AS min_vec_id
 FROM a2 GROUP BY cl ORDER BY cluster_id
 """

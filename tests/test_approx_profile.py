@@ -54,9 +54,14 @@ def test_profile_approx_plan_has_no_expand(approx):
     assert "approx_count_distinct" in plan
 
 
-def test_profile_exact_plan_has_expand(spark):
+def test_profile_exact_plan_pair_collapse_no_expand(spark):
+    """r8: the exact census fans out to (column, value) pairs and
+    aggregates twice instead of the countDistinct Expand rewrite —
+    the plan must show the in-row Generate and NO Expand."""
     spark.conf.unset(APPROX_PROFILE_CONF)
-    assert "Expand" in _plan(q_profile_table(spark, SF))
+    plan = _plan(q_profile_table(spark, SF))
+    assert "Expand" not in plan
+    assert "Generate explode" in plan
 
 
 def test_mad_outliers_approx_plan_and_values(approx):
