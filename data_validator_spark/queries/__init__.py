@@ -5,8 +5,9 @@ Each submodule exports ``QUERIES`` and ``ORACLES``; this package merges
 them for ``__spark_entry__``. Cross-engine determinism rules used
 throughout (so the driver's order-insensitive value-hash matches):
 
-- double sums go through ``CAST(x AS DECIMAL(30,6))`` so they are exact
-  and independent of partition/aggregation order in BOTH engines;
+- double sums go through ``CAST(x AS DECIMAL(18,6))`` (see dsum) so
+  they are exact and independent of partition/aggregation order in
+  BOTH engines;
 - hashes are the first 15 hex digits of md5 parsed as a 60-bit bigint
   (Spark ``conv(substr(md5,1,15),16,10)``, DuckDB ``CAST('0x'||... )``);
 - timestamps are emitted as ``yyyy-MM-dd HH:mm:ss`` strings with the
@@ -124,8 +125,9 @@ def spread(df: DataFrame) -> DataFrame:
     at sf0.1 (drift_psi 1.27s→0.54s, benford 0.98s→0.43s, fk_integrity
     2.58s→2.09s). Spread stays where the A/B shows it paying: heavy
     expression aggregates (q1's decimal casts: 0.99s vs 1.55s
-    without), percentile buffers (mad_outliers 3.09s vs 3.89s), and
-    the text/vector kernels it was built for.
+    without) and the text/vector kernels it was built for.
+    (mad_outliers left the spread list in r8: its histogram-refinement
+    passes are trivial per-row work.)
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -153,12 +155,24 @@ def spread(df: DataFrame) -> DataFrame:
 
 
 def dsum(col, alias: str):
-    """Exact (order-independent) sum of a double expression."""
-    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+    """Exact (order-independent) sum of a double expression.
+
+    Terms quantize through DECIMAL(18,6) — the same half-up 6-decimal
+    rounding as any wider decimal, but precision <= 18 keeps every
+    term on Spark's compact-long fast path instead of allocating a
+    BigDecimal per row (r8 A/B: q7 1.56s -> 1.30s at sf0.1). Safe by
+    construction: every dsum term is a per-row domain value (a
+    quantity, a price, an event value — bounded far below the 1e12
+    integer-digit capacity regardless of corpus size), and Spark
+    widens the SUM accumulator to DECIMAL(28,6) (1e22 headroom), so a
+    100 TB global sum still cannot overflow. A term that ever
+    exceeded the cast range would fail the hash oracle loudly, not
+    silently (DuckDB errors on decimal overflow)."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
 
 
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) AS {alias}"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
 
 
 # The package-wide 60-bit hash convention (module docstring above):
@@ -187,50 +201,47 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0 — changed this round (r7): ccnet_buckets grew the
-    # histogram tertile path, streaming_sessionized's stateful kernel
-    # was vectorized (numpy segment reduction + batched emission —
-    # same emission rule, new Python execution path), dedup_clusters
-    # defaults to auto (bounded propagation with star escape),
-    # pagerank_bipartite's contribution sums moved from decimal(38,18)
-    # to exact fixed-point BIGINT (2^-50 units, oracle re-derived).
-    "ccnet_buckets",
-    "streaming_sessionized",
-    "dedup_clusters",
-    "pagerank_bipartite",
-    # tier 0b — plan-changed this round (r7 spread/fusion sweep):
-    # identical results (oracles untouched, re-proven at 3 SFs) but
-    # new physical plans — parallelism spread dropped where per-row
-    # work is trivial, fd_check's cascade replaced countDistinct,
-    # key_skew_audit fused onto one lineitem scan. The r6 precedent
-    # (tier 0b = plan-changed) says these get fresh driver rows.
-    "drift_psi",
-    "fk_integrity",
-    "benford_check",
+    # tier 0 — execution changed in r8 (28 entries). Direct engine
+    # changes: col_quantiles + mad_outliers moved to the bounded
+    # histogram-refinement exact-quantile engine, profile_table's
+    # exact census to the (column,value) pair collapse,
+    # kmeans_embeddings' assignment fold and reconciliation_check to
+    # exact fixed-point BIGINT units, drift_ks's totals to a
+    # full-frame window. Plus every dsum consumer: dsum's term cast
+    # moved DECIMAL(30,6) -> DECIMAL(18,6) (identical 6-decimal
+    # quantization, hash-proven value-equal at 3 SFs, compact-long
+    # fast path) — same re-grade rule as the r7 spread sweep.
+    "col_quantiles",
+    "mad_outliers",
+    "profile_table",
+    "kmeans_embeddings",
     "reconciliation_check",
     "drift_ks",
-    "fd_check",
-    "key_skew_audit",
-    "hll_distinct",
-    "events_gap_fill",
-    "events_time_weighted",
-    "events_rolling",
-    # tier 0b cont.: copurchase pairs now fan out in-row from the
-    # persisted capped basket arrays (self-join + census join gone);
-    # semdedup's pair search moved to the per-cluster blocked numpy
-    # kernel (dimension-order fold keeps bit-parity; 3-SF proven).
-    "copurchase_similarity",
-    "semdedup",
-    # tier 1 — the 32 entries whose last driver-green row is r4, now
-    # the oldest evidence in the registry (r6 verdict item #2):
-    # streaming pair, ANN trio, validator core, TPC-H q1-q14 core.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q18_large_volume",
+    "q22_prospective_customers",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "events_windowed",
+    "events_sessionized",
+    "events_rollup",
+    "column_sum_check",
+    "combined_single_pass",
+    "streaming_windowed",
     "streaming_dedup",
     "streaming_enriched",
-    "events_sessionized",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "dedup_embedding_cosine",
-    "minhash_containment",
+    "streaming_join",
+    # tier 1 — last PROVEN driver row is r4 (no CORRECTNESS_r07
+    # artifact was delivered, so the r7 refresh of these cannot be
+    # assumed; they stay inside the budget until a driver row lands).
     "row_count",
     "null_check",
     "negative_check",
@@ -238,44 +249,29 @@ GRADE_PRIORITY = [
     "string_length_check",
     "string_regex_check",
     "column_max_check",
-    "column_sum_check",
     "unique_check",
     "col_stats",
     "col_stats_histogram",
-    "col_quantiles",
-    "profile_table",
     "detailed_errors",
-    "combined_single_pass",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
     "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
     "q8_market_share",
-    "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",
-    # tier 2 — budget fill to exactly 50: r5-green-once entries whose
-    # upstream relations changed in r6 without a driver re-grade (the
-    # session-persisted gopher/entropy signal relations). The eight
-    # derived-relation TPC-H queries and trigram_lm_score that filled
-    # this tier earlier in r7 were displaced below the cut by tier
-    # 0b — they hold r5 driver rows and the 3-SF local proofs.
-    "gopher_quality",
-    # --- driver budget cut (50) falls here ---
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "dedup_embedding_cosine",
+    "minhash_containment",
+    # tier 2 — budget fill to exactly 50: the stalest r5-green rows.
     "char_entropy",
-    # tier 3 — rotated out: the remaining r5-green entries, then the
-    # 50 r6-green entries (freshest evidence). All re-proven locally
-    # each round via tools/oracle_check.py (ORACLE_LOCAL_r7).
     "trigram_lm_score",
     "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
+    # --- driver budget cut (50) falls here ---
+    # tier 3 — rotated out: remaining r5-green rows first, then the
+    # r7-changed set (r5/r6 driver rows + the r7 3-SF local proofs),
+    # then the r6-green rows (freshest evidence). All 128 re-proven
+    # locally each round via tools/oracle_check.py (ORACLE_LOCAL_r8).
     "q12_shipmode_priority",
     "q16_parts_supplier",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
     "q21_waiting_orders",
     "ngram_contamination",
     "triangle_count",
@@ -292,12 +288,27 @@ GRADE_PRIORITY = [
     "cdc_upsert",
     "scd2_intervals",
     "bm25_topk",
-    "kmeans_embeddings",
     "substring_dedup",
     "quantile_shard",
     "domain_mix_sample",
     "k_anonymity",
     "heavy_hitters_cms",
+    "ccnet_buckets",
+    "streaming_sessionized",
+    "dedup_clusters",
+    "pagerank_bipartite",
+    "drift_psi",
+    "fk_integrity",
+    "benford_check",
+    "fd_check",
+    "key_skew_audit",
+    "hll_distinct",
+    "events_gap_fill",
+    "events_time_weighted",
+    "events_rolling",
+    "copurchase_similarity",
+    "semdedup",
+    "gopher_quality",
     "event_transitions",
     "conversion_lag",
     "weighted_sample",
@@ -306,17 +317,13 @@ GRADE_PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_features",
     "streaming_validation",
-    "mad_outliers",
     "quality_ensemble",
     "dsir_importance",
     "embedding_norm_quant",
     "corpus_train_filter",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q22_prospective_customers",
     "events_asof_join",
     "events_range_join",
     "events_funnel",
@@ -329,10 +336,8 @@ GRADE_PRIORITY = [
     "salted_aggregation",
     "lang_id",
     "doc_fingerprint",
-    "events_windowed",
     "events_pivot",
     "events_retention",
-    "events_rollup",
     "similarity_topk",
     "pii_scrub",
     "stratified_sample",
@@ -341,10 +346,8 @@ GRADE_PRIORITY = [
     "split_contamination",
     "events_json_extract",
     "events_anomaly",
-    "streaming_join",
     "multimodal_meta",
     "multimodal_resize",
-    "streaming_windowed",
 ]
 
 

@@ -371,7 +371,7 @@ FROM j ORDER BY d
 
 
 # -- reconciliation_check --------------------------------------------------
-RECON_TOL = "0.01"  # decimal literal so the threshold compare is exact
+RECON_TOL_UNITS = 10000  # 0.01 in exact BIGINT micro-units (1e-6)
 
 
 def q_reconciliation_check(spark, sf):
@@ -391,26 +391,36 @@ def q_reconciliation_check(spark, sf):
     verdict collapses in a single fused aggregate.
 
     Determinism: the per-line product is one fixed-order IEEE double
-    expression (the TPC-H q1 convention) summed through
-    decimal(30,6); o_totalprice is compared in decimal, so the
-    tolerance test is exact in both engines.
+    expression (the TPC-H q1 convention) quantized to exact BIGINT
+    micro-units (floor(x*1e6 + 0.5), every step exact in double and
+    identical in both engines — the pagerank fixed-point rule). The
+    per-order sum stays long-safe at ANY corpus size because the
+    group is an ORDER (bounded line count), so the whole comparison —
+    header minus line total against the tolerance — is exact integer
+    arithmetic; only the corpus-wide sum-of-deviations at the end
+    widens (decimal there, since a global sum has no bounded-group
+    argument).
     """
     # no parallelism spread — the per-line product is three flops and
     # the per-order groupBy combines map-side (drift_psi rule)
     li = load(spark, sf, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
     )
+    line_units = F.floor(
+        F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)") * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
     computed = li.groupBy(F.col("l_orderkey").alias("k")).agg(
-        F.sum(
-            F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)").cast(DEC)
-        ).alias("line_total")
+        F.sum(line_units).alias("line_total")
     )
     orders = load(spark, sf, "orders").select(
-        F.col("o_orderkey").alias("k"), F.col("o_totalprice").cast(DEC).alias("header")
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("header"),
     )
-    diff = F.col("header") - F.col("line_total")
-    absdiff = F.abs(diff)
-    matched = absdiff <= F.expr(f"CAST({RECON_TOL} AS {DEC})")
+    absdiff = F.abs(F.col("header") - F.col("line_total"))
+    matched = absdiff <= F.lit(RECON_TOL_UNITS)
     return orders.join(computed, "k", "left").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("line_total").isNotNull().cast("long")).alias("n_with_lines"),
@@ -420,32 +430,33 @@ def q_reconciliation_check(spark, sf):
         F.sum((F.col("line_total").isNotNull() & ~matched).cast("long")).alias(
             "n_mismatched"
         ),
-        F.max(absdiff).cast("double").alias("max_abs_diff"),
-        F.sum(absdiff).cast("double").alias("sum_abs_diff"),
+        (F.max(absdiff).cast("double") / F.lit(1000000.0)).alias("max_abs_diff"),
+        (
+            F.sum(absdiff.cast("decimal(30,0)")).cast("double") / F.lit(1000000.0)
+        ).alias("sum_abs_diff"),
     )
 
 
-SQL_RECONCILIATION = f"""
+SQL_RECONCILIATION = """
 WITH computed AS (
   SELECT l_orderkey AS k,
-         SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                  AS DECIMAL(30,6))) AS line_total
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 1000000.0 + 0.5) AS BIGINT)) AS line_total
   FROM lineitem GROUP BY 1),
 j AS (
-  SELECT CAST(o.o_totalprice AS DECIMAL(30,6)) AS header, c.line_total,
-         abs(CAST(o.o_totalprice AS DECIMAL(30,6)) - c.line_total) AS ad
+  SELECT c.line_total,
+         abs(CAST(FLOOR(o.o_totalprice * 1000000.0 + 0.5) AS BIGINT)
+             - c.line_total) AS ad
   FROM orders o LEFT JOIN computed c ON o.o_orderkey = c.k)
 SELECT COUNT(*) AS n_orders,
        CAST(SUM(CASE WHEN line_total IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_with_lines,
-       CAST(SUM(CASE WHEN line_total IS NOT NULL
-                      AND ad <= CAST({RECON_TOL} AS DECIMAL(30,6))
+       CAST(SUM(CASE WHEN line_total IS NOT NULL AND ad <= 10000
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-       CAST(SUM(CASE WHEN line_total IS NOT NULL
-                      AND ad > CAST({RECON_TOL} AS DECIMAL(30,6))
+       CAST(SUM(CASE WHEN line_total IS NOT NULL AND ad > 10000
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
-       CAST(MAX(ad) AS DOUBLE) AS max_abs_diff,
-       CAST(SUM(ad) AS DOUBLE) AS sum_abs_diff
+       CAST(MAX(ad) AS DOUBLE) / 1000000.0 AS max_abs_diff,
+       CAST(SUM(ad) AS DOUBLE) / 1000000.0 AS sum_abs_diff
 FROM j
 """
 
@@ -587,17 +598,22 @@ def q_drift_ks(spark, sf):
             F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
         )
     )
-    totals = dist.agg(
-        F.sum("n_ref").alias("rt"),
-        F.sum("n_cur").alias("ct"),
-        F.count(F.lit(1)).alias("n_values"),
-    )
+    # totals come from a FULL-frame window over the same sorted
+    # partition as the cumulative ECDF — one pass over the collapsed
+    # relation instead of a second aggregate branch + crossJoin
+    # broadcast (r8; the branch cost a separate traversal of dist)
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ecdf = dist.select(
         "cents",
         F.sum("n_ref").over(w).alias("cum_ref"),
         F.sum("n_cur").over(w).alias("cum_cur"),
-    ).crossJoin(F.broadcast(totals))
+        F.sum("n_ref").over(wf).alias("rt"),
+        F.sum("n_cur").over(wf).alias("ct"),
+        F.count(F.lit(1)).over(wf).alias("n_values"),
+    )
     d = F.abs(
         F.col("cum_ref").cast("double") / F.col("rt").cast("double")
         - F.col("cum_cur").cast("double") / F.col("ct").cast("double")

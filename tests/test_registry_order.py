@@ -1,6 +1,6 @@
 """The driver grades registry entries in dict-insertion order and has
 cut after exactly 50 entries in every graded round — so ordering IS
-grading coverage. These tests pin the r7 rotation contract from
+grading coverage. These tests pin the r8 rotation contract from
 data_validator_spark/queries/__init__.py:GRADE_PRIORITY."""
 
 from __future__ import annotations
@@ -9,25 +9,30 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 
 DRIVER_GRADE_BUDGET = 50
 
-# Tier 0 this round: entries whose execution changes in r7 (ccnet
-# histogram tertile path, streaming_sessionized vectorized stateful
-# kernel, dedup_clusters auto default with star escape,
-# pagerank_bipartite fixed-point contribution sums, plus the 11
-# plan-changed by the spread/fusion sweep) — all MUST be inside the
-# grading budget.
+# Tier 0 this round: entries whose execution changes in r8 — the
+# bounded exact-quantile engine (col_quantiles, mad_outliers), the
+# profile_table pair-collapse census, fixed-point kmeans assignment
+# and reconciliation units, drift_ks's full-frame totals, plus every
+# dsum consumer (the term cast moved DECIMAL(30,6)→(18,6); values
+# hash-proven identical, plans new) — all MUST be inside the budget.
 NEW_OR_CHANGED = {
-    "ccnet_buckets", "streaming_sessionized", "dedup_clusters",
-    "pagerank_bipartite",
-    # r7 spread/fusion sweep (results identical, plans new)
-    "drift_psi", "fk_integrity", "benford_check", "reconciliation_check",
-    "drift_ks", "fd_check", "key_skew_audit", "hll_distinct",
-    "events_gap_fill", "events_time_weighted", "events_rolling",
-    "copurchase_similarity", "semdedup",
+    "col_quantiles", "mad_outliers", "profile_table",
+    "kmeans_embeddings", "reconciliation_check", "drift_ks",
+    # dsum consumers (r8 term-cast change)
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q10_returned_items",
+    "q15_top_supplier", "q18_large_volume", "q22_prospective_customers",
+    "q9_product_profit", "q11_important_stock", "q19_discounted_revenue",
+    "q20_potential_promotion", "events_windowed", "events_sessionized",
+    "events_rollup", "column_sum_check", "combined_single_pass",
+    "streaming_windowed", "streaming_dedup", "streaming_enriched",
+    "streaming_join",
 }
 
-# Entries whose last driver-green row is CORRECTNESS_r04 (rotated out
-# of the r5 and r6 budgets) — now the oldest evidence in the
-# registry, refreshed this round (r6 verdict item #2).
+# Entries whose last PROVEN driver-green row is CORRECTNESS_r04: the
+# r7 cut put them first, but no CORRECTNESS_r07 artifact was ever
+# delivered, so their refresh cannot be assumed — they stay inside
+# the budget until a driver row actually lands.
 R4_STALE = {
     "streaming_dedup", "streaming_enriched", "events_sessionized",
     "similarity_ann_lsh", "similarity_ann_ivf", "dedup_embedding_cosine",
