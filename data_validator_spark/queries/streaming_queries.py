@@ -77,27 +77,32 @@ class _stream_partitions:
 
     N = 8
 
-    def __init__(self, spark):
+    def __init__(self, spark, n: int | None = None):
         self.spark = spark
+        self.n = self.N if n is None else n
 
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.N))
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
-def _run_to_memory(stream_df, agg_builder, output_mode: str = "complete"):
+def _run_to_memory(
+    stream_df, agg_builder, output_mode: str = "complete", partitions: int | None = None
+):
     """Run a bounded stream to completion into a memory sink; return
     the final table. ``output_mode``: "complete" for aggregations,
-    "append" for joins/stateful emit-on-close operators."""
+    "append" for joins/stateful emit-on-close operators.
+    ``partitions`` overrides the _stream_partitions default for
+    operators whose state-task overhead differs (stream-stream join)."""
     import shutil
 
     name = f"dv_stream_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="dv_ckpt_")
     spark = stream_df.sparkSession
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, partitions):
         q = (
             agg_builder(stream_df)
             .writeStream.format("memory")
@@ -227,22 +232,26 @@ def q_streaming_sessionized(spark, sf):
     ev = _stream_reader(spark, sf, "events")
     name = f"dv_sess_{uuid.uuid4().hex[:12]}"
     ckpt = _scratch_dir("dv_ckpt_")
-    # NOT scoped by _stream_partitions: this operator is bound by the
-    # PYTHON stateful workers (applyInPandasWithState), so partitions
-    # = parallel pandas kernels; shrinking them to state-store scale
-    # measured 2× slower, the opposite of the JVM-state ops.
-    q = (
-        sessionize_stream(ev.select("user_id", "ts", "value"), gap_minutes=30)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # Scoped to SIXTEEN partitions, not _stream_partitions' 8: this
+    # operator is bound by the PYTHON stateful workers
+    # (applyInPandasWithState), so partitions = parallel pandas
+    # kernels, and the optimum sits between the JVM-state ops' 8 and
+    # the session's 32 (r8 A/B on the vectorized kernel at sf0.1:
+    # 32→3.8s, 16→2.8s, 8→3.2s, 4→4.3s — per-worker spin-up/overhead
+    # dominates above 16, kernel serialization below it).
+    with _stream_partitions(spark, 16):
+        q = (
+            sessionize_stream(ev.select("user_id", "ts", "value"), gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.table(name)
         .select(
@@ -389,6 +398,10 @@ def q_streaming_join(spark, sf):
         )
         .withWatermark("c_ts", "2 hours")
     )
+    # a stream-stream join keeps TWO state stores per partition (one
+    # per side), so its per-batch state-task overhead runs at twice
+    # the single-operator rate — the r8 A/B puts its optimum at 4
+    # partitions (2.25s) vs the shared default 8 (2.63s) / 16 (3.5s)
     pairs = _run_to_memory(
         purchases,
         lambda p: p.join(
@@ -399,6 +412,7 @@ def q_streaming_join(spark, sf):
             "inner",
         ),
         output_mode="append",
+        partitions=4,
     )
     return (
         pairs.groupBy("purchase_id", "user_id")
