@@ -57,7 +57,7 @@ def q_text_quality(spark, sf):
         feats["punct_ratio"].alias("punct_ratio"),
         feats["space_ratio"].alias("space_ratio"),
         feats["mean_token_len"].alias("mean_token_len"),
-        quality_score(F.col("text")).alias("quality"),
+        quality_score(F.col("text"), feats=feats).alias("quality"),
     ).orderBy("doc_id")
 
 
