@@ -101,20 +101,38 @@ def quality_score(text: Column, feats: dict[str, Column] | None = None) -> Colum
     return (len_ok + tok_ok + alpha * 2.0) / F.lit(4.0)
 
 
-def lang_id(text: Column) -> Column:
-    """N-gram/stopword-heuristic language ID over LANG_STOPWORDS.
+def lang_best_struct(text: Column) -> Column:
+    """The language-ID argmax as ONE struct: array_min over
+    (-hits, lang) entries picks the highest stopword-hit count with
+    ties broken by language code order, and every language's hit count
+    is evaluated exactly once (the previous GREATEST/CASE chain
+    referenced each score ~3x, and higher-order filters sit outside
+    codegen subexpression elimination, so those re-evaluations were
+    real tokenizations+scans, r8). Select this struct into a column,
+    then derive the label: ``lang`` when ``-neg > 0`` else 'und'.
+    The DuckDB oracle keeps its GREATEST/CASE mirror — same argmax,
+    mechanism-independent."""
+    toks = tokens(F.lower(text))
 
-    Deterministic argmax: highest stopword-hit count wins, ties broken
-    by language code order — reproducible in SQL with GREATEST/CASE.
-    Returns 'und' when no list scores a hit.
-    """
-    scores = {lang: stopword_hits(text, sw) for lang, sw in sorted(LANG_STOPWORDS.items())}
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    # reversed so that the FIRST language in sorted order wins ties
-    for lang in sorted(scores, reverse=True):
-        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    def hit_filter(arr):
+        # one-arg lambda required: pyspark reads lambda arity, and a
+        # second parameter would be bound as the element INDEX
+        return lambda t: F.array_contains(arr, t)
+
+    entries = []
+    for lang, sw in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(s) for s in sw])
+        hits = F.size(F.filter(toks, hit_filter(arr)))
+        entries.append(F.struct((-hits).alias("neg"), F.lit(lang).alias("lang")))
+    return F.array_min(F.array(*entries))
+
+
+def lang_id(text: Column) -> Column:
+    """Single-expression language ID (see lang_best_struct; queries
+    selecting only the label at scale should project the struct into
+    a column first so it is evaluated once)."""
+    best = lang_best_struct(text)
+    return F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def normalized_text(text: Column) -> Column:

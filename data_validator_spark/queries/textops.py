@@ -91,7 +91,22 @@ FROM f ORDER BY doc_id
 # -- lang_id ---------------------------------------------------------------
 def q_lang_id(spark, sf):
     df = spread(load(spark, sf, "documents"))
-    return df.select("doc_id", lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+    # two projections so the argmin struct is a real column evaluated
+    # once per row (a single-expression form would re-evaluate the
+    # whole entry array for each field access — HOF scores sit outside
+    # codegen subexpression elimination)
+    from data_validator_spark.functions.text import lang_best_struct
+
+    return (
+        df.select("doc_id", lang_best_struct(F.col("text")).alias("b"))
+        .select(
+            "doc_id",
+            F.when(-F.col("b.neg") > 0, F.col("b.lang"))
+            .otherwise(F.lit("und"))
+            .alias("lang_pred"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _sql_lang_id() -> str:
