@@ -38,12 +38,6 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"), F.lit(0)))
 
 
-def stopword_hits(text: Column, stopwords: list[str]) -> Column:
-    """How many tokens are in `stopwords` (duplicates counted)."""
-    arr = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(arr, t)))
-
-
 _ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
 _DIGIT = "0123456789"
 _PUNCT = ".!?,;:"
