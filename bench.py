@@ -101,6 +101,7 @@ HEADLINE = [
     "fd_check",
     "mad_outliers",
     "key_skew_audit",
+    "corr_matrix",
     "event_transitions",
     "conversion_lag",
     "weighted_sample",
@@ -137,6 +138,7 @@ HEADLINE = [
     "similarity_ann_ivf",
     "dedup_embedding_cosine",
     "semdedup",
+    "embedding_outliers",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",

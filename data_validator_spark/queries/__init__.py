@@ -201,6 +201,10 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
+    # tier 0a — NEW operators this round (2 entries): never graded,
+    # grade first (the brand-new-entry rule below).
+    "corr_matrix",
+    "embedding_outliers",
     # tier 0 — execution changed in r8 (28 entries). Direct engine
     # changes: col_quantiles + mad_outliers moved to the bounded
     # histogram-refinement exact-quantile engine, profile_table's
@@ -261,11 +265,14 @@ GRADE_PRIORITY = [
     "similarity_ann_ivf",
     "dedup_embedding_cosine",
     "minhash_containment",
-    # tier 2 — budget fill to exactly 50: the stalest r5-green rows.
+    # tier 2 — budget fill to exactly 50: the stalest r5-green row
+    # (trigram_lm_score and q2_min_cost_supplier slid past the cut
+    # when the two new operators entered tier 0a; both stay r5-green
+    # + 3-SF local proof).
     "char_entropy",
+    # --- driver budget cut (50) falls here ---
     "trigram_lm_score",
     "q2_min_cost_supplier",
-    # --- driver budget cut (50) falls here ---
     # tier 3 — rotated out: remaining r5-green rows first, then the
     # r7-changed set (r5/r6 driver rows + the r7 3-SF local proofs),
     # then the r6-green rows (freshest evidence). All 128 re-proven

@@ -1245,6 +1245,128 @@ FROM (SELECT {key} AS k, COUNT(*) AS f FROM {table} GROUP BY 1)""")
     return " UNION ALL ".join(arms) + " ORDER BY key"
 
 
+# -- corr_matrix -----------------------------------------------------------
+# (column, exact integer-unit expression, unit scale). The reference
+# profiles columns independently (stats/FirstPassStatsAggregator.scala:1);
+# the correlation matrix is the cross-column step of the same profiling
+# story. Pearson r is scale-invariant, so the integer unit scaling
+# cancels; only the emitted means divide the scale back out.
+CORR_COLUMNS = [
+    ("l_quantity", "CAST(l_quantity AS BIGINT)", 1.0),
+    ("l_extendedprice", "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)", 100.0),
+    ("l_discount", "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)", 100.0),
+    ("l_tax", "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)", 100.0),
+]
+
+
+def q_corr_matrix(spark, sf):
+    """Pearson correlation matrix over lineitem's numeric measure
+    columns — the cross-column companion to the per-column colStats
+    profile (the reference profiles each column independently,
+    stats/FirstPassStatsAggregator.scala:1; correlated measures are
+    what drive feature-redundancy and denormalization decisions).
+
+    Scale shape: ONE scan, one fused 15-term scalar aggregate (n, 4
+    linear, 4 square, 6 cross sums — every term combines map-side to
+    a single row); the 6 pair rows then fan out from that row via an
+    in-row struct explode. No second scan, no wide shuffle, no
+    driver-side collect. At any corpus size this is exactly one
+    pass over 4 columns.
+
+    Determinism: sums run over exact integer units (quantity, cents,
+    discount/tax points) accumulated in DECIMAL(38,0) —
+    order-independent exact integers, matching DuckDB's exact HUGEINT
+    sums. The correlation then combines the exact sums in double
+    precision: identical operand doubles through the identical IEEE
+    expression give identical results in both engines, rounded
+    through decimal(30,6). Zero-variance columns yield NULL r
+    (guarded — never inf/NaN).
+    """
+    # no parallelism spread — trivial per-row work, single fused
+    # scalar aggregate combines map-side (drift_psi / benford rule)
+    k = len(CORR_COLUMNS)
+    li = load(spark, sf, "lineitem").select(
+        *[F.expr(e).alias(f"u{i}") for i, (_n, e, _s) in enumerate(CORR_COLUMNS)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        aggs.append(
+            F.sum(F.col(f"u{i}").cast("decimal(38,0)")).cast("double").alias(f"s{i}")
+        )
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                F.sum((F.col(f"u{i}") * F.col(f"u{j}")).cast("decimal(38,0)"))
+                .cast("double")
+                .alias(f"s{i}{j}")
+            )
+    one = li.agg(*aggs)
+
+    nd = F.col("n").cast("double")
+
+    def pair(i, j):
+        num = nd * F.col(f"s{i}{j}") - F.col(f"s{i}") * F.col(f"s{j}")
+        vx = nd * F.col(f"s{i}{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+        vy = nd * F.col(f"s{j}{j}") - F.col(f"s{j}") * F.col(f"s{j}")
+        r = F.when(vx * vy > 0, num / F.sqrt(vx * vy))
+        return F.struct(
+            F.lit(CORR_COLUMNS[i][0]).alias("col_x"),
+            F.lit(CORR_COLUMNS[j][0]).alias("col_y"),
+            F.col("n").alias("n_rows"),
+            (F.col(f"s{i}") / nd / F.lit(CORR_COLUMNS[i][2]))
+            .cast(DEC)
+            .cast("double")
+            .alias("mean_x"),
+            (F.col(f"s{j}") / nd / F.lit(CORR_COLUMNS[j][2]))
+            .cast(DEC)
+            .cast("double")
+            .alias("mean_y"),
+            r.cast(DEC).cast("double").alias("corr"),
+        )
+
+    pairs = [pair(i, j) for i in range(k) for j in range(i + 1, k)]
+    return (
+        one.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _sql_corr_matrix() -> str:
+    k = len(CORR_COLUMNS)
+    units = ", ".join(f"{e} AS u{i}" for i, (_n, e, _s) in enumerate(CORR_COLUMNS))
+    sums = ["COUNT(*) AS n"]
+    for i in range(k):
+        sums.append(f"CAST(SUM(u{i}) AS DOUBLE) AS s{i}")
+    for i in range(k):
+        for j in range(i, k):
+            sums.append(f"CAST(SUM(u{i} * u{j}) AS DOUBLE) AS s{i}{j}")
+    nd = "CAST(n AS DOUBLE)"
+    arms = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = f"({nd} * s{i}{j} - s{i} * s{j})"
+            vx = f"({nd} * s{i}{i} - s{i} * s{i})"
+            vy = f"({nd} * s{j}{j} - s{j} * s{j})"
+            arms.append(f"""
+SELECT '{CORR_COLUMNS[i][0]}' AS col_x, '{CORR_COLUMNS[j][0]}' AS col_y,
+       n AS n_rows,
+       CAST(CAST(s{i} / {nd} / {CORR_COLUMNS[i][2]} AS DECIMAL(30,6)) AS DOUBLE)
+         AS mean_x,
+       CAST(CAST(s{j} / {nd} / {CORR_COLUMNS[j][2]} AS DECIMAL(30,6)) AS DOUBLE)
+         AS mean_y,
+       CAST(CAST(CASE WHEN {vx} * {vy} > 0
+                 THEN {num} / sqrt({vx} * {vy}) END AS DECIMAL(30,6)) AS DOUBLE)
+         AS corr
+FROM s""")
+    return (
+        f"WITH u AS (SELECT {units} FROM lineitem),\n"
+        f"s AS (SELECT {', '.join(sums)} FROM u)\n"
+        + " UNION ALL ".join(arms)
+        + " ORDER BY col_x, col_y"
+    )
+
+
 QUERIES = {
     "drift_psi": q_drift_psi,
     "fk_integrity": q_fk_integrity,
@@ -1257,6 +1379,7 @@ QUERIES = {
     "fd_check": q_fd_check,
     "mad_outliers": q_mad_outliers,
     "key_skew_audit": q_key_skew_audit,
+    "corr_matrix": q_corr_matrix,
 }
 
 ORACLES = {
@@ -1271,4 +1394,5 @@ ORACLES = {
     "fd_check": _sql_fd_check(),
     "mad_outliers": _sql_mad(),
     "key_skew_audit": _sql_key_skew(),
+    "corr_matrix": _sql_corr_matrix(),
 }

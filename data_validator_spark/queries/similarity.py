@@ -613,6 +613,104 @@ FROM agg ORDER BY query_id
 """
 
 
+# -- embedding_outliers ----------------------------------------------------
+# A vector is an outlier when its cosine distance to its own IVF
+# centroid exceeds OUTLIER_FACTOR × the cluster's mean distance.
+OUTLIER_FACTOR = 2
+
+
+def q_embedding_outliers(spark, sf):
+    """Per-cluster embedding outlier screen (prototypicality filter):
+    every vector's cosine distance to its own IVF coarse centroid,
+    flagged when it exceeds OUTLIER_FACTOR × the cluster's mean
+    distance — the OOD/junk-embedding screen an embedding-curation
+    pipeline runs next to semantic dedup (SemDeDup keeps the most
+    prototypical cluster member; this reports the least prototypical
+    tail that should not enter training at all).
+
+    Scale shape: reuses the SESSION-PERSISTED IVF coarse assignment
+    (_assigned — the index build shared with similarity_ann_ivf,
+    semdedup, ann_recall_eval), joins the broadcast centroid set
+    (≤nlist rows), then aggregates per cluster twice: a map-side-
+    combined (list_id) stats pass, and the ≤nlist-row stats relation
+    broadcast back for the outlier count. Two bounded shuffle rounds
+    over the cached relation — no corpus-wide window, no pair
+    expansion anywhere.
+
+    Determinism: distances quantize to exact integer micro-units
+    (floor((1−cos)·1e6+0.5) of the ROUND(·,9) cosine — identical
+    BIGINTs in both engines); the outlier test is the pure integer
+    cross-product di·n > FACTOR·Σdi (no division, so no float
+    compare can flip a flag; di ≤ 2e6 and n ≤ N/nlist ~ √N keep the
+    product inside BIGINT at any corpus size); the emitted mean/pct
+    are exact int/int divisions rounded through decimal(30,6).
+    """
+    assigned = _assigned(spark, sf)
+    _, nlist = _derived_params(spark, sf)
+    vecs = _vecs(spark, sf)
+    cents = vecs.where(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 9)
+    dists = assigned.join(
+        F.broadcast(cents), F.col("list_id") == F.col("cent_id")
+    ).select(
+        "vec_id",
+        "list_id",
+        F.floor((F.lit(1.0) - ccos) * 1000000.0 + 0.5).cast("long").alias("di"),
+    )
+    stats = dists.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("di").alias("sdi")
+    )
+    flagged = dists.join(F.broadcast(stats), "list_id")
+    out = flagged.groupBy("list_id", "n_vecs", "sdi").agg(
+        F.sum(
+            (
+                F.col("di") * F.col("n_vecs") > F.lit(OUTLIER_FACTOR) * F.col("sdi")
+            ).cast("long")
+        ).alias("n_outliers")
+    )
+    return out.select(
+        "list_id",
+        "n_vecs",
+        (F.col("sdi").cast("double") / F.col("n_vecs").cast("double") / 1000000.0)
+        .cast("decimal(30,6)")
+        .cast("double")
+        .alias("mean_dist"),
+        "n_outliers",
+        (F.col("n_outliers").cast("double") * 100.0 / F.col("n_vecs").cast("double"))
+        .cast("decimal(30,6)")
+        .cast("double")
+        .alias("outlier_pct"),
+    ).orderBy("list_id")
+
+
+def _sql_embedding_outliers() -> str:
+    return f"""
+WITH {_SQL_ASSIGNED_CTES},
+dists AS (
+  SELECT a.vec_id, a.list_id,
+         CAST(floor((1.0 - ROUND(list_sum(list_transform(range(1, {DIM + 1}),
+                i -> a.v[i] * cv[i])) / (a.nrm * cnorm), 9)) * 1000000.0 + 0.5)
+              AS BIGINT) AS di
+  FROM assigned a JOIN cents c ON c.cent_id = a.list_id),
+stats AS (SELECT list_id, COUNT(*) AS n_vecs, CAST(SUM(di) AS BIGINT) AS sdi
+          FROM dists GROUP BY 1)
+SELECT d.list_id, s.n_vecs,
+       CAST(CAST(CAST(s.sdi AS DOUBLE) / s.n_vecs / 1000000.0 AS DECIMAL(30,6))
+            AS DOUBLE) AS mean_dist,
+       CAST(SUM(CASE WHEN d.di * s.n_vecs > {OUTLIER_FACTOR} * s.sdi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(CAST(CAST(SUM(CASE WHEN d.di * s.n_vecs > {OUTLIER_FACTOR} * s.sdi
+                     THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / s.n_vecs
+            AS DECIMAL(30,6)) AS DOUBLE) AS outlier_pct
+FROM dists d JOIN stats s ON s.list_id = d.list_id
+GROUP BY d.list_id, s.n_vecs, s.sdi ORDER BY d.list_id
+"""
+
+
 QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "similarity_topk": q_similarity_topk,
@@ -620,6 +718,7 @@ QUERIES = {
     "similarity_ann_ivf": q_similarity_ann_ivf,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semdedup": q_semdedup,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 ORACLES = {
@@ -629,4 +728,5 @@ ORACLES = {
     "similarity_ann_ivf": SQL_SIMILARITY_ANN_IVF,
     "dedup_embedding_cosine": _sql_dedup_embedding_cosine(),
     "semdedup": _sql_semdedup(),
+    "embedding_outliers": _sql_embedding_outliers(),
 }

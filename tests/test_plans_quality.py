@@ -144,3 +144,26 @@ def test_copurchase_pairs_fan_out_in_row(spark, registry):
     assert "Generate explode" in plan
     # pairs ⋈ freq(part_a) ⋈ freq(part_b); never a basket self-join
     assert plan.count("Join") <= 2, plan.count("Join")
+
+
+def test_corr_matrix_single_scan_no_joins(spark, registry):
+    """The whole 15-term moment aggregate fuses into ONE lineitem
+    scan; the 6 pair rows fan out in-row (Generate over the scalar
+    aggregate) — a second scan or any join means the fusion broke."""
+    plan = plan_of(spark, registry, "corr_matrix")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert n_wide_joins(plan) == 0
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_embedding_outliers_reuses_index_broadcasts_stats(spark, registry):
+    """Both passes read the SESSION-PERSISTED IVF assignment (the
+    shared index build) and every join is broadcast (centroid set,
+    ≤nlist stats relation) — a wide join means the corpus shuffled
+    for what must stay a map-side lookup."""
+    registry["embedding_outliers"](spark, SF)  # build the cache
+    plan = plan_of(spark, registry, "embedding_outliers")
+    assert "InMemoryTableScan" in plan
+    assert n_wide_joins(plan) == 0
+    assert "BroadcastHashJoin" in plan

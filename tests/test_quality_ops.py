@@ -494,3 +494,54 @@ def test_triangle_count_bruteforce(spark):
     assert row["n_triangles"] == tris
     expect_t = round(3.0 * tris / wedges, 6) if wedges else 0.0
     assert abs(row["transitivity"] - expect_t) < 2e-6
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.quality_ops import CORR_COLUMNS, q_corr_matrix
+
+    rows = q_corr_matrix(spark, SF).collect()
+    k = len(CORR_COLUMNS)
+    assert len(rows) == k * (k - 1) // 2
+
+    li = load(spark, SF, "lineitem").toPandas()
+    units = {}
+    for name, _expr, scale in CORR_COLUMNS:
+        x = li[name].to_numpy(dtype=float)
+        units[name] = (
+            x.astype(np.int64)
+            if scale == 1.0
+            else np.floor(x * scale + 0.5).astype(np.int64)
+        )
+    n = len(li)
+    for r in rows:
+        x, y = units[r["col_x"]], units[r["col_y"]]
+        assert r["n_rows"] == n
+        expect_corr = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
+        assert abs(r["corr"] - expect_corr) < 5e-6, (r["col_x"], r["col_y"])
+    scales = {name: s for name, _e, s in CORR_COLUMNS}
+    for r in rows:
+        x = units[r["col_x"]]
+        assert abs(r["mean_x"] - x.mean() / scales[r["col_x"]]) < 2e-6
+        y = units[r["col_y"]]
+        assert abs(r["mean_y"] - y.mean() / scales[r["col_y"]]) < 2e-6
+
+
+def test_corr_matrix_zero_variance_is_null(spark, tmp_path):
+    """A zero-variance column must yield NULL r (guarded), never
+    inf/NaN; a perfectly linear pair must yield exactly 1.0."""
+    from data_validator_spark.queries.quality_ops import q_corr_matrix
+
+    rows_in = [(float(q), 10.0 * q, 0.01 * (q % 3), 0.02) for q in range(1, 9)]
+    df = spark.createDataFrame(
+        rows_in,
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {(r["col_x"], r["col_y"]): r for r in q_corr_matrix(spark, str(tmp_path)).collect()}
+    assert out[("l_quantity", "l_extendedprice")]["corr"] == 1.0
+    for (cx, cy), r in out.items():
+        if "l_tax" in (cx, cy):
+            assert r["corr"] is None, (cx, cy)

@@ -454,3 +454,70 @@ def test_evict_session_caches(spark):
     # consumers re-materialize on demand
     assert part_ext_df(spark, SF).count() > 0
     evict_session_caches(SF)
+
+
+# -- embedding_outliers ----------------------------------------------------
+def test_embedding_outliers_brute_force(spark):
+    """Recompute the whole audit in Python on the real sf0.001 corpus
+    with the exact quantization rules (left-to-right dot fold,
+    round(cos,9), floor((1-cos)*1e6+0.5), integer flag compare)."""
+    import numpy as np
+
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.similarity import (
+        OUTLIER_FACTOR,
+        _derived_params,
+        q_embedding_outliers,
+    )
+
+    rows = q_embedding_outliers(spark, SF).collect()
+    emb = load(spark, SF, "embeddings").toPandas().sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    vecs = [np.asarray(v, dtype=np.float64) for v in emb.embedding]
+    _, nlist = _derived_params(spark, SF)
+    cents = [(int(i), vecs[k]) for k, i in enumerate(ids) if i < nlist]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    norms = [np.sqrt(fold_dot(v, v)) for v in vecs]
+    cnorms = {cid: np.sqrt(fold_dot(cv, cv)) for cid, cv in cents}
+
+    clusters: dict[int, list[int]] = {}
+    for k in range(len(ids)):
+        best = None
+        for cid, cv in cents:  # cents ordered by cent_id (tie -> lowest)
+            c = round(fold_dot(vecs[k], cv) / (norms[k] * cnorms[cid]), 9)
+            if best is None or c > best[0]:
+                best = (c, cid)
+        di = int(np.floor((1.0 - best[0]) * 1e6 + 0.5))
+        clusters.setdefault(best[1], []).append(di)
+
+    got = {r["list_id"]: r for r in rows}
+    assert set(got) == set(clusters)
+    for cid, dis in clusters.items():
+        r = got[cid]
+        n, sdi = len(dis), sum(dis)
+        n_out = sum(1 for d in dis if d * n > OUTLIER_FACTOR * sdi)
+        assert r["n_vecs"] == n, cid
+        assert r["n_outliers"] == n_out, cid
+        assert abs(r["mean_dist"] - round(sdi / n / 1e6, 6)) < 2e-6, cid
+        assert abs(r["outlier_pct"] - round(100.0 * n_out / n, 6)) < 2e-6, cid
+
+
+def test_embedding_outliers_orthogonal_corpus(spark, emb_dir):
+    """One-hot corpus: every vector sits exactly on a centroid
+    (distance 0), so no cluster can flag an outlier and cluster 3
+    carries the two duplicates."""
+    from data_validator_spark.queries.similarity import q_embedding_outliers
+
+    rows = {r["list_id"]: r for r in q_embedding_outliers(spark, emb_dir).collect()}
+    assert set(rows) == set(range(16))
+    for lid, r in rows.items():
+        assert r["n_outliers"] == 0, lid
+        assert r["mean_dist"] == 0.0, lid
+    assert rows[3]["n_vecs"] == 3
+    assert all(rows[i]["n_vecs"] == 1 for i in range(16) if i != 3)
