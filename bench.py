@@ -139,6 +139,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "semdedup",
     "embedding_outliers",
+    "cluster_purity",
+    "knn_label_noise",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",

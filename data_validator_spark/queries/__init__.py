@@ -201,10 +201,21 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0a — NEW operators this round (2 entries): never graded,
-    # grade first (the brand-new-entry rule below).
+    # tier 0a — NEW operators this round (4 entries: corr_matrix,
+    # embedding_outliers, cluster_purity, knn_label_noise — never
+    # graded, grade first) plus similarity_ann_ivf, which is BOTH
+    # r4-stale (the R4_STALE budget contract) and changed-SQL (the
+    # shared IVF-assignment CTE chain now carries the label column).
+    # The other two changed-SQL index entries (semdedup,
+    # ann_recall_eval) hold r6 driver-green rows and the changed SQL
+    # is hash-proven value-equal at 3 SFs (ORACLE_LOCAL/SFSWEEP_r8),
+    # so they rotate to tier 3 — the same local-proof rotation rule
+    # the r7-changed set used.
     "corr_matrix",
     "embedding_outliers",
+    "cluster_purity",
+    "knn_label_noise",
+    "similarity_ann_ivf",
     # tier 0 — execution changed in r8 (28 entries). Direct engine
     # changes: col_quantiles + mad_outliers moved to the bounded
     # histogram-refinement exact-quantile engine, profile_table's
@@ -242,7 +253,6 @@ GRADE_PRIORITY = [
     "streaming_windowed",
     "streaming_dedup",
     "streaming_enriched",
-    "streaming_join",
     # tier 1 — last PROVEN driver row is r4 (no CORRECTNESS_r07
     # artifact was delivered, so the r7 refresh of these cannot be
     # assumed; they stay inside the budget until a driver row lands).
@@ -262,20 +272,25 @@ GRADE_PRIORITY = [
     "q13_customer_distribution",
     "q14_promo_revenue",
     "similarity_ann_lsh",
-    "similarity_ann_ivf",
     "dedup_embedding_cosine",
     "minhash_containment",
-    # tier 2 — budget fill to exactly 50: the stalest r5-green row
-    # (trigram_lm_score and q2_min_cost_supplier slid past the cut
-    # when the two new operators entered tier 0a; both stay r5-green
-    # + 3-SF local proof).
-    "char_entropy",
     # --- driver budget cut (50) falls here ---
+    # tier 2 — slid past the cut when the late-r8 label pair entered
+    # tier 0a: all three keep their r5 driver rows, their values are
+    # unchanged, and each is re-proven at 3 SFs locally
+    # (ORACLE_SFSWEEP_r8). streaming_join (r6-green, dsum re-grade
+    # set) and semdedup / ann_recall_eval (r6-green, changed-SQL)
+    # rotate on the same local-proof rule to keep every R4-stale
+    # entry inside the 50.
+    "char_entropy",
     "trigram_lm_score",
     "q2_min_cost_supplier",
+    "streaming_join",
+    "semdedup",
+    "ann_recall_eval",
     # tier 3 — rotated out: remaining r5-green rows first, then the
     # r7-changed set (r5/r6 driver rows + the r7 3-SF local proofs),
-    # then the r6-green rows (freshest evidence). All 128 re-proven
+    # then the r6-green rows (freshest evidence). All 132 re-proven
     # locally each round via tools/oracle_check.py (ORACLE_LOCAL_r8).
     "q12_shipmode_priority",
     "q16_parts_supplier",
@@ -283,7 +298,6 @@ GRADE_PRIORITY = [
     "ngram_contamination",
     "triangle_count",
     "doc_chunk",
-    "ann_recall_eval",
     "streaming_drift",
     "tfidf_topk",
     "pmi_collocations",
@@ -314,7 +328,6 @@ GRADE_PRIORITY = [
     "events_time_weighted",
     "events_rolling",
     "copurchase_similarity",
-    "semdedup",
     "gopher_quality",
     "event_transitions",
     "conversion_lag",

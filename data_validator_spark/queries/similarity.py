@@ -79,14 +79,17 @@ PLANES = _plane_weights()
 
 
 def _vecs(spark, sf):
-    """(vec_id, v: array<double>, norm) — embeddings cast to double with
-    the L2 norm precomputed once."""
+    """(vec_id, v: array<double>, norm, label) — embeddings cast to
+    double with the L2 norm precomputed once. Consumers that never
+    touch `label` (topk/LSH paths) get it pruned from the scan by
+    Catalyst; the label-aware ops (cluster_purity, knn_label_noise)
+    read it through the shared IVF assignment."""
     df = spread(load(spark, sf, "embeddings"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot_self = F.aggregate(
         F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
     )
-    return df.select("vec_id", v.alias("v"), F.sqrt(dot_self).alias("norm"))
+    return df.select("vec_id", v.alias("v"), F.sqrt(dot_self).alias("norm"), "label")
 
 
 def _dot(a, b):
@@ -309,13 +312,13 @@ def _assigned(spark, sf):
     )
     cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
     scored = vecs.join(F.broadcast(cents)).select(
-        "vec_id", "v", "norm", "cent_id", F.round(cos, 9).alias("ccos")
+        "vec_id", "v", "norm", "label", "cent_id", F.round(cos, 9).alias("ccos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
     out = (
         scored.withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
-        .select("vec_id", "v", "norm", F.col("cent_id").alias("list_id"))
+        .select("vec_id", "v", "norm", "label", F.col("cent_id").alias("list_id"))
     )
     from pyspark import StorageLevel
 
@@ -350,19 +353,20 @@ def q_similarity_ann_ivf(spark, sf):
 # nrm, list_id) — the SQL twin of _assigned(); reused by the IVF
 # search oracle and the semdedup oracle so the two can never diverge.
 _SQL_ASSIGNED_CTES = f"""e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
   FROM embeddings),
 {_SQL_PARAMS},
-n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, label
+      FROM e),
 cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnorm FROM n
           WHERE vec_id < (SELECT nl FROM params)),
 scored AS (
-  SELECT n.vec_id, n.v, n.nrm, cent_id,
+  SELECT n.vec_id, n.v, n.nrm, n.label, cent_id,
          ROUND(list_sum(list_transform(range(1, {DIM + 1}), i -> n.v[i] * cv[i]))
                / (n.nrm * cnorm), 9) AS ccos
   FROM n, cents),
 assigned AS (
-  SELECT vec_id, v, nrm, cent_id AS list_id FROM (
+  SELECT vec_id, v, nrm, label, cent_id AS list_id FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
     FROM scored) WHERE r = 1)"""
 
@@ -711,6 +715,229 @@ GROUP BY d.list_id, s.n_vecs, s.sdi ORDER BY d.list_id
 """
 
 
+# -- cluster_purity --------------------------------------------------------
+def q_cluster_purity(spark, sf):
+    """Label purity of the IVF embedding clusters — the cluster-quality
+    audit a curation pipeline runs before trusting cluster-level
+    decisions (SemDeDup pruning, per-cluster sampling, outlier
+    screens): per cluster, how concentrated the ground-truth labels
+    are. A low-purity cluster mixes semantic classes, so any
+    keep-one-per-cluster rule silently drops whole classes there.
+
+    Scale shape: reuses the SESSION-PERSISTED IVF coarse assignment
+    (_assigned — the index build shared with similarity_ann_ivf /
+    semdedup / ann_recall_eval / embedding_outliers); one map-side-
+    combined (list_id, label) count shuffle, then the majority pick
+    and totals run on the ≤ nlist × n_labels count relation —
+    candidate-scale windows, never a corpus-wide partition.
+
+    Determinism: counts are exact integers; majority label breaks
+    count ties by smallest label in both engines; purity is one
+    int/int division rounded through decimal(30,6). Zero-norm or
+    NULL-label vectors are excluded up front in both engines (a
+    zero-norm cosine is NULL in DuckDB and NaN in Spark — the same
+    divergence semdedup's kernel guards)."""
+    assigned = _assigned(spark, sf)
+    rows = assigned.where((F.col("norm") > 0) & F.col("label").isNotNull())
+    counts = rows.groupBy("list_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("list_id").orderBy(F.col("n").desc(), F.col("label").asc())
+    tot = Window.partitionBy("list_id")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_vecs", F.sum("n").over(tot))
+        .withColumn("n_labels", F.count(F.lit(1)).over(tot))
+        .where(F.col("rk") == 1)
+        .select(
+            "list_id",
+            "n_vecs",
+            "n_labels",
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+            (F.col("n").cast("double") / F.col("n_vecs").cast("double"))
+            .cast("decimal(30,6)")
+            .cast("double")
+            .alias("purity"),
+        )
+        .orderBy("list_id")
+    )
+
+
+def _sql_cluster_purity() -> str:
+    return f"""
+WITH {_SQL_ASSIGNED_CTES},
+nz AS (SELECT * FROM assigned WHERE nrm > 0 AND label IS NOT NULL),
+counts AS (SELECT list_id, label, CAST(count(*) AS BIGINT) AS n
+           FROM nz GROUP BY 1, 2),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY list_id ORDER BY n DESC, label) AS rk,
+         CAST(SUM(n) OVER (PARTITION BY list_id) AS BIGINT) AS n_vecs,
+         CAST(COUNT(*) OVER (PARTITION BY list_id) AS BIGINT) AS n_labels
+  FROM counts)
+SELECT list_id, n_vecs, n_labels, CAST(label AS BIGINT) AS majority_label,
+       n AS n_majority,
+       CAST(CAST(CAST(n AS DOUBLE) / n_vecs AS DECIMAL(30,6)) AS DOUBLE) AS purity
+FROM rk WHERE rk = 1 ORDER BY list_id
+"""
+
+
+# -- knn_label_noise -------------------------------------------------------
+def _knn_cluster_votes(pdf):
+    """Per-cluster k-NN label-vote kernel (module-level so tests can
+    exercise the degenerate paths directly): m×m cosine block via the
+    same 64 dimension-order outer-product accumulations as the
+    semdedup kernel (bit-identical to both engines' 0.0-seeded left
+    fold), quantized to half-away-from-zero integer micro-units —
+    exactly DuckDB's ROUND semantics, so the (r6 desc, vec_id asc)
+    neighbor ranking can never disagree with the oracle's window."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            c: pd.Series([], dtype="int64")
+            for c in (
+                "vec_id",
+                "list_id",
+                "own_label",
+                "n_neighbors",
+                "majority_label",
+                "n_agree",
+                "is_mislabel",
+            )
+        }
+    )
+    m = len(pdf)
+    if m < 2 or m > MAX_EMB_BUCKET:
+        return empty
+    pdf = pdf.sort_values("vec_id")
+    V = np.stack(pdf["v"].to_numpy())
+    nrm = pdf["norm"].to_numpy()
+    ids = pdf["vec_id"].to_numpy()
+    labs = pdf["label"].to_numpy().astype(np.int64)
+    C = np.zeros((m, m))
+    for i in range(DIM):  # dimension-order fold == engines' left fold
+        C += np.outer(V[:, i], V[:, i])
+    cos = C / np.outer(nrm, nrm)  # nrm > 0 guaranteed upstream
+    # DuckDB ROUND(x, 6) rounds half away from zero; np.round would
+    # round half to even, so quantize explicitly.
+    r6 = np.where(
+        cos >= 0, np.floor(cos * 1e6 + 0.5), -np.floor(-cos * 1e6 + 0.5)
+    ).astype(np.int64)
+    k = min(TOP_K, m - 1)
+    out = {c: [] for c in empty.columns}
+    list_id = int(pdf["list_id"].iloc[0])
+    for i in range(m):
+        # lexsort: last key is primary -> (-r6 asc == r6 desc, vec_id asc)
+        order = np.lexsort((ids, -r6[i]))
+        nb = [j for j in order if j != i][:k]
+        votes: dict[int, int] = {}
+        for j in nb:
+            votes[int(labs[j])] = votes.get(int(labs[j]), 0) + 1
+        maj = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out["vec_id"].append(int(ids[i]))
+        out["list_id"].append(list_id)
+        out["own_label"].append(int(labs[i]))
+        out["n_neighbors"].append(k)
+        out["majority_label"].append(maj)
+        out["n_agree"].append(votes.get(int(labs[i]), 0))
+        out["is_mislabel"].append(int(maj != labs[i]))
+    return pd.DataFrame({c: pd.Series(v, dtype="int64") for c, v in out.items()})
+
+
+def q_knn_label_noise(spark, sf):
+    """k-NN label-noise screen (the confident-learning / cleanlab-style
+    mislabel audit a labeled-embedding pipeline runs before training):
+    each vector's k nearest within-cluster neighbors vote on its
+    label; a vector whose neighborhood majority disagrees with its own
+    label is flagged as probable label noise.
+
+    Scale shape: neighbor search runs ONLY within a vector's own IVF
+    cluster — the single-probe candidate set of the shared
+    session-persisted index build (_assigned), the same blocked shape
+    as semdedup: one shuffle on cluster id feeds a per-cluster
+    Arrow-batched numpy kernel; no pair relation ever materializes.
+    Clusters above MAX_EMB_BUCKET members are dropped before the
+    grouped-map shuffle by the broadcast census semi-join (the
+    standard degenerate-bucket cap), singletons have no neighbors to
+    vote; both exclusions are mirrored in the oracle's `small` CTE.
+
+    Determinism: cosines are the bit-identical dimension-order fold;
+    neighbor ranking uses half-away-from-zero integer micro-units
+    (DuckDB's ROUND) with vec_id tie-break; votes are exact integers
+    with majority ties broken by smallest label in both engines."""
+    assigned = _assigned(spark, sf)
+    rows = assigned.where((F.col("norm") > 0) & F.col("label").isNotNull())
+    csz = rows.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_members"))
+    searchable = rows.join(
+        F.broadcast(
+            csz.where(
+                (F.col("n_members") >= 2) & (F.col("n_members") <= MAX_EMB_BUCKET)
+            ).select("list_id")
+        ),
+        "list_id",
+        "left_semi",
+    )
+    out = searchable.groupBy("list_id").applyInPandas(
+        _knn_cluster_votes,
+        "vec_id long, list_id long, own_label long, n_neighbors long, "
+        "majority_label long, n_agree long, is_mislabel long",
+    )
+    return out.select(
+        "vec_id",
+        "list_id",
+        "own_label",
+        "n_neighbors",
+        "majority_label",
+        "n_agree",
+        "is_mislabel",
+    ).orderBy("vec_id")
+
+
+def _sql_knn_label_noise() -> str:
+    return f"""
+WITH {_SQL_ASSIGNED_CTES},
+nz AS (SELECT * FROM assigned WHERE nrm > 0 AND label IS NOT NULL),
+csz AS (SELECT list_id, count(*) AS n_members FROM nz GROUP BY 1),
+small AS (SELECT a.* FROM nz a JOIN csz USING (list_id)
+          WHERE n_members BETWEEN 2 AND {MAX_EMB_BUCKET}),
+pairs AS (
+  SELECT list_id, vec_id, own_label, nb_id, nb_label,
+         CAST(CASE WHEN c >= 0 THEN floor(c * 1000000.0 + 0.5)
+              ELSE -floor(-c * 1000000.0 + 0.5) END AS BIGINT) AS r6
+  FROM (SELECT a.list_id, a.vec_id, a.label AS own_label,
+               b.vec_id AS nb_id, b.label AS nb_label,
+               list_sum(list_transform(range(1, {DIM + 1}), i -> a.v[i] * b.v[i]))
+                 / (a.nrm * b.nrm) AS c
+        FROM small a JOIN small b
+          ON a.list_id = b.list_id AND a.vec_id != b.vec_id)),
+knn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY r6 DESC, nb_id) AS rk
+    FROM pairs) WHERE rk <= {TOP_K}),
+votes AS (
+  SELECT vec_id, list_id, own_label, nb_label, CAST(count(*) AS BIGINT) AS cnt
+  FROM knn GROUP BY 1, 2, 3, 4),
+maj AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cnt DESC, nb_label) AS mrk,
+         CAST(SUM(cnt) OVER (PARTITION BY vec_id) AS BIGINT) AS n_neighbors
+  FROM votes),
+agree AS (
+  SELECT vec_id,
+         CAST(COALESCE(SUM(CASE WHEN nb_label = own_label THEN cnt END), 0)
+              AS BIGINT) AS n_agree
+  FROM votes GROUP BY 1)
+SELECT m.vec_id, m.list_id, CAST(m.own_label AS BIGINT) AS own_label,
+       m.n_neighbors, CAST(m.nb_label AS BIGINT) AS majority_label,
+       a.n_agree,
+       CAST(CASE WHEN m.nb_label != m.own_label THEN 1 ELSE 0 END AS BIGINT)
+         AS is_mislabel
+FROM maj m JOIN agree a USING (vec_id) WHERE m.mrk = 1 ORDER BY m.vec_id
+"""
+
+
 QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "similarity_topk": q_similarity_topk,
@@ -719,6 +946,8 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semdedup": q_semdedup,
     "embedding_outliers": q_embedding_outliers,
+    "cluster_purity": q_cluster_purity,
+    "knn_label_noise": q_knn_label_noise,
 }
 
 ORACLES = {
@@ -729,4 +958,6 @@ ORACLES = {
     "dedup_embedding_cosine": _sql_dedup_embedding_cosine(),
     "semdedup": _sql_semdedup(),
     "embedding_outliers": _sql_embedding_outliers(),
+    "cluster_purity": _sql_cluster_purity(),
+    "knn_label_noise": _sql_knn_label_noise(),
 }

@@ -167,3 +167,27 @@ def test_embedding_outliers_reuses_index_broadcasts_stats(spark, registry):
     assert "InMemoryTableScan" in plan
     assert n_wide_joins(plan) == 0
     assert "BroadcastHashJoin" in plan
+
+
+def test_cluster_purity_reuses_index_no_wide_joins(spark, registry):
+    """Purity reads the SESSION-PERSISTED IVF assignment; after the
+    one map-side-combined (list_id, label) count shuffle everything
+    runs on the <= nlist x n_labels count relation — a wide join
+    anywhere means the corpus shuffled for what must stay a cached
+    read + bounded aggregate."""
+    registry["cluster_purity"](spark, SF)  # build the cache
+    plan = plan_of(spark, registry, "cluster_purity")
+    assert "InMemoryTableScan" in plan
+    assert n_wide_joins(plan) == 0
+
+
+def test_knn_label_noise_blocked_kernel_no_wide_joins(spark, registry):
+    """The vote runs as a per-cluster Arrow-batched grouped-map kernel
+    over the cached assignment (the semdedup shape): the census cap
+    join must be broadcast and no pair self-join relation may exist."""
+    registry["knn_label_noise"](spark, SF)  # build the cache
+    plan = plan_of(spark, registry, "knn_label_noise")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "InMemoryTableScan" in plan
+    assert n_wide_joins(plan) == 0
+    assert "BroadcastHashJoin" in plan

@@ -9,13 +9,25 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 
 DRIVER_GRADE_BUDGET = 50
 
-# Tier 0 this round: entries whose execution changes in r8 — the
-# bounded exact-quantile engine (col_quantiles, mad_outliers), the
+# Tier 0 this round: the four operators NEW in r8 (never graded)
+# plus entries whose execution changes in r8 — the bounded
+# exact-quantile engine (col_quantiles, mad_outliers), the
 # profile_table pair-collapse census, fixed-point kmeans assignment
 # and reconciliation units, drift_ks's full-frame totals, plus every
 # dsum consumer (the term cast moved DECIMAL(30,6)→(18,6); values
 # hash-proven identical, plans new) — all MUST be inside the budget.
+# Exceptions rotated out on the local-proof rule (r6-green driver
+# rows + 3-SF value-equal proofs in ORACLE_SFSWEEP_r8, needed to keep
+# every R4_STALE entry inside the 50): streaming_join (dsum set) and
+# semdedup / ann_recall_eval (oracle SQL text changed when the shared
+# IVF CTE chain picked up the label column).
 NEW_OR_CHANGED = {
+    # new in r8
+    "corr_matrix", "embedding_outliers", "cluster_purity",
+    "knn_label_noise",
+    # changed-SQL index entry that is also R4-stale
+    "similarity_ann_ivf",
+    # r8 engine changes
     "col_quantiles", "mad_outliers", "profile_table",
     "kmeans_embeddings", "reconciliation_check", "drift_ks",
     # dsum consumers (r8 term-cast change)
@@ -26,7 +38,6 @@ NEW_OR_CHANGED = {
     "q20_potential_promotion", "events_windowed", "events_sessionized",
     "events_rollup", "column_sum_check", "combined_single_pass",
     "streaming_windowed", "streaming_dedup", "streaming_enriched",
-    "streaming_join",
 }
 
 # Entries whose last PROVEN driver-green row is CORRECTNESS_r04: the

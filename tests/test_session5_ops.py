@@ -521,3 +521,146 @@ def test_embedding_outliers_orthogonal_corpus(spark, emb_dir):
         assert r["mean_dist"] == 0.0, lid
     assert rows[3]["n_vecs"] == 3
     assert all(rows[i]["n_vecs"] == 1 for i in range(16) if i != 3)
+
+
+# -- cluster_purity / knn_label_noise --------------------------------------
+def _brute_assignment(spark, sf):
+    """Brute-force IVF coarse assignment on the real corpus with the
+    exact engine rules (left-to-right dot fold, round(cos,9), tie ->
+    lowest cent_id). Returns (clusters: list_id -> [row index],
+    ids, vecs, labels)."""
+    import numpy as np
+
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.similarity import _derived_params
+
+    emb = load(spark, sf, "embeddings").toPandas().sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    vecs = [np.asarray(v, dtype=np.float64) for v in emb.embedding]
+    labels = emb.label.to_numpy().astype(int)
+    _, nlist = _derived_params(spark, sf)
+    cents = [(int(i), vecs[k]) for k, i in enumerate(ids) if i < nlist]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    norms = [np.sqrt(fold_dot(v, v)) for v in vecs]
+    cnorms = {cid: np.sqrt(fold_dot(cv, cv)) for cid, cv in cents}
+    clusters: dict[int, list[int]] = {}
+    for k in range(len(ids)):
+        best = None
+        for cid, cv in cents:
+            c = round(fold_dot(vecs[k], cv) / (norms[k] * cnorms[cid]), 9)
+            if best is None or c > best[0]:
+                best = (c, cid)
+        clusters.setdefault(best[1], []).append(k)
+    return clusters, ids, vecs, labels, norms
+
+
+def test_cluster_purity_brute_force(spark):
+    from data_validator_spark.queries.similarity import q_cluster_purity
+
+    rows = {r["list_id"]: r for r in q_cluster_purity(spark, SF).collect()}
+    clusters, ids, _vecs_, labels, _norms = _brute_assignment(spark, SF)
+    assert set(rows) == set(clusters)
+    for cid, members in clusters.items():
+        r = rows[cid]
+        counts: dict[int, int] = {}
+        for k in members:
+            counts[int(labels[k])] = counts.get(int(labels[k]), 0) + 1
+        maj_label, maj_n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert r["n_vecs"] == len(members), cid
+        assert r["n_labels"] == len(counts), cid
+        assert r["majority_label"] == maj_label, cid
+        assert r["n_majority"] == maj_n, cid
+        assert abs(r["purity"] - round(maj_n / len(members), 6)) < 2e-6, cid
+
+
+def test_knn_label_noise_brute_force(spark):
+    """Recompute the whole vote in Python on the real sf0.001 corpus
+    with the exact kernel rules: dimension-order == left fold dots,
+    half-away-from-zero micro-unit ranking, vec_id tie-break,
+    majority ties to the smallest label."""
+    import math
+
+    from data_validator_spark.queries.similarity import (
+        MAX_EMB_BUCKET,
+        TOP_K,
+        q_knn_label_noise,
+    )
+
+    got = {r["vec_id"]: r for r in q_knn_label_noise(spark, SF).collect()}
+    clusters, ids, vecs, labels, norms = _brute_assignment(spark, SF)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    expected_ids = set()
+    for cid, members in clusters.items():
+        m = len(members)
+        if m < 2 or m > MAX_EMB_BUCKET:
+            continue
+        k = min(TOP_K, m - 1)
+        for i in members:
+            expected_ids.add(int(ids[i]))
+            scored = []
+            for j in members:
+                if j == i:
+                    continue
+                c = fold_dot(vecs[i], vecs[j]) / (norms[i] * norms[j])
+                r6 = (
+                    math.floor(c * 1e6 + 0.5)
+                    if c >= 0
+                    else -math.floor(-c * 1e6 + 0.5)
+                )
+                scored.append((-r6, int(ids[j]), int(labels[j])))
+            scored.sort()
+            votes: dict[int, int] = {}
+            for _r6, _nid, lab in scored[:k]:
+                votes[lab] = votes.get(lab, 0) + 1
+            maj = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            r = got[int(ids[i])]
+            assert r["list_id"] == cid, ids[i]
+            assert r["own_label"] == int(labels[i]), ids[i]
+            assert r["n_neighbors"] == k, ids[i]
+            assert r["majority_label"] == maj, ids[i]
+            assert r["n_agree"] == votes.get(int(labels[i]), 0), ids[i]
+            assert r["is_mislabel"] == int(maj != int(labels[i])), ids[i]
+    assert set(got) == expected_ids
+    assert any(r["is_mislabel"] == 1 for r in got.values())  # corpus has noise
+
+
+def test_cluster_purity_orthogonal_corpus(spark, emb_dir):
+    """One-hot corpus, all labels 0: every cluster is pure; cluster 3
+    carries the two duplicates."""
+    from data_validator_spark.queries.similarity import q_cluster_purity
+
+    rows = {r["list_id"]: r for r in q_cluster_purity(spark, emb_dir).collect()}
+    assert set(rows) == set(range(16))
+    for lid, r in rows.items():
+        assert r["n_labels"] == 1, lid
+        assert r["majority_label"] == 0, lid
+        assert r["purity"] == 1.0, lid
+    assert rows[3]["n_vecs"] == 3
+
+
+def test_knn_label_noise_orthogonal_corpus(spark, emb_dir):
+    """Only cluster 3 has >= 2 members (ids 3, 16, 17 — identical
+    vectors, same label): each votes with its 2 cluster-mates and
+    nothing is flagged; every singleton cluster is excluded."""
+    from data_validator_spark.queries.similarity import q_knn_label_noise
+
+    rows = {r["vec_id"]: r for r in q_knn_label_noise(spark, emb_dir).collect()}
+    assert set(rows) == {3, 16, 17}
+    for vid, r in rows.items():
+        assert r["list_id"] == 3, vid
+        assert r["n_neighbors"] == 2, vid
+        assert r["majority_label"] == 0, vid
+        assert r["n_agree"] == 2, vid
+        assert r["is_mislabel"] == 0, vid
