@@ -141,6 +141,9 @@ HEADLINE = [
     "embedding_outliers",
     "cluster_purity",
     "knn_label_noise",
+    "vocab_growth",
+    "domain_diversity",
+    "lang_id_confusion",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",

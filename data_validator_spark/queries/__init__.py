@@ -368,6 +368,17 @@ GRADE_PRIORITY = [
     "events_anomaly",
     "multimodal_meta",
     "multimodal_resize",
+    # tier 4 — NEW_LOCAL_ONLY (r8 batch 2): operators added while the
+    # 50-entry grading budget was already saturated with never-graded
+    # and stale entries, so they sit BELOW the cut by the r6-verdict
+    # convention. Evidence: 3-SF oracle proofs (ORACLE_LOCAL_r8 /
+    # ORACLE_SFSWEEP_r8) + brute-force pytest twins
+    # (tests/test_curation_ops.py). They are integer-exact end to end
+    # (counts and micro-unit floor divisions only), the lowest
+    # hash-drift-risk class in the registry.
+    "vocab_growth",
+    "domain_diversity",
+    "lang_id_confusion",
 ]
 
 
@@ -376,6 +387,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         accel_ops,
         analytics,
         corpus_ops,
+        curation_ops,
         dedup,
         graph_ops,
         mining_ops,
@@ -402,6 +414,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         similarity,
         multimodal,
         corpus_ops,
+        curation_ops,
         mining_ops,
         accel_ops,
         warehouse_ops,

@@ -1,0 +1,280 @@
+"""Corpus-curation audit operators (SURVEY §2 LLM-pipeline rows
+vocab_growth / domain_diversity / lang_id_confusion).
+
+Training-data curation needs more than filters: before committing a
+100 TB mix you audit its *composition* — is the vocabulary still
+growing (Heaps' law) or has crawl dedup saturated it, is any language
+dominated by a single source (diversity / data-mixing audit), and how
+well does the cheap language-ID heuristic agree with the gold labels
+(the router every downstream lang-conditional step trusts)?
+
+All three operators are **integer-exact end to end** — counts, floor
+divisions in micro-units, no floats — so the driver's cross-engine
+value hash cannot drift: there is nothing to round. Floor division is
+written `a div b` (Spark) / `a // b` (DuckDB) with every numerator
+non-negative, where the two engines agree (Spark `div` truncates
+toward zero, DuckDB `//` floors — identical for non-negatives).
+
+Scale notes per operator are in the docstrings; none of the three
+materializes anything bigger than vocabulary-scale, and every join is
+a ≤10-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_validator_spark.functions.text import (
+    LANG_STOPWORDS,
+    lang_best_struct,
+    normalized_text,
+)
+from data_validator_spark.queries import load, spread
+from data_validator_spark.queries.textops import SQL_NORM
+
+# -- vocab_growth: Heaps-law vocabulary growth curve -------------------------
+N_DECILES = 10
+
+
+def q_vocab_growth(spark, sf):
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct-token
+    count and token-occurrence count at 10 doc_id-ordered checkpoints.
+    A healthy natural corpus grows its vocabulary ~ N^beta (beta≈0.5);
+    a flat tail means the crawl is re-reading the same material (dedup
+    saturation), a linear tail means degenerate/unique-junk tokens
+    (boilerplate ids, hashes) — both are pre-training red flags.
+
+    Scale: the cumulative-distinct problem is rewritten as a
+    first-occurrence aggregation — ONE map-side-combined
+    groupBy(token).min(doc_id) produces a vocabulary-scale relation,
+    and each checkpoint's distinct count is the number of tokens whose
+    first occurrence precedes it. Per-doc occurrence counts are
+    computed in-row (no occurrence-scale shuffle). Both relations then
+    join a 10-row broadcast checkpoint table (BroadcastNestedLoopJoin
+    on `<`, ≤10× fan-out) and collapse by decile. No global sort, no
+    corpus-scale window — the curve costs two bounded shuffles at any
+    corpus size.
+
+    Determinism: all outputs are BIGINT counts; checkpoint thresholds
+    are integer floor-divisions of the doc_id span (numerators
+    non-negative, so Spark `div` == DuckDB `//`)."""
+    docs = spread(load(spark, sf, "documents")).select(
+        "doc_id", normalized_text(F.col("text")).alias("norm")
+    )
+    bounds = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    cps = (
+        bounds.select(
+            F.explode(F.sequence(F.lit(1), F.lit(N_DECILES))).alias("decile"),
+            "mn",
+            "mx",
+        )
+        .select(
+            "decile",
+            (
+                F.col("mn")
+                + F.expr(f"((mx - mn + 1) * decile) div {N_DECILES}")
+            ).alias("thr"),
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("norm"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    firsts = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    dtoks = docs.select(
+        "doc_id",
+        F.when(F.col("norm") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("norm"), " ")))
+        .alias("n_toks"),
+    )
+    dstats = (
+        dtoks.join(F.broadcast(cps), F.col("doc_id") < F.col("thr"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_token_occurrences"),
+        )
+    )
+    vstats = (
+        firsts.join(F.broadcast(cps), F.col("first_doc") < F.col("thr"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    return (
+        cps.join(dstats, "decile", "left")
+        .join(vstats, "decile", "left")
+        .select(
+            "decile",
+            F.col("thr").alias("threshold_doc"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("n_token_occurrences", F.lit(0))
+            .cast("bigint")
+            .alias("n_token_occurrences"),
+            F.coalesce("vocab_size", F.lit(0)).cast("bigint").alias("vocab_size"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH docs AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
+b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM docs),
+cps AS (SELECT CAST(i AS INT) AS decile,
+               mn + ((mx - mn + 1) * i) // {N_DECILES} AS thr
+        FROM b, range(1, {N_DECILES + 1}) r(i)),
+toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM docs),
+firsts AS (SELECT token, min(doc_id) AS first_doc
+           FROM toks WHERE token <> '' GROUP BY token),
+dtoks AS (SELECT doc_id,
+                 CASE WHEN norm = '' THEN 0
+                      ELSE len(string_split(norm, ' ')) END AS n_toks
+          FROM docs),
+dstats AS (SELECT decile, count(*) AS n_docs,
+                  CAST(sum(n_toks) AS BIGINT) AS n_token_occurrences
+           FROM cps JOIN dtoks ON doc_id < thr GROUP BY decile),
+vstats AS (SELECT decile, count(*) AS vocab_size
+           FROM cps JOIN firsts ON first_doc < thr GROUP BY decile)
+SELECT c.decile, c.thr AS threshold_doc,
+       CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(d.n_token_occurrences, 0) AS BIGINT) AS n_token_occurrences,
+       CAST(COALESCE(v.vocab_size, 0) AS BIGINT) AS vocab_size
+FROM cps c LEFT JOIN dstats d USING (decile) LEFT JOIN vstats v USING (decile)
+ORDER BY decile
+"""
+
+
+# -- domain_diversity: per-language source-mix indices ------------------------
+MICRO = 1_000_000
+
+
+def q_domain_diversity(spark, sf):
+    """Per-language source-diversity audit — the data-mixing check run
+    before freezing a corpus blend: Simpson concentration Σ(c_i/T)²,
+    its inverse (the "effective number of sources"), and the
+    Berger-Parker top-source share, each in exact integer micro-units
+    ((x * 1e6) floor-div denominator — no float division anywhere).
+    A language whose inv_simpson ≈ 1 is effectively a single-source
+    corpus however many sources nominally appear.
+
+    Scale: one map-side-combined (lang, source) census — the only
+    corpus-scale pass — then an index computation on the census
+    relation (≤ |langs|×|sources| rows). Two shuffles total, both
+    after partial aggregation.
+
+    Determinism/overflow: BIGINT throughout; sum_sq*1e6 and n_docs²*1e6
+    stay under 2^63 up to ~10^6 docs/language per source-census cell
+    bound — beyond that (real 100 TB runs) the same expressions promote
+    to DECIMAL(38,0) sums, a one-line change noted here for the census
+    aggregate; the micro-unit floor-div contract is unchanged."""
+    df = spread(load(spark, sf, "documents"))
+    cells = df.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    agg = cells.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+        F.max("c").alias("max_c"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        F.expr(f"(sum_sq * {MICRO}) div (n_docs * n_docs)").alias("simpson_micro"),
+        F.expr(f"(n_docs * n_docs * {MICRO}) div sum_sq").alias("inv_simpson_micro"),
+        F.expr(f"(max_c * {MICRO}) div n_docs").alias("top_source_share_micro"),
+    ).orderBy("lang")
+
+
+SQL_DOMAIN_DIVERSITY = f"""
+WITH cells AS (SELECT lang, source, count(*) AS c
+               FROM documents GROUP BY lang, source),
+agg AS (SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               count(*) AS n_sources,
+               CAST(sum(c * c) AS BIGINT) AS sum_sq,
+               max(c) AS max_c
+        FROM cells GROUP BY lang)
+SELECT lang, n_docs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       (sum_sq * {MICRO}) // (n_docs * n_docs) AS simpson_micro,
+       (n_docs * n_docs * {MICRO}) // sum_sq AS inv_simpson_micro,
+       (max_c * {MICRO}) // n_docs AS top_source_share_micro
+FROM agg ORDER BY lang
+"""
+
+
+# -- lang_id_confusion: heuristic language-ID vs gold labels -----------------
+def q_lang_id_confusion(spark, sf):
+    """Confusion matrix of the stopword-hit language-ID heuristic
+    (functions.text.lang_best_struct — the same argmax the `lang_id`
+    registry entry emits) against the corpus's gold `lang` labels.
+    This is the eval every pipeline owes its cheapest classifier: the
+    lang-ID routes documents into per-language quality/dedup arms, so
+    a systematically confused pair (or a large 'und' column) silently
+    misroutes data at 100 TB.
+
+    Scale: the prediction is one map-only projection (the struct is
+    selected into a column first so each language's hit count is
+    evaluated exactly once per row); the matrix is a
+    map-side-combined groupBy over ≤ (|langs|+1)² cells. One shuffle.
+
+    Determinism: counts only; ties in the argmax break on language
+    code in BOTH engines (array_min struct order here, the
+    GREATEST/CASE mirror in the oracle)."""
+    df = spread(load(spark, sf, "documents"))
+    pred = df.select(
+        "lang", lang_best_struct(F.col("text")).alias("b")
+    ).select(
+        F.col("lang").alias("gold_lang"),
+        F.when(-F.col("b.neg") > 0, F.col("b.lang"))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+    )
+    return (
+        pred.groupBy("gold_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "gold_lang",
+            "pred_lang",
+            "n_docs",
+            (F.col("gold_lang") == F.col("pred_lang")).cast("int").alias("is_match"),
+        )
+        .orderBy("gold_lang", "pred_lang")
+    )
+
+
+def _sql_lang_id_confusion() -> str:
+    """GREATEST/CASE mirror of the lang-ID argmax (same construction as
+    textops._sql_lang_id), aggregated into the (gold, pred) matrix."""
+    hits = []
+    for code in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[code])
+        hits.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),"
+            f" t -> t IN ({words}))) AS s_{code}"
+        )
+    best = "GREATEST(" + ", ".join(f"s_{c}" for c in sorted(LANG_STOPWORDS)) + ")"
+    whens = "\n       ".join(
+        f"WHEN s_{c} = best AND best > 0 THEN '{c}'" for c in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+WITH h AS (SELECT lang, {", ".join(hits)} FROM documents),
+b AS (SELECT *, {best} AS best FROM h),
+p AS (SELECT lang AS gold_lang,
+             CASE {whens} ELSE 'und' END AS pred_lang
+      FROM b)
+SELECT gold_lang, pred_lang, count(*) AS n_docs,
+       CAST(gold_lang = pred_lang AS INT) AS is_match
+FROM p GROUP BY gold_lang, pred_lang ORDER BY gold_lang, pred_lang
+"""
+
+
+QUERIES = {
+    "vocab_growth": q_vocab_growth,
+    "domain_diversity": q_domain_diversity,
+    "lang_id_confusion": q_lang_id_confusion,
+}
+
+ORACLES = {
+    "vocab_growth": SQL_VOCAB_GROWTH,
+    "domain_diversity": SQL_DOMAIN_DIVERSITY,
+    "lang_id_confusion": _sql_lang_id_confusion(),
+}

@@ -61,8 +61,12 @@ R4_STALE = {
 # entry carries a hash oracle.
 ROWS_ONLY: set[str] = set()
 
-# Entries below the budget cut with no driver row — EMPTY as of r6.
-NEW_LOCAL_ONLY: set[str] = set()
+# Entries below the budget cut with no driver row: the r8 batch-2
+# operators, added while the 50-entry budget was saturated (the r6
+# verdict's NEW_LOCAL_ONLY convention). Evidence: 3-SF oracle proofs
+# + brute-force pytest twins (tests/test_curation_ops.py); all three
+# are integer-exact (counts / micro-unit floor divisions only).
+NEW_LOCAL_ONLY: set[str] = {"vocab_growth", "domain_diversity", "lang_id_confusion"}
 
 
 def test_priority_list_matches_registry():
