@@ -144,6 +144,8 @@ HEADLINE = [
     "vocab_growth",
     "domain_diversity",
     "lang_id_confusion",
+    "rfm_segments",
+    "event_seasonality",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",

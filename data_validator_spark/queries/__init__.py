@@ -379,6 +379,8 @@ GRADE_PRIORITY = [
     "vocab_growth",
     "domain_diversity",
     "lang_id_confusion",
+    "rfm_segments",
+    "event_seasonality",
 ]
 
 

@@ -970,6 +970,64 @@ ORDER BY co_orders DESC, part_a, part_b LIMIT {COPURCHASE_TOPK}
 """
 
 
+# -- event_seasonality -------------------------------------------------------
+def q_event_seasonality(spark, sf):
+    """Hour-of-week seasonality profile of the event stream — the load
+    census behind capacity planning, anomaly baselines ("is Tuesday
+    3am traffic normal?"), and train/serve drift checks on
+    time-of-day features.
+
+    Scale: one map-side-combined groupBy over ≤ 7×24 cells — the
+    aggregate state is constant-size regardless of stream volume —
+    then share-of-total on the 168-row relation via a broadcast
+    one-row total. One shuffle.
+
+    Determinism: counts are BIGINT; the value sum goes through the
+    package dsum (DECIMAL(18,6) terms — order-independent in both
+    engines); shares are micro-unit integer floor divisions.
+    Day-of-week conventions differ (Spark 1=Sunday..7, DuckDB
+    0=Sunday..6): Spark emits dayofweek-1 to land on DuckDB's frame.
+    """
+    from data_validator_spark.queries import dsum
+
+    df = spread(load(spark, sf, "events"))
+    cells = (
+        df.select(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "value_sum"))
+    )
+    tot = cells.agg(F.sum("n_events").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            "value_sum",
+            F.expr("(n_events * 1000000) div n_total").alias("share_micro"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+SQL_EVENT_SEASONALITY = """
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hour,
+         count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY 1, 2),
+t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM cells)
+SELECT dow, hour, n_events, value_sum,
+       (n_events * 1000000) // n_total AS share_micro
+FROM cells, t ORDER BY dow, hour
+"""
+
+
 QUERIES = {
     "copurchase_similarity": q_copurchase_similarity,
     "hll_distinct": q_hll_distinct,
@@ -980,6 +1038,7 @@ QUERIES = {
     "events_gap_fill": q_events_gap_fill,
     "events_time_weighted": q_events_time_weighted,
     "char_entropy": q_char_entropy,
+    "event_seasonality": q_event_seasonality,
 }
 
 ORACLES = {
@@ -992,4 +1051,5 @@ ORACLES = {
     "events_gap_fill": SQL_GAP_FILL,
     "events_time_weighted": SQL_TIME_WEIGHTED,
     "char_entropy": SQL_CHAR_ENTROPY,
+    "event_seasonality": SQL_EVENT_SEASONALITY,
 }

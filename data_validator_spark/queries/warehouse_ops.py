@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import load
+from data_validator_spark.queries import load, register_session_cache
 
 
 # -- cdc_upsert ------------------------------------------------------------
@@ -233,14 +233,175 @@ FROM current GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+# -- rfm_segments ------------------------------------------------------------
+# RFM (recency / frequency / monetary) customer segmentation — the
+# classic warehouse cohort analysis, done WITHOUT a global ntile: each
+# dimension's quintile boundaries come from the bounded
+# histogram-refinement exact-quantile engine (operators/
+# exact_quantile.py — the same quantile_cont statistic DuckDB
+# computes, bit-for-bit), and scoring is then four broadcast-literal
+# comparisons per dimension. No corpus-scale window or sort anywhere.
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+_RFM_CACHE: dict = register_session_cache({})
+
+
+def _rfm_relation(spark, sf):
+    """Per-customer (recency_days, frequency, monetary_cents) relation,
+    session-persisted: the exact-quantile engine scans it 2-3 times
+    (stats pass + histogram round + bounded selection) before the
+    final scoring aggregation reads it once more."""
+    from pyspark import StorageLevel
+
+    from data_validator_spark.queries import spread
+
+    key = (spark.sparkContext.applicationId, str(sf))
+    cached = _RFM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    orders = spread(load(spark, sf, "orders"))
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    gmax = per_cust.agg(F.max("last_order").alias("gmax"))
+    rfm = per_cust.crossJoin(F.broadcast(gmax)).select(
+        "o_custkey",
+        F.datediff("gmax", "last_order").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary_cents").cast("bigint").alias("monetary_cents"),
+    )
+    rfm = rfm.persist(StorageLevel.MEMORY_AND_DISK)
+    _RFM_CACHE[key] = rfm
+    return rfm
+
+
+def q_rfm_segments(spark, sf):
+    """RFM customer segmentation census: score each customer 1-5 on
+    recency (5 = most recent), frequency, and monetary value, then
+    report each (r, f, m) segment's size and exact metric totals —
+    the cohort table behind churn/win-back targeting.
+
+    Scale: the naive plan is ntile(5) OVER (ORDER BY metric) — a
+    corpus-sized single-partition window, three times. Here each
+    dimension's 4 quintile boundaries come from the bounded
+    histogram-refinement engine (operators/exact_quantile.py: fused
+    stats pass + ≤ targets×2048-row histogram shuffles + one bounded
+    selection window — executors never hold more than `cap` values),
+    and scoring is 12 literal comparisons fused into the final
+    map-side-combined ≤125-cell aggregation. Works unchanged on 10^9
+    customers.
+
+    Determinism: metrics are exact integers (cents via the package's
+    floor(x*100+0.5) convention, dates at UTC midnight); boundaries
+    are quantile_cont doubles the engine reproduces bit-for-bit vs
+    DuckDB (tests/test_exact_quantile.py); scores compare an exact
+    integer against that shared double — same branch in both engines.
+    """
+    from data_validator_spark.operators.exact_quantile import (
+        QuantileSpec,
+        exact_quantiles,
+    )
+
+    rfm = _rfm_relation(spark, sf)
+    res = exact_quantiles(
+        rfm,
+        [
+            QuantileSpec(c, F.col(c), RFM_QS)
+            for c in ("recency_days", "frequency", "monetary_cents")
+        ],
+    )
+
+    def band(col: str):
+        s = F.lit(1)
+        for b in res[col].values:
+            s = s + (F.col(col) > F.lit(float(b))).cast("int")
+        return s
+
+    scored = rfm.select(
+        (F.lit(6) - band("recency_days")).alias("r_score"),
+        band("frequency").alias("f_score"),
+        band("monetary_cents").alias("m_score"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("recency_days").alias("recency_days_sum"),
+            F.sum("frequency").alias("frequency_sum"),
+            F.sum("monetary_cents").alias("monetary_cents_sum"),
+        )
+        .select(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).alias("segment"),
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            "recency_days_sum",
+            "frequency_sum",
+            "monetary_cents_sum",
+        )
+        .orderBy("segment")
+    )
+
+
+def _sql_rfm_segments() -> str:
+    qlist = "[" + ", ".join(str(q) for q in RFM_QS) + "]"
+
+    def band(col: str, arr: str) -> str:
+        return " + ".join(
+            f"CAST({col} > {arr}[{i}] AS INT)" for i in range(1, len(RFM_QS) + 1)
+        )
+
+    return f"""
+WITH pc AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey),
+g AS (SELECT max(last_order) AS gmax FROM pc),
+r AS (SELECT o_custkey,
+             CAST(date_diff('day', last_order, gmax) AS BIGINT) AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency,
+             CAST(monetary_cents AS BIGINT) AS monetary_cents
+      FROM pc, g),
+q AS (SELECT quantile_cont(recency_days, {qlist}) AS rq,
+             quantile_cont(frequency, {qlist}) AS fq,
+             quantile_cont(monetary_cents, {qlist}) AS mq
+      FROM r),
+s AS (SELECT CAST(6 - (1 + {band("recency_days", "rq")}) AS INT) AS r_score,
+             CAST(1 + {band("frequency", "fq")} AS INT) AS f_score,
+             CAST(1 + {band("monetary_cents", "mq")} AS INT) AS m_score,
+             recency_days, frequency, monetary_cents
+      FROM r, q)
+SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+       r_score, f_score, m_score,
+       count(*) AS n_customers,
+       CAST(sum(recency_days) AS BIGINT) AS recency_days_sum,
+       CAST(sum(frequency) AS BIGINT) AS frequency_sum,
+       CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents_sum
+FROM s GROUP BY 1, 2, 3, 4 ORDER BY segment
+"""
+
+
 QUERIES = {
     "cdc_upsert": q_cdc_upsert,
     "scd2_intervals": q_scd2_intervals,
     "ivm_agg": q_ivm_agg,
+    "rfm_segments": q_rfm_segments,
 }
 
 ORACLES = {
     "cdc_upsert": SQL_CDC_UPSERT,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "ivm_agg": SQL_IVM_AGG,
+    "rfm_segments": _sql_rfm_segments(),
 }

@@ -66,7 +66,10 @@ ROWS_ONLY: set[str] = set()
 # verdict's NEW_LOCAL_ONLY convention). Evidence: 3-SF oracle proofs
 # + brute-force pytest twins (tests/test_curation_ops.py); all three
 # are integer-exact (counts / micro-unit floor divisions only).
-NEW_LOCAL_ONLY: set[str] = {"vocab_growth", "domain_diversity", "lang_id_confusion"}
+NEW_LOCAL_ONLY: set[str] = {
+    "vocab_growth", "domain_diversity", "lang_id_confusion",
+    "rfm_segments", "event_seasonality",
+}
 
 
 def test_priority_list_matches_registry():
