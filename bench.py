@@ -146,6 +146,8 @@ HEADLINE = [
     "lang_id_confusion",
     "rfm_segments",
     "event_seasonality",
+    "tokenizer_fertility",
+    "user_activity_gini",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",

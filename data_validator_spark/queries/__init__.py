@@ -381,6 +381,8 @@ GRADE_PRIORITY = [
     "lang_id_confusion",
     "rfm_segments",
     "event_seasonality",
+    "tokenizer_fertility",
+    "user_activity_gini",
 ]
 
 

@@ -1028,6 +1028,97 @@ FROM cells, t ORDER BY dow, hour
 """
 
 
+# -- user_activity_gini -------------------------------------------------------
+def q_user_activity_gini(spark, sf):
+    """Per-event-type Gini coefficient of user activity — the
+    inequality audit behind bot/power-user detection and per-user
+    contribution caps in training-data collection (a type whose Gini
+    → 1 is dominated by a handful of accounts; capping them changes
+    the corpus, so you measure BEFORE you cap).
+
+    Scale: the naive Gini ranks every user (corpus-scale sort). Here
+    it runs on the COUNT-OF-COUNTS histogram: per-user activity
+    (map-side-combined groupBy, user-scale) collapses to (k = events
+    per user, f = users with k) — bounded by distinct activity
+    levels, thousands of rows at any corpus size — and the rank terms
+    come from one cumulative window over that tiny relation,
+    partitioned by event type. For a group of f users each with k
+    events occupying ranks r+1..r+f (ascending), 2·Σ rank·k =
+    k·f·(2r+f+1) exactly; with A = Σ that term, N users, S events,
+    Gini = (A - S·(N+1)) / (N·S) — a single non-negative rational
+    (Chebyshev's sum inequality gives A ≥ S·(N+1)), emitted as one
+    micro-unit floor division.
+
+    Determinism/overflow: BIGINT end to end; A ≤ 2·S·N stays under
+    2^63 through ~10^9 events × 10^5-active users per type — past
+    that the census aggregate promotes to DECIMAL(38,0), same
+    expressions (the domain_diversity note)."""
+    df = spread(load(spark, sf, "events"))
+    per_user = df.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    hist = per_user.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = hist.select(
+        "event_type",
+        "k",
+        "f",
+        F.coalesce(F.sum("f").over(w), F.lit(0)).alias("r_before"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("f").cast("bigint").alias("n_users"),
+        F.sum(F.col("k") * F.col("f")).cast("bigint").alias("n_events"),
+        F.sum(
+            F.col("k") * F.col("f") * (F.lit(2) * F.col("r_before") + F.col("f") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("a_term"),
+        F.max("k").cast("bigint").alias("max_events_per_user"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "n_events",
+        "max_events_per_user",
+        F.expr(
+            "((a_term - n_events * (n_users + 1)) * 1000000) div (n_users * n_events)"
+        ).alias("gini_micro"),
+    ).orderBy("event_type")
+
+
+SQL_USER_ACTIVITY_GINI = """
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS k
+  FROM events GROUP BY event_type, user_id),
+hist AS (
+  SELECT event_type, k, count(*) AS f
+  FROM per_user GROUP BY event_type, k),
+terms AS (
+  SELECT event_type, k, f,
+         COALESCE(SUM(f) OVER (PARTITION BY event_type ORDER BY k
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS r_before
+  FROM hist),
+agg AS (
+  SELECT event_type,
+         CAST(sum(f) AS BIGINT) AS n_users,
+         CAST(sum(k * f) AS BIGINT) AS n_events,
+         CAST(sum(k * f * (2 * r_before + f + 1)) AS BIGINT) AS a_term,
+         CAST(max(k) AS BIGINT) AS max_events_per_user
+  FROM terms GROUP BY event_type)
+SELECT event_type, n_users, n_events, max_events_per_user,
+       ((a_term - n_events * (n_users + 1)) * 1000000) // (n_users * n_events)
+         AS gini_micro
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "copurchase_similarity": q_copurchase_similarity,
     "hll_distinct": q_hll_distinct,
@@ -1039,6 +1130,7 @@ QUERIES = {
     "events_time_weighted": q_events_time_weighted,
     "char_entropy": q_char_entropy,
     "event_seasonality": q_event_seasonality,
+    "user_activity_gini": q_user_activity_gini,
 }
 
 ORACLES = {
@@ -1052,4 +1144,5 @@ ORACLES = {
     "events_time_weighted": SQL_TIME_WEIGHTED,
     "char_entropy": SQL_CHAR_ENTROPY,
     "event_seasonality": SQL_EVENT_SEASONALITY,
+    "user_activity_gini": SQL_USER_ACTIVITY_GINI,
 }

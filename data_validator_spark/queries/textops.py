@@ -521,6 +521,70 @@ FROM k ORDER BY doc_id
 """
 
 
+# -- tokenizer_fertility -----------------------------------------------------
+def q_tokenizer_fertility(spark, sf):
+    """Per-language tokenizer-fertility audit: characters per BPE-ish
+    token and BPE-ish tokens per whitespace word. Fertility drives
+    training cost directly — a language whose tokenizer fragments
+    words into many sub-tokens pays proportionally more compute per
+    character of signal, so this census decides tokenizer retraining
+    and per-language context budgeting.
+
+    Scale: per-row native token counts (zero Python, inside codegen)
+    feed one map-side-combined groupBy over |langs| groups — constant
+    aggregate state at any corpus size. One shuffle.
+
+    Determinism: BIGINT totals + micro-unit floor divisions
+    (numerators non-negative, zero denominators nulled via nullif in
+    BOTH engines)."""
+    df = spread(load(spark, sf, "documents"))
+    per = df.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        token_count(F.col("text")).alias("n_ws"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.sum("n_bpe").cast("bigint").alias("bpe_total"),
+        F.sum("n_ws").cast("bigint").alias("words_total"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "chars_total",
+        "bpe_total",
+        "words_total",
+        F.expr("(chars_total * 1000000) div nullif(bpe_total, 0)").alias(
+            "chars_per_bpe_micro"
+        ),
+        F.expr("(bpe_total * 1000000) div nullif(words_total, 0)").alias(
+            "bpe_per_word_micro"
+        ),
+    ).orderBy("lang")
+
+
+SQL_TOKENIZER_FERTILITY = r"""
+WITH per AS (
+  SELECT lang, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_bpe,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_ws
+  FROM documents),
+agg AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         CAST(sum(n_bpe) AS BIGINT) AS bpe_total,
+         CAST(sum(n_ws) AS BIGINT) AS words_total
+  FROM per GROUP BY lang)
+SELECT lang, n_docs, chars_total, bpe_total, words_total,
+       (chars_total * 1000000) // nullif(bpe_total, 0) AS chars_per_bpe_micro,
+       (bpe_total * 1000000) // nullif(words_total, 0) AS bpe_per_word_micro
+FROM agg ORDER BY lang
+"""
+
+
 QUERIES = {
     "repetition_strip": q_repetition_strip,
     "doc_chunk": q_doc_chunk,
@@ -531,6 +595,7 @@ QUERIES = {
     "doc_split_sample": q_doc_split_sample,
     "token_frequencies": q_token_frequencies,
     "corpus_train_filter": q_corpus_train_filter,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 ORACLES = {
@@ -543,4 +608,5 @@ ORACLES = {
     "doc_split_sample": SQL_DOC_SPLIT_SAMPLE,
     "token_frequencies": SQL_TOKEN_FREQUENCIES,
     "corpus_train_filter": SQL_CORPUS_TRAIN_FILTER,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
 }
