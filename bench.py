@@ -148,6 +148,7 @@ HEADLINE = [
     "event_seasonality",
     "tokenizer_fertility",
     "user_activity_gini",
+    "boilerplate_prefix",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",

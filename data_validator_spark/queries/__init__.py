@@ -383,6 +383,7 @@ GRADE_PRIORITY = [
     "event_seasonality",
     "tokenizer_fertility",
     "user_activity_gini",
+    "boilerplate_prefix",
 ]
 
 

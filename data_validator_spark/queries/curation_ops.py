@@ -267,14 +267,99 @@ FROM p GROUP BY gold_lang, pred_lang ORDER BY gold_lang, pred_lang
 """
 
 
+# -- boilerplate_prefix: shared-opening-template audit ------------------------
+PREFIX_TOKENS = 3
+
+
+def q_boilerplate_prefix(spark, sf):
+    """Boilerplate-prefix audit: documents that OPEN with the same
+    normalized PREFIX_TOKENS-token prefix share a template (scraped
+    headers, license banners, autogenerated intros) even when the full
+    text is unique — the exact-dup pass misses them entirely. This
+    census reports, per language, how much of the corpus sits in
+    shared-prefix groups; a rising share is the classic symptom of a
+    crawler caught in a template farm.
+
+    Scale: the prefix is computed in-row (slice of the normalized
+    token array — no explode); group sizes come from ONE
+    map-side-combined groupBy(prefix) (prefix-scale relation), joined
+    back key-to-key (never broadcast — the prefix relation is
+    corpus-vocabulary-scale), then collapsed to the |langs| census.
+    Two bounded shuffles + one key join.
+
+    Determinism: counts and micro-unit floor divisions only; docs
+    whose normalized text is empty are excluded in BOTH engines."""
+    docs = (
+        spread(load(spark, sf, "documents"))
+        .select("doc_id", "lang", normalized_text(F.col("text")).alias("norm"))
+        .where(F.col("norm") != "")
+    )
+    pref = docs.select(
+        "doc_id",
+        "lang",
+        F.array_join(
+            F.slice(F.split(F.col("norm"), " "), 1, PREFIX_TOKENS), " "
+        ).alias("prefix"),
+    )
+    groups = pref.groupBy("prefix").agg(F.count(F.lit(1)).alias("group_size"))
+    flagged = pref.join(groups, "prefix")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("prefix").alias("n_prefixes"),
+            F.sum((F.col("group_size") > 1).cast("bigint")).alias(
+                "n_docs_shared_prefix"
+            ),
+            F.max("group_size").alias("max_prefix_group"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_prefixes",
+            "n_docs_shared_prefix",
+            F.col("max_prefix_group").cast("bigint").alias("max_prefix_group"),
+            F.expr("(n_docs_shared_prefix * 1000000) div n_docs").alias(
+                "shared_share_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_BOILERPLATE_PREFIX = f"""
+WITH docs AS (
+  SELECT doc_id, lang, {SQL_NORM} AS norm FROM documents),
+pref AS (
+  SELECT doc_id, lang,
+         array_to_string(list_slice(string_split(norm, ' '), 1, {PREFIX_TOKENS}), ' ')
+           AS prefix
+  FROM docs WHERE norm <> ''),
+groups AS (SELECT prefix, count(*) AS group_size FROM pref GROUP BY prefix),
+flagged AS (SELECT p.lang, p.prefix, g.group_size
+            FROM pref p JOIN groups g USING (prefix))
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT prefix) AS BIGINT) AS n_prefixes,
+       CAST(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_shared_prefix,
+       CAST(max(group_size) AS BIGINT) AS max_prefix_group,
+       (CAST(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         // count(*) AS shared_share_micro
+FROM flagged GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "vocab_growth": q_vocab_growth,
     "domain_diversity": q_domain_diversity,
     "lang_id_confusion": q_lang_id_confusion,
+    "boilerplate_prefix": q_boilerplate_prefix,
 }
 
 ORACLES = {
     "vocab_growth": SQL_VOCAB_GROWTH,
     "domain_diversity": SQL_DOMAIN_DIVERSITY,
     "lang_id_confusion": _sql_lang_id_confusion(),
+    "boilerplate_prefix": SQL_BOILERPLATE_PREFIX,
 }

@@ -208,3 +208,82 @@ def test_lang_id_confusion_totals_on_corpus(spark):
     n = load(spark, SF, "documents").count()
     assert sum(r["n_docs"] for r in rows) == n
     assert all(r["n_docs"] > 0 for r in rows)
+
+
+# -- boilerplate_prefix ------------------------------------------------------
+@pytest.fixture(scope="module")
+def boil_dir(spark, tmp_path_factory):
+    rows = [
+        (0, "Terms of service apply here", "en", "s", 27),
+        (1, "terms of service differ completely", "en", "s", 34),
+        (2, "terms of service", "en", "s", 16),          # exactly 3 tokens
+        (3, "unique opening line one", "en", "s", 23),
+        (4, "short", "en", "s", 5),                      # 1-token prefix
+        (5, "short", "fr", "s", 5),                      # same prefix, other lang
+        (6, "", "fr", "s", 0),                           # excluded (empty norm)
+        (7, "!!!", "fr", "s", 3),                        # norm empty -> excluded
+        (8, "bonjour le monde entier", "fr", "s", 23),
+    ]
+    d = tmp_path_factory.mktemp("boildocs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d), rows
+
+
+def test_boilerplate_prefix_matches_brute_force(spark, boil_dir):
+    from collections import Counter, defaultdict
+
+    from data_validator_spark.queries.curation_ops import (
+        PREFIX_TOKENS,
+        q_boilerplate_prefix,
+    )
+
+    d, rows = boil_dir
+    pref = {}
+    for doc_id, text, lang, _, _ in rows:
+        nm = _norm(text)
+        if nm == "":
+            continue
+        pref[doc_id] = (lang, " ".join(nm.split(" ")[:PREFIX_TOKENS]))
+    sizes = Counter(p for _, p in pref.values())
+    agg = defaultdict(lambda: [0, set(), 0, 0])
+    for lang, p in pref.values():
+        a = agg[lang]
+        a[0] += 1
+        a[1].add(p)
+        a[2] += 1 if sizes[p] > 1 else 0
+        a[3] = max(a[3], sizes[p])
+    got = {r["lang"]: r for r in q_boilerplate_prefix(spark, d).collect()}
+    assert set(got) == set(agg)
+    for lang, (nd, ps, shared, mx) in agg.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_prefixes"], r["n_docs_shared_prefix"],
+                r["max_prefix_group"]) == (nd, len(ps), shared, mx)
+        assert r["shared_share_micro"] == (shared * 1_000_000) // nd
+    # cross-lang template: docs 4 (en) and 5 (fr) share prefix 'short',
+    # so BOTH languages see a shared-prefix doc
+    assert got["en"]["n_docs_shared_prefix"] >= 1
+    assert got["fr"]["n_docs_shared_prefix"] >= 1
+    # docs 0 and 1 normalize to the same 3-token opener 'terms of service'
+    assert got["en"]["max_prefix_group"] >= 3  # docs 0, 1, 2
+
+
+def test_boilerplate_prefix_totals_on_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.functions.text import normalized_text
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.curation_ops import q_boilerplate_prefix
+
+    rows = q_boilerplate_prefix(spark, SF).collect()
+    n_nonempty = (
+        load(spark, SF, "documents")
+        .where(normalized_text(F.col("text")) != "")
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_nonempty
+    for r in rows:
+        assert 0 <= r["n_docs_shared_prefix"] <= r["n_docs"]
+        assert r["n_prefixes"] <= r["n_docs"]
+        assert 0 <= r["shared_share_micro"] <= 1_000_000

@@ -69,7 +69,7 @@ ROWS_ONLY: set[str] = set()
 NEW_LOCAL_ONLY: set[str] = {
     "vocab_growth", "domain_diversity", "lang_id_confusion",
     "rfm_segments", "event_seasonality",
-    "tokenizer_fertility", "user_activity_gini",
+    "tokenizer_fertility", "user_activity_gini", "boilerplate_prefix",
 }
 
 
