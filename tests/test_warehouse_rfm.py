@@ -202,3 +202,18 @@ def test_event_seasonality_totals_on_corpus(spark):
     assert sum(r["n_events"] for r in rows) == n
     assert all(0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23 for r in rows)
     assert len(rows) <= 168
+
+
+def test_rfm_cache_registered_and_evictable(spark):
+    """The session-persisted per-customer relation must be registered
+    with the package cache registry (releasable via
+    evict_session_caches) and re-materialize on demand."""
+    from data_validator_spark.queries import evict_session_caches
+    from data_validator_spark.queries.warehouse_ops import _RFM_CACHE, _rfm_relation
+
+    _rfm_relation(spark, SF).count()
+    assert _RFM_CACHE
+    evict_session_caches(SF)
+    assert not any(str(SF) in map(str, k) for k in _RFM_CACHE)
+    assert _rfm_relation(spark, SF).count() > 0
+    evict_session_caches(SF)
