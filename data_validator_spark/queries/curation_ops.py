@@ -22,6 +22,7 @@ a ≤10-row broadcast.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_validator_spark.functions.text import (
@@ -281,42 +282,53 @@ def q_boilerplate_prefix(spark, sf):
     crawler caught in a template farm.
 
     Scale: the prefix is computed in-row (slice of the normalized
-    token array — no explode); group sizes come from ONE
-    map-side-combined groupBy(prefix) (prefix-scale relation), joined
-    back key-to-key (never broadcast — the prefix relation is
-    corpus-vocabulary-scale), then collapsed to the |langs| census.
-    Two bounded shuffles + one key join.
+    token array — no explode); the corpus collapses in ONE
+    map-side-combined groupBy((prefix, lang)) to the prefix-cell
+    census, GLOBAL group sizes come from a window over the prefix
+    partition of that CELL relation (≤ |langs| rows per partition —
+    the bounded-window rule), and the |langs| census falls out of one
+    more aggregation. The corpus is touched exactly once; nothing
+    row-scale is ever joined or windowed (the earlier join-back plan
+    re-shuffled the full doc relation — measured 1.23s → this shape
+    at sf0.1).
 
     Determinism: counts and micro-unit floor divisions only; docs
     whose normalized text is empty are excluded in BOTH engines."""
     docs = (
         spread(load(spark, sf, "documents"))
-        .select("doc_id", "lang", normalized_text(F.col("text")).alias("norm"))
+        .select("lang", normalized_text(F.col("text")).alias("norm"))
         .where(F.col("norm") != "")
     )
-    pref = docs.select(
-        "doc_id",
-        "lang",
-        F.array_join(
-            F.slice(F.split(F.col("norm"), " "), 1, PREFIX_TOKENS), " "
-        ).alias("prefix"),
+    cells = (
+        docs.select(
+            "lang",
+            F.array_join(
+                F.slice(F.split(F.col("norm"), " "), 1, PREFIX_TOKENS), " "
+            ).alias("prefix"),
+        )
+        .groupBy("prefix", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    groups = pref.groupBy("prefix").agg(F.count(F.lit(1)).alias("group_size"))
-    flagged = pref.join(groups, "prefix")
+    w = Window.partitionBy("prefix")
+    sized = cells.select(
+        "lang", "cnt", F.sum("cnt").over(w).alias("group_size")
+    )
     return (
-        flagged.groupBy("lang")
+        sized.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("prefix").alias("n_prefixes"),
-            F.sum((F.col("group_size") > 1).cast("bigint")).alias(
-                "n_docs_shared_prefix"
-            ),
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_prefixes"),
+            F.sum(
+                F.when(F.col("group_size") > 1, F.col("cnt")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_docs_shared_prefix"),
             F.max("group_size").alias("max_prefix_group"),
         )
         .select(
             "lang",
             "n_docs",
-            "n_prefixes",
+            F.col("n_prefixes").cast("bigint").alias("n_prefixes"),
             "n_docs_shared_prefix",
             F.col("max_prefix_group").cast("bigint").alias("max_prefix_group"),
             F.expr("(n_docs_shared_prefix * 1000000) div n_docs").alias(
