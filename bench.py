@@ -149,6 +149,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "user_activity_gini",
     "boilerplate_prefix",
+    "streaming_seasonality",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",

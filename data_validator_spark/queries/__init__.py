@@ -384,6 +384,7 @@ GRADE_PRIORITY = [
     "tokenizer_fertility",
     "user_activity_gini",
     "boilerplate_prefix",
+    "streaming_seasonality",
 ]
 
 

@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from data_validator_spark.queries import dsum, load, normalize_events_ts, sql_dsum
+from data_validator_spark.queries.mining_ops import SQL_EVENT_SEASONALITY
 
 
 _SCRATCH_DIRS: list[str] = []
@@ -586,6 +587,50 @@ FROM shares ORDER BY bucket
 """
 
 
+# -- streaming_seasonality ----------------------------------------------------
+def q_streaming_seasonality(spark, sf):
+    """Hour-of-week seasonality census maintained over the LIVE stream
+    — the streaming twin of mining_ops.event_seasonality (the batch
+    entry), for dashboards that watch traffic shape drift in real
+    time. The aggregation state is ≤ 7×24 cells in complete mode —
+    CONSTANT state regardless of stream volume or uptime, the
+    cheapest stateful operator in the registry.
+
+    The registered output hash-matches the batch twin's DuckDB oracle
+    (same dow/hour bridging, same dsum terms, same micro-unit
+    shares), proving the streaming plan computes the identical
+    census; micro-batch structure itself is pinned in pytest."""
+    ev = _stream_reader(spark, sf, "events")
+
+    def agg(df):
+        return (
+            df.select(
+                (F.dayofweek("ts") - 1).alias("dow"),
+                F.hour("ts").alias("hour"),
+                "value",
+            )
+            .groupBy("dow", "hour")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum(F.col("value"), "value_sum"),
+            )
+        )
+
+    out = _run_to_memory(ev, agg, output_mode="complete")
+    tot = out.agg(F.sum("n_events").alias("n_total"))
+    return (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            "value_sum",
+            F.expr("(n_events * 1000000) div n_total").alias("share_micro"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
 QUERIES = {
     "streaming_drift": q_streaming_drift,
     "streaming_windowed": q_streaming_windowed,
@@ -594,6 +639,7 @@ QUERIES = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_enriched": q_streaming_enriched,
     "streaming_join": q_streaming_join,
+    "streaming_seasonality": q_streaming_seasonality,
 }
 
 ORACLES = {
@@ -604,4 +650,6 @@ ORACLES = {
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "streaming_enriched": SQL_STREAMING_ENRICHED,
     "streaming_join": SQL_STREAMING_JOIN,
+    # same census as the batch twin — identical oracle
+    "streaming_seasonality": SQL_EVENT_SEASONALITY,
 }

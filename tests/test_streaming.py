@@ -305,3 +305,16 @@ def test_streaming_drift_matches_batch_psi_accounting(spark):
     assert abs(sum(r["ref_share"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["cur_share"] for r in rows) - 1.0) < 1e-4
     assert all(r["psi_term"] >= -1e-6 for r in rows)
+
+
+def test_streaming_seasonality_matches_batch_twin(spark):
+    """The live-stream hour-of-week census must equal the batch
+    event_seasonality entry row for row (same dow/hour bridge, same
+    dsum terms, same micro-unit shares)."""
+    from data_validator_spark.queries.mining_ops import q_event_seasonality
+    from data_validator_spark.queries.streaming_queries import q_streaming_seasonality
+
+    sf = "/root/testdata/sf0.001"
+    batch = q_event_seasonality(spark, sf).collect()
+    stream = q_streaming_seasonality(spark, sf).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
