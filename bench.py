@@ -150,6 +150,7 @@ HEADLINE = [
     "user_activity_gini",
     "boilerplate_prefix",
     "streaming_seasonality",
+    "orders_cohort_retention",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",

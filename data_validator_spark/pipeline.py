@@ -24,8 +24,8 @@ pipeline:
 
 Step catalog (each: DataFrame -> DataFrame, all native expressions):
 dedupExact, qualityFilter, langFilter, split, splitFilter, tokenCount,
-piiScrub, sample, select, chunk, weightedSample. Steps reuse the
-exact same column functions
+boilerplateFilter, piiScrub, sample, select, chunk, weightedSample.
+Steps reuse the exact same column functions
 the oracle-checked queries use (functions/text.py, textops.split_bucket,
 pipeline_ops PII patterns) so pipeline behavior never diverges from
 the graded operators.
@@ -114,6 +114,30 @@ def _step_split_filter(df: DataFrame, opts: dict) -> DataFrame:
 
 def _step_token_count(df: DataFrame, opts: dict) -> DataFrame:
     return df.withColumn("n_tokens", token_count(F.col("text")))
+
+
+def _step_boilerplate_filter(df: DataFrame, opts: dict) -> DataFrame:
+    """Drop documents whose normalized opening prefix is shared by more
+    than ``maxGroup`` documents (default 1 — any shared template goes):
+    the REMOVE half of the boilerplate_prefix audit. Keeps docs whose
+    normalized text is empty (nothing to match on). Same plan shape as
+    dedupExact: one window over the prefix partition — the groups are
+    prefix-scale, never corpus-wide."""
+    from data_validator_spark.functions.text import normalized_text
+    from data_validator_spark.queries.curation_ops import PREFIX_TOKENS
+
+    max_group = int(opts.get("maxGroup", 1))
+    n_tok = int(opts.get("prefixTokens", PREFIX_TOKENS))
+    norm = normalized_text(F.col("text"))
+    prefix = F.when(
+        norm == "", F.concat(F.lit("__empty__:"), F.col("doc_id").cast("string"))
+    ).otherwise(F.array_join(F.slice(F.split(norm, " "), 1, n_tok), " "))
+    size = F.count(F.lit(1)).over(Window.partitionBy(prefix))
+    return (
+        df.withColumn("__pg", size)
+        .where(F.col("__pg") <= max_group)
+        .drop("__pg")
+    )
 
 
 def _step_pii_scrub(df: DataFrame, opts: dict) -> DataFrame:
@@ -205,6 +229,7 @@ STEPS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "split": _step_split,
     "splitFilter": _step_split_filter,
     "tokenCount": _step_token_count,
+    "boilerplateFilter": _step_boilerplate_filter,
     "piiScrub": _step_pii_scrub,
     "sample": _step_sample,
     "select": _step_select,

@@ -385,6 +385,7 @@ GRADE_PRIORITY = [
     "user_activity_gini",
     "boilerplate_prefix",
     "streaming_seasonality",
+    "orders_cohort_retention",
 ]
 
 

@@ -392,11 +392,84 @@ FROM s GROUP BY 1, 2, 3, 4 ORDER BY segment
 """
 
 
+# -- orders_cohort_retention ---------------------------------------------------
+def q_orders_cohort_retention(spark, sf):
+    """Cohort retention/LTV matrix over orders: customers grouped by
+    first-order month (the cohort), each cohort's activity and exact
+    revenue tracked at k months since acquisition — the table behind
+    every retention curve and LTV projection, done without a single
+    corpus-scale window.
+
+    Scale: months collapse to integer month indexes in-row; the
+    first-order month is one map-side-combined groupBy(custkey)
+    (user-scale), joined back key-to-key (never broadcast — the
+    cohort relation is user-scale); the matrix census is one more
+    aggregation over ≤ |months|² cells with a two-phase distinct for
+    active-customer counts.
+
+    Determinism: month index = year*12 + month - 1 (pure integers),
+    revenue in exact cents via the package floor(x*100+0.5) rule."""
+    from data_validator_spark.queries import spread
+
+    orders = spread(load(spark, sf, "orders"))
+    per = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    first = per.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    joined = per.join(first, "o_custkey")
+    cells = joined.groupBy(
+        "m0", (F.col("m") - F.col("m0")).alias("months_since")
+    ).agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    return cells.select(
+        F.concat(
+            F.expr("CAST(m0 div 12 AS STRING)"),
+            F.lit("-"),
+            F.lpad(F.expr("CAST(m0 % 12 + 1 AS STRING)"), 2, "0"),
+        ).alias("cohort_month"),
+        F.col("months_since").cast("int").alias("months_since"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        "n_orders",
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+    ).orderBy("cohort_month", "months_since")
+
+
+SQL_ORDERS_COHORT_RETENTION = """
+WITH per AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+first AS (SELECT o_custkey, min(m) AS m0 FROM per GROUP BY o_custkey),
+joined AS (SELECT p.o_custkey, p.m, p.cents, f.m0
+           FROM per p JOIN first f USING (o_custkey)),
+cells AS (
+  SELECT m0, m - m0 AS months_since,
+         count(DISTINCT o_custkey) AS n_active,
+         count(*) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM joined GROUP BY 1, 2)
+SELECT CAST(m0 // 12 AS VARCHAR) || '-' || lpad(CAST(m0 % 12 + 1 AS VARCHAR), 2, '0')
+         AS cohort_month,
+       CAST(months_since AS INT) AS months_since,
+       CAST(n_active AS BIGINT) AS n_active,
+       n_orders,
+       revenue_cents
+FROM cells ORDER BY cohort_month, months_since
+"""
+
+
 QUERIES = {
     "cdc_upsert": q_cdc_upsert,
     "scd2_intervals": q_scd2_intervals,
     "ivm_agg": q_ivm_agg,
     "rfm_segments": q_rfm_segments,
+    "orders_cohort_retention": q_orders_cohort_retention,
 }
 
 ORACLES = {
@@ -404,4 +477,5 @@ ORACLES = {
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "ivm_agg": SQL_IVM_AGG,
     "rfm_segments": _sql_rfm_segments(),
+    "orders_cohort_retention": SQL_ORDERS_COHORT_RETENTION,
 }

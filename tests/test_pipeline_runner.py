@@ -205,3 +205,54 @@ def test_chunk_and_weighted_sample_bad_configs(spark):
                           "steps": [{"weightedSample": {"weightColumn": "nope"}}]}},
             sf_dir=SF,
         )
+
+
+def test_boilerplate_filter_agrees_with_audit(spark):
+    """boilerplateFilter(maxGroup=1) must keep exactly the docs the
+    boilerplate_prefix audit counts as NOT shared-prefix (plus
+    empty-normalization docs, which have nothing to match on)."""
+    cfg = """
+pipeline:
+  source: {table: documents}
+  steps:
+    - boilerplateFilter: {}
+"""
+    from data_validator_spark.functions.text import normalized_text
+    from data_validator_spark.queries.curation_ops import q_boilerplate_prefix
+
+    kept = build_pipeline(spark, cfg, SF)
+    got = {r["lang"]: r["n"] for r in
+           kept.where(normalized_text(F.col("text")) != "")
+           .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    audit = {r["lang"]: r["n_docs"] - r["n_docs_shared_prefix"]
+             for r in q_boilerplate_prefix(spark, SF).collect()}
+    assert got == {k: v for k, v in audit.items() if v > 0}
+    # empty-norm docs survive the filter
+    n_empty = (build_pipeline(spark, "pipeline:\n  source: {table: documents}\n  steps: []", SF)
+               .where(normalized_text(F.col("text")) == "").count())
+    assert kept.where(normalized_text(F.col("text")) == "").count() == n_empty
+
+
+def test_boilerplate_filter_max_group(spark, tmp_path):
+    """maxGroup=2 keeps pairs but drops triples-and-up."""
+    rows = [
+        (0, "terms of service apply a", "en", "s", 1),
+        (1, "terms of service apply b", "en", "s", 1),
+        (2, "terms of service apply c", "en", "s", 1),
+        (3, "pair prefix here x", "en", "s", 1),
+        (4, "pair prefix here y", "en", "s", 1),
+        (5, "unique opener text", "en", "s", 1),
+        (6, "", "en", "s", 0),
+    ]
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    cfg = """
+pipeline:
+  source: {table: documents}
+  steps:
+    - boilerplateFilter: {maxGroup: 2}
+"""
+    kept = sorted(r["doc_id"] for r in build_pipeline(spark, cfg, str(d)).collect())
+    assert kept == [3, 4, 5, 6]

@@ -70,7 +70,7 @@ NEW_LOCAL_ONLY: set[str] = {
     "vocab_growth", "domain_diversity", "lang_id_confusion",
     "rfm_segments", "event_seasonality",
     "tokenizer_fertility", "user_activity_gini", "boilerplate_prefix",
-    "streaming_seasonality",
+    "streaming_seasonality", "orders_cohort_retention",
 }
 
 

@@ -217,3 +217,69 @@ def test_rfm_cache_registered_and_evictable(spark):
     assert not any(str(SF) in map(str, k) for k in _RFM_CACHE)
     assert _rfm_relation(spark, SF).count() > 0
     evict_session_caches(SF)
+
+
+# -- orders_cohort_retention ---------------------------------------------------
+def test_orders_cohort_retention_matches_brute_force(spark, tmp_path):
+    from collections import defaultdict
+
+    from data_validator_spark.queries.warehouse_ops import q_orders_cohort_retention
+
+    base = datetime.datetime(2019, 11, 15)
+    # (cust, month_offset, price): cust 1 acquired 2019-11, active +0,+1,+3
+    # (twice in +3); cust 2 acquired 2020-01, active +0 only.
+    orders = [
+        (1, 0, 10.0), (1, 1, 20.0), (1, 4, 5.0), (1, 4, 7.505),
+        (2, 2, 100.0),
+    ]
+    rows = []
+    for i, (cust, moff, price) in enumerate(orders):
+        y, m = divmod((base.year * 12 + base.month - 1) + moff, 12)
+        rows.append((i, cust, "O", price, datetime.datetime(y, m + 1, 3), "x"))
+    d = tmp_path / "co"
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+
+    firsts, cells = {}, defaultdict(lambda: [set(), 0, 0])
+    for i, (cust, moff, price) in enumerate(orders):
+        m = (base.year * 12 + base.month - 1) + moff
+        firsts[cust] = min(firsts.get(cust, m), m)
+    for i, (cust, moff, price) in enumerate(orders):
+        m = (base.year * 12 + base.month - 1) + moff
+        m0 = firsts[cust]
+        c = cells[(m0, m - m0)]
+        c[0].add(cust)
+        c[1] += 1
+        c[2] += int(math.floor(price * 100 + 0.5))
+    expect = {
+        (f"{m0 // 12}-{m0 % 12 + 1:02d}", k): (len(s), n, cents)
+        for (m0, k), (s, n, cents) in cells.items()
+    }
+    got = {
+        (r["cohort_month"], r["months_since"]): (
+            r["n_active"], r["n_orders"], r["revenue_cents"],
+        )
+        for r in q_orders_cohort_retention(spark, str(d)).collect()
+    }
+    assert got == expect
+    # the 7.505 price exercises the half-up cents rule (751), paired
+    # with the 5.0 order in the same (cohort, months_since=4) cell
+    assert got[("2019-11", 4)] == (1, 2, 500 + 751)
+
+
+def test_orders_cohort_retention_invariants_on_corpus(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.warehouse_ops import q_orders_cohort_retention
+
+    rows = q_orders_cohort_retention(spark, SF).collect()
+    n_orders = load(spark, SF, "orders").count()
+    n_cust = load(spark, SF, "orders").select("o_custkey").distinct().count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    # month-0 actives across cohorts = every customer exactly once
+    assert sum(r["n_active"] for r in rows if r["months_since"] == 0) == n_cust
+    for r in rows:
+        assert r["months_since"] >= 0
+        assert 0 < r["n_active"] <= r["n_orders"]
