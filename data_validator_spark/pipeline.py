@@ -119,22 +119,28 @@ def _step_token_count(df: DataFrame, opts: dict) -> DataFrame:
 def _step_boilerplate_filter(df: DataFrame, opts: dict) -> DataFrame:
     """Drop documents whose normalized opening prefix is shared by more
     than ``maxGroup`` documents (default 1 — any shared template goes):
-    the REMOVE half of the boilerplate_prefix audit. Keeps docs whose
-    normalized text is empty (nothing to match on). Same plan shape as
-    dedupExact: one window over the prefix partition — the groups are
-    prefix-scale, never corpus-wide."""
+    the REMOVE half of the boilerplate_prefix audit. Docs whose
+    normalized text is NULL or empty bypass the filter (nothing to
+    match on). Same plan shape as dedupExact: one window over the
+    prefix partition — the groups are prefix-scale, never
+    corpus-wide."""
     from data_validator_spark.functions.text import normalized_text
     from data_validator_spark.queries.curation_ops import PREFIX_TOKENS
+
+    from data_validator_spark.queries.curation_ops import prefix_expr
 
     max_group = int(opts.get("maxGroup", 1))
     n_tok = int(opts.get("prefixTokens", PREFIX_TOKENS))
     norm = normalized_text(F.col("text"))
-    prefix = F.when(
-        norm == "", F.concat(F.lit("__empty__:"), F.col("doc_id").cast("string"))
-    ).otherwise(F.array_join(F.slice(F.split(norm, " "), 1, n_tok), " "))
-    size = F.count(F.lit(1)).over(Window.partitionBy(prefix))
+    # NULL text normalizes to NULL: fold it into the unmatchable class
+    # with empty strings (a NULL prefix would otherwise collect ALL
+    # null-text docs into one window partition and delete them as a
+    # fake template group)
+    unmatchable = norm.isNull() | (norm == "")
+    size = F.count(F.lit(1)).over(Window.partitionBy(prefix_expr(norm, n_tok)))
+    # unmatchable docs bypass the filter entirely (group size 0)
     return (
-        df.withColumn("__pg", size)
+        df.withColumn("__pg", F.when(unmatchable, F.lit(0)).otherwise(size))
         .where(F.col("__pg") <= max_group)
         .drop("__pg")
     )

@@ -26,7 +26,6 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_validator_spark.functions.text import (
-    LANG_STOPWORDS,
     lang_best_struct,
     normalized_text,
 )
@@ -50,15 +49,19 @@ def q_vocab_growth(spark, sf):
     groupBy(token).min(doc_id) produces a vocabulary-scale relation,
     and each checkpoint's distinct count is the number of tokens whose
     first occurrence precedes it. Per-doc occurrence counts are
-    computed in-row (no occurrence-scale shuffle). Both relations then
-    join a 10-row broadcast checkpoint table (BroadcastNestedLoopJoin
-    on `<`, ≤10× fan-out) and collapse by decile. No global sort, no
-    corpus-scale window — the curve costs two bounded shuffles at any
-    corpus size.
+    computed in-row (no occurrence-scale shuffle). Each row then maps
+    IN-ROW to its earliest qualifying decile (the threshold function
+    thr(d) = mn + (span·d div 10) is monotone, so doc < thr(d) ⟺
+    d ≥ ceil(10·(doc−mn+1)/span) — one integer expression via a
+    broadcast 1-row bounds scalar; floor(x/10) ≥ q ⟺ x ≥ 10q makes
+    the inversion exact), the per-decile census collapses map-side to
+    ≤10 rows, and the cumulative curve is a running sum over those 10
+    rows (the bounded-window rule). No ≤10× row fan-out, no
+    BroadcastNestedLoopJoin predicate per row, no global sort.
 
     Determinism: all outputs are BIGINT counts; checkpoint thresholds
-    are integer floor-divisions of the doc_id span (numerators
-    non-negative, so Spark `div` == DuckDB `//`)."""
+    and decile assignment are integer floor-divisions of the doc_id
+    span (numerators non-negative, so Spark `div` == DuckDB `//`)."""
     docs = spread(load(spark, sf, "documents")).select(
         "doc_id", normalized_text(F.col("text")).alias("norm")
     )
@@ -77,6 +80,14 @@ def q_vocab_growth(spark, sf):
             ).alias("thr"),
         )
     )
+    # earliest decile whose threshold exceeds the id:
+    # d_min = ceil(N_DECILES * (id - mn + 1) / span), clamped to the
+    # decile domain (never needed on real ids; pure safety)
+    d_min = (
+        f"least({N_DECILES}, greatest(1, CAST("
+        f"({N_DECILES} * (%s - mn + 1) + (mx - mn + 1) - 1) div (mx - mn + 1)"
+        f" AS INT)))"
+    )
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("norm"), " ")).alias("token")
     ).where(F.col("token") != "")
@@ -87,30 +98,46 @@ def q_vocab_growth(spark, sf):
         .otherwise(F.size(F.split(F.col("norm"), " ")))
         .alias("n_toks"),
     )
-    dstats = (
-        dtoks.join(F.broadcast(cps), F.col("doc_id") < F.col("thr"))
+    dcells = (
+        dtoks.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(d_min % "doc_id").alias("decile"),
+            "n_toks",
+        )
         .groupBy("decile")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").cast("bigint").alias("n_token_occurrences"),
+            F.count(F.lit(1)).alias("d_docs"),
+            F.sum("n_toks").cast("bigint").alias("d_occ"),
         )
     )
-    vstats = (
-        firsts.join(F.broadcast(cps), F.col("first_doc") < F.col("thr"))
+    vcells = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .select(F.expr(d_min % "first_doc").alias("decile"))
         .groupBy("decile")
-        .agg(F.count(F.lit(1)).alias("vocab_size"))
+        .agg(F.count(F.lit(1)).alias("d_vocab"))
+    )
+    run = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        cps.join(dstats, "decile", "left")
-        .join(vstats, "decile", "left")
+        cps.join(dcells, "decile", "left")
+        .join(vcells, "decile", "left")
         .select(
             "decile",
             F.col("thr").alias("threshold_doc"),
-            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
-            F.coalesce("n_token_occurrences", F.lit(0))
+            F.sum(F.coalesce("d_docs", F.lit(0)))
+            .over(run)
+            .cast("bigint")
+            .alias("n_docs"),
+            F.sum(F.coalesce("d_occ", F.lit(0)))
+            .over(run)
             .cast("bigint")
             .alias("n_token_occurrences"),
-            F.coalesce("vocab_size", F.lit(0)).cast("bigint").alias("vocab_size"),
+            F.sum(F.coalesce("d_vocab", F.lit(0)))
+            .over(run)
+            .cast("bigint")
+            .alias("vocab_size"),
         )
         .orderBy("decile")
     )
@@ -166,7 +193,9 @@ def q_domain_diversity(spark, sf):
     bound — beyond that (real 100 TB runs) the same expressions promote
     to DECIMAL(38,0) sums, a one-line change noted here for the census
     aggregate; the micro-unit floor-div contract is unchanged."""
-    df = spread(load(spark, sf, "documents"))
+    # no parallelism spread: the census combine is the first real
+    # stage (the r7 A/B rule; see spread()'s docstring)
+    df = load(spark, sf, "documents")
     cells = df.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
     agg = cells.groupBy("lang").agg(
         F.sum("c").cast("bigint").alias("n_docs"),
@@ -243,21 +272,14 @@ def q_lang_id_confusion(spark, sf):
 
 
 def _sql_lang_id_confusion() -> str:
-    """GREATEST/CASE mirror of the lang-ID argmax (same construction as
-    textops._sql_lang_id), aggregated into the (gold, pred) matrix."""
-    hits = []
-    for code in sorted(LANG_STOPWORDS):
-        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[code])
-        hits.append(
-            f"len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'),"
-            f" t -> t IN ({words}))) AS s_{code}"
-        )
-    best = "GREATEST(" + ", ".join(f"s_{c}" for c in sorted(LANG_STOPWORDS)) + ")"
-    whens = "\n       ".join(
-        f"WHEN s_{c} = best AND best > 0 THEN '{c}'" for c in sorted(LANG_STOPWORDS)
-    )
+    """GREATEST/CASE mirror of the lang-ID argmax — fragments shared
+    with textops._sql_lang_id via lang_pred_sql_parts(), aggregated
+    into the (gold, pred) matrix."""
+    from data_validator_spark.queries.textops import lang_pred_sql_parts
+
+    hits, best, whens = lang_pred_sql_parts()
     return f"""
-WITH h AS (SELECT lang, {", ".join(hits)} FROM documents),
+WITH h AS (SELECT lang, {hits} FROM documents),
 b AS (SELECT *, {best} AS best FROM h),
 p AS (SELECT lang AS gold_lang,
              CASE {whens} ELSE 'und' END AS pred_lang
@@ -270,6 +292,14 @@ FROM p GROUP BY gold_lang, pred_lang ORDER BY gold_lang, pred_lang
 
 # -- boilerplate_prefix: shared-opening-template audit ------------------------
 PREFIX_TOKENS = 3
+
+
+def prefix_expr(norm, n_tokens: int = PREFIX_TOKENS):
+    """THE opening-prefix expression (first n tokens of the normalized
+    text, space-joined) — shared by the boilerplate_prefix audit and
+    the pipeline's boilerplateFilter step so the filter can never
+    desynchronize from the audit it implements."""
+    return F.array_join(F.slice(F.split(norm, " "), 1, n_tokens), " ")
 
 
 def q_boilerplate_prefix(spark, sf):
@@ -300,12 +330,7 @@ def q_boilerplate_prefix(spark, sf):
         .where(F.col("norm") != "")
     )
     cells = (
-        docs.select(
-            "lang",
-            F.array_join(
-                F.slice(F.split(F.col("norm"), " "), 1, PREFIX_TOKENS), " "
-            ).alias("prefix"),
-        )
+        docs.select("lang", prefix_expr(F.col("norm")).alias("prefix"))
         .groupBy("prefix", "lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

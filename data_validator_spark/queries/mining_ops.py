@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, load, register_session_cache, spread
+from data_validator_spark.queries import DEC, load, register_session_cache, spread, sql_dsum
 from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
 from data_validator_spark.queries.textops import SQL_NORM
 from data_validator_spark.functions.text import normalized_text
@@ -988,11 +988,21 @@ def q_event_seasonality(spark, sf):
     Day-of-week conventions differ (Spark 1=Sunday..7, DuckDB
     0=Sunday..6): Spark emits dayofweek-1 to land on DuckDB's frame.
     """
+    # no parallelism spread: per-row work is two timestamp field
+    # extractions — the map-side combine is the first real stage
+    # (the r7 A/B rule; see spread()'s docstring)
+    return seasonality_census(load(spark, sf, "events"))
+
+
+def seasonality_census(events):
+    """(dow, hour) census + micro-unit shares over an events relation —
+    shared by the batch entry and streaming_queries' live twin (the
+    streaming side aggregates on the stream, then reuses the share
+    block on the ≤168-row final table)."""
     from data_validator_spark.queries import dsum
 
-    df = spread(load(spark, sf, "events"))
     cells = (
-        df.select(
+        events.select(
             (F.dayofweek("ts") - 1).alias("dow"),
             F.hour("ts").alias("hour"),
             "value",
@@ -1000,6 +1010,13 @@ def q_event_seasonality(spark, sf):
         .groupBy("dow", "hour")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "value_sum"))
     )
+    return seasonality_shares(cells)
+
+
+def seasonality_shares(cells):
+    """Attach total-share micro units to a (dow, hour, n_events,
+    value_sum) cell relation (≤168 rows) via one broadcast 1-row
+    total."""
     tot = cells.agg(F.sum("n_events").alias("n_total"))
     return (
         cells.crossJoin(F.broadcast(tot))
@@ -1014,12 +1031,12 @@ def q_event_seasonality(spark, sf):
     )
 
 
-SQL_EVENT_SEASONALITY = """
+SQL_EVENT_SEASONALITY = f"""
 WITH cells AS (
   SELECT CAST(dayofweek(ts) AS INT) AS dow,
          CAST(hour(ts) AS INT) AS hour,
          count(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+         {sql_dsum("value", "value_sum")}
   FROM events GROUP BY 1, 2),
 t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM cells)
 SELECT dow, hour, n_events, value_sum,
@@ -1053,7 +1070,9 @@ def q_user_activity_gini(spark, sf):
     2^63 through ~10^9 events × 10^5-active users per type — past
     that the census aggregate promotes to DECIMAL(38,0), same
     expressions (the domain_diversity note)."""
-    df = spread(load(spark, sf, "events"))
+    # no parallelism spread: per-row work is nil — the per-user
+    # map-side combine is the first real stage (the r7 A/B rule)
+    df = load(spark, sf, "events")
     per_user = df.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("k")
     )

@@ -616,19 +616,9 @@ def q_streaming_seasonality(spark, sf):
             )
         )
 
-    out = _run_to_memory(ev, agg, output_mode="complete")
-    tot = out.agg(F.sum("n_events").alias("n_total"))
-    return (
-        out.crossJoin(F.broadcast(tot))
-        .select(
-            "dow",
-            "hour",
-            "n_events",
-            "value_sum",
-            F.expr("(n_events * 1000000) div n_total").alias("share_micro"),
-        )
-        .orderBy("dow", "hour")
-    )
+    from data_validator_spark.queries.mining_ops import seasonality_shares
+
+    return seasonality_shares(_run_to_memory(ev, agg, output_mode="complete"))
 
 
 QUERIES = {

@@ -109,9 +109,12 @@ def q_lang_id(spark, sf):
     )
 
 
-def _sql_lang_id() -> str:
-    """CASE mirror of functions.text.lang_id: per-language stopword-hit
-    counts, argmax with ties broken by sorted language code."""
+def lang_pred_sql_parts() -> tuple[str, str, str]:
+    """The three SQL fragments of the lang-ID argmax mirror — THE
+    single source for every oracle that re-derives the prediction
+    (lang_id itself and curation_ops.lang_id_confusion), so the
+    tokenization regex / tie-break can never drift between them.
+    Returns (hits_select_list, best_expr, case_whens)."""
     hits = []
     for code in sorted(LANG_STOPWORDS):
         words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[code])
@@ -123,8 +126,15 @@ def _sql_lang_id() -> str:
     whens = "\n       ".join(
         f"WHEN s_{c} = best AND best > 0 THEN '{c}'" for c in sorted(LANG_STOPWORDS)
     )
+    return ", ".join(hits), best, whens
+
+
+def _sql_lang_id() -> str:
+    """CASE mirror of functions.text.lang_id: per-language stopword-hit
+    counts, argmax with ties broken by sorted language code."""
+    hits, best, whens = lang_pred_sql_parts()
     return f"""
-WITH h AS (SELECT doc_id, {', '.join(hits)} FROM documents),
+WITH h AS (SELECT doc_id, {hits} FROM documents),
 b AS (SELECT *, {best} AS best FROM h)
 SELECT doc_id,
        CASE {whens} ELSE 'und' END AS lang_pred

@@ -253,13 +253,13 @@ def _rfm_relation(spark, sf):
     final scoring aggregation reads it once more."""
     from pyspark import StorageLevel
 
-    from data_validator_spark.queries import spread
-
     key = (spark.sparkContext.applicationId, str(sf))
     cached = _RFM_CACHE.get(key)
     if cached is not None:
         return cached
-    orders = spread(load(spark, sf, "orders"))
+    # no parallelism spread: per-row work is a date cast and a cents
+    # quantization — the per-customer combine is the first real stage
+    orders = load(spark, sf, "orders")
     cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
@@ -409,9 +409,9 @@ def q_orders_cohort_retention(spark, sf):
 
     Determinism: month index = year*12 + month - 1 (pure integers),
     revenue in exact cents via the package floor(x*100+0.5) rule."""
-    from data_validator_spark.queries import spread
-
-    orders = spread(load(spark, sf, "orders"))
+    # no parallelism spread: in-row month indexes are trivial — the
+    # per-customer combine is the first real stage (the r7 A/B rule)
+    orders = load(spark, sf, "orders")
     per = orders.select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),

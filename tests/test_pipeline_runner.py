@@ -256,3 +256,33 @@ pipeline:
 """
     kept = sorted(r["doc_id"] for r in build_pipeline(spark, cfg, str(d)).collect())
     assert kept == [3, 4, 5, 6]
+
+
+def test_boilerplate_filter_keeps_null_text(spark, tmp_path):
+    """NULL-text docs must bypass the filter (they'd otherwise collect
+    into one NULL-prefix window partition and be deleted as a fake
+    template group); empty docs likewise, even at maxGroup=0."""
+    rows = [
+        (0, None, "en", "s", 0),
+        (1, None, "en", "s", 0),
+        (2, None, "en", "s", 0),
+        (3, "", "en", "s", 0),
+        (4, "shared template here a", "en", "s", 1),
+        (5, "shared template here b", "en", "s", 1),
+        (6, "solo opener", "en", "s", 1),
+    ]
+    d = tmp_path / "nulldocs"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    cfg = """
+pipeline:
+  source: {table: documents}
+  steps:
+    - boilerplateFilter: {}
+"""
+    kept = sorted(r["doc_id"] for r in build_pipeline(spark, cfg, str(d)).collect())
+    assert kept == [0, 1, 2, 3, 6]
+    cfg0 = cfg.replace("{}", "{maxGroup: 0}")
+    kept0 = sorted(r["doc_id"] for r in build_pipeline(spark, cfg0, str(d)).collect())
+    assert kept0 == [0, 1, 2, 3]
