@@ -368,14 +368,18 @@ GRADE_PRIORITY = [
     "events_anomaly",
     "multimodal_meta",
     "multimodal_resize",
-    # tier 4 — NEW_LOCAL_ONLY (r8 batch 2): operators added while the
-    # 50-entry grading budget was already saturated with never-graded
-    # and stale entries, so they sit BELOW the cut by the r6-verdict
-    # convention. Evidence: 3-SF oracle proofs (ORACLE_LOCAL_r8 /
-    # ORACLE_SFSWEEP_r8) + brute-force pytest twins
-    # (tests/test_curation_ops.py). They are integer-exact end to end
-    # (counts and micro-unit floor divisions only), the lowest
-    # hash-drift-risk class in the registry.
+    # tier 4 — NEW_LOCAL_ONLY (r8 batches 2-6): operators added while
+    # the 50-entry grading budget was already saturated with
+    # never-graded and stale entries, so they sit BELOW the cut by the
+    # r6-verdict convention. Evidence: the end-of-round FULL-registry
+    # 3-SF oracle sweeps (ORACLE_LOCAL_r8 / ORACLE_SFSWEEP_r8 — every
+    # entry here has a PASS line at sf0.001, sf0.01, AND sf0.1 on the
+    # final code) + brute-force pytest twins (tests/test_curation_ops,
+    # test_warehouse_rfm, test_fertility_gini, test_pipeline_runner,
+    # test_streaming). Most are integer-exact end to end (counts and
+    # micro-unit floor divisions), the lowest hash-drift-risk class in
+    # the registry; rfm_segments additionally rides the r8 bounded
+    # exact-quantile engine (bit-identical quantile_cont).
     "vocab_growth",
     "domain_diversity",
     "lang_id_confusion",

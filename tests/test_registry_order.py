@@ -61,11 +61,12 @@ R4_STALE = {
 # entry carries a hash oracle.
 ROWS_ONLY: set[str] = set()
 
-# Entries below the budget cut with no driver row: the r8 batch-2
+# Entries below the budget cut with no driver row: the r8 batch-2..6
 # operators, added while the 50-entry budget was saturated (the r6
-# verdict's NEW_LOCAL_ONLY convention). Evidence: 3-SF oracle proofs
-# + brute-force pytest twins (tests/test_curation_ops.py); all three
-# are integer-exact (counts / micro-unit floor divisions only).
+# verdict's NEW_LOCAL_ONLY convention). Evidence: the end-of-round
+# FULL-registry 3-SF sweeps (ORACLE_LOCAL_r8 / ORACLE_SFSWEEP_r8 —
+# every entry below has PASS lines at all three SFs on the final
+# code) + brute-force pytest twins in this directory.
 NEW_LOCAL_ONLY: set[str] = {
     "vocab_growth", "domain_diversity", "lang_id_confusion",
     "rfm_segments", "event_seasonality",
