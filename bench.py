@@ -151,6 +151,7 @@ HEADLINE = [
     "boilerplate_prefix",
     "streaming_seasonality",
     "orders_cohort_retention",
+    "events_user_cap",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -390,6 +390,7 @@ GRADE_PRIORITY = [
     "boilerplate_prefix",
     "streaming_seasonality",
     "orders_cohort_retention",
+    "events_user_cap",
 ]
 
 

@@ -1138,6 +1138,55 @@ FROM agg ORDER BY event_type
 """
 
 
+# -- events_user_cap ----------------------------------------------------------
+USER_CAP = 20
+
+
+def q_events_user_cap(spark, sf):
+    """Per-user contribution cap — the REMOVE half of the
+    user_activity_gini audit: keep each user's FIRST ``USER_CAP``
+    events (deterministic (ts, event_id) order — stable under
+    re-partitioning, retries, and engine swap) and report what the cap
+    removes per event type. Training-data collection applies exactly
+    this before a power user or bot dominates the corpus.
+
+    Scale: one shuffle — a row_number window over the user_id
+    partition (per-user state, the partition is one user's events;
+    key_skew_audit is the companion that tells you when a user is
+    large enough to need salting). The census collapses map-side to
+    ≤ |event types| rows.
+
+    Determinism: pure integer counts; the keep set is a pure function
+    of (ts, event_id), both unique per row."""
+    df = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = df.select(
+        "event_type", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("rn") <= USER_CAP).cast("bigint")).alias("n_kept"),
+            F.sum((F.col("rn") > USER_CAP).cast("bigint")).alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_USER_CAP = f"""
+WITH ranked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_type,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN rn <= {USER_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > {USER_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "copurchase_similarity": q_copurchase_similarity,
     "hll_distinct": q_hll_distinct,
@@ -1150,6 +1199,7 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "event_seasonality": q_event_seasonality,
     "user_activity_gini": q_user_activity_gini,
+    "events_user_cap": q_events_user_cap,
 }
 
 ORACLES = {
@@ -1164,4 +1214,5 @@ ORACLES = {
     "char_entropy": SQL_CHAR_ENTROPY,
     "event_seasonality": SQL_EVENT_SEASONALITY,
     "user_activity_gini": SQL_USER_ACTIVITY_GINI,
+    "events_user_cap": SQL_EVENTS_USER_CAP,
 }

@@ -157,3 +157,63 @@ def test_user_activity_gini_vs_ranked_definition_on_corpus(spark):
     got = {r["event_type"]: r["gini_micro"]
            for r in q_user_activity_gini(spark, SF).collect()}
     assert got == {et: _gini_py(ks) for et, ks in by_type.items()}
+
+
+# -- events_user_cap ---------------------------------------------------------
+def test_events_user_cap_matches_brute_force(spark, gini_dir):
+    from collections import defaultdict
+
+    from data_validator_spark.queries.mining_ops import USER_CAP, q_events_user_cap
+
+    d, rows = gini_dir
+    # rank each user's events by (ts, event_id) across ALL types
+    by_user = defaultdict(list)
+    for eid, ts, uid, et, _, _ in rows:
+        by_user[uid].append((ts, eid, et))
+    cells = defaultdict(lambda: [0, 0, 0])
+    for uid, evs in by_user.items():
+        for rank, (_, _, et) in enumerate(sorted(evs), start=1):
+            c = cells[et]
+            c[0] += 1
+            c[1] += 1 if rank <= USER_CAP else 0
+            c[2] += 1 if rank > USER_CAP else 0
+    got = {r["event_type"]: (r["n_total"], r["n_kept"], r["n_dropped"])
+           for r in q_events_user_cap(spark, d).collect()}
+    assert got == {et: tuple(v) for et, v in cells.items()}
+
+
+def test_events_user_cap_small_cap(spark, tmp_path):
+    """With a monkeypatched cap of 2, a 5-event user keeps exactly its
+    first 2 events by (ts, event_id)."""
+    import datetime as dt
+
+    import data_validator_spark.queries.mining_ops as mo
+
+    rows = [
+        (i, dt.datetime(2022, 1, 1, 0, 5 - i), 7, "click", 1.0, "{}")
+        for i in range(5)  # later event_id = EARLIER ts
+    ]
+    d = tmp_path / "cap"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    old = mo.USER_CAP
+    try:
+        mo.USER_CAP = 2
+        got = q = mo.q_events_user_cap(spark, str(d)).collect()
+        assert [(r["n_total"], r["n_kept"], r["n_dropped"]) for r in got] == [(5, 2, 3)]
+    finally:
+        mo.USER_CAP = old
+
+
+def test_events_user_cap_totals_on_corpus(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.mining_ops import q_events_user_cap
+
+    rows = q_events_user_cap(spark, SF).collect()
+    n = load(spark, SF, "events").count()
+    assert sum(r["n_total"] for r in rows) == n
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_total"]
