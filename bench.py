@@ -152,6 +152,7 @@ HEADLINE = [
     "streaming_seasonality",
     "orders_cohort_retention",
     "events_user_cap",
+    "l_diversity",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",

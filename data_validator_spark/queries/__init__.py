@@ -391,6 +391,7 @@ GRADE_PRIORITY = [
     "streaming_seasonality",
     "orders_cohort_retention",
     "events_user_cap",
+    "l_diversity",
 ]
 
 

@@ -574,6 +574,81 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+# -- l_diversity -------------------------------------------------------------
+L_DIVERSITY = 3
+
+
+def q_l_diversity(spark, sf):
+    """Distinct-l-diversity audit — k-anonymity's necessary companion:
+    a QI group can be large (k-anonymous) yet still leak if everyone
+    in it shares the same SENSITIVE value. Sensitive attribute here is
+    the account-balance band ($1000 bands computed on exact cents;
+    negative balances are their own "in debt" class — the genuinely
+    sensitive fact). Emits every (nation, segment) group holding fewer
+    than L={L_DIVERSITY} distinct bands. The full census is emitted
+    (every QI group with its size, distinct-band count, top-band
+    share, and the violation flag) — a release decision needs the
+    margin of safe groups, not just the violator list.
+
+    Scale shape: the (QI, band) census collapses map-side to
+    ≤ |QI-space|×|bands| rows; diversity is one more aggregation over
+    that census. No distinct-expansion over rows, no window.
+
+    Determinism: the band is integer cents floor-div (numerator
+    clamped non-negative via the explicit debt class, so Spark `div`
+    == DuckDB `//`); shares are micro-unit floor divisions; everything
+    else is counts."""
+    df = load(spark, sf, "customer")
+    band = F.expr(
+        "CASE WHEN c_acctbal < 0 THEN -1 "
+        "ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div 100000 END"
+    )
+    cells = (
+        df.groupBy("c_nationkey", "c_mktsegment", band.alias("band"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cells.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("group_size"),
+            F.count(F.lit(1)).alias("n_sensitive_bands"),
+            F.max("cnt").cast("bigint").alias("top_band_n"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "n_sensitive_bands",
+            F.expr("(top_band_n * 1000000) div group_size").alias(
+                "top_band_share_micro"
+            ),
+            (F.col("n_sensitive_bands") < L_DIVERSITY)
+            .cast("int")
+            .alias("violates_l"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+SQL_L_DIVERSITY = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN -1
+              ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000 END
+           AS band,
+         count(*) AS cnt
+  FROM customer GROUP BY 1, 2, 3)
+SELECT c_nationkey, c_mktsegment,
+       CAST(sum(cnt) AS BIGINT) AS group_size,
+       count(*) AS n_sensitive_bands,
+       (CAST(max(cnt) AS BIGINT) * 1000000) // CAST(sum(cnt) AS BIGINT)
+         AS top_band_share_micro,
+       CAST(count(*) < {L_DIVERSITY} AS INT) AS violates_l
+FROM cells GROUP BY 1, 2
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 # -- heavy_hitters_cms -----------------------------------------------------
 CMS_D = 4
 CMS_W = 1024
@@ -821,6 +896,7 @@ QUERIES = {
     "quantile_shard": q_quantile_shard,
     "domain_mix_sample": q_domain_mix_sample,
     "k_anonymity": q_k_anonymity,
+    "l_diversity": q_l_diversity,
     "heavy_hitters_cms": q_heavy_hitters_cms,
 }
 
@@ -833,5 +909,6 @@ ORACLES = {
     "quantile_shard": SQL_QUANTILE_SHARD,
     "domain_mix_sample": SQL_DOMAIN_MIX,
     "k_anonymity": SQL_K_ANONYMITY,
+    "l_diversity": SQL_L_DIVERSITY,
     "heavy_hitters_cms": _sql_cms(),
 }

@@ -199,3 +199,66 @@ def test_sampling_ops_invariant_under_input_order(spark, doc_dir, tmp_path):
         a = sorted(map(tuple, q(spark, doc_dir).collect()))
         b = sorted(map(tuple, q(spark, str(d2)).collect()))
         assert a == b, q.__name__
+
+
+# -- l_diversity -------------------------------------------------------------
+def test_l_diversity_matches_brute_force(spark, tmp_path):
+    """Crafted customers: one group k-anonymous but single-band (the
+    leak k-anonymity misses), one diverse group, one in-debt band."""
+    import math
+    from collections import defaultdict
+
+    from data_validator_spark.queries.corpus_ops import L_DIVERSITY, q_l_diversity
+
+    rows = [
+        # group (1, 'A'): 12 members, ALL in band 5 -> violates
+        *[(i, f"c{i}", 1, 5432.10, "A") for i in range(12)],
+        # group (2, 'B'): 3 members in 3 bands -> diverse
+        (100, "x", 2, 100.0, "B"),
+        (101, "y", 2, 2100.0, "B"),
+        (102, "z", 2, -50.0, "B"),  # debt class = band -1
+        # group (3, 'C'): 2 members in 2 bands -> violates (L=3)
+        (200, "p", 3, 999.995, "C"),   # rounds to 100000 cents = band 1
+        (201, "q", 3, 999.99, "C"),    # 99999 cents = band 0
+    ]
+    d = tmp_path / "cust"
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+
+    def band(b):
+        return -1 if b < 0 else int(math.floor(b * 100 + 0.5)) // 100000
+
+    census = defaultdict(lambda: defaultdict(int))
+    for _, _, nk, bal, seg in rows:
+        census[(nk, seg)][band(bal)] += 1
+    got = {(r["c_nationkey"], r["c_mktsegment"]): r
+           for r in q_l_diversity(spark, str(d)).collect()}
+    assert set(got) == set(census)
+    for key, bands in census.items():
+        r = got[key]
+        total = sum(bands.values())
+        assert r["group_size"] == total
+        assert r["n_sensitive_bands"] == len(bands)
+        assert r["top_band_share_micro"] == (max(bands.values()) * 1_000_000) // total
+        assert r["violates_l"] == int(len(bands) < L_DIVERSITY)
+    assert got[(1, "A")]["violates_l"] == 1      # big but single-band
+    assert got[(2, "B")]["violates_l"] == 0
+    assert got[(3, "C")]["violates_l"] == 1
+    # the .995 boundary exercises half-up cents: band 1, not band 0
+    assert got[(3, "C")]["n_sensitive_bands"] == 2
+
+
+def test_l_diversity_census_on_corpus(spark):
+    from data_validator_spark.queries import load
+    from data_validator_spark.queries.corpus_ops import q_l_diversity
+
+    SF = "/root/testdata/sf0.001"
+    rows = q_l_diversity(spark, SF).collect()
+    n = load(spark, SF, "customer").count()
+    assert sum(r["group_size"] for r in rows) == n
+    for r in rows:
+        assert 1 <= r["n_sensitive_bands"] <= r["group_size"]
+        assert 0 < r["top_band_share_micro"] <= 1_000_000

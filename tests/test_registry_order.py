@@ -72,7 +72,7 @@ NEW_LOCAL_ONLY: set[str] = {
     "rfm_segments", "event_seasonality",
     "tokenizer_fertility", "user_activity_gini", "boilerplate_prefix",
     "streaming_seasonality", "orders_cohort_retention",
-    "events_user_cap",
+    "events_user_cap", "l_diversity",
 }
 
 
