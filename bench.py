@@ -78,6 +78,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_incremental",
     "pii_scrub",
     "stratified_sample",
     "sequence_pack",
@@ -248,6 +249,7 @@ def main() -> int:
         "pagerank_bipartite",     # graph_ops._GRAPH_CACHE
         "dedup_minhash_lsh",      # dedup._HS_CACHE
         "dedup_ngram_jaccard",    # dedup._PAIRS_CACHE
+        "dedup_incremental",      # dedup._INC_INDEX_CACHE
         "quality_ensemble",       # quality_ops._ENSEMBLE_DOCS_CACHE
         "similarity_ann_ivf",     # similarity._ASSIGNED_CACHE
         # tpch_ext._EXT_CACHE is keyed per derived relation
@@ -310,8 +312,54 @@ def main() -> int:
             out["cc_chain"] = bench_cc_chain(spark)
         except Exception as e:
             print(f"bench error in cc_chain: {e}", file=sys.stderr)
-    print(json.dumps(out))
+
+    # FULL per-query detail goes to a file; the stdout line must stay
+    # under the driver's 2000-char tail-capture window or its `parsed`
+    # field comes back null (BENCH_r06/r08 both lost structured
+    # timings this way — r8 verdict item 4). The repo-root file is
+    # committed each round, so nothing is lost by compacting stdout.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(compact_line(out, "BENCH_FULL.json"))
     return 0
+
+
+STDOUT_BUDGET = 1800  # chars; driver tail-captures the last 2000
+
+
+def compact_line(out: dict, detail_file: str) -> str:
+    """One JSON line under STDOUT_BUDGET chars: headline totals plus as
+    many per-query timings as fit, slowest first (the informative
+    tail); the rest are summarized so the total stays reconstructable
+    (fast_queries_total_sec + queries_omitted)."""
+    results: dict = out["queries"]
+    base = {k: v for k, v in out.items() if k != "queries"}
+    base["detail_file"] = detail_file
+    base["n_queries"] = len(results)
+    ordered = sorted(results.items(), key=lambda kv: -kv[1])
+    shown: dict = {}
+    line = ""
+    for name, sec in ordered:
+        shown[name] = sec
+        kept = {
+            **base,
+            "queries": shown,
+            "queries_omitted": len(results) - len(shown),
+            "fast_queries_total_sec": round(
+                sum(v for k, v in results.items() if k not in shown and v > 0), 3
+            ),
+        }
+        candidate = json.dumps(kept)
+        if len(candidate) > STDOUT_BUDGET:
+            del shown[name]
+            break
+        line = candidate
+    if not line:  # degenerate: even one entry overflows — totals only
+        line = json.dumps({**base, "queries": {}, "queries_omitted": len(results)})
+    return line
 
 
 CC_CHAIN_N = 32

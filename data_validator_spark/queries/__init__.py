@@ -201,97 +201,48 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0a — NEW operators this round (4 entries: corr_matrix,
-    # embedding_outliers, cluster_purity, knn_label_noise — never
-    # graded, grade first) plus similarity_ann_ivf, which is BOTH
-    # r4-stale (the R4_STALE budget contract) and changed-SQL (the
-    # shared IVF-assignment CTE chain now carries the label column).
-    # The other two changed-SQL index entries (semdedup,
-    # ann_recall_eval) hold r6 driver-green rows and the changed SQL
-    # is hash-proven value-equal at 3 SFs (ORACLE_LOCAL/SFSWEEP_r8),
-    # so they rotate to tier 3 — the same local-proof rotation rule
-    # the r7-changed set used.
-    "corr_matrix",
-    "embedding_outliers",
-    "cluster_purity",
+    # tier 0a — NEW operators this round: dedup_incremental (the
+    # batch-append fingerprint-index dedup, never graded). Grade
+    # first. (Any key added mid-round but missing here is emitted
+    # before everything by build_registry's safety net.)
+    "dedup_incremental",
+    # tier 0 — the 12 r8-new operators that have NEVER been driver-
+    # graded (the r8 budget cut before reaching them; r8 verdict item
+    # 1 restores the every-entry-driver-green-at-least-once
+    # invariant). Evidence so far: 3-SF local oracle sweeps
+    # (ORACLE_LOCAL_r8 / SFSWEEP_r8) + pytest twins.
+    "vocab_growth",
+    "domain_diversity",
+    "lang_id_confusion",
+    "rfm_segments",
+    "event_seasonality",
+    "tokenizer_fertility",
+    "user_activity_gini",
+    "boilerplate_prefix",
+    "streaming_seasonality",
+    "orders_cohort_retention",
+    "events_user_cap",
+    "l_diversity",
+    # tier 0b — execution changed in r9: knn_label_noise's vote
+    # kernel was vectorized (lexsort matrix + one-hot votes replace
+    # the per-row Python loop), ccnet_buckets gained the size-gated
+    # histogram dispatch (exact ntile still the default at graded
+    # SFs — re-grade proves the dispatch didn't perturb it).
+    # streaming_dedup / streaming_join regressed 0.2-0.3s in the r8
+    # bench tail; any tuning this round must keep their hashes green.
     "knn_label_noise",
-    "similarity_ann_ivf",
-    # tier 0 — execution changed in r8 (28 entries). Direct engine
-    # changes: col_quantiles + mad_outliers moved to the bounded
-    # histogram-refinement exact-quantile engine, profile_table's
-    # exact census to the (column,value) pair collapse,
-    # kmeans_embeddings' assignment fold and reconciliation_check to
-    # exact fixed-point BIGINT units, drift_ks's totals to a
-    # full-frame window. Plus every dsum consumer: dsum's term cast
-    # moved DECIMAL(30,6) -> DECIMAL(18,6) (identical 6-decimal
-    # quantization, hash-proven value-equal at 3 SFs, compact-long
-    # fast path) — same re-grade rule as the r7 spread sweep.
-    "col_quantiles",
-    "mad_outliers",
-    "profile_table",
-    "kmeans_embeddings",
-    "reconciliation_check",
-    "drift_ks",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q18_large_volume",
-    "q22_prospective_customers",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "events_windowed",
-    "events_sessionized",
-    "events_rollup",
-    "column_sum_check",
-    "combined_single_pass",
-    "streaming_windowed",
+    "ccnet_buckets",
     "streaming_dedup",
-    "streaming_enriched",
-    # tier 1 — last PROVEN driver row is r4 (no CORRECTNESS_r07
-    # artifact was delivered, so the r7 refresh of these cannot be
-    # assumed; they stay inside the budget until a driver row lands).
-    "row_count",
-    "null_check",
-    "negative_check",
-    "range_check",
-    "string_length_check",
-    "string_regex_check",
-    "column_max_check",
-    "unique_check",
-    "col_stats",
-    "col_stats_histogram",
-    "detailed_errors",
-    "q4_order_priority",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "similarity_ann_lsh",
-    "dedup_embedding_cosine",
-    "minhash_containment",
-    # --- driver budget cut (50) falls here ---
-    # tier 2 — slid past the cut when the late-r8 label pair entered
-    # tier 0a: all three keep their r5 driver rows, their values are
-    # unchanged, and each is re-proven at 3 SFs locally
-    # (ORACLE_SFSWEEP_r8). streaming_join (r6-green, dsum re-grade
-    # set) and semdedup / ann_recall_eval (r6-green, changed-SQL)
-    # rotate on the same local-proof rule to keep every R4-stale
-    # entry inside the 50.
+    "streaming_join",
+    # tier 1 — last driver row is r5 (oldest evidence in the
+    # registry; rotated out of the r8 budget by the r8-changed set).
+    # All re-proven at 3 SFs on the final r8 code
+    # (ORACLE_LOCAL_r8/SFSWEEP_r8), but a fresh driver row is the
+    # stronger artifact. 33 entries fill the 50-entry budget.
     "char_entropy",
     "trigram_lm_score",
     "q2_min_cost_supplier",
-    "streaming_join",
-    "semdedup",
     "ann_recall_eval",
-    # tier 3 — rotated out: remaining r5-green rows first, then the
-    # r7-changed set (r5/r6 driver rows + the r7 3-SF local proofs),
-    # then the r6-green rows (freshest evidence). All 132 re-proven
-    # locally each round via tools/oracle_check.py (ORACLE_LOCAL_r8).
     "q12_shipmode_priority",
     "q16_parts_supplier",
     "q21_waiting_orders",
@@ -314,21 +265,27 @@ GRADE_PRIORITY = [
     "domain_mix_sample",
     "k_anonymity",
     "heavy_hitters_cms",
-    "ccnet_buckets",
     "streaming_sessionized",
     "dedup_clusters",
-    "pagerank_bipartite",
     "drift_psi",
     "fk_integrity",
     "benford_check",
     "fd_check",
     "key_skew_audit",
+    # --- driver budget cut (50) falls here ---
+    # tier 2 — remaining r5-green rows that didn't fit the budget
+    # (next round's tier 1), then the r6-green set, then the r8-green
+    # set (freshest driver evidence) last. All re-proven locally each
+    # round via tools/oracle_check.py (ORACLE_LOCAL_r9).
     "hll_distinct",
     "events_gap_fill",
     "events_time_weighted",
     "events_rolling",
-    "copurchase_similarity",
     "gopher_quality",
+    # r6-green rows
+    "semdedup",
+    "pagerank_bipartite",
+    "copurchase_similarity",
     "event_transitions",
     "conversion_lag",
     "weighted_sample",
@@ -368,30 +325,56 @@ GRADE_PRIORITY = [
     "events_anomaly",
     "multimodal_meta",
     "multimodal_resize",
-    # tier 4 — NEW_LOCAL_ONLY (r8 batches 2-6): operators added while
-    # the 50-entry grading budget was already saturated with
-    # never-graded and stale entries, so they sit BELOW the cut by the
-    # r6-verdict convention. Evidence: the end-of-round FULL-registry
-    # 3-SF oracle sweeps (ORACLE_LOCAL_r8 / ORACLE_SFSWEEP_r8 — every
-    # entry here has a PASS line at sf0.001, sf0.01, AND sf0.1 on the
-    # final code) + brute-force pytest twins (tests/test_curation_ops,
-    # test_warehouse_rfm, test_fertility_gini, test_pipeline_runner,
-    # test_streaming). Most are integer-exact end to end (counts and
-    # micro-unit floor divisions), the lowest hash-drift-risk class in
-    # the registry; rfm_segments additionally rides the r8 bounded
-    # exact-quantile engine (bit-identical quantile_cont).
-    "vocab_growth",
-    "domain_diversity",
-    "lang_id_confusion",
-    "rfm_segments",
-    "event_seasonality",
-    "tokenizer_fertility",
-    "user_activity_gini",
-    "boilerplate_prefix",
-    "streaming_seasonality",
-    "orders_cohort_retention",
-    "events_user_cap",
-    "l_diversity",
+    # r8-green rows (CORRECTNESS_r08 all-green — freshest evidence,
+    # safest to rotate out)
+    "corr_matrix",
+    "embedding_outliers",
+    "cluster_purity",
+    "similarity_ann_ivf",
+    "col_quantiles",
+    "mad_outliers",
+    "profile_table",
+    "kmeans_embeddings",
+    "reconciliation_check",
+    "drift_ks",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q18_large_volume",
+    "q22_prospective_customers",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "events_windowed",
+    "events_sessionized",
+    "events_rollup",
+    "column_sum_check",
+    "combined_single_pass",
+    "streaming_windowed",
+    "streaming_enriched",
+    "row_count",
+    "null_check",
+    "negative_check",
+    "range_check",
+    "string_length_check",
+    "string_regex_check",
+    "column_max_check",
+    "unique_check",
+    "col_stats",
+    "col_stats_histogram",
+    "detailed_errors",
+    "q4_order_priority",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "similarity_ann_lsh",
+    "dedup_embedding_cosine",
+    "minhash_containment",
 ]
 
 

@@ -676,6 +676,205 @@ FROM labels GROUP BY label ORDER BY cluster_id
 """
 
 
+# -- dedup_incremental -------------------------------------------------------
+# The append batch: documents with doc_id >= floor((max_id+1) * DELTA_FRAC)
+# model the NEW arrivals of a batch-append pipeline (fresh ids are
+# monotone in every log-structured ingest), everything below is the
+# already-indexed corpus.
+DELTA_FRAC = 0.9
+
+# (appId, sf) -> (fingerprint index DF, bloom bit DF). Models the
+# production persisted fingerprint index: built ONCE per session from
+# the existing corpus, then every append batch probes it without
+# rescanning corpus text — the batch-append analog of ivm_agg
+# (warehouse_ops.py), composing doc_fingerprint + the
+# bloom_filter_semijoin pre-screen (accel_ops.py).
+_INC_INDEX_CACHE: dict = register_session_cache({})
+_INC_PIVOT_CACHE: dict[tuple, int] = {}
+
+
+def _incremental_pivot(spark, sf) -> int:
+    """Append-batch boundary: floor((max(doc_id)+1) * DELTA_FRAC).
+    A bounded 1-row scalar fetch (column-pruned doc_id scan), cached
+    per (application, dataset); as a LITERAL it pushes into the delta
+    parquet scan as GreaterThanOrEqual — row-group pruning on the
+    append files, which is the whole point of incremental dedup."""
+    key = (spark.sparkContext.applicationId, str(sf))
+    pivot = _INC_PIVOT_CACHE.get(key)
+    if pivot is None:
+        docs = load(spark, sf, "documents")
+        pivot = int(
+            docs.agg(
+                F.floor((F.max("doc_id") + F.lit(1)) * F.lit(DELTA_FRAC))
+                .cast("long")
+                .alias("p")
+            ).first()["p"]
+        )
+        _INC_PIVOT_CACHE[key] = pivot
+    return pivot
+
+
+def _incremental_index(spark, sf):
+    """(index, bits): the distinct-fingerprint relation over the
+    EXISTING corpus (one row per distinct normalized-content md5) and
+    its bounded Bloom bit set (≤ BLOOM_M rows regardless of corpus
+    size). Both persisted — the 'index build' happens once; graded
+    executions scan only the append delta."""
+    key = (spark.sparkContext.applicationId, str(sf))
+    cached = _INC_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark import StorageLevel
+
+    from data_validator_spark.functions.text import doc_fingerprint
+    from data_validator_spark.queries.accel_ops import BLOOM_K, _bloom_pos
+
+    pivot = _incremental_pivot(spark, sf)
+    docs = spread(load(spark, sf, "documents"))
+    index = (
+        docs.where(F.col("doc_id") < F.lit(pivot))
+        .select(doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bits = (
+        index.select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("fingerprint"), j) for j in range(BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _INC_INDEX_CACHE[key] = (index, bits)
+    return index, bits
+
+
+def q_dedup_incremental(spark, sf):
+    """Incremental corpus dedup: dedup the NEW documents of a batch
+    append against the EXISTING corpus's fingerprint index without
+    rescanning corpus text — the shape every 100 TB ingest pipeline
+    actually runs (full-corpus dedup_exact is a one-time backfill;
+    day-to-day dedup is delta-vs-index).
+
+    Scale shape: the graded execution scans ONLY the append delta
+    (literal pivot pushed into the parquet scan); the corpus-side
+    relation is the session-persisted DISTINCT-FINGERPRINT index —
+    corpus-scale but fingerprint-width, never text. A broadcast Bloom
+    pre-screen (the bounded ≤ BLOOM_M bit relation, same constants as
+    bloom_filter_semijoin) splits the delta in a pure map stage:
+    bloom-negative rows are PROVEN novel and never enter the index
+    join, so the only shuffle-join runs on bloom-positive rows — for
+    a mostly-novel append (the common case) that is a tiny fraction
+    of the delta. Within-delta duplicates collapse via one
+    delta-scale fingerprint window.
+
+    Determinism: fingerprints are normalized-content md5 (the
+    dedup_exact / doc_fingerprint definition); Bloom positions are
+    60-bit md5 hashes mod m — exact integer arithmetic in both
+    engines, so even the pre-screen column is hash-graded. Bloom
+    false positives cannot flip a flag: dup_of_corpus is decided by
+    the exact index join, the Bloom pass only routes rows around it.
+    """
+    from data_validator_spark.functions.text import doc_fingerprint
+    from data_validator_spark.queries.accel_ops import BLOOM_K, _bloom_pos
+
+    index, bits = _incremental_index(spark, sf)
+    pivot = _incremental_pivot(spark, sf)
+    docs = load(spark, sf, "documents")
+    delta = docs.where(F.col("doc_id") >= F.lit(pivot)).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    probed = delta.select(
+        "doc_id",
+        "fingerprint",
+        *[_bloom_pos(F.col("fingerprint"), j).alias(f"p{j}") for j in range(BLOOM_K)],
+    )
+    for j in range(BLOOM_K):
+        marker = bits.select(F.col("pos").alias(f"p{j}"), F.lit(1).alias(f"hit{j}"))
+        probed = probed.join(F.broadcast(marker), f"p{j}", "left")
+    bloom_pass = F.lit(True)
+    for j in range(BLOOM_K):
+        bloom_pass = bloom_pass & F.col(f"hit{j}").isNotNull()
+    probed = probed.select("doc_id", "fingerprint", bloom_pass.alias("bp"))
+    # only bloom-positive rows reach the (corpus-scale) index join;
+    # bloom-negative rows are novel by construction
+    passed = probed.where(F.col("bp")).join(
+        index.withColumn("ex", F.lit(1)), "fingerprint", "left"
+    )
+    flagged = passed.select(
+        "doc_id",
+        "fingerprint",
+        "bp",
+        F.col("ex").isNotNull().cast("long").alias("dup_of_corpus"),
+    ).unionByName(
+        probed.where(~F.col("bp")).select(
+            "doc_id", "fingerprint", "bp", F.lit(0).cast("long").alias("dup_of_corpus")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    out = flagged.select(
+        "doc_id",
+        "fingerprint",
+        F.col("bp").cast("long").alias("bloom_pass"),
+        "dup_of_corpus",
+        (F.row_number().over(w) > 1).cast("long").alias("dup_in_delta"),
+    )
+    return out.select(
+        "doc_id",
+        "fingerprint",
+        "bloom_pass",
+        "dup_of_corpus",
+        "dup_in_delta",
+        ((F.col("dup_of_corpus") == 0) & (F.col("dup_in_delta") == 0))
+        .cast("long")
+        .alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _sql_dedup_incremental() -> str:
+    from data_validator_spark.queries.accel_ops import BLOOM_K, BLOOM_M
+
+    from data_validator_spark.queries import _sql_hash60
+
+    def pos(expr: str, j: int) -> str:
+        inner = f"'bf{j}:' || CAST({expr} AS VARCHAR)"
+        return f"{_sql_hash60(inner)} % {BLOOM_M}"
+
+    arms = " UNION ALL ".join(
+        f"SELECT {pos('fingerprint', j)} AS pos FROM corpus" for j in range(BLOOM_K)
+    )
+    probes = " AND ".join(
+        f"{pos('d.fingerprint', j)} IN (SELECT pos FROM bits)" for j in range(BLOOM_K)
+    )
+    return f"""
+WITH pv AS (SELECT CAST(floor((MAX(doc_id) + 1) * {DELTA_FRAC}) AS BIGINT) AS p
+            FROM documents),
+corpus AS (SELECT DISTINCT md5({_SQL_NORM}) AS fingerprint
+           FROM documents, pv WHERE doc_id < p),
+bits AS (SELECT DISTINCT pos FROM ({arms})),
+delta AS (SELECT doc_id, md5({_SQL_NORM}) AS fingerprint
+          FROM documents, pv WHERE doc_id >= p),
+flagged AS (
+  SELECT d.doc_id, d.fingerprint,
+         CAST(CASE WHEN {probes} THEN 1 ELSE 0 END AS BIGINT) AS bloom_pass,
+         CAST(CASE WHEN c.fingerprint IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS dup_of_corpus,
+         CAST(CASE WHEN row_number() OVER (PARTITION BY d.fingerprint
+                        ORDER BY d.doc_id) > 1 THEN 1 ELSE 0 END AS BIGINT)
+           AS dup_in_delta
+  FROM delta d LEFT JOIN corpus c ON d.fingerprint = c.fingerprint)
+SELECT doc_id, fingerprint, bloom_pass, dup_of_corpus, dup_in_delta,
+       CAST(CASE WHEN dup_of_corpus = 0 AND dup_in_delta = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM flagged ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -683,6 +882,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "minhash_containment": q_minhash_containment,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES = {
@@ -692,4 +892,5 @@ ORACLES = {
     "dedup_simhash": _sql_simhash(),
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "minhash_containment": _sql_minhash_containment(),
+    "dedup_incremental": _sql_dedup_incremental(),
 }

@@ -1,6 +1,6 @@
 """The driver grades registry entries in dict-insertion order and has
 cut after exactly 50 entries in every graded round — so ordering IS
-grading coverage. These tests pin the r8 rotation contract from
+grading coverage. These tests pin the r9 rotation contract from
 data_validator_spark/queries/__init__.py:GRADE_PRIORITY."""
 
 from __future__ import annotations
@@ -9,71 +9,49 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 
 DRIVER_GRADE_BUDGET = 50
 
-# Tier 0 this round: the four operators NEW in r8 (never graded)
-# plus entries whose execution changes in r8 — the bounded
-# exact-quantile engine (col_quantiles, mad_outliers), the
-# profile_table pair-collapse census, fixed-point kmeans assignment
-# and reconciliation units, drift_ks's full-frame totals, plus every
-# dsum consumer (the term cast moved DECIMAL(30,6)→(18,6); values
-# hash-proven identical, plans new) — all MUST be inside the budget.
-# Exceptions rotated out on the local-proof rule (r6-green driver
-# rows + 3-SF value-equal proofs in ORACLE_SFSWEEP_r8, needed to keep
-# every R4_STALE entry inside the 50): streaming_join (dsum set) and
-# semdedup / ann_recall_eval (oracle SQL text changed when the shared
-# IVF CTE chain picked up the label column).
+# Tier 0 this round: the operator NEW in r9 (dedup_incremental), the
+# 12 r8-new operators that were never driver-graded (the r8 budget cut
+# before reaching them — restoring the every-entry-driver-green
+# invariant is r8 verdict item 1), and the entries whose execution
+# changed in r9 (knn_label_noise's vectorized vote kernel,
+# ccnet_buckets' size-gated histogram dispatch, the two streaming
+# entries whose r8 regression any tuning must not perturb).
 NEW_OR_CHANGED = {
-    # new in r8
-    "corr_matrix", "embedding_outliers", "cluster_purity",
-    "knn_label_noise",
-    # changed-SQL index entry that is also R4-stale
-    "similarity_ann_ivf",
-    # r8 engine changes
-    "col_quantiles", "mad_outliers", "profile_table",
-    "kmeans_embeddings", "reconciliation_check", "drift_ks",
-    # dsum consumers (r8 term-cast change)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q7_volume_shipping", "q10_returned_items",
-    "q15_top_supplier", "q18_large_volume", "q22_prospective_customers",
-    "q9_product_profit", "q11_important_stock", "q19_discounted_revenue",
-    "q20_potential_promotion", "events_windowed", "events_sessionized",
-    "events_rollup", "column_sum_check", "combined_single_pass",
-    "streaming_windowed", "streaming_dedup", "streaming_enriched",
+    # new in r9
+    "dedup_incremental",
+    # r8-new, never driver-graded
+    "vocab_growth", "domain_diversity", "lang_id_confusion",
+    "rfm_segments", "event_seasonality", "tokenizer_fertility",
+    "user_activity_gini", "boilerplate_prefix", "streaming_seasonality",
+    "orders_cohort_retention", "events_user_cap", "l_diversity",
+    # r9 engine changes
+    "knn_label_noise", "ccnet_buckets",
+    "streaming_dedup", "streaming_join",
 }
 
-# Entries whose last PROVEN driver-green row is CORRECTNESS_r04: the
-# r7 cut put them first, but no CORRECTNESS_r07 artifact was ever
-# delivered, so their refresh cannot be assumed — they stay inside
-# the budget until a driver row actually lands.
-R4_STALE = {
-    "streaming_dedup", "streaming_enriched", "events_sessionized",
-    "similarity_ann_lsh", "similarity_ann_ivf", "dedup_embedding_cosine",
-    "minhash_containment", "row_count", "null_check", "negative_check",
-    "range_check", "string_length_check", "string_regex_check",
-    "column_max_check", "column_sum_check", "unique_check", "col_stats",
-    "col_stats_histogram", "col_quantiles", "profile_table",
-    "detailed_errors", "combined_single_pass", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
+# Entries whose last driver-green row is CORRECTNESS_r05 — the oldest
+# evidence tier in the registry (everything else is r6- or r8-green).
+# The 33 that fit the remaining budget after NEW_OR_CHANGED.
+R5_STALE = {
+    "char_entropy", "trigram_lm_score", "q2_min_cost_supplier",
+    "ann_recall_eval", "q12_shipmode_priority", "q16_parts_supplier",
+    "q21_waiting_orders", "ngram_contamination", "triangle_count",
+    "doc_chunk", "streaming_drift", "tfidf_topk", "pmi_collocations",
+    "inverted_index", "bloom_filter_semijoin", "pareto_skyline",
+    "rrf_fusion", "ivm_agg", "cdc_upsert", "scd2_intervals",
+    "bm25_topk", "substring_dedup", "quantile_shard",
+    "domain_mix_sample", "k_anonymity", "heavy_hitters_cms",
+    "streaming_sessionized", "dedup_clusters", "drift_psi",
+    "fk_integrity", "benford_check", "fd_check", "key_skew_audit",
 }
 
 # No SQL oracle by design — EMPTY since r5 session 5: every registry
 # entry carries a hash oracle.
 ROWS_ONLY: set[str] = set()
 
-# Entries below the budget cut with no driver row: the r8 batch-2..6
-# operators, added while the 50-entry budget was saturated (the r6
-# verdict's NEW_LOCAL_ONLY convention). Evidence: the end-of-round
-# FULL-registry 3-SF sweeps (ORACLE_LOCAL_r8 / ORACLE_SFSWEEP_r8 —
-# every entry below has PASS lines at all three SFs on the final
-# code) + brute-force pytest twins in this directory.
-NEW_LOCAL_ONLY: set[str] = {
-    "vocab_growth", "domain_diversity", "lang_id_confusion",
-    "rfm_segments", "event_seasonality",
-    "tokenizer_fertility", "user_activity_gini", "boilerplate_prefix",
-    "streaming_seasonality", "orders_cohort_retention",
-    "events_user_cap", "l_diversity",
-}
+# Entries below the cut with no driver row this round: none — r9's
+# only new operator (dedup_incremental) is inside the budget.
+NEW_LOCAL_ONLY: set[str] = set()
 
 
 def test_priority_list_matches_registry():
@@ -85,13 +63,15 @@ def test_new_and_stale_entries_fit_grading_budget():
     q, _ = build_registry()
     graded = set(list(q)[:DRIVER_GRADE_BUDGET])
     assert NEW_OR_CHANGED <= graded, NEW_OR_CHANGED - graded
-    assert R4_STALE <= graded, R4_STALE - graded
+    assert R5_STALE <= graded, R5_STALE - graded
+    # the two tiers exactly fill the budget — no wasted slot
+    assert len(NEW_OR_CHANGED | R5_STALE) == DRIVER_GRADE_BUDGET
 
 
 def test_rotated_out_entries_hold_recent_driver_green():
     """Whatever falls past the grading budget must already hold a
-    driver-green row in CORRECTNESS_r06 or r05 (the freshest evidence
-    tiers), or be rows-only by design."""
+    driver-green row in CORRECTNESS_r08, r06 or r05 (the freshest
+    evidence tiers), or be rows-only by design."""
     import json
     import pathlib
 
@@ -104,7 +84,11 @@ def test_rotated_out_entries_hold_recent_driver_green():
             if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
         }
 
-    green_recent = green("CORRECTNESS_r06.json") | green("CORRECTNESS_r05.json")
+    green_recent = (
+        green("CORRECTNESS_r08.json")
+        | green("CORRECTNESS_r06.json")
+        | green("CORRECTNESS_r05.json")
+    )
     q, _ = build_registry()
     overflow = list(q)[DRIVER_GRADE_BUDGET:]
     not_proven = [
@@ -132,7 +116,7 @@ def test_bench_headline_keys_exist_in_registry():
     missing = [k for k in bench.HEADLINE if k not in q]
     assert not missing, f"bench HEADLINE keys not in registry: {missing}"
     unbenched = [
-        k for k in (NEW_OR_CHANGED | R4_STALE) if k not in bench.HEADLINE
+        k for k in (NEW_OR_CHANGED | R5_STALE) if k not in bench.HEADLINE
     ]
     assert not unbenched, f"priority entries missing from bench: {unbenched}"
 
@@ -151,3 +135,39 @@ def test_bench_prime_keys_exist_in_registry():
     assert primers, "PRIME list not found"
     missing = [k for k in primers if k not in q]
     assert not missing, f"PRIME keys not in registry: {missing}"
+
+
+def test_bench_stdout_line_fits_driver_capture_window():
+    """BENCH_r06/r08 both came back `parsed: null` because the full
+    queries dict overflowed the driver's 2000-char stdout tail capture.
+    compact_line must stay under the window for a registry-sized
+    result set with worst-case timing widths."""
+    import importlib.util
+    import json
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    results = {name: 123.456 for name in bench.HEADLINE}
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": 0.1,
+        "runs_per_query": 2,
+        "prime_pass_sec": 41.51,
+        "cc_chain": {
+            "propagation_sec": 7.772, "propagation_rounds": 32,
+            "star_sec": 7.303, "star_rounds": 6,
+        },
+    }
+    line = bench.compact_line(out, "BENCH_FULL.json")
+    assert len(line) <= 2000 - 100  # margin for driver framing
+    parsed = json.loads(line)
+    assert parsed["value"] == out["value"]
+    assert parsed["queries"]  # at least some per-query detail survives
+    assert parsed["queries_omitted"] + len(parsed["queries"]) == len(results)
