@@ -35,9 +35,24 @@ any single task. Every scan is a plain columnar pass with the range
 predicate pushed down, so the whole procedure stays inside
 whole-stage codegen.
 
-Reference parity: the quantile definition is the reference's colstats
-second pass (SecondPassStatsAggregator.scala) / SQL quantile_cont;
-this module only changes the physical strategy, not the statistic.
+Quantile definition: Spark's exact ``percentile`` aggregate / DuckDB's
+``quantile_cont`` — the sorted-linear-interpolation order statistic
+both engines share (the reference's own stats pass,
+SecondPassStatsAggregator.scala, computes stddev + a 10-bin histogram
+and has no quantile statistic; this operator extends that profiling
+surface). This module only changes the physical strategy, not the
+statistic.
+
+NaN contract (documented deviation): NaN inputs are scrubbed to NULL
+before selection (the count/min/max pass, the histogram and the
+selection window all skip them), whereas Spark's ``percentile`` and
+DuckDB's ``quantile_cont`` order NaN as greater than every number —
+on a NaN-containing column their result can be NaN-interpolated while
+this module returns the quantiles of the numeric sub-multiset. The
+pipeline's numeric columns are NaN-free (parquet decimals/doubles from
+the generator), and the NULL treatment is what every validator check
+in the package applies to non-values; test_exact_quantile pins the
+scrub (test_nan_scrubbed_like_null).
 """
 
 from __future__ import annotations
@@ -173,7 +188,21 @@ def exact_quantiles(
         for tid, t in enumerate(active):
             x = F.col(t.col)
             width = t.hi - t.lo
-            b = F.floor((x - F.lit(t.lo)) / F.lit(width) * F.lit(buckets))
+            if math.isinf(width):
+                # hi - lo overflows for extreme double ranges (e.g. lo
+                # near -1.7e308, hi near +1.7e308): every value would
+                # land in bucket 0 and no round could narrow, pushing
+                # the whole column into the single-task fallback
+                # window. Halved arithmetic keeps every intermediate
+                # finite for ANY representable pair: |hi/2 - lo/2| and
+                # |x/2 - lo/2| are both <= DBL_MAX by construction.
+                # Bucket boundaries shift by at most an ulp vs the
+                # unhalved formula — irrelevant, since per-bucket
+                # counts/min/max come from the actual data.
+                half_w = t.hi / 2 - t.lo / 2
+                b = F.floor((x / 2 - F.lit(t.lo / 2)) / F.lit(half_w) * F.lit(buckets))
+            else:
+                b = F.floor((x - F.lit(t.lo)) / F.lit(width) * F.lit(buckets))
             b = F.least(F.lit(buckets - 1), F.greatest(F.lit(0), b)).cast("int")
             arms.append(
                 F.when(

@@ -791,6 +791,27 @@ ORDER BY g.doc_id
 CCNET_TILES = 3  # head / middle / tail
 # approx-path binned score relation, shared across repeat executions
 _CCNET_BINNED_CACHE: dict = register_session_cache({})
+# Size gate for the exact (global-ntile) path: above this many
+# documents the histogram tertile path is the DEFAULT (r8 verdict
+# item 3 — a user who forgets approx_profile must not get a
+# corpus-scale single-partition window at 100 TB). The conf is the
+# override knob in both directions; the default keeps every test SF
+# (≤ 50k docs) on the oracle-exact ntile spelling.
+CCNET_EXACT_MAX_DOCS_CONF = "spark.data_validator.ccnet_exact_max_docs"
+CCNET_EXACT_MAX_DOCS_DEFAULT = 1_000_000
+_DOC_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _doc_count(spark, sf) -> int:
+    """Cached documents row count (one column-pruned count job per
+    application+dataset — the same plan-time sizing probe as
+    similarity._derived_params)."""
+    key = (spark.sparkContext.applicationId, str(sf))
+    n = _DOC_COUNT_CACHE.get(key)
+    if n is None:
+        n = load(spark, sf, "documents").count()
+        _DOC_COUNT_CACHE[key] = n
+    return n
 
 
 def q_ccnet_buckets(spark, sf):
@@ -803,8 +824,9 @@ def q_ccnet_buckets(spark, sf):
 
     Scale shape: the rank runs over the PER-DOC score relation (one
     row per doc, after the LM scorer's map-side collapses). ntile is
-    rank-exact and the oracle-checkable default; with
-    ``spark.data_validator.approx_profile=true`` the tertile
+    rank-exact and the oracle-checkable default BELOW the size gate;
+    above CCNET_EXACT_MAX_DOCS (conf-overridable, default 1M docs) or
+    with ``spark.data_validator.approx_profile=true`` the tertile
     boundaries come instead from a SCORE HISTOGRAM — the
     `quantile_shard` method (corpus_ops.py): avg_logp is binned to
     1e-4 resolution (distinct bins bounded by the trigram-logp DOMAIN,
@@ -812,15 +834,23 @@ def q_ccnet_buckets(spark, sf):
     count runs as a window over that tiny aggregated relation, tile =
     (3·cum_before) div n_total + 1 is integer-exact, and assignment
     joins back by broadcast. No corpus-scale single-partition window
-    anywhere on the approx path (tests/test_approx_profile.py asserts
-    ntile leaves the plan). Output contract identical; docs sharing a
-    1e-4 bin land in one tile, so bucket sizes can differ from exact
-    ntile by at most one bin's population.
+    anywhere on the histogram path (tests/test_approx_profile.py
+    asserts ntile leaves the plan — both via the flag and via the
+    size gate). Output contract identical; docs sharing a 1e-4 bin
+    land in one tile, so bucket sizes can differ from exact ntile by
+    at most one bin's population.
+
+    The size gate (r9) makes the scale-safe path the DEFAULT at
+    corpus scale: a user who forgets the flag no longer gets a
+    single-partition window over 100 TB of scores; the conf lowers or
+    raises the cutover, and the flag still forces the histogram path
+    outright. The gate's count probe is one cached column-pruned
+    count job (the similarity._derived_params pattern).
 
     Determinism (exact mode): ordering key is (avg_logp DESC, doc_id)
     — avg_logp is the same exact double in both engines (decimal sum /
     int count), doc_id breaks ties; per-tile stats are exact decimal
-    sums with one final division. The approx path is also
+    sums with one final division. The histogram path is also
     deterministic (floor + integer div, no sketches).
     """
     from pyspark.sql import Window
@@ -829,7 +859,10 @@ def q_ccnet_buckets(spark, sf):
     from data_validator_spark.queries.validator_queries import _approx_enabled
 
     scores = q_trigram_lm_score(spark, sf)
-    if _approx_enabled(spark):
+    exact_max = int(
+        spark.conf.get(CCNET_EXACT_MAX_DOCS_CONF, str(CCNET_EXACT_MAX_DOCS_DEFAULT))
+    )
+    if _approx_enabled(spark) or _doc_count(spark, sf) > exact_max:
         # histogram-derived tertile boundaries: head = highest scores,
         # so the cumulative count runs over bins in DESCENDING order.
         # The binned score relation feeds TWO subtrees (the histogram

@@ -315,9 +315,12 @@ def q_col_quantiles(spark, sf):
     `percentile_approx` scan (KLL-style bounded-memory sketch, same
     output schema) when a one-pass answer is worth the approximation.
 
-    Reference parity: colstats second pass,
-    src/main/scala/com/target/data_validator/stats (quantile
-    semantics); the physical strategy is ours."""
+    Quantile definition: Spark `percentile` / DuckDB `quantile_cont`
+    (the reference's stats second pass —
+    src/main/scala/com/target/data_validator/stats — computes stddev
+    plus a 10-bin histogram and has no quantile statistic; this
+    operator extends that profiling surface, per ADVICE r8). The
+    physical strategy is ours."""
     df = load(spark, sf, "lineitem")
     if _approx_enabled(spark):
         qarr = "array(" + ", ".join(f"{q}D" for q in QUANTILES) + ")"

@@ -116,6 +116,35 @@ def test_profile_approx_counts_within_tolerance(approx):
         assert rel <= 0.05, (c, ap[c]["n_distinct"], ex[c]["n_distinct"])
 
 
+def test_ccnet_size_gate_defaults_to_histogram_above_threshold(spark):
+    """r9: WITHOUT the approx flag, a corpus above the size gate must
+    take the histogram tertile path by default (no corpus-scale
+    single-partition ntile window at 100 TB); below the gate the
+    exact ntile spelling stays the oracle default."""
+    from data_validator_spark.queries.quality_ops import (
+        CCNET_EXACT_MAX_DOCS_CONF,
+        q_ccnet_buckets,
+    )
+
+    spark.conf.unset(APPROX_PROFILE_CONF)
+    # gate below the test corpus size -> histogram path without the flag
+    spark.conf.set(CCNET_EXACT_MAX_DOCS_CONF, "10")
+    try:
+        gated = q_ccnet_buckets(spark, SF)
+        assert "ntile" not in _plan(gated)
+        ap = {r["bucket"]: r for r in gated.collect()}
+    finally:
+        spark.conf.unset(CCNET_EXACT_MAX_DOCS_CONF)
+    # default gate (1M docs) -> exact ntile at every test SF
+    exact = q_ccnet_buckets(spark, SF)
+    assert "ntile" in _plan(exact)
+    ex = {r["bucket"]: r for r in exact.collect()}
+    assert set(ap) == set(ex) == {"head", "middle", "tail"}
+    assert sum(r["n_docs"] for r in ap.values()) == sum(
+        r["n_docs"] for r in ex.values()
+    )
+
+
 def test_ccnet_buckets_approx_plan_and_values(approx):
     """r7: under the flag the tertile boundaries come from the score
     histogram (quantile_shard method) — ntile must leave the physical

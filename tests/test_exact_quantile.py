@@ -91,6 +91,21 @@ def test_nan_scrubbed_like_null(spark):
     assert got.values == [2.5]
 
 
+def test_extreme_double_range_refines_not_fallback(spark):
+    """ADVICE r8: hi - lo overflows to +inf when the column spans
+    nearly the whole double range; the halved-arithmetic bucket path
+    must still NARROW (refinement resolves under a tiny cap within
+    the round budget — no single-task whole-column fallback window)
+    and stay bit-exact vs Spark's percentile."""
+    random.seed(31)
+    vals = [random.uniform(-1.0, 1.0) * 1.7e308 for _ in range(2000)]
+    vals[0], vals[1] = -1.7e308, 1.7e308  # pin the overflow endpoints
+    assert math.isinf(max(vals) - min(vals))
+    _check_bit_exact(
+        spark, vals, **{"buckets": 8, "cap": 16, "max_rounds": 64}
+    )
+
+
 def test_forced_multi_round_refinement(spark):
     # buckets=2, cap=4 forces log2(n) refinement rounds; max_rounds
     # high enough to converge, values still bit-exact
