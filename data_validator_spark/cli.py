@@ -92,7 +92,24 @@ def main(argv: Optional[list[str]] = None) -> int:
 
         if config.email and (failed or args.emailOnPass):
             msg = report_mod.render_email(config, report)
-            logging.info("email rendered (transport not configured): subject=%s", msg.get("subject"))
+            if config.email.deliver:
+                from data_validator_spark.emailer import send_report_email
+
+                if send_report_email(config, msg):
+                    # parity: a send failure is logged, never fatal
+                    # (Emailer.sendMessage's boolean flag); the
+                    # rendered message stays available via the report
+                    logging.error(
+                        "email delivery failed; rendered message retained: subject=%s",
+                        msg.get("subject"),
+                    )
+                else:
+                    logging.info("email delivered: subject=%s", msg.get("subject"))
+            else:
+                logging.info(
+                    "email rendered (delivery disabled; set email.deliver): subject=%s",
+                    msg.get("subject"),
+                )
 
         # Parity: Main.scala exit semantics.
         print(f"DATA_VALIDATOR_STATUS={'FAIL' if failed else 'PASS'}")

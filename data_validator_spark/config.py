@@ -37,6 +37,13 @@ class EmailConfig:
     to: list[str] = field(default_factory=list)
     cc: list[str] = field(default_factory=list)
     bcc: list[str] = field(default_factory=list)
+    # Rebuild extensions (reference EmailConfig has neither field:
+    # javax.mail defaults the port to 25 and the reference always
+    # delivers when an email block exists — Emailer.scala:34. Here
+    # delivery is opt-in so the render-only default stays safe in
+    # environments without an SMTP relay).
+    smtp_port: int = 25
+    deliver: bool = False
 
 
 @dataclass
@@ -82,12 +89,13 @@ def parse_config(
     spark: Optional[Any] = None,
     cli_vars: Optional[dict[str, str]] = None,
 ) -> ValidatorConfig:
-    """Parse YAML, resolving variables first (cli --vars override the
-    config's own `vars:`, reference Main.scala behavior)."""
+    """Parse YAML, resolving variables first. CLI --vars override the
+    config's own `vars:` by the reference's actual mechanism
+    (Main.scala): the dict is SEEDED with the CLI vars, and adding a
+    name twice keeps the first value, so the config's re-definition of
+    a CLI-supplied name is a logged no-op."""
     raw = yaml.safe_load(text) or {}
-    dict_ = build_dict(raw.get("vars"), spark)
-    for k, v in (cli_vars or {}).items():
-        dict_.add(k, v)
+    dict_ = build_dict(raw.get("vars"), spark, seed=cli_vars)
 
     def sub(v: Any) -> Any:
         return dict_.replace(v)
@@ -120,6 +128,8 @@ def parse_config(
             to=list(e.get("to", []) or []),
             cc=list(e.get("cc", []) or []),
             bcc=list(e.get("bcc", []) or []),
+            smtp_port=int(e.get("smtpPort", 25)),
+            deliver=bool(e.get("deliver", False)),
         )
 
     return ValidatorConfig(

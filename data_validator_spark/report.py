@@ -2,9 +2,9 @@
 
 Parity: reference Reports.scala (JSON envelope), HTMLBits.scala/
 ValidatorConfig.generateHTMLReport (HTML), IO.scala (filename with
-append / pipe-to-program outputs), Emailer.scala (rendered, not
-sent — SMTP is out of scope; the rendered message is returned/saved
-so callers can deliver it however they like).
+append / pipe-to-program outputs), Emailer.scala (render_email builds
+the message; actual SMTP delivery lives in emailer.py and is opt-in
+via email.deliver — render-only remains the default/fallback).
 """
 
 from __future__ import annotations

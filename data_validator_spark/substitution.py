@@ -30,10 +30,25 @@ class VarSubstitution:
     def __init__(self) -> None:
         self.vars: dict[str, Any] = {}
 
-    def add(self, name: str, value: Any) -> None:
+    def add(self, name: str, value: Any) -> bool:
+        """Add a variable; returns True on ERROR (the reference's flag
+        convention, VarSubstitution.addString). Adding a name twice
+        keeps the FIRST value (VarSubstitutionSpec 'adding var twice
+        fails') — this is what makes CLI --vars override config vars:
+        Main.scala seeds the dict with CLI vars first, so the config's
+        own re-adds are no-ops. Invalid names raise (documented
+        fail-fast deviation: the reference logs and continues)."""
         if not re.fullmatch(r"[A-Za-z]\w*", name):
             raise VarSubstitutionError(f"Invalid variable name: {name!r}")
+        if name in self.vars:
+            import logging
+
+            logging.getLogger(__name__).error(
+                "VarSubstitution: '%s' already defined (first value kept)", name
+            )
+            return True
         self.vars[name] = value
+        return False
 
     def add_env(self, name: str, env_name: Optional[str] = None) -> None:
         env_key = env_name or name
@@ -79,11 +94,17 @@ class VarSubstitution:
 
 
 def build_dict(
-    var_specs: list[dict[str, Any]], spark: Optional[SparkSession] = None
+    var_specs: list[dict[str, Any]],
+    spark: Optional[SparkSession] = None,
+    seed: Optional[dict[str, Any]] = None,
 ) -> VarSubstitution:
     """Build from the YAML `vars:` list (order matters — later vars may
-    reference earlier ones via substitution in their own spec)."""
+    reference earlier ones via substitution in their own spec).
+    ``seed`` pre-populates the dict (CLI --vars, added FIRST so the
+    config's own re-adds keep the CLI value — Main.scala order)."""
     dict_ = VarSubstitution()
+    for k, v in (seed or {}).items():
+        dict_.add(k, v)
     for spec in var_specs or []:
         spec = dict_.replace(spec)
         name = spec["name"]

@@ -210,6 +210,107 @@ tables:
     assert [len(checks) for _, checks in built] == [2, 1, 1, 1]
 
 
+# -- reference spec fixture sweep (r8 verdict item 8) -----------------------
+# VarSubstitutionSpec + ConfigParserSpec rejection fixtures, mirrored
+# with matching accept/reject behavior.
+
+def test_adding_var_twice_keeps_first_value():
+    """VarSubstitutionSpec:10 'adding var twice fails': the second add
+    is an error flag and the FIRST value survives."""
+    d = VarSubstitution()
+    assert d.add("foo", "bar") is False
+    assert d.add("foo", "baz") is True
+    assert d.replace_string("$foo") == "bar"
+
+
+def test_config_var_cannot_override_cli_var():
+    """Main.scala seeds the dict with CLI vars first; the config's own
+    definition of the same name is a logged no-op."""
+    cfg = parse_config(YAML, cli_vars={"qty": "7"})
+    src, checks = cfg.tables[0].build()
+    assert src.condition == "l_quantity < 7"
+    assert checks[1].max_value == "7"
+
+
+def test_duplicate_config_var_first_wins():
+    from data_validator_spark.substitution import build_dict as bd
+
+    d = bd([{"name": "a", "value": "first"}, {"name": "a", "value": "second"}])
+    assert d.vars["a"] == "first"
+
+
+def test_one_char_variable_both_spellings():
+    # VarSubstitutionSpec:57 'short 1 char variables'
+    d = VarSubstitution()
+    d.add("f", "foo")
+    assert d.replace_string("${f}|$f") == "foo|foo"
+
+
+def test_map_seeding():
+    # VarSubstitutionSpec:50 'adding map works' (seed = addMap)
+    from data_validator_spark.substitution import build_dict as bd
+
+    d = bd([], seed={"one": "1", "two": "2"})
+    assert d.replace_string("$one, $two") == "1, 2"
+
+
+def test_missing_file_path_rejected():
+    """ConfigParserSpec parseFile: a nonexistent path is an error, not
+    an empty config."""
+    from data_validator_spark.config import check_config_file, load_config
+
+    errs = check_config_file("/no/such/config.yaml")
+    assert errs and "Cannot read config file" in errs[0]
+    with pytest.raises(OSError):
+        load_config("/no/such/config.yaml")
+
+
+MALFORMED = [
+    # (yaml text, expected error fragment) — parse-level rejections
+    ("tables: [\n", "YAML parse error"),          # truncated flow seq
+    ("- a\n- b\n", "root must be a mapping"),     # root is a list
+    ("vars:\n  - value: x\ntables: []\n", "missing 'name'"),
+    ("vars:\n  - name: v\ntables: []\n", "no value/env/shell/sql"),
+    (
+        "tables:\n  - bogusKey: /x\n    checks: []\n",
+        "tables[0]",
+    ),  # unknown source kind
+    (
+        "tables:\n  - parquetFile: /x\n    checks:\n      - type: noSuchCheck\n",
+        "checks[0]",
+    ),  # unknown check type
+    (
+        "tables:\n  - parquetFile: /x\n    checks:\n      - type: nullCheck\n",
+        "checks[0]",
+    ),  # nullCheck without column
+]
+
+
+@pytest.mark.parametrize("text,fragment", MALFORMED)
+def test_malformed_config_rejected(text, fragment):
+    from data_validator_spark.config import check_config_text
+
+    errs = check_config_text(text)
+    assert errs, f"expected rejection for: {text!r}"
+    assert any(fragment in e for e in errs), (errs, fragment)
+
+
+def test_unknown_variable_in_config_rejected():
+    """ConfigVarSubSpec 'bad variable substitution should fail': a
+    config whose check references an undefined variable is rejected
+    (here fail-fast at parse; the reference flags the check failed)."""
+    from data_validator_spark.substitution import VarSubstitutionError
+
+    with pytest.raises(VarSubstitutionError):
+        parse_config(
+            "tables:\n"
+            "  - parquetFile: /x.parquet\n"
+            "    checks:\n"
+            "      - type: nullCheck\n"
+            "        column: Col${unknown}\n"
+        )
+
+
 # --- check_config_text placeholder scoping (r7 ADVICE fixes) ---------------
 
 def test_check_config_nonjson_scalar_does_not_crash():
