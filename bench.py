@@ -142,6 +142,7 @@ HEADLINE = [
     "embedding_outliers",
     "cluster_purity",
     "knn_label_noise",
+    "embedding_rp_jl",
     "vocab_growth",
     "domain_diversity",
     "lang_id_confusion",
@@ -165,6 +166,7 @@ HEADLINE = [
     "streaming_enriched",
     "streaming_join",
     "streaming_drift",
+    "streaming_incremental_dedup",
 ]
 
 

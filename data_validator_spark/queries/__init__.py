@@ -381,6 +381,13 @@ GRADE_PRIORITY = [
     "similarity_ann_lsh",
     "dedup_embedding_cosine",
     "minhash_containment",
+    # tier 4 — NEW_LOCAL_ONLY (r9 batch 2): added while the 50-entry
+    # budget was saturated with never-graded + oldest-evidence entries
+    # (the r6-verdict convention). Evidence: full-registry 3-SF oracle
+    # sweeps (ORACLE_LOCAL_r9 / SFSWEEP_r9) + pytest twins. Both are
+    # integer-exact or micro-unit-quantized end to end.
+    "embedding_rp_jl",
+    "streaming_incremental_dedup",
 ]
 
 

@@ -42,7 +42,7 @@ import hashlib
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import load, register_session_cache, spread
+from data_validator_spark.queries import DEC, load, register_session_cache, spread
 
 DIM = 64
 N_QUERIES = 10
@@ -971,6 +971,89 @@ FROM maj m JOIN agree a USING (vec_id) WHERE m.mrk = 1 ORDER BY m.vec_id
 """
 
 
+# -- embedding_rp_jl ---------------------------------------------------------
+# Random-projection target dimensionality (Johnson-Lindenstrauss audit).
+RP_DIM = 16
+# Distortion census buckets: 0.1-wide from ratio 0.0, clamped at 2.9+.
+RP_BUCKETS = 30
+
+
+def q_embedding_rp_jl(spark, sf):
+    """Johnson-Lindenstrauss random-projection distortion audit: every
+    embedding is projected DIM→RP_DIM with the deterministic ±1
+    hyperplanes (the same public md5-parity PLANES the LSH bucketing
+    uses), and the JL norm estimator (1/k)·Σ_d ⟨v,s_d⟩² is compared to
+    the true ‖v‖² — the audit a pipeline runs before swapping full
+    embeddings for cheap projections in dedup/ANN candidate stages
+    (for ±1 planes E[⟨v,s⟩²] = ‖v‖², so ratio≈1 with √(2/k) spread).
+    Output is the bounded distortion census: one row per 0.1-wide
+    ratio bucket with population and exact-decimal mean ratio.
+
+    Scale shape: a pure map stage (projection planes are plan-time
+    literals — no join, no broadcast, nothing corpus-sized) into one
+    map-side-combined aggregation over ≤ RP_BUCKETS groups. The
+    cheapest scan shape an embedding operator can have; at 100 TB the
+    only cost is the read.
+
+    Determinism: projections and ‖v‖² fold in array order (identical
+    left fold in both engines), the ratio is one IEEE division on
+    bit-identical operands, micro-unit quantization is floor(+0.5),
+    and the bucket is an integer div of the micro-units; the mean is
+    an exact decimal sum / count. Zero-norm vectors are excluded up
+    front (0/0 is engine-divergent — the standard nz guard)."""
+    vecs = _vecs(spark, sf)
+    orig_sq = _dot(F.col("v"), F.col("v"))
+    proj_sq = None
+    for d in range(RP_DIM):
+        w = F.array(*[F.lit(x) for x in PLANES[d]])
+        p = _dot(F.col("v"), w)
+        term = p * p
+        proj_sq = term if proj_sq is None else proj_sq + term
+    ratio = (proj_sq / F.lit(float(RP_DIM))) / orig_sq
+    rmicro = F.floor(ratio * 1000000.0 + 0.5).cast("long")
+    rows = vecs.where(F.col("norm") > 0).select(rmicro.alias("rm"))
+    bucket = F.least(F.lit(RP_BUCKETS - 1), F.expr("rm div 100000")).cast("long")
+    return (
+        rows.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum((F.col("rm").cast("double") / 1000000.0).cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast(DEC)
+            .cast("double")
+            .alias("mean_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_rp_jl() -> str:
+    terms = []
+    for d in range(RP_DIM):
+        lits = ", ".join(str(x) for x in PLANES[d])
+        p = f"list_sum(list_transform(range(1, {DIM + 1}), i -> v[i] * ([{lits}])[i]))"
+        terms.append(f"({p}) * ({p})")
+    proj_sq = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (SELECT vec_id, v,
+             list_sum(list_transform(v, x -> x * x)) AS orig_sq FROM e),
+r AS (
+  SELECT CAST(floor((({proj_sq}) / {RP_DIM}.0) / orig_sq * 1000000.0 + 0.5)
+              AS BIGINT) AS rm
+  FROM n WHERE orig_sq > 0)
+SELECT LEAST({RP_BUCKETS - 1}, rm // 100000) AS bucket,
+       count(*) AS n_vecs,
+       CAST(CAST(CAST(SUM(CAST(rm / 1000000.0 AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(*) AS DECIMAL(30,6)) AS DOUBLE) AS mean_ratio
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "similarity_topk": q_similarity_topk,
@@ -981,6 +1064,7 @@ QUERIES = {
     "embedding_outliers": q_embedding_outliers,
     "cluster_purity": q_cluster_purity,
     "knn_label_noise": q_knn_label_noise,
+    "embedding_rp_jl": q_embedding_rp_jl,
 }
 
 ORACLES = {
@@ -993,4 +1077,5 @@ ORACLES = {
     "embedding_outliers": _sql_embedding_outliers(),
     "cluster_purity": _sql_cluster_purity(),
     "knn_label_noise": _sql_knn_label_noise(),
+    "embedding_rp_jl": _sql_rp_jl(),
 }

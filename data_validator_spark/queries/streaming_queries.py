@@ -621,6 +621,77 @@ def q_streaming_seasonality(spark, sf):
     return seasonality_shares(_run_to_memory(ev, agg, output_mode="complete"))
 
 
+# -- streaming_incremental_dedup ---------------------------------------------
+def q_streaming_incremental_dedup(spark, sf):
+    """Streaming ingest dedup against the persisted corpus fingerprint
+    index — the LIVE twin of batch ``dedup_incremental`` (dedup.py):
+    the append delta arrives as a stream (a Kafka-shaped ingest,
+    modeled by the file source with the same literal doc_id pivot
+    pushed into the stream scan); every micro-batch fingerprints its
+    documents IN-STREAM (pure map — the md5 normalization chain) and
+    stream-static joins the session-persisted distinct-fingerprint
+    index to split arrivals into corpus-dups vs novel docs, with the
+    running census accumulating in complete mode.
+
+    Scale shape: per micro-batch one map stage + one join against the
+    static index relation (fingerprint-width, session-persisted — the
+    'index build' is paid once, NEVER per batch) + a map-side-combined
+    aggregate to a SINGLE running row. State is O(1). Within-delta
+    duplicates are deliberately out of scope here (they'd need
+    cross-batch keyed state — dropDuplicatesWithinWatermark territory);
+    the batch twin flags them, and the oracle scopes to corpus-dups.
+
+    Determinism: pure integer counts over exact md5-equality — the
+    lowest-drift-risk class in the registry; micro-batch boundaries
+    can't move a count because the census is batch-additive."""
+    import os
+
+    from data_validator_spark.queries.dedup import (
+        _incremental_index,
+        _incremental_pivot,
+    )
+    from data_validator_spark.functions.text import doc_fingerprint
+
+    index, _bits = _incremental_index(spark, sf)
+    pivot = _incremental_pivot(spark, sf)
+    marked = index.withColumn("in_corpus", F.lit(1))
+    stream = _stream_reader(spark, sf, "documents")
+
+    def agg(df):
+        fp = df.where(F.col("doc_id") >= F.lit(pivot)).select(
+            "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+        )
+        joined = fp.join(marked, "fingerprint", "left")
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.coalesce(F.sum("in_corpus"), F.lit(0)).cast("long").alias("n_dup_corpus"),
+            (
+                F.count(F.lit(1)) - F.coalesce(F.sum("in_corpus"), F.lit(0))
+            ).cast("long").alias("n_novel"),
+        )
+
+    return _run_to_memory(stream, agg, output_mode="complete")
+
+
+def _sql_streaming_incremental() -> str:
+    from data_validator_spark.queries.dedup import DELTA_FRAC, _SQL_NORM
+
+    return f"""
+WITH pv AS (SELECT CAST(floor((MAX(doc_id) + 1) * {DELTA_FRAC}) AS BIGINT) AS p
+            FROM documents),
+corpus AS (SELECT DISTINCT md5({_SQL_NORM}) AS fingerprint
+           FROM documents, pv WHERE doc_id < p),
+delta AS (SELECT doc_id, md5({_SQL_NORM}) AS fingerprint
+          FROM documents, pv WHERE doc_id >= p)
+SELECT count(*) AS n_delta,
+       CAST(COALESCE(SUM(CASE WHEN c.fingerprint IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_dup_corpus,
+       CAST(count(*) - COALESCE(SUM(CASE WHEN c.fingerprint IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_novel
+FROM delta d LEFT JOIN corpus c ON d.fingerprint = c.fingerprint
+"""
+
+
 QUERIES = {
     "streaming_drift": q_streaming_drift,
     "streaming_windowed": q_streaming_windowed,
@@ -630,6 +701,7 @@ QUERIES = {
     "streaming_enriched": q_streaming_enriched,
     "streaming_join": q_streaming_join,
     "streaming_seasonality": q_streaming_seasonality,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
 }
 
 ORACLES = {
@@ -642,4 +714,5 @@ ORACLES = {
     "streaming_join": SQL_STREAMING_JOIN,
     # same census as the batch twin — identical oracle
     "streaming_seasonality": SQL_EVENT_SEASONALITY,
+    "streaming_incremental_dedup": _sql_streaming_incremental(),
 }

@@ -83,6 +83,94 @@ def test_planted_duplicates_flagged(spark, tmp_path):
         assert out[i]["dup_of_corpus"] == 0 and out[i]["keep"] == 1
 
 
+def test_streaming_twin_counts_match_batch(spark, tmp_path):
+    """streaming_incremental_dedup's running census must equal the
+    batch twin's corpus-dup/novel totals on a planted-dup corpus."""
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.queries.streaming_queries import (
+        q_streaming_incremental_dedup,
+    )
+
+    rows = [(i, f"unique corpus text number {i}") for i in range(95)]
+    rows += [
+        (95, "unique corpus text number 3"),   # dup of corpus
+        (96, "fresh shared text"),
+        (97, "fresh shared text"),             # within-delta dup (still novel vs corpus)
+        (98, "completely novel text"),
+        (99, "unique corpus text number 42"),  # dup of corpus
+    ]
+    # single-FILE parquet (the testdata layout): the streaming file
+    # source discovers symlinked files, not nested directories
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = q_streaming_incremental_dedup(spark, str(tmp_path)).collect()[0]
+    assert got["n_delta"] == 10
+    assert got["n_dup_corpus"] == 2   # docs 95 and 99
+    assert got["n_novel"] == 8        # within-delta dups stay novel vs corpus
+    batch = q_dedup_incremental(spark, str(tmp_path))
+    agg = batch.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dup_of_corpus").alias("dc")
+    ).first()
+    assert (agg["n"], agg["dc"]) == (got["n_delta"], got["n_dup_corpus"])
+
+
+def test_rp_jl_census_matches_numpy(spark, tmp_path):
+    """embedding_rp_jl: the JL distortion census must match a direct
+    numpy recomputation with the same ±1 planes on a synthetic
+    embeddings table (zero-norm vector excluded)."""
+    import numpy as np
+
+    from data_validator_spark.queries.similarity import (
+        DIM,
+        PLANES,
+        RP_BUCKETS,
+        RP_DIM,
+        q_embedding_rp_jl,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 50
+    V = rng.randn(n, DIM)
+    V[0] = 0.0  # zero-norm: must be excluded
+    rows = [(i, [float(x) for x in V[i]], int(i % 3)) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r["bucket"]: r for r in q_embedding_rp_jl(spark, str(tmp_path)).collect()}
+    # numpy twin (float32-cast first, like the parquet round trip)
+    Vd = V.astype(np.float32).astype(np.float64)
+    P = np.array(PLANES[:RP_DIM])
+    exp: dict[int, list] = {}
+    for i in range(1, n):
+        orig = float((Vd[i] * Vd[i]).sum())
+        est = float(((P @ Vd[i]) ** 2).sum()) / RP_DIM
+        rm = int(np.floor(est / orig * 1e6 + 0.5))
+        b = min(RP_BUCKETS - 1, rm // 100000)
+        exp.setdefault(b, []).append(rm / 1e6)
+    assert set(got) == set(exp)
+    for b, ratios in exp.items():
+        assert got[b]["n_vecs"] == len(ratios)
+        assert abs(got[b]["mean_ratio"] - sum(ratios) / len(ratios)) < 1e-6
+
+
+def test_rp_jl_plan_is_join_free(spark):
+    from data_validator_spark.queries.similarity import q_embedding_rp_jl
+
+    plan = _executed_plan(q_embedding_rp_jl(spark, SF))
+    assert "Join" not in plan  # pure map + aggregate
+
+
 def test_bloom_negative_rows_bypass_index_join(spark, tmp_path):
     """All-novel delta: every row must be decided without the exact
     index join contributing matches (dup_of_corpus all zero), and the

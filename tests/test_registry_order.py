@@ -49,9 +49,11 @@ R5_STALE = {
 # entry carries a hash oracle.
 ROWS_ONLY: set[str] = set()
 
-# Entries below the cut with no driver row this round: none — r9's
-# only new operator (dedup_incremental) is inside the budget.
-NEW_LOCAL_ONLY: set[str] = set()
+# Entries below the cut with no driver row this round: the r9 batch-2
+# operators, added while the budget was saturated (the r6-verdict
+# NEW_LOCAL_ONLY convention). Evidence: full-registry 3-SF sweeps
+# (ORACLE_LOCAL_r9 / ORACLE_SFSWEEP_r9) + pytest twins.
+NEW_LOCAL_ONLY: set[str] = {"embedding_rp_jl", "streaming_incremental_dedup"}
 
 
 def test_priority_list_matches_registry():
