@@ -84,8 +84,11 @@ def main() -> int:
         f"Numbers from {date.today().isoformat()} "
         f"(best-of-{runs} per query, seconds, both columns same boot):"
     )
+    # the stamp may be a multi-line paragraph (hand-expanded in r8) —
+    # match lazily from "Numbers from" through the table to its
+    # trailing blank line
     pattern = re.compile(
-        r"Numbers from [^\n]*\n\n\| query \| DuckDB \|.*?\n\n", re.DOTALL
+        r"Numbers from .*?\| query \| DuckDB \|.*?\n\n", re.DOTALL
     )
     if not pattern.search(text):
         print("table block not found in BASELINE.md", file=sys.stderr)
