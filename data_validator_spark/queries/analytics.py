@@ -80,10 +80,12 @@ def q3_shipping_priority(spark, sf):
     orders = load(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
     li = load(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # customer is the only always-small side here (filtered dim) →
-    # broadcast hint; lineitem⨝orders stays a key shuffle that AQE may
-    # downgrade to broadcast at small SF but survives 100 TB as SMJ.
-    ofc = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # customer is SF-PROPORTIONAL (150k×SF; the segment filter only
+    # divides by 5), so NO broadcast hint — the q7 rule (r9): the
+    # planner auto-broadcasts it below autoBroadcastJoinThreshold at
+    # small SF, and at 100 TB the join correctly degrades to a key
+    # shuffle instead of OOMing every executor with a forced build.
+    ofc = orders.join(cust, orders.o_custkey == cust.c_custkey)
     joined = li.join(ofc, li.l_orderkey == F.col("o_orderkey"))
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -127,13 +129,14 @@ def q5_local_supplier(spark, sf):
     )
     li = load(spark, sf, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # nation⨝region is constant-size → broadcast hint. supplier is
-    # SF-proportional but small (10k/SF) → hint too. customer and orders
-    # scale with the fact table, so those joins stay key shuffles and
-    # AQE picks broadcast only when the runtime size allows.
+    # nation⨝region is constant-size → broadcast hint. supplier,
+    # customer and orders are all SF-PROPORTIONAL, so their joins stay
+    # key shuffles with no forced build side (the q7 rule, applied to
+    # supplier in r9 — a 10k×SF dim is 1e9 rows at 100 TB); the
+    # planner still auto-broadcasts whatever fits at runtime.
     nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     joined = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
@@ -511,13 +514,17 @@ def q8_market_share(spark, sf):
     )
     region = load(spark, sf, "region").where(F.col("r_name") == "AMERICA")
     volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    # nation×2 and region are constant-size → broadcast hints; part
+    # (200k×SF even after the type filter) and supplier (10k×SF) are
+    # SF-proportional → NO hints (the q7 rule, r9) — auto-broadcast
+    # covers small SFs, key shuffles survive 100 TB.
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
     )
     per_year = j.select(
@@ -875,8 +882,11 @@ def q17_small_quantity_revenue(spark, sf):
             "avg_qty"
         )
     )
+    # part is SF-proportional even brand-filtered (1/25 of 200k×SF) →
+    # no broadcast hint (the q7 rule, r9); auto-broadcast handles
+    # small SFs, the key shuffle survives 100 TB.
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, "l_partkey")
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )

@@ -52,13 +52,16 @@ _GRAPH_CACHE: dict = register_session_cache({})
 
 def _pairs(spark, sf):
     """Distinct customer–supplier purchase pairs; node id = 2*custkey
-    for customers, 2*suppkey+1 for suppliers. The orders projection
-    (two ints) broadcasts into the fact join, so the only wide
-    exchange in the edge build is the pair distinct."""
+    for customers, 2*suppkey+1 for suppliers. orders is a FACT, so no
+    broadcast hint (the q7 rule, r9 — r8 force-broadcast its two-int
+    projection, which is still 1.5e11 rows at 100 TB): the planner
+    auto-broadcasts the projection while it fits, and at scale the
+    join correctly shuffles both facts on orderkey before the pair
+    distinct (the wide exchange either way)."""
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     return (
-        l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        l.join(o, o.o_orderkey == l.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),

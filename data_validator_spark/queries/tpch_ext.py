@@ -198,14 +198,17 @@ def q2_min_cost_supplier(spark, sf):
     """TPC-H Q2 shape: for each qualifying part, the supplier(s) whose
     supply cost equals the region-wide minimum for that part.
 
-    Scale: supplier/nation/region are broadcast dims; partsupp (fact,
-    derived map-only from part) shuffles once on ps_partkey for the
-    min-cost aggregation and once for the join back — the same
-    two-exchange shape a stored partsupp would give. Equality on
-    ps_supplycost is exact: both sides carry the identical IEEE double
-    produced by the same derivation."""
+    Scale: nation/region are broadcast dims; supplier is
+    SF-proportional so it carries NO hint (the q7 rule, r9 — the
+    planner auto-broadcasts it while it fits, the join degrades to a
+    key shuffle at 100 TB); partsupp (fact, derived map-only from
+    part) shuffles once on ps_partkey for the min-cost aggregation
+    and once for the join back — the same two-exchange shape a stored
+    partsupp would give. Equality on ps_supplycost is exact: both
+    sides carry the identical IEEE double produced by the same
+    derivation."""
     ps = partsupp_df(spark, sf)
-    supplier = F.broadcast(load(spark, sf, "supplier"))
+    supplier = load(spark, sf, "supplier")
     nation = F.broadcast(load(spark, sf, "nation"))
     region = F.broadcast(
         load(spark, sf, "region").where(F.col("r_name") == Q2_REGION)
@@ -271,14 +274,13 @@ def q9_product_profit(spark, sf):
     """TPC-H Q9: profit (revenue minus derived supply cost) by supplier
     nation and order year, for parts whose name contains a color.
 
-    Scale: the only big-to-big joins are lineitem->orders (two fact
-    shuffles on orderkey) and lineitem->partsupp (shuffle on partkey,
-    suppkey); part (filtered), supplier and nation broadcast. Decimal
-    accumulation for the order-independent profit sum."""
-    part = F.broadcast(
-        load(spark, sf, "part").where(F.col("p_name").contains(Q9_NAME_FRAGMENT))
-    )
-    supplier = F.broadcast(load(spark, sf, "supplier"))
+    Scale: the big joins are lineitem->orders (two fact shuffles on
+    orderkey), lineitem->partsupp (shuffle on partkey, suppkey), and
+    the SF-proportional part/supplier joins — none hint-broadcast
+    (the q7 rule, r9); only constant-size nation carries a hint.
+    Decimal accumulation for the order-independent profit sum."""
+    part = load(spark, sf, "part").where(F.col("p_name").contains(Q9_NAME_FRAGMENT))
+    supplier = load(spark, sf, "supplier")
     nation = F.broadcast(load(spark, sf, "nation"))
     li = spread(load(spark, sf, "lineitem"))
     orders = load(spark, sf, "orders")
@@ -332,9 +334,11 @@ def q11_important_stock(spark, sf):
 
     Scale: one shuffle (groupBy ps_partkey); the national total is a
     second tiny aggregate of the SAME grouped relation (reused, not
-    recomputed from the fact) broadcast into the filter."""
+    recomputed from the fact) broadcast into the filter. supplier is
+    SF-proportional → no hint (the q7 rule, r9); nation keeps its
+    constant-size hint."""
     ps = partsupp_df(spark, sf)
-    supplier = F.broadcast(load(spark, sf, "supplier"))
+    supplier = load(spark, sf, "supplier")
     nation = F.broadcast(
         load(spark, sf, "nation").where(F.col("n_name") == Q11_NATION)
     )
@@ -445,19 +449,18 @@ def q16_parts_supplier(spark, sf):
     excluding 'complaint' suppliers — here a deterministic 1-in-25
     hash subset, since the corpus has no s_comment column.
 
-    Scale: partsupp shuffles once on ps_partkey for the part join
-    (part filtered, broadcastable), the complaint set is an anti-join
-    against a broadcast derived relation, and the distinct count is
-    one more shuffle on the group key."""
+    Scale: partsupp shuffles once on ps_partkey for the part join,
+    the complaint set is an anti-join against a derived supplier
+    subset, and the distinct count is one more shuffle on the group
+    key. part and supplier are SF-proportional → no hints (the q7
+    rule, r9); the planner auto-broadcasts them while they fit."""
     ps = partsupp_df(spark, sf)
-    part = F.broadcast(
-        load(spark, sf, "part").where(
-            (F.col("p_brand") != Q16_BRAND)
-            & (F.col("p_type") != Q16_TYPE)
-            & F.col("p_size").isin(*Q16_SIZES)
-        )
+    part = load(spark, sf, "part").where(
+        (F.col("p_brand") != Q16_BRAND)
+        & (F.col("p_type") != Q16_TYPE)
+        & F.col("p_size").isin(*Q16_SIZES)
     )
-    complaints = F.broadcast(
+    complaints = (
         load(spark, sf, "supplier")
         .where(_hash60(F.lit("sc"), F.col("s_suppkey")) % 25 == 0)
         .select(F.col("s_suppkey").alias("bad_suppkey"))
@@ -494,11 +497,14 @@ def q19_discounted_revenue(spark, sf):
     brackets — the classic OR-of-ANDs predicate — over air shipments
     delivered in person.
 
-    Scale: part (with derived container) broadcasts into the lineitem
-    scan; the whole predicate evaluates in one codegen stage, no
-    shuffle at all before the single-row aggregate."""
+    Scale: part is SF-proportional (200k×SF), so NO broadcast hint
+    (the q7 rule, r9) — at small SF the planner auto-broadcasts it
+    into the lineitem scan and the predicate evaluates in one codegen
+    stage with no shuffle before the single-row aggregate; at 100 TB
+    the join correctly degrades to a key shuffle instead of a forced
+    1e8-row build."""
     li = lineitem_ext_df(spark, sf)
-    part = F.broadcast(part_ext_df(spark, sf))
+    part = part_ext_df(spark, sf)
     q = F.col("l_quantity")
     sz = F.col("p_size")
     br1 = (
@@ -576,9 +582,8 @@ def q20_potential_promotion(spark, sf):
         .groupBy("l_partkey", "l_suppkey")
         .agg(dsum(F.col("l_quantity"), "qty"))
     )
-    part = F.broadcast(
-        load(spark, sf, "part").where(F.col("p_name").startswith(Q20_NAME_PREFIX))
-    )
+    # part is SF-proportional → no hint (the q7 rule, r9)
+    part = load(spark, sf, "part").where(F.col("p_name").startswith(Q20_NAME_PREFIX))
     ps = partsupp_df(spark, sf)
     excess = (
         ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
@@ -656,10 +661,10 @@ def q21_waiting_orders(spark, sf):
     nation = F.broadcast(
         load(spark, sf, "nation").where(F.col("n_name") == Q21_NATION)
     )
-    supplier = F.broadcast(
-        load(spark, sf, "supplier").join(
-            nation, F.col("s_nationkey") == F.col("n_nationkey")
-        )
+    # supplier is SF-proportional even nation-filtered (1/25) → no
+    # hint (the q7 rule, r9); auto-broadcast covers small SFs
+    supplier = load(spark, sf, "supplier").join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey")
     )
     l1 = (
         li.where(is_late)

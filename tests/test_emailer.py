@@ -142,6 +142,46 @@ def test_transport_failure_is_logged_not_raised():
     assert send_report_email(cfg, RENDERED) is True
 
 
+def test_double_at_from_address_is_error(smtp_server):
+    # EmailerSpec:40 'should return true with bad from address'
+    # (collin@@bad.com): the addr-spec parses to a @-prefixed remainder
+    srv, port = smtp_server
+    cfg = _cfg(port, from_addr="collin@@bad.com")
+    assert send_report_email(cfg, RENDERED) is True
+    assert srv.messages == []
+
+
+def test_email_config_variable_substitution():
+    """EmailerSpec's substituteVariables group: every EmailConfig field
+    (smtpHost/subject/from/to/cc/bcc) resolves config vars."""
+    from data_validator_spark.config import parse_config
+
+    cfg = parse_config(
+        """
+vars:
+  - name: host
+    value: smtp.example.com
+  - name: team
+    value: ops
+tables: []
+email:
+  smtpHost: $host
+  subject: "report for $team"
+  from: $team@example.com
+  to: ["$team@example.com"]
+  cc: ["cc-$team@example.com"]
+  bcc: ["bcc-$team@example.com"]
+"""
+    )
+    e = cfg.email
+    assert e.smtp_host == "smtp.example.com"
+    assert e.subject == "report for ops"
+    assert e.from_addr == "ops@example.com"
+    assert e.to == ["ops@example.com"]
+    assert e.cc == ["cc-ops@example.com"]
+    assert e.bcc == ["bcc-ops@example.com"]
+
+
 # -- end-to-end CLI semantics (subprocess; reference Main.scala) -----------
 
 @pytest.fixture(scope="module")
