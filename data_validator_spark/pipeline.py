@@ -23,8 +23,9 @@ pipeline:
 ```
 
 Step catalog (each: DataFrame -> DataFrame, all native expressions):
-dedupExact, qualityFilter, langFilter, split, splitFilter, tokenCount,
-boilerplateFilter, piiScrub, sample, select, chunk, weightedSample.
+dedupExact, dedupIncremental, qualityFilter, langFilter, split,
+splitFilter, tokenCount, boilerplateFilter, piiScrub, sample, select,
+chunk, weightedSample.
 Steps reuse the exact same column functions
 the oracle-checked queries use (functions/text.py, textops.split_bucket,
 pipeline_ops PII patterns) so pipeline behavior never diverges from
@@ -228,8 +229,41 @@ def _step_weighted_sample(df: DataFrame, opts: dict) -> DataFrame:
     )
 
 
+def _step_dedup_incremental(df: DataFrame, opts: dict) -> DataFrame:
+    """Drop documents whose normalized-content fingerprint already
+    exists in a persisted fingerprint index (the dedup_incremental
+    operator as a pipeline stage — the batch-append ingest shape):
+    only the incoming frame is fingerprinted; the index side is
+    fingerprint-width, never text. ``indexPath`` (required) points at
+    a parquet with a ``fingerprint`` column — e.g. the previous run's
+    corpus fingerprints (dedup_exact's output column, same md5
+    definition, dedup.py:113); ``withinBatch`` (default true) also
+    collapses duplicates INSIDE the incoming frame (keeper = min
+    doc_id), so the step's output is clean against both the corpus
+    and itself."""
+    from data_validator_spark.functions.text import doc_fingerprint
+
+    path = opts.get("indexPath")
+    if not path:
+        raise PipelineConfigError("dedupIncremental requires indexPath")
+    spark = df.sparkSession
+    index = spark.read.parquet(path).select(
+        F.col("fingerprint").alias("__fp")
+    )
+    out = df.withColumn("__fp", doc_fingerprint(F.col("text"))).join(
+        index, "__fp", "left_anti"
+    )
+    if bool(opts.get("withinBatch", True)):
+        keeper = F.min("doc_id").over(Window.partitionBy("__fp"))
+        out = out.withColumn("__keeper", keeper).where(
+            F.col("doc_id") == F.col("__keeper")
+        ).drop("__keeper")
+    return out.drop("__fp")
+
+
 STEPS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "dedupExact": _step_dedup_exact,
+    "dedupIncremental": _step_dedup_incremental,
     "qualityFilter": _step_quality_filter,
     "langFilter": _step_lang_filter,
     "split": _step_split,

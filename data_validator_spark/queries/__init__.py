@@ -283,6 +283,13 @@ GRADE_PRIORITY = [
     # (next round's tier 1), then the r6-green set, then the r8-green
     # set (freshest driver evidence) last. All re-proven locally each
     # round via tools/oracle_check.py (ORACLE_LOCAL_r9).
+    # Late-r9 note: the broadcast-hint removal (q2/q3/q5/q8/q9/q11/
+    # q16/q17/q19/q20/q21, copurchase pair build) is PLAN-only — the
+    # planner auto-broadcasts the same sides at graded SFs (plans
+    # verified identical) and every touched query was hash-proven at
+    # sf0.01 after the change plus the full 3-SF sweeps; the affected
+    # entries already inside the budget (q2/q9/q11/q12/q16/q21)
+    # re-grade this round, the rest rotate on the local-proof rule.
     "hll_distinct",
     "events_gap_fill",
     "events_time_weighted",

@@ -53,7 +53,12 @@ def q_bloom_filter_semijoin(spark, sf):
     bloom filter Spark injects under
     spark.sql.optimizer.runtime.bloomFilter.enabled, expressed as an
     explicit, engine-checkable plan — with the audit riding the same
-    single scan.
+    single scan. The exact-audit column does broadcast the filtered
+    dim keys (SF-proportional — the one deliberate exception to the
+    q7 no-hint rule): the AUDIT needs the exact count next to the
+    bloom count without a second fact pass; a production deployment
+    keeps only the bounded bloom relation and drops the exact column,
+    which is precisely what this operator exists to justify.
 
     Determinism: bit positions are 60-bit md5 hashes mod m — exact
     integer arithmetic, identical in both engines.

@@ -286,3 +286,37 @@ pipeline:
     cfg0 = cfg.replace("{}", "{maxGroup: 0}")
     kept0 = sorted(r["doc_id"] for r in build_pipeline(spark, cfg0, str(d)).collect())
     assert kept0 == [0, 1, 2, 3]
+
+
+def test_dedup_incremental_step(spark, tmp_path):
+    """dedupIncremental: rows whose fingerprint is in the index drop;
+    withinBatch collapses in-frame dups to the min doc_id; the index
+    side never reads text."""
+    from data_validator_spark.functions.text import doc_fingerprint
+    from data_validator_spark.pipeline import STEPS, PipelineConfigError
+
+    corpus = spark.createDataFrame(
+        [(1, "already indexed text"), (2, "another indexed text")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "index")
+    corpus.select(
+        doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).write.parquet(idx)
+
+    delta = spark.createDataFrame(
+        [
+            (10, "already indexed text"),   # dup of corpus -> dropped
+            (11, "brand new text"),         # novel -> kept
+            (12, "brand new text"),         # in-batch dup of 11 -> dropped
+            (13, "other new text"),         # novel -> kept
+        ],
+        "doc_id long, text string",
+    )
+    out = STEPS["dedupIncremental"](delta, {"indexPath": idx})
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+    # withinBatch off: in-batch dup survives, corpus dup still drops
+    out2 = STEPS["dedupIncremental"](delta, {"indexPath": idx, "withinBatch": False})
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11, 12, 13]
+    with pytest.raises(PipelineConfigError):
+        STEPS["dedupIncremental"](delta, {})
