@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_incremental",
+    "source_overlap",
     "pii_scrub",
     "stratified_sample",
     "sequence_pack",

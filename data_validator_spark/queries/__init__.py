@@ -395,6 +395,7 @@ GRADE_PRIORITY = [
     # integer-exact or micro-unit-quantized end to end.
     "embedding_rp_jl",
     "streaming_incremental_dedup",
+    "source_overlap",
 ]
 
 

@@ -344,6 +344,90 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -- source_overlap ----------------------------------------------------------
+def q_source_overlap(spark, sf):
+    """Cross-source duplication audit: for every unordered source pair,
+    how many LSH candidate pairs link them and how many are CONFIRMED
+    near-dups (exact shingle Jaccard >= JACCARD_THRESHOLD) — the
+    which-feeds-duplicate-which matrix a corpus curator reads before
+    deciding source precedence and dedup order (a mirror site shows up
+    as one hot cell; heavy self-overlap means boilerplate within one
+    source).
+
+    Scale shape: rides the two session-persisted dedup relations — the
+    LSH candidate pairs (never all-pairs) and the shingle-hash arrays
+    (shuffle-hash-hinted joins, same rationale as dedup_ngram_jaccard)
+    — plus two candidate-scale joins against the (doc_id, source)
+    projection; the final aggregate is bounded by |sources|², never
+    corpus-sized.
+
+    Determinism: the Jaccard expression is byte-identical to the
+    graded dedup_ngram_jaccard pass; pair orientation normalizes via
+    LEAST/GREATEST on the source strings; counts are exact integers."""
+    cand = _lsh_pairs_df(spark, sf)
+    hs = _shingle_hashes_df(spark, sf).hint("shuffle_hash")
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    a = hs.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    b = hs.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size(F.array_union(F.col("ha"), F.col("hb")))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        scored.groupBy(
+            F.least("sa", "sb").alias("src_a"), F.greatest("sa", "sb").alias("src_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("jaccard") >= JACCARD_THRESHOLD).cast("long")).alias(
+                "n_confirmed"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _sql_source_overlap() -> str:
+    return f"""
+WITH {_sql_minhash_ctes()},
+bsize AS (SELECT band, sig, count(*) AS c FROM bands GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  JOIN bsize ON a.band = bsize.band AND a.sig = bsize.sig AND bsize.c <= {MAX_BUCKET}),
+scored AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+           / len(list_distinct(list_concat(x.h, y.h))) AS jaccard,
+         da.source AS sa, db.source AS sb
+  FROM cand JOIN hs x ON cand.doc_a = x.doc_id
+            JOIN hs y ON cand.doc_b = y.doc_id
+            JOIN documents da ON cand.doc_a = da.doc_id
+            JOIN documents db ON cand.doc_b = db.doc_id)
+SELECT LEAST(sa, sb) AS src_a, GREATEST(sa, sb) AS src_b,
+       count(*) AS n_candidates,
+       CAST(COALESCE(SUM(CASE WHEN jaccard >= {JACCARD_THRESHOLD} THEN 1 END), 0)
+            AS BIGINT) AS n_confirmed
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # -- minhash_containment ---------------------------------------------------
 def q_minhash_containment(spark, sf):
     """Asymmetric containment on LSH candidate pairs: how much of A's
@@ -883,6 +967,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "minhash_containment": q_minhash_containment,
     "dedup_incremental": q_dedup_incremental,
+    "source_overlap": q_source_overlap,
 }
 
 ORACLES = {
@@ -893,4 +978,5 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "minhash_containment": _sql_minhash_containment(),
     "dedup_incremental": _sql_dedup_incremental(),
+    "source_overlap": _sql_source_overlap(),
 }

@@ -376,3 +376,24 @@ def test_check_config_braced_placeholder_detected():
         "    checks: []\n"
     )
     assert errs == []
+
+
+def test_output_spec_variable_substitution():
+    """ValidatorOutputSpec: FileOutput and PipeOutput resolve config
+    vars in their paths."""
+    cfg = parse_config(
+        """
+vars:
+  - name: outdir
+    value: /reports
+  - name: prog
+    value: /bin/cat
+tables: []
+outputs:
+  - filename: $outdir/report.json
+    append: true
+  - pipe: ${prog}
+"""
+    )
+    assert cfg.outputs[0].filename == "/reports/report.json"
+    assert cfg.outputs[1].pipe == "/bin/cat"

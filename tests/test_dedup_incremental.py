@@ -189,3 +189,39 @@ def test_bloom_negative_rows_bypass_index_join(spark, tmp_path):
     ).first()
     assert agg["dc"] == 0 and agg["dd"] == 0
     assert agg["k"] == agg["n"] == 4  # pivot = floor(40*0.9) = 36
+
+
+def test_source_overlap_planted_cross_source_dup(spark, tmp_path):
+    """source_overlap: a planted near-identical doc pair spanning two
+    sources must surface as a candidate AND a confirmed near-dup in
+    the (src_a, src_b) cell; unrelated docs contribute nothing."""
+    from pyspark.sql import Row
+
+    from data_validator_spark.queries.dedup import q_source_overlap
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the river runs past the old mill near the quiet town"
+    )
+    rows = [
+        Row(doc_id=0, text=base, source="srcA"),
+        Row(doc_id=1, text=base + " extra tail", source="srcB"),  # near-dup of 0
+    ]
+    rows += [
+        Row(
+            doc_id=i,
+            text=f"completely unrelated document number {i} with its own "
+            f"words token{i}a token{i}b token{i}c token{i}d",
+            source="srcC",
+        )
+        for i in range(2, 12)
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {(r["src_a"], r["src_b"]): r for r in q_source_overlap(spark, str(tmp_path)).collect()}
+    assert ("srcA", "srcB") in out
+    cell = out[("srcA", "srcB")]
+    assert cell["n_candidates"] >= 1 and cell["n_confirmed"] >= 1
+    # no unrelated doc pairs up as a candidate anywhere
+    assert all(k == ("srcA", "srcB") for k in out), out

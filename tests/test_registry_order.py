@@ -53,7 +53,11 @@ ROWS_ONLY: set[str] = set()
 # operators, added while the budget was saturated (the r6-verdict
 # NEW_LOCAL_ONLY convention). Evidence: full-registry 3-SF sweeps
 # (ORACLE_LOCAL_r9 / ORACLE_SFSWEEP_r9) + pytest twins.
-NEW_LOCAL_ONLY: set[str] = {"embedding_rp_jl", "streaming_incremental_dedup"}
+NEW_LOCAL_ONLY: set[str] = {
+    "embedding_rp_jl",
+    "streaming_incremental_dedup",
+    "source_overlap",
+}
 
 
 def test_priority_list_matches_registry():
