@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_incremental",
+    "dedup_incremental_minhash",
     "source_overlap",
     "pii_scrub",
     "stratified_sample",

@@ -396,6 +396,7 @@ GRADE_PRIORITY = [
     "embedding_rp_jl",
     "streaming_incremental_dedup",
     "source_overlap",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -344,6 +344,117 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -- dedup_incremental_minhash -----------------------------------------------
+def q_dedup_incremental_minhash(spark, sf):
+    """Incremental NEAR-dup dedup: the append delta's documents are
+    screened against the EXISTING corpus's LSH band index — the
+    production companion of ``dedup_incremental`` (exact fingerprints
+    catch byte-dups; this catches the near-dups a mirror/boilerplate
+    feed produces). Per delta document: how many corpus docs share a
+    band (candidates), how many confirm at exact shingle Jaccard ≥
+    {JACCARD_THRESHOLD}, the near_dup verdict, and the best (lowest
+    doc_id) confirmed corpus match.
+
+    Scale shape: the corpus band index and shingle arrays are views of
+    the SESSION-PERSISTED minhash/shingle relations (built once — the
+    same persisted-index discipline as _incremental_index); the delta
+    side is the pivot-filtered slice of the same cache. Candidates
+    come from ONE (band, sig) equi-join with the corpus-side
+    degenerate-bucket cap (≤ MAX_BUCKET members — the standard LSH
+    rule), so no delta row ever meets more than 16·MAX_BUCKET corpus
+    docs; the Jaccard confirm joins shingle arrays only for candidate
+    pairs (shuffle-hash hints, same rationale as dedup_ngram_jaccard).
+    Output is one row per delta doc with NO cosmetic global sort
+    (delta-scale output; the driver hash is order-insensitive).
+
+    Determinism: bands/minhash/Jaccard are the graded dedup family's
+    exact arithmetic; counts are integers; best_match is MIN over
+    confirmed candidates (NULL when none — both engines)."""
+    pivot = _incremental_pivot(spark, sf)
+    bands = _band_df(spark, sf)
+    cb = bands.where(F.col("doc_id") < F.lit(pivot)).select(
+        F.col("doc_id").alias("cand_id"), "band", "sig"
+    )
+    db = bands.where(F.col("doc_id") >= F.lit(pivot))
+    bsz = cb.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
+    cand = (
+        db.join(cb, ["band", "sig"])
+        .join(
+            F.broadcast(bsz.where(F.col("c") <= MAX_BUCKET).select("band", "sig")),
+            ["band", "sig"],
+            "left_semi",
+        )
+        .select("doc_id", "cand_id")
+        .distinct()
+    )
+    hs = _shingle_hashes_df(spark, sf).hint("shuffle_hash")
+    x = hs.select(F.col("doc_id"), F.col("h").alias("hx"))
+    y = hs.select(F.col("doc_id").alias("cand_id"), F.col("h").alias("hy"))
+    inter = F.size(F.array_intersect(F.col("hx"), F.col("hy")))
+    union = F.size(F.array_union(F.col("hx"), F.col("hy")))
+    scored = (
+        cand.join(x, "doc_id")
+        .join(y, "cand_id")
+        .select(
+            "doc_id",
+            "cand_id",
+            (inter.cast("double") / union.cast("double")).alias("j"),
+        )
+    )
+    confirmed = F.col("j") >= JACCARD_THRESHOLD
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(confirmed.cast("long")).alias("n_confirmed"),
+        F.min(F.when(confirmed, F.col("cand_id"))).alias("best_match"),
+    )
+    spine = load(spark, sf, "documents").where(
+        F.col("doc_id") >= F.lit(pivot)
+    ).select("doc_id")
+    return spine.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_confirmed", F.lit(0)).alias("n_confirmed"),
+        (F.coalesce("n_confirmed", F.lit(0)) > 0).cast("long").alias("near_dup"),
+        "best_match",
+    )
+
+
+def _sql_dedup_incremental_minhash() -> str:
+    return f"""
+WITH {_sql_minhash_ctes()},
+pv AS (SELECT CAST(floor((MAX(doc_id) + 1) * {DELTA_FRAC}) AS BIGINT) AS p
+       FROM documents),
+cb AS (SELECT doc_id AS cand_id, band, sig FROM bands, pv WHERE doc_id < p),
+bsz AS (SELECT band, sig, count(*) AS c FROM cb GROUP BY 1, 2),
+db AS (SELECT doc_id, band, sig FROM bands, pv WHERE doc_id >= p),
+cand AS (
+  SELECT DISTINCT db.doc_id, cb.cand_id
+  FROM db JOIN cb ON db.band = cb.band AND db.sig = cb.sig
+  JOIN bsz ON cb.band = bsz.band AND cb.sig = bsz.sig AND bsz.c <= {MAX_BUCKET}),
+scored AS (
+  SELECT cand.doc_id, cand.cand_id,
+         CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)
+           / len(list_distinct(list_concat(x.h, y.h))) AS j
+  FROM cand JOIN hs x ON cand.doc_id = x.doc_id
+            JOIN hs y ON cand.cand_id = y.doc_id),
+agg AS (
+  SELECT doc_id, count(*) AS n_candidates,
+         CAST(COALESCE(SUM(CASE WHEN j >= {JACCARD_THRESHOLD} THEN 1 END), 0)
+              AS BIGINT) AS n_confirmed,
+         MIN(CASE WHEN j >= {JACCARD_THRESHOLD} THEN cand_id END) AS best_match
+  FROM scored GROUP BY 1),
+spine AS (SELECT doc_id FROM documents, pv WHERE doc_id >= p)
+SELECT s.doc_id,
+       COALESCE(a.n_candidates, 0) AS n_candidates,
+       COALESCE(a.n_confirmed, 0) AS n_confirmed,
+       CAST(CASE WHEN COALESCE(a.n_confirmed, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS near_dup,
+       a.best_match
+FROM spine s LEFT JOIN agg a ON s.doc_id = a.doc_id
+ORDER BY s.doc_id
+"""
+
+
 # -- source_overlap ----------------------------------------------------------
 def q_source_overlap(spark, sf):
     """Cross-source duplication audit: for every unordered source pair,
@@ -967,6 +1078,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "minhash_containment": q_minhash_containment,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "source_overlap": q_source_overlap,
 }
 
@@ -978,5 +1090,6 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "minhash_containment": _sql_minhash_containment(),
     "dedup_incremental": _sql_dedup_incremental(),
+    "dedup_incremental_minhash": _sql_dedup_incremental_minhash(),
     "source_overlap": _sql_source_overlap(),
 }

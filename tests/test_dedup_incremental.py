@@ -225,3 +225,32 @@ def test_source_overlap_planted_cross_source_dup(spark, tmp_path):
     assert cell["n_candidates"] >= 1 and cell["n_confirmed"] >= 1
     # no unrelated doc pairs up as a candidate anywhere
     assert all(k == ("srcA", "srcB") for k in out), out
+
+
+def test_incremental_minhash_planted_near_dup(spark, tmp_path):
+    """dedup_incremental_minhash: a delta doc that near-duplicates a
+    corpus doc (same text + small tail) must flag near_dup with the
+    corpus doc as best_match; novel delta docs flag clean."""
+    from data_validator_spark.queries.dedup import q_dedup_incremental_minhash
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the river runs past the old mill near the quiet town"
+    )
+    # max_id=19 -> pivot = floor(20 * 0.9) = 18: corpus 0..17 (the
+    # original at id 3), delta {18, 19} with the near-dup at 18
+    rows = [(i, f"unrelated corpus doc {i} token{i}x token{i}y token{i}z") for i in range(18)]
+    rows[3] = (3, base)
+    rows += [
+        (18, base + " freshly appended"),  # delta near-dup of corpus doc 3
+        (19, "a wholly novel delta document with its own vocabulary"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in q_dedup_incremental_minhash(spark, str(tmp_path)).collect()}
+    assert set(out) == {18, 19}  # pivot = floor(20*0.9) = 18
+    assert out[18]["near_dup"] == 1 and out[18]["best_match"] == 3
+    assert out[18]["n_candidates"] >= 1 and out[18]["n_confirmed"] >= 1
+    assert out[19]["near_dup"] == 0 and out[19]["best_match"] is None
+    assert out[19]["n_candidates"] == 0

@@ -57,6 +57,7 @@ NEW_LOCAL_ONLY: set[str] = {
     "embedding_rp_jl",
     "streaming_incremental_dedup",
     "source_overlap",
+    "dedup_incremental_minhash",
 }
 
 
