@@ -81,6 +81,8 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_incremental_minhash",
     "source_overlap",
+    "ngram_novelty",
+    "quality_calibration",
     "pii_scrub",
     "stratified_sample",
     "sequence_pack",

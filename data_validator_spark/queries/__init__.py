@@ -397,6 +397,8 @@ GRADE_PRIORITY = [
     "streaming_incremental_dedup",
     "source_overlap",
     "dedup_incremental_minhash",
+    "ngram_novelty",
+    "quality_calibration",
 ]
 
 

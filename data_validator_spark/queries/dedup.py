@@ -455,6 +455,86 @@ ORDER BY s.doc_id
 """
 
 
+# -- ngram_novelty -------------------------------------------------------------
+def q_ngram_novelty(spark, sf):
+    """Per-source novel-content contribution: every shingle's FIRST
+    owner is the lowest doc_id carrying it; a document's novelty is
+    the fraction of its shingles it owns first, and the per-source
+    rollup says which feeds actually add new content versus re-serving
+    what earlier documents already said — the marginal-value signal a
+    curator reads next to source_overlap when pruning feeds.
+
+    Scale shape: rides the session-persisted shingle-hash relation
+    (one text scan per session, shared with the whole dedup family);
+    the first-owner pass is one map-side-combined min() shuffle on the
+    shingle hash, the ownership join is shingle-scale (never pairs),
+    and the output is one row per source — |sources|-bounded.
+
+    Determinism: counts are exact integers; each doc's novelty ratio
+    is one int/int IEEE division (identical operands both engines)
+    quantized through DECIMAL(18,6) before the mean (the dsum rule);
+    the corpus-level share is a single division DEC-rounded."""
+    hs = _shingle_hashes_df(spark, sf)
+    ex = hs.select("doc_id", F.explode("h").alias("hv"))
+    owner = ex.groupBy("hv").agg(F.min("doc_id").alias("owner"))
+    per_doc = (
+        ex.join(owner, "hv")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("owner")).cast("long")).alias("n_novel"),
+        )
+    )
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    ratio = F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shingles").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+            (
+                F.sum("n_novel").cast("double") / F.sum("n_shingles").cast("double")
+            )
+            .cast("decimal(30,6)")
+            .cast("double")
+            .alias("novelty_share"),
+            (
+                F.sum(ratio.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("decimal(30,6)")
+            .cast("double")
+            .alias("mean_doc_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_ngram_novelty() -> str:
+    return f"""
+WITH {_SQL_SHINGLE_CTES},
+ex AS (SELECT doc_id, unnest(h) AS hv FROM hs),
+owner AS (SELECT hv, MIN(doc_id) AS owner FROM ex GROUP BY 1),
+per_doc AS (
+  SELECT e.doc_id, count(*) AS n_shingles,
+         CAST(SUM(CASE WHEN e.doc_id = o.owner THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM ex e JOIN owner o ON e.hv = o.hv GROUP BY 1)
+SELECT d.source, count(*) AS n_docs,
+       CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(CAST(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_shingles)
+            AS DECIMAL(30,6)) AS DOUBLE) AS novelty_share,
+       CAST(CAST(CAST(SUM(CAST(CAST(n_novel AS DOUBLE) / n_shingles
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+            AS DECIMAL(30,6)) AS DOUBLE) AS mean_doc_novelty
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # -- source_overlap ----------------------------------------------------------
 def q_source_overlap(spark, sf):
     """Cross-source duplication audit: for every unordered source pair,
@@ -1080,6 +1160,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "source_overlap": q_source_overlap,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 ORACLES = {
@@ -1092,4 +1173,5 @@ ORACLES = {
     "dedup_incremental": _sql_dedup_incremental(),
     "dedup_incremental_minhash": _sql_dedup_incremental_minhash(),
     "source_overlap": _sql_source_overlap(),
+    "ngram_novelty": _sql_ngram_novelty(),
 }

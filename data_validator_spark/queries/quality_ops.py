@@ -1400,8 +1400,73 @@ FROM s""")
     )
 
 
+# -- quality_calibration -------------------------------------------------------
+CALIB_BINS = 10  # 0.1-wide score bins over [0, 1]
+
+
+def q_quality_calibration(spark, sf):
+    """Calibration audit of the fused quality score: per 0.1-wide
+    ensemble-score bin, how often each component gate (gopher /
+    entropy / LM) and the full keep decision actually fire — the
+    check a pipeline runs before using the linear score as a
+    THRESHOLD filter (a well-calibrated score should show keep-rate
+    rising monotonically with the bin; a flat or inverted bin says
+    the weights are mis-set for this corpus).
+
+    Scale shape: one pass over the per-doc ensemble relation (which
+    itself rides the session-persisted signal arms), map-side combined
+    into ≤ CALIB_BINS+1 groups — nothing corpus-sized survives the
+    aggregate.
+
+    Determinism: the score is the ensemble's exact 10-decimal-grid
+    double (identical both engines), so floor(score·10) can never
+    straddle engines; clamping the score==1.0 edge into the top bin
+    keeps the census total equal to the corpus; rates are int/int
+    divisions DEC-rounded."""
+    ens = q_quality_ensemble(spark, sf)
+    bin_ = F.least(F.lit(CALIB_BINS - 1), F.floor(F.col("score") * CALIB_BINS)).cast(
+        "long"
+    )
+    n = F.count(F.lit(1))
+    rate = lambda c: (F.sum(F.col(c)).cast("double") / n).cast(DEC).cast("double")  # noqa: E731
+    return (
+        ens.groupBy(bin_.alias("score_bin"))
+        .agg(
+            n.alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            rate("keep").alias("keep_rate"),
+            rate("gopher_keep").alias("gopher_rate"),
+            rate("ent_keep").alias("ent_rate"),
+            rate("lm_keep").alias("lm_rate"),
+        )
+        .orderBy("score_bin")
+    )
+
+
+def _sql_quality_calibration() -> str:
+    def rate(c: str) -> str:
+        return (
+            f"CAST(CAST(CAST(SUM({c}) AS DOUBLE) / count(*) AS DECIMAL(30,6)) "
+            f"AS DOUBLE)"
+        )
+
+    return f"""
+WITH ens AS ({_sql_quality_ensemble()})
+SELECT LEAST({CALIB_BINS - 1}, CAST(floor(score * {CALIB_BINS}) AS BIGINT))
+         AS score_bin,
+       count(*) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_keep,
+       {rate('keep')} AS keep_rate,
+       {rate('gopher_keep')} AS gopher_rate,
+       {rate('ent_keep')} AS ent_rate,
+       {rate('lm_keep')} AS lm_rate
+FROM ens GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "drift_psi": q_drift_psi,
+    "quality_calibration": q_quality_calibration,
     "fk_integrity": q_fk_integrity,
     "benford_check": q_benford_check,
     "reconciliation_check": q_reconciliation_check,
@@ -1417,6 +1482,7 @@ QUERIES = {
 
 ORACLES = {
     "drift_psi": SQL_DRIFT_PSI,
+    "quality_calibration": _sql_quality_calibration(),
     "fk_integrity": _sql_fk_integrity(),
     "benford_check": _sql_benford(),
     "reconciliation_check": SQL_RECONCILIATION,

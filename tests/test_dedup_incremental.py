@@ -254,3 +254,48 @@ def test_incremental_minhash_planted_near_dup(spark, tmp_path):
     assert out[18]["n_candidates"] >= 1 and out[18]["n_confirmed"] >= 1
     assert out[19]["near_dup"] == 0 and out[19]["best_match"] is None
     assert out[19]["n_candidates"] == 0
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """ngram_novelty: a doc that repeats an earlier doc's text owns
+    none of its shingles; a wholly novel doc owns all of them."""
+    from data_validator_spark.queries.dedup import q_ngram_novelty
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (0, base, "srcA"),
+        (1, base, "srcB"),  # exact repeat: zero novelty
+        (2, "one two three four five six seven eight nine ten", "srcC"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in q_ngram_novelty(spark, str(tmp_path)).collect()}
+    assert out["srcA"]["novelty_share"] == 1.0  # first owner of everything
+    assert out["srcB"]["novelty_share"] == 0.0  # repeats srcA verbatim
+    assert out["srcB"]["n_novel"] == 0
+    assert out["srcC"]["novelty_share"] == 1.0  # disjoint vocabulary
+    assert out["srcC"]["mean_doc_novelty"] == 1.0
+
+
+def test_quality_calibration_totals_and_bounds(spark):
+    """quality_calibration: bins partition the corpus exactly (totals
+    match the ensemble relation), every rate sits in [0,1], and
+    n_keep/n_docs reproduces keep_rate."""
+    from data_validator_spark.queries.quality_ops import (
+        CALIB_BINS,
+        q_quality_calibration,
+        q_quality_ensemble,
+    )
+
+    rows = q_quality_calibration(spark, SF).collect()
+    n_total = q_quality_ensemble(spark, SF).count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r["score_bin"] < CALIB_BINS
+        for c in ("keep_rate", "gopher_rate", "ent_rate", "lm_rate"):
+            assert 0.0 <= r[c] <= 1.0, (r["score_bin"], c, r[c])
+        assert abs(r["keep_rate"] - round(r["n_keep"] / r["n_docs"], 6)) < 1e-9

@@ -58,6 +58,8 @@ NEW_LOCAL_ONLY: set[str] = {
     "streaming_incremental_dedup",
     "source_overlap",
     "dedup_incremental_minhash",
+    "ngram_novelty",
+    "quality_calibration",
 }
 
 
