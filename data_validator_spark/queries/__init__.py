@@ -207,97 +207,43 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0a — NEW operators this round: dedup_incremental (the
-    # batch-append fingerprint-index dedup, never graded). Grade
-    # first. (Any key added mid-round but missing here is emitted
-    # before everything by build_registry's safety net.)
-    "dedup_incremental",
-    # tier 0 — the 12 r8-new operators that have NEVER been driver-
-    # graded (the r8 budget cut before reaching them; r8 verdict item
-    # 1 restores the every-entry-driver-green-at-least-once
-    # invariant). Evidence so far: 3-SF local oracle sweeps
-    # (ORACLE_LOCAL_r8 / SFSWEEP_r8) + pytest twins.
-    "vocab_growth",
-    "domain_diversity",
-    "lang_id_confusion",
-    "rfm_segments",
-    "event_seasonality",
-    "tokenizer_fertility",
-    "user_activity_gini",
-    "boilerplate_prefix",
-    "streaming_seasonality",
-    "orders_cohort_retention",
-    "events_user_cap",
-    "l_diversity",
-    # tier 0b — execution changed in r9: knn_label_noise's vote
-    # kernel was vectorized (lexsort matrix + one-hot votes replace
-    # the per-row Python loop), ccnet_buckets gained the size-gated
-    # histogram dispatch (exact ntile still the default at graded
-    # SFs — re-grade proves the dispatch didn't perturb it).
-    # streaming_dedup / streaming_join regressed 0.2-0.3s in the r8
-    # bench tail; any tuning this round must keep their hashes green.
-    "knn_label_noise",
-    "ccnet_buckets",
-    "streaming_dedup",
-    "streaming_join",
-    # tier 1 — last driver row is r5 (oldest evidence in the
-    # registry; rotated out of the r8 budget by the r8-changed set).
-    # All re-proven at 3 SFs on the final r8 code
-    # (ORACLE_LOCAL_r8/SFSWEEP_r8), but a fresh driver row is the
-    # stronger artifact. 33 entries fill the 50-entry budget.
-    "char_entropy",
-    "trigram_lm_score",
-    "q2_min_cost_supplier",
-    "ann_recall_eval",
-    "q12_shipmode_priority",
-    "q16_parts_supplier",
-    "q21_waiting_orders",
-    "ngram_contamination",
-    "triangle_count",
-    "doc_chunk",
-    "streaming_drift",
-    "tfidf_topk",
-    "pmi_collocations",
-    "inverted_index",
-    "bloom_filter_semijoin",
-    "pareto_skyline",
-    "rrf_fusion",
-    "ivm_agg",
-    "cdc_upsert",
-    "scd2_intervals",
-    "bm25_topk",
-    "substring_dedup",
-    "quantile_shard",
-    "domain_mix_sample",
-    "k_anonymity",
-    "heavy_hitters_cms",
+    # tier 0 — the 6 r9 batch-2 operators that have NEVER been
+    # driver-graded (the r9 budget cut before reaching them; r9
+    # verdict item 1 restores the every-entry-driver-green-at-least-
+    # once invariant, the same move r9 made for the r8 batch).
+    # Evidence so far: 3-SF local oracle sweeps (ORACLE_LOCAL_r9 /
+    # SFSWEEP_r9) + pytest twins. (Any key added mid-round but
+    # missing here is emitted before everything by build_registry's
+    # safety net.)
+    "embedding_rp_jl",
+    "streaming_incremental_dedup",
+    "source_overlap",
+    "dedup_incremental_minhash",
+    "ngram_novelty",
+    "quality_calibration",
+    # tier 0b — execution changed (or is re-audited) in r10:
+    # pagerank_bipartite / multimodal_features perf work (r9 verdict
+    # items 3-4), events_rolling (the BENCH_r09 4.32s anomaly —
+    # re-grade alongside the bench re-audit), streaming_sessionized /
+    # streaming_join (micro-batch drift profiling, item 5 — any
+    # harness tuning must keep their hashes green).
+    "pagerank_bipartite",
+    "multimodal_features",
+    "events_rolling",
     "streaming_sessionized",
-    "dedup_clusters",
-    "drift_psi",
-    "fk_integrity",
-    "benford_check",
-    "fd_check",
-    "key_skew_audit",
-    # --- driver budget cut (50) falls here ---
-    # tier 2 — remaining r5-green rows that didn't fit the budget
-    # (next round's tier 1), then the r6-green set, then the r8-green
-    # set (freshest driver evidence) last. All re-proven locally each
-    # round via tools/oracle_check.py (ORACLE_LOCAL_r9).
-    # Late-r9 note: the broadcast-hint removal (q2/q3/q5/q8/q9/q11/
-    # q16/q17/q19/q20/q21, copurchase pair build) is PLAN-only — the
-    # planner auto-broadcasts the same sides at graded SFs (plans
-    # verified identical) and every touched query was hash-proven at
-    # sf0.01 after the change plus the full 3-SF sweeps; the affected
-    # entries already inside the budget (q2/q9/q11/q12/q16/q21)
-    # re-grade this round, the rest rotate on the local-proof rule.
+    "streaming_join",
+    # tier 1 — last driver row is r5 (the oldest evidence tier left
+    # after r9 graded the whole r5-stale batch green). All re-proven
+    # at 3 SFs on the final r9 code, but a fresh driver row is the
+    # stronger artifact.
     "hll_distinct",
     "events_gap_fill",
     "events_time_weighted",
-    "events_rolling",
     "gopher_quality",
-    # r6-green rows
+    # tier 2 — r6-green rows (now the oldest bulk tier). 35 fit the
+    # remaining budget; the rest rotate below the cut on the
+    # local-proof rule and become next round's tier 1.
     "semdedup",
-    "pagerank_bipartite",
     "copurchase_similarity",
     "event_transitions",
     "conversion_lag",
@@ -305,7 +251,6 @@ GRADE_PRIORITY = [
     "repetition_strip",
     "global_shuffle",
     "multimodal_frame_sample",
-    "multimodal_features",
     "streaming_validation",
     "quality_ensemble",
     "dsir_importance",
@@ -333,13 +278,67 @@ GRADE_PRIORITY = [
     "stratified_sample",
     "sequence_pack",
     "dedup_keep_best",
+    # --- driver budget cut (50) falls here ---
+    # tier 3 — r6-green rows that didn't fit the budget (next
+    # round's tier 1), then the r9-green set (graded last round —
+    # freshest evidence, safest to rotate out), then the r8-green
+    # set. All re-proven locally each round via tools/oracle_check.py
+    # (ORACLE_LOCAL_r10).
     "split_contamination",
     "events_json_extract",
     "events_anomaly",
     "multimodal_meta",
     "multimodal_resize",
-    # r8-green rows (CORRECTNESS_r08 all-green — freshest evidence,
-    # safest to rotate out)
+    # r9-green rows (CORRECTNESS_r09 all-green)
+    "dedup_incremental",
+    "vocab_growth",
+    "domain_diversity",
+    "lang_id_confusion",
+    "rfm_segments",
+    "event_seasonality",
+    "tokenizer_fertility",
+    "user_activity_gini",
+    "boilerplate_prefix",
+    "streaming_seasonality",
+    "orders_cohort_retention",
+    "events_user_cap",
+    "l_diversity",
+    "knn_label_noise",
+    "ccnet_buckets",
+    "streaming_dedup",
+    "char_entropy",
+    "trigram_lm_score",
+    "q2_min_cost_supplier",
+    "ann_recall_eval",
+    "q12_shipmode_priority",
+    "q16_parts_supplier",
+    "q21_waiting_orders",
+    "ngram_contamination",
+    "triangle_count",
+    "doc_chunk",
+    "streaming_drift",
+    "tfidf_topk",
+    "pmi_collocations",
+    "inverted_index",
+    "bloom_filter_semijoin",
+    "pareto_skyline",
+    "rrf_fusion",
+    "ivm_agg",
+    "cdc_upsert",
+    "scd2_intervals",
+    "bm25_topk",
+    "substring_dedup",
+    "quantile_shard",
+    "domain_mix_sample",
+    "k_anonymity",
+    "heavy_hitters_cms",
+    "dedup_clusters",
+    "drift_psi",
+    "fk_integrity",
+    "benford_check",
+    "fd_check",
+    "key_skew_audit",
+    # r8-green rows
     "corr_matrix",
     "embedding_outliers",
     "cluster_purity",
@@ -388,17 +387,6 @@ GRADE_PRIORITY = [
     "similarity_ann_lsh",
     "dedup_embedding_cosine",
     "minhash_containment",
-    # tier 4 — NEW_LOCAL_ONLY (r9 batch 2): added while the 50-entry
-    # budget was saturated with never-graded + oldest-evidence entries
-    # (the r6-verdict convention). Evidence: full-registry 3-SF oracle
-    # sweeps (ORACLE_LOCAL_r9 / SFSWEEP_r9) + pytest twins. Both are
-    # integer-exact or micro-unit-quantized end to end.
-    "embedding_rp_jl",
-    "streaming_incremental_dedup",
-    "source_overlap",
-    "dedup_incremental_minhash",
-    "ngram_novelty",
-    "quality_calibration",
 ]
 
 

@@ -1,6 +1,6 @@
 """The driver grades registry entries in dict-insertion order and has
 cut after exactly 50 entries in every graded round — so ordering IS
-grading coverage. These tests pin the r9 rotation contract from
+grading coverage. These tests pin the r10 rotation contract from
 data_validator_spark/queries/__init__.py:GRADE_PRIORITY."""
 
 from __future__ import annotations
@@ -9,58 +9,54 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 
 DRIVER_GRADE_BUDGET = 50
 
-# Tier 0 this round: the operator NEW in r9 (dedup_incremental), the
-# 12 r8-new operators that were never driver-graded (the r8 budget cut
-# before reaching them — restoring the every-entry-driver-green
-# invariant is r8 verdict item 1), and the entries whose execution
-# changed in r9 (knn_label_noise's vectorized vote kernel,
-# ccnet_buckets' size-gated histogram dispatch, the two streaming
-# entries whose r8 regression any tuning must not perturb).
+# Tier 0 this round: the 6 r9 batch-2 operators that were never
+# driver-graded (the r9 budget cut before reaching them — restoring
+# the every-entry-driver-green invariant is r9 verdict item 1), and
+# the entries whose execution changed or is re-audited in r10
+# (pagerank_bipartite / multimodal_features perf work, the
+# events_rolling bench anomaly, streaming_sessionized/join harness
+# profiling).
 NEW_OR_CHANGED = {
-    # new in r9
-    "dedup_incremental",
-    # r8-new, never driver-graded
-    "vocab_growth", "domain_diversity", "lang_id_confusion",
-    "rfm_segments", "event_seasonality", "tokenizer_fertility",
-    "user_activity_gini", "boilerplate_prefix", "streaming_seasonality",
-    "orders_cohort_retention", "events_user_cap", "l_diversity",
-    # r9 engine changes
-    "knn_label_noise", "ccnet_buckets",
-    "streaming_dedup", "streaming_join",
+    # r9 batch-2, never driver-graded
+    "embedding_rp_jl", "streaming_incremental_dedup", "source_overlap",
+    "dedup_incremental_minhash", "ngram_novelty", "quality_calibration",
+    # r10 engine changes / re-audits
+    "pagerank_bipartite", "multimodal_features", "events_rolling",
+    "streaming_sessionized", "streaming_join",
 }
 
 # Entries whose last driver-green row is CORRECTNESS_r05 — the oldest
-# evidence tier in the registry (everything else is r6- or r8-green).
-# The 33 that fit the remaining budget after NEW_OR_CHANGED.
+# evidence tier left after r9 graded the whole r5-stale batch green
+# (events_rolling is also r5-green but already sits in tier 0b).
 R5_STALE = {
-    "char_entropy", "trigram_lm_score", "q2_min_cost_supplier",
-    "ann_recall_eval", "q12_shipmode_priority", "q16_parts_supplier",
-    "q21_waiting_orders", "ngram_contamination", "triangle_count",
-    "doc_chunk", "streaming_drift", "tfidf_topk", "pmi_collocations",
-    "inverted_index", "bloom_filter_semijoin", "pareto_skyline",
-    "rrf_fusion", "ivm_agg", "cdc_upsert", "scd2_intervals",
-    "bm25_topk", "substring_dedup", "quantile_shard",
-    "domain_mix_sample", "k_anonymity", "heavy_hitters_cms",
-    "streaming_sessionized", "dedup_clusters", "drift_psi",
-    "fk_integrity", "benford_check", "fd_check", "key_skew_audit",
+    "hll_distinct", "events_gap_fill", "events_time_weighted",
+    "gopher_quality",
+}
+
+# r6-green rows that fit the remaining budget (the oldest bulk tier;
+# the 7 that don't fit rotate below the cut on the local-proof rule).
+R6_FILL = {
+    "semdedup", "copurchase_similarity", "event_transitions",
+    "conversion_lag", "weighted_sample", "repetition_strip",
+    "global_shuffle", "multimodal_frame_sample", "streaming_validation",
+    "quality_ensemble", "dsir_importance", "embedding_norm_quant",
+    "corpus_train_filter", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "q17_small_quantity_revenue", "events_asof_join",
+    "events_range_join", "events_funnel", "text_quality",
+    "token_frequencies", "token_count", "doc_split_sample",
+    "dedup_exact", "dedup_simhash", "salted_aggregation", "lang_id",
+    "doc_fingerprint", "events_pivot", "events_retention",
+    "similarity_topk", "pii_scrub", "stratified_sample",
+    "sequence_pack", "dedup_keep_best",
 }
 
 # No SQL oracle by design — EMPTY since r5 session 5: every registry
 # entry carries a hash oracle.
 ROWS_ONLY: set[str] = set()
 
-# Entries below the cut with no driver row this round: the r9 batch-2
-# operators, added while the budget was saturated (the r6-verdict
-# NEW_LOCAL_ONLY convention). Evidence: full-registry 3-SF sweeps
-# (ORACLE_LOCAL_r9 / ORACLE_SFSWEEP_r9) + pytest twins.
-NEW_LOCAL_ONLY: set[str] = {
-    "embedding_rp_jl",
-    "streaming_incremental_dedup",
-    "source_overlap",
-    "dedup_incremental_minhash",
-    "ngram_novelty",
-    "quality_calibration",
-}
+# Entries below the cut with no driver row ever — EMPTY as of r10:
+# the r9 batch-2 operators grade first this round.
+NEW_LOCAL_ONLY: set[str] = set()
 
 
 def test_priority_list_matches_registry():
@@ -73,13 +69,14 @@ def test_new_and_stale_entries_fit_grading_budget():
     graded = set(list(q)[:DRIVER_GRADE_BUDGET])
     assert NEW_OR_CHANGED <= graded, NEW_OR_CHANGED - graded
     assert R5_STALE <= graded, R5_STALE - graded
-    # the two tiers exactly fill the budget — no wasted slot
-    assert len(NEW_OR_CHANGED | R5_STALE) == DRIVER_GRADE_BUDGET
+    assert R6_FILL <= graded, R6_FILL - graded
+    # the tiers exactly fill the budget — no wasted slot
+    assert len(NEW_OR_CHANGED | R5_STALE | R6_FILL) == DRIVER_GRADE_BUDGET
 
 
 def test_rotated_out_entries_hold_recent_driver_green():
     """Whatever falls past the grading budget must already hold a
-    driver-green row in CORRECTNESS_r08, r06 or r05 (the freshest
+    driver-green row in CORRECTNESS_r09, r08 or r06 (the freshest
     evidence tiers), or be rows-only by design."""
     import json
     import pathlib
@@ -94,9 +91,9 @@ def test_rotated_out_entries_hold_recent_driver_green():
         }
 
     green_recent = (
-        green("CORRECTNESS_r08.json")
+        green("CORRECTNESS_r09.json")
+        | green("CORRECTNESS_r08.json")
         | green("CORRECTNESS_r06.json")
-        | green("CORRECTNESS_r05.json")
     )
     q, _ = build_registry()
     overflow = list(q)[DRIVER_GRADE_BUDGET:]
@@ -125,7 +122,8 @@ def test_bench_headline_keys_exist_in_registry():
     missing = [k for k in bench.HEADLINE if k not in q]
     assert not missing, f"bench HEADLINE keys not in registry: {missing}"
     unbenched = [
-        k for k in (NEW_OR_CHANGED | R5_STALE) if k not in bench.HEADLINE
+        k for k in (NEW_OR_CHANGED | R5_STALE | R6_FILL)
+        if k not in bench.HEADLINE
     ]
     assert not unbenched, f"priority entries missing from bench: {unbenched}"
 
