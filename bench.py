@@ -345,6 +345,11 @@ def compact_line(out: dict, detail_file: str) -> str:
     base = {k: v for k, v in out.items() if k != "queries"}
     base["detail_file"] = detail_file
     base["n_queries"] = len(results)
+    # -1.0 sentinels mark errored/missing entries; they are excluded
+    # from every timing sum, so report them explicitly — otherwise an
+    # omitted-but-errored entry is indistinguishable from a fast one
+    # and shown + fast no longer reconstructs `value` (ADVICE r9).
+    base["n_errors"] = sum(1 for v in results.values() if v < 0)
     ordered = sorted(results.items(), key=lambda kv: -kv[1])
     shown: dict = {}
     line = ""

@@ -21,6 +21,7 @@ reference never sets it, so it defaults to 25 — as does this module).
 from __future__ import annotations
 
 import logging
+import re
 import smtplib
 from email.message import EmailMessage
 from email.utils import formatdate, parseaddr
@@ -30,13 +31,34 @@ logger = logging.getLogger(__name__)
 
 SMTP_TIMEOUT_S = 30.0
 
+# Strict-ish addr-spec: exactly one '@', non-empty local and domain,
+# no whitespace/control/grouping characters anywhere — parseaddr alone
+# accepts RFC-violating specs (embedded spaces, bare commas) as long
+# as one '@' is present, which let malformed addresses reach the SMTP
+# envelope raw instead of being rejected pre-send like the reference's
+# strict InternetAddress.parse (ADVICE r9). A dotless domain stays
+# valid (user@localhost passes Jakarta Mail's strict checkAddress).
+_ADDR_SPEC_RE = re.compile(r"^[^\s@,;<>()\[\]\\\"]+@[^\s@,;<>()\[\]\\\"]+$")
+
 
 def _valid(addr: str) -> bool:
-    """InternetAddress.parse stand-in: a non-empty addr-spec with a
-    domain part. Invalid entries are dropped with an error log, like
-    the reference's per-address partition (Emailer.scala:42)."""
-    _, spec = parseaddr(addr or "")
-    return "@" in spec and not spec.startswith("@") and not spec.endswith("@")
+    """InternetAddress.parse(strict) stand-in. Invalid entries are
+    dropped with an error log, like the reference's per-address
+    partition (Emailer.scala:42)."""
+    raw = (addr or "").strip()
+    _, spec = parseaddr(raw)
+    if not _ADDR_SPEC_RE.match(spec):
+        return False
+    # parseaddr REPAIRS some malformed inputs (strips embedded spaces,
+    # recovers the addr after a stray '<') — but the raw string is
+    # what reaches the SMTP envelope, so strict parse means the raw
+    # form must BE the spec or a well-formed name-addr wrapping it.
+    if raw != spec and not re.fullmatch(
+        rf"[^<>]*<{re.escape(spec)}>", raw
+    ):
+        return False
+    domain = spec.rsplit("@", 1)[1]
+    return not (domain.startswith(".") or domain.endswith(".") or ".." in domain)
 
 
 def _partition(addrs: list[str], kind: str) -> list[str]:

@@ -58,6 +58,7 @@ scrub (test_nan_scrubbed_like_null).
 from __future__ import annotations
 
 import math
+import sys
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
@@ -106,7 +107,13 @@ class _Target:
 
 
 def _interp(lo: float, hi: float, frac: float) -> float:
-    # the shared Spark-percentile / DuckDB-quantile_cont interpolation
+    # the shared Spark-percentile / DuckDB-quantile_cont interpolation.
+    # Exact ranks short-circuit so an infinite neighbor can't poison
+    # the arithmetic (inf * 0.0 is NaN, not 0).
+    if frac == 0.0:
+        return lo
+    if frac == 1.0:
+        return hi
     return lo * (1.0 - frac) + hi * frac
 
 
@@ -187,22 +194,39 @@ def exact_quantiles(
         arms = []
         for tid, t in enumerate(active):
             x = F.col(t.col)
-            width = t.hi - t.lo
-            if math.isinf(width):
-                # hi - lo overflows for extreme double ranges (e.g. lo
-                # near -1.7e308, hi near +1.7e308): every value would
-                # land in bucket 0 and no round could narrow, pushing
-                # the whole column into the single-task fallback
-                # window. Halved arithmetic keeps every intermediate
-                # finite for ANY representable pair: |hi/2 - lo/2| and
-                # |x/2 - lo/2| are both <= DBL_MAX by construction.
-                # Bucket boundaries shift by at most an ulp vs the
-                # unhalved formula — irrelevant, since per-bucket
-                # counts/min/max come from the actual data.
-                half_w = t.hi / 2 - t.lo / 2
-                b = F.floor((x / 2 - F.lit(t.lo / 2)) / F.lit(half_w) * F.lit(buckets))
+            # ±inf VALUES would poison the bucket arithmetic (inf/2 -
+            # inf/2 is NaN; any width involving an infinite endpoint
+            # is inf or NaN), degenerating every row into bucket 0 so
+            # no round could narrow (ADVICE r9). Bucket on a proxy
+            # clamped to ±DBL_MAX instead: clamping is monotone, so
+            # -inf rows land in bucket 0 and +inf rows in the top
+            # bucket, while range predicates and per-bucket min/max
+            # still see the raw value (a span holding only infinities
+            # resolves via its exact mn==mx).
+            flo = max(t.lo, -sys.float_info.max)
+            fhi = min(t.hi, sys.float_info.max)
+            xb = F.least(F.lit(fhi), F.greatest(F.lit(flo), x))
+            # Halved arithmetic keeps every intermediate finite for
+            # ANY representable finite pair: |fhi/2 - flo/2| and
+            # |xb/2 - flo/2| are both <= DBL_MAX by construction.
+            # Bucket boundaries shift by at most an ulp vs the
+            # unhalved formula — irrelevant, since per-bucket
+            # counts/min/max come from the actual data.
+            half_w = fhi / 2 - flo / 2
+            if half_w == 0:
+                # the finite part of the range is a single point
+                # (possible only with an infinite endpoint, e.g.
+                # [DBL_MAX, +inf]): split infinities from the point so
+                # the round still narrows.
+                b = (
+                    F.when(x < F.lit(flo), F.lit(0))
+                    .when(x > F.lit(fhi), F.lit(buckets - 1))
+                    .otherwise(F.lit(1))
+                )
             else:
-                b = F.floor((x - F.lit(t.lo)) / F.lit(width) * F.lit(buckets))
+                b = F.floor(
+                    (xb / 2 - F.lit(flo / 2)) / F.lit(half_w) * F.lit(buckets)
+                )
             b = F.least(F.lit(buckets - 1), F.greatest(F.lit(0), b)).cast("int")
             arms.append(
                 F.when(

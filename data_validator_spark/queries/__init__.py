@@ -72,21 +72,25 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-_SPLIT_COUNT_CACHE: dict[tuple, int] = {}
-
-# Registry of every module-level session cache that pins persisted
-# DataFrames (keys are (applicationId, sf[, name]); values are
-# DataFrames or tuples of DataFrames). The caches deliberately live
-# for the whole application — the bench/driver pattern touches each
-# dataset repeatedly — but a long-lived session hopping across many
-# datasets accumulates pinned relations; evict_session_caches() is
-# the explicit release valve (ADVICE r5).
+# Registry of every module-level session cache (keys are
+# (applicationId, sf[, name]); values are DataFrames, tuples of
+# DataFrames, or plain scalars such as probed counts). The caches
+# deliberately live for the whole application — the bench/driver
+# pattern touches each dataset repeatedly — but a long-lived session
+# hopping across many datasets accumulates pinned relations;
+# evict_session_caches() is the explicit release valve (ADVICE r5).
+# Scalar caches register too: a dataset rewritten at the same path
+# in one session must drop its cached counts alongside the relations
+# (ADVICE r9; eviction already tolerates non-DataFrame values).
 _SESSION_CACHES: list[dict] = []
 
 
 def register_session_cache(cache: dict) -> dict:
     _SESSION_CACHES.append(cache)
     return cache
+
+
+_SPLIT_COUNT_CACHE: dict[tuple, int] = register_session_cache({})
 
 
 def evict_session_caches(sf_dir: str | None = None) -> int:

@@ -965,7 +965,10 @@ DELTA_FRAC = 0.9
 # (warehouse_ops.py), composing doc_fingerprint + the
 # bloom_filter_semijoin pre-screen (accel_ops.py).
 _INC_INDEX_CACHE: dict = register_session_cache({})
-_INC_PIVOT_CACHE: dict[tuple, int] = {}
+# Registered alongside the relations it describes: a dataset
+# rewritten at the same path must drop its cached pivot when
+# evict_session_caches() re-materializes the index (ADVICE r9).
+_INC_PIVOT_CACHE: dict[tuple, int] = register_session_cache({})
 
 
 def _incremental_pivot(spark, sf) -> int:

@@ -799,7 +799,10 @@ _CCNET_BINNED_CACHE: dict = register_session_cache({})
 # (≤ 50k docs) on the oracle-exact ntile spelling.
 CCNET_EXACT_MAX_DOCS_CONF = "spark.data_validator.ccnet_exact_max_docs"
 CCNET_EXACT_MAX_DOCS_DEFAULT = 1_000_000
-_DOC_COUNT_CACHE: dict[tuple, int] = {}
+# Registered so evict_session_caches() drops the cached count when a
+# dataset is rewritten at the same path mid-session (ADVICE r9;
+# eviction tolerates scalar values).
+_DOC_COUNT_CACHE: dict[tuple, int] = register_session_cache({})
 
 
 def _doc_count(spark, sf) -> int:
@@ -933,14 +936,43 @@ def q_ccnet_buckets(spark, sf):
 
 
 def _sql_ccnet() -> str:
+    """Gate-aware oracle: mirrors q_ccnet_buckets' size dispatch so a
+    grading run above CCNET_EXACT_MAX_DOCS_DEFAULT takes the SAME
+    histogram-tertile path as Spark instead of hash-mismatching by
+    construction (ADVICE r9). The two tiling arms are UNION ALL'd
+    behind mutually-exclusive scalar predicates on the corpus count —
+    DuckDB evaluates both subtrees, which is fine at any gradable SF.
+    Caveat: the oracle can only see the DEFAULT gate — grading with a
+    non-default {CCNET_EXACT_MAX_DOCS_CONF} override (or the
+    approx_profile flag) is unsupported, same as every other conf."""
     from data_validator_spark.queries.corpus_ops import SQL_TRIGRAM_LM
 
+    gate = CCNET_EXACT_MAX_DOCS_DEFAULT
     return f"""
 WITH scores AS ({SQL_TRIGRAM_LM}),
-tiled AS (
+n AS (SELECT COUNT(*) AS n_total FROM scores),
+exact_tiled AS (
   SELECT doc_id, n_trigrams, avg_logp,
          ntile({CCNET_TILES}) OVER (ORDER BY avg_logp DESC, doc_id) AS tile
-  FROM scores)
+  FROM scores),
+binned AS (
+  SELECT doc_id, n_trigrams, avg_logp,
+         CAST(FLOOR(avg_logp * 10000.0) AS BIGINT) AS bin
+  FROM scores),
+hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
+edges AS (
+  SELECT bin,
+         ({CCNET_TILES} * COALESCE(SUM(cnt) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+           // n_total + 1 AS tile
+  FROM hist, n),
+hist_tiled AS (
+  SELECT b.doc_id, b.n_trigrams, b.avg_logp, e.tile
+  FROM binned b JOIN edges e USING (bin)),
+tiled AS (
+  SELECT * FROM exact_tiled WHERE (SELECT n_total FROM n) <= {gate}
+  UNION ALL
+  SELECT * FROM hist_tiled WHERE (SELECT n_total FROM n) > {gate})
 SELECT CASE WHEN tile = 1 THEN 'head'
             WHEN tile = 2 THEN 'middle'
             ELSE 'tail' END AS bucket,

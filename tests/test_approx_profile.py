@@ -145,6 +145,38 @@ def test_ccnet_size_gate_defaults_to_histogram_above_threshold(spark):
     )
 
 
+def test_ccnet_histogram_arm_matches_gated_oracle(spark):
+    """r10 (ADVICE r9): the oracle SQL now mirrors the size gate — a
+    corpus above CCNET_EXACT_MAX_DOCS must take the histogram-tertile
+    arm on BOTH engines. Force the gate below the test corpus on both
+    sides and assert exact row equality (the driver-hash contract)."""
+    import duckdb
+
+    from data_validator_spark.queries import quality_ops
+
+    spark.conf.unset(APPROX_PROFILE_CONF)
+    spark.conf.set(quality_ops.CCNET_EXACT_MAX_DOCS_CONF, "10")
+    saved = quality_ops.CCNET_EXACT_MAX_DOCS_DEFAULT
+    quality_ops.CCNET_EXACT_MAX_DOCS_DEFAULT = 10
+    try:
+        sql = quality_ops._sql_ccnet()
+        got = [tuple(r) for r in quality_ops.q_ccnet_buckets(spark, SF).collect()]
+    finally:
+        quality_ops.CCNET_EXACT_MAX_DOCS_DEFAULT = saved
+        spark.conf.unset(quality_ops.CCNET_EXACT_MAX_DOCS_CONF)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want
+    # and the default-gate SQL keeps the exact arm live below the gate
+    default_sql = quality_ops._sql_ccnet()
+    assert f"<= {saved}" in default_sql and f"> {saved}" in default_sql
+
+
 def test_ccnet_buckets_approx_plan_and_values(approx):
     """r7: under the flag the tertile boundaries come from the score
     histogram (quantile_shard method) — ntile must leave the physical

@@ -142,6 +142,32 @@ def test_transport_failure_is_logged_not_raised():
     assert send_report_email(cfg, RENDERED) is True
 
 
+def test_rfc_violating_specs_rejected_pre_send(smtp_server):
+    """ADVICE r9: parseaddr alone accepts specs with embedded spaces
+    or separators; strict validation must drop them BEFORE the SMTP
+    envelope (the reference's per-address InternetAddress.parse
+    rejection), not surface them as transport errors."""
+    srv, port = smtp_server
+    bad = [
+        "al ice@example.com",          # embedded space in local part
+        "alice@exam ple.com",          # embedded space in domain
+        "alice@.example.com",          # leading-dot domain
+        "alice@example.com.",          # trailing-dot domain
+        "alice@exa..mple.com",         # empty label
+        "a,b@example.com",             # bare comma
+        "<alice@example.com",          # stray angle bracket in spec
+        "@example.com",                # empty local part
+        "alice@",                      # empty domain
+    ]
+    cfg = _cfg(port, to=bad + ["ok@example.com"])
+    assert send_report_email(cfg, RENDERED) is False
+    assert srv.messages[0][1] == ["ok@example.com"]
+    # user@localhost stays valid (Jakarta Mail strict allows dotless)
+    cfg2 = _cfg(port, to=["user@localhost"])
+    assert send_report_email(cfg2, RENDERED) is False
+    assert srv.messages[1][1] == ["user@localhost"]
+
+
 def test_double_at_from_address_is_error(smtp_server):
     # EmailerSpec:40 'should return true with bad from address'
     # (collin@@bad.com): the addr-spec parses to a @-prefixed remainder

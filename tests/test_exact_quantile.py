@@ -106,6 +106,32 @@ def test_extreme_double_range_refines_not_fallback(spark):
     )
 
 
+def test_infinite_values_refine_not_fallback(spark):
+    """ADVICE r9: actual ±inf VALUES used to poison the bucket
+    arithmetic (inf/2 - inf/2 is NaN), collapsing every row into
+    bucket 0 so refinement could never narrow. The clamped-proxy
+    bucketing must still converge under a tiny cap and stay bit-exact
+    vs Spark's percentile (which propagates infinities through
+    interpolation identically to DuckDB's quantile_cont — probed)."""
+    random.seed(37)
+    vals = (
+        [float("-inf")] * 40
+        + [random.uniform(-1e6, 1e6) for _ in range(2000)]
+        + [float("inf")] * 40
+    )
+    _check_bit_exact(
+        spark, vals, **{"buckets": 8, "cap": 16, "max_rounds": 64}
+    )
+
+
+def test_single_finite_point_with_infinity_narrows(spark):
+    """The degenerate clamped range (finite part is one point, e.g.
+    [DBL_MAX, +inf]) must still split infinities from the point in
+    one round instead of looping to max_rounds."""
+    vals = [1.7976931348623157e308] * 500 + [float("inf")] * 300
+    _check_bit_exact(spark, vals, **{"buckets": 8, "cap": 16, "max_rounds": 4})
+
+
 def test_forced_multi_round_refinement(spark):
     # buckets=2, cap=4 forces log2(n) refinement rounds; max_rounds
     # high enough to converge, values still bit-exact

@@ -178,3 +178,11 @@ def test_bench_stdout_line_fits_driver_capture_window():
     assert parsed["value"] == out["value"]
     assert parsed["queries"]  # at least some per-query detail survives
     assert parsed["queries_omitted"] + len(parsed["queries"]) == len(results)
+    assert parsed["n_errors"] == 0
+    # error sentinels are excluded from timing sums but explicitly
+    # counted, so omitted-vs-errored stays distinguishable (ADVICE r9)
+    bad = dict(results)
+    bad[next(iter(bad))] = -1.0
+    parsed_bad = json.loads(bench.compact_line({**out, "queries": bad}, "f"))
+    assert parsed_bad["n_errors"] == 1
+    assert parsed_bad["fast_queries_total_sec"] >= 0
