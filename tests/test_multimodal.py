@@ -86,6 +86,32 @@ def test_features_normalized_histogram(spark, docs_dir):
     assert all(abs(a - b) < 1e-6 for a, b in zip(out[1], exp))
 
 
+def test_vectorized_feature_kernel_matches_scalar_stub():
+    """r10: the bincount-vectorized Arrow kernel must produce the SAME
+    float64 values as the documented per-byte scalar stub for every
+    payload shape (empty, full byte range, multi-byte utf-8) — bit
+    equality, not tolerance, since both divide int counts by the same
+    int total in float64."""
+    import pandas as pd
+
+    from data_validator_spark.queries.multimodal import (
+        _feature_batches,
+        fake_features,
+    )
+
+    payloads = [
+        b"",
+        b"hello",
+        bytes(range(256)) * 3,
+        b"\x00" * 7,
+        "héllo wörld — çà".encode(),
+    ]
+    pdf = pd.DataFrame({"doc_id": list(range(len(payloads))), "payload": payloads})
+    out = next(_feature_batches(iter([pdf])))
+    for i, b in enumerate(payloads):
+        assert list(out["features"][i]) == fake_features(b), i
+
+
 def test_registered_features_output_is_driver_safe(spark, docs_dir):
     """The REGISTERED multimodal_features query must not expose
     array-typed columns (they crash pandas-side canonicalizers in the
