@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_incremental",
     "dedup_incremental_minhash",
+    "dedup_index_refresh",
     "source_overlap",
     "ngram_novelty",
     "quality_calibration",

@@ -225,6 +225,9 @@ GRADE_PRIORITY = [
     "dedup_incremental_minhash",
     "ngram_novelty",
     "quality_calibration",
+    # tier 0a — NEW in r10: the persisted bucketed fingerprint-index
+    # table + ivm-style refresh (r9 verdict item 6). Never graded.
+    "dedup_index_refresh",
     # tier 0b — execution changed (or is re-audited) in r10:
     # pagerank_bipartite / multimodal_features perf work (r9 verdict
     # items 3-4), events_rolling (the BENCH_r09 4.32s anomaly —
@@ -281,8 +284,8 @@ GRADE_PRIORITY = [
     "pii_scrub",
     "stratified_sample",
     "sequence_pack",
-    "dedup_keep_best",
     # --- driver budget cut (50) falls here ---
+    "dedup_keep_best",
     # tier 3 — r6-green rows that didn't fit the budget (next
     # round's tier 1), then the r9-green set (graded last round —
     # freshest evidence, safest to rotate out), then the r8-green

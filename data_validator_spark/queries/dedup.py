@@ -1153,6 +1153,138 @@ FROM flagged ORDER BY doc_id
 """
 
 
+# -- dedup_index_refresh ---------------------------------------------------
+# The PERSISTED form of the incremental-dedup index (r9 verdict item
+# 6): _incremental_index pins the corpus fingerprint relation per
+# SESSION; the production shape is an index TABLE on storage,
+# maintained across runs. The table is bucketed parquet on the 60-bit
+# fingerprint (operators/bucketing.write_bucketed), so future
+# index⨝delta joins co-locate without shuffling the corpus-scale side.
+FINDEX_BUCKETS = 8
+FINDEX_DIGEST_BUCKETS = 16
+# per-row digest modulus: keeps SUM(fp60 % m) inside BIGINT for any
+# plausible fingerprint count (9e12 rows per digest bucket at 1e6)
+FINDEX_MOD = 1_000_003
+
+
+def _findex_identity(spark, sf, table: str | None):
+    """(table_name, external_path) for the dataset's index table. The
+    data lives at an explicit LOCATION under the session warehouse so
+    it SURVIVES sessions even though the default in-memory catalog
+    does not — re-registration is a metadata-only CREATE TABLE."""
+    import os
+    import re
+
+    if table is None:
+        tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_").lower()
+        table = f"dv_dedup_findex_{tag}"
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh = re.sub(r"^file:/*", "/", wh)
+    return table, os.path.join(wh, table)
+
+
+def _ensure_findex(spark, sf, table: str | None = None) -> str:
+    """Idempotently materialize + register the fingerprint index table
+    built from the EXISTING corpus (doc_id < pivot). Three cases:
+    registered this session → no-op; data on disk from a prior run →
+    metadata-only external CREATE TABLE (no data rewrite); neither →
+    bucketed build, the one-time backfill."""
+    import os
+
+    from data_validator_spark.functions.text import fingerprint60
+    from data_validator_spark.operators.bucketing import write_bucketed
+
+    t, path = _findex_identity(spark, sf, table)
+    if spark.catalog.tableExists(t):
+        return t
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        spark.sql(
+            f"CREATE TABLE {t} (fp60 BIGINT) USING PARQUET "
+            f"CLUSTERED BY (fp60) SORTED BY (fp60) "
+            f"INTO {FINDEX_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+        return t
+    pivot = _incremental_pivot(spark, sf)
+    base = (
+        spread(load(spark, sf, "documents"))
+        .where(F.col("doc_id") < F.lit(pivot))
+        .select(fingerprint60(F.col("text")).alias("fp60"))
+        .distinct()
+    )
+    write_bucketed(base, t, ["fp60"], FINDEX_BUCKETS, path=path)
+    return t
+
+
+def q_dedup_index_refresh(spark, sf, table: str | None = None):
+    """Incremental-dedup index REFRESH against the persisted table:
+    merge the append delta's novel fingerprints into the bucketed
+    index table (ivm_agg's delta discipline — the index is a set, so
+    the signed delta degenerates to insert-if-absent), then emit a
+    bucketed content digest of the refreshed table.
+
+    Scale shape: the refresh scans ONLY the delta (the pivot literal
+    pushes into the parquet scan); the anti-join's corpus-scale side
+    is the bucketed table, whose scan exposes the bucketing as the
+    join's hash partitioning — no corpus shuffle. The digest is a
+    map-side-combined 16-row aggregate over fingerprint-width rows.
+    Repeated runs are no-ops (the anti-join finds nothing new), so
+    the graded output is a pure function of the dataset: after any
+    refresh the table holds EXACTLY the distinct fingerprints of the
+    full corpus, which is what the oracle recomputes from scratch.
+
+    Determinism: fp60 is the 60-bit md5 fingerprint (engine-exact);
+    count and SUM(fp60 % 1e6-ish) per fp60-mod-16 bucket are
+    order-independent integer aggregates.
+    """
+    from data_validator_spark.functions.text import fingerprint60
+
+    t = _ensure_findex(spark, sf, table)
+    pivot = _incremental_pivot(spark, sf)
+    delta = (
+        load(spark, sf, "documents")
+        .where(F.col("doc_id") >= F.lit(pivot))
+        .select(fingerprint60(F.col("text")).alias("fp60"))
+        .distinct()
+    )
+    new = delta.join(spark.table(t), "fp60", "left_anti")
+    (
+        new.write.format("parquet")
+        .mode("append")
+        .bucketBy(FINDEX_BUCKETS, "fp60")
+        .sortBy("fp60")
+        .saveAsTable(t)
+    )
+    idx = spark.table(t)
+    return (
+        idx.groupBy(
+            F.pmod(F.col("fp60"), F.lit(FINDEX_DIGEST_BUCKETS))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(F.pmod(F.col("fp60"), F.lit(FINDEX_MOD))).alias("digest"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_dedup_index_refresh() -> str:
+    from data_validator_spark.queries import _sql_hash60
+
+    # fp60 ≡ fingerprint60: first 15 hex digits of md5(normalized)
+    fp60 = _sql_hash60(_SQL_NORM)
+    return f"""
+WITH fp AS (SELECT DISTINCT {fp60} AS fp60 FROM documents)
+SELECT CAST(fp60 % {FINDEX_DIGEST_BUCKETS} AS INT) AS bucket,
+       COUNT(*) AS n_fingerprints,
+       CAST(SUM(fp60 % {FINDEX_MOD}) AS BIGINT) AS digest
+FROM fp GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1162,6 +1294,7 @@ QUERIES = {
     "minhash_containment": q_minhash_containment,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
+    "dedup_index_refresh": q_dedup_index_refresh,
     "source_overlap": q_source_overlap,
     "ngram_novelty": q_ngram_novelty,
 }
@@ -1175,6 +1308,7 @@ ORACLES = {
     "minhash_containment": _sql_minhash_containment(),
     "dedup_incremental": _sql_dedup_incremental(),
     "dedup_incremental_minhash": _sql_dedup_incremental_minhash(),
+    "dedup_index_refresh": _sql_dedup_index_refresh(),
     "source_overlap": _sql_source_overlap(),
     "ngram_novelty": _sql_ngram_novelty(),
 }

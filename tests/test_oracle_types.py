@@ -28,6 +28,8 @@ TABLES = [
 EAGER_QUERIES = {
     "streaming_windowed", "streaming_validation", "streaming_sessionized",
     "streaming_dedup", "streaming_enriched", "dedup_clusters",
+    # index build/refresh writes the bucketed table on construction
+    "dedup_index_refresh",
 }
 
 

@@ -20,6 +20,8 @@ NEW_OR_CHANGED = {
     # r9 batch-2, never driver-graded
     "embedding_rp_jl", "streaming_incremental_dedup", "source_overlap",
     "dedup_incremental_minhash", "ngram_novelty", "quality_calibration",
+    # new in r10: persisted fingerprint-index table + refresh
+    "dedup_index_refresh",
     # r10 engine changes / re-audits
     "pagerank_bipartite", "multimodal_features", "events_rolling",
     "streaming_sessionized", "streaming_join",
@@ -47,7 +49,7 @@ R6_FILL = {
     "dedup_exact", "dedup_simhash", "salted_aggregation", "lang_id",
     "doc_fingerprint", "events_pivot", "events_retention",
     "similarity_topk", "pii_scrub", "stratified_sample",
-    "sequence_pack", "dedup_keep_best",
+    "sequence_pack",
 }
 
 # No SQL oracle by design — EMPTY since r5 session 5: every registry
