@@ -120,7 +120,6 @@ def q_dedup_exact(spark, sf):
         df.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
-        .orderBy("fingerprint")
     )
 
 
@@ -733,7 +732,6 @@ def q_dedup_simhash(spark, sf):
         df.select("doc_id", th.alias("th"))
         .where(F.size("th") > 0)
         .select("doc_id", _get_simhash_kernel()(F.col("th")).alias("simhash"))
-        .orderBy("doc_id")
     )
 
 
@@ -1167,6 +1165,57 @@ FINDEX_DIGEST_BUCKETS = 16
 FINDEX_MOD = 1_000_003
 
 
+# Corpus-snapshot stats backing the findex watermark; registered so a
+# same-path dataset rewrite that calls evict_session_caches() also
+# invalidates the probe and forces a fresh disk-watermark comparison.
+_FINDEX_STATS_CACHE: dict[tuple, dict] = register_session_cache({})
+_FINDEX_WATERMARK_FILE = "_dv_findex_watermark.json"
+
+
+def _corpus_watermark(spark, sf) -> dict:
+    """Snapshot stats of the documents table the index derives from:
+    row count + max doc_id (the fidelity ADVICE r10 asks for — it
+    catches appends and row-set rewrites; a rewrite that keeps every
+    doc_id but changes text is invisible to any doc_id-level probe
+    and needs an explicit rebuild). One cached column-pruned agg per
+    (application, dataset)."""
+    key = (spark.sparkContext.applicationId, str(sf))
+    wm = _FINDEX_STATS_CACHE.get(key)
+    if wm is None:
+        row = (
+            load(spark, sf, "documents")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.max("doc_id"), F.lit(-1)).alias("m"),
+            )
+            .first()
+        )
+        wm = {"n_docs": int(row["n"]), "max_doc_id": int(row["m"])}
+        _FINDEX_STATS_CACHE[key] = wm
+    return wm
+
+
+def _read_findex_watermark(path: str) -> dict | None:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, _FINDEX_WATERMARK_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_findex_watermark(path: str, wm: dict) -> None:
+    import json
+    import os
+
+    # Leading underscore: Spark's file index skips `_`/`.` files, so
+    # the sidecar never pollutes the table's parquet scan.
+    with open(os.path.join(path, _FINDEX_WATERMARK_FILE), "w") as f:
+        json.dump(wm, f)
+
+
 def _findex_identity(spark, sf, table: str | None):
     """(table_name, external_path) for the dataset's index table. The
     data lives at an explicit LOCATION under the session warehouse so
@@ -1185,20 +1234,37 @@ def _findex_identity(spark, sf, table: str | None):
 
 def _ensure_findex(spark, sf, table: str | None = None) -> str:
     """Idempotently materialize + register the fingerprint index table
-    built from the EXISTING corpus (doc_id < pivot). Three cases:
-    registered this session → no-op; data on disk from a prior run →
-    metadata-only external CREATE TABLE (no data rewrite); neither →
-    bucketed build, the one-time backfill."""
+    built from the EXISTING corpus (doc_id < pivot), guarded by a
+    corpus watermark (ADVICE r10). The sidecar watermark records the
+    documents snapshot (row count + max doc_id) the table contents
+    derive from; any on-disk or registered table whose watermark
+    disagrees with the CURRENT corpus is dropped and rebuilt instead
+    of trusted. That closes both divergence paths: (a) a dataset
+    rewritten at the same path (after evict_session_caches clears the
+    stats probe) no longer leaves stale fingerprints in a live table,
+    and (b) a cross-session append rebuilds from the new pivot, so no
+    doc_id range between the old and new pivots goes unindexed.
+    Remaining cases: registered + watermark-current → no-op; data on
+    disk + watermark-current → metadata-only external CREATE TABLE;
+    else → bucketed (re)build."""
     import os
+    import shutil
 
     from data_validator_spark.functions.text import fingerprint60
     from data_validator_spark.operators.bucketing import write_bucketed
 
     t, path = _findex_identity(spark, sf, table)
+    wm = _corpus_watermark(spark, sf)
+    disk_wm = _read_findex_watermark(path)
     if spark.catalog.tableExists(t):
-        return t
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
+        if disk_wm == wm:
+            return t
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(path, ignore_errors=True)
+    elif (
+        disk_wm == wm
+        and os.path.isdir(path)
+        and any(f.endswith(".parquet") for f in os.listdir(path))
     ):
         spark.sql(
             f"CREATE TABLE {t} (fp60 BIGINT) USING PARQUET "
@@ -1206,6 +1272,8 @@ def _ensure_findex(spark, sf, table: str | None = None) -> str:
             f"INTO {FINDEX_BUCKETS} BUCKETS LOCATION '{path}'"
         )
         return t
+    elif os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
     pivot = _incremental_pivot(spark, sf)
     base = (
         spread(load(spark, sf, "documents"))
@@ -1214,6 +1282,7 @@ def _ensure_findex(spark, sf, table: str | None = None) -> str:
         .distinct()
     )
     write_bucketed(base, t, ["fp60"], FINDEX_BUCKETS, path=path)
+    _write_findex_watermark(path, wm)
     return t
 
 
@@ -1233,6 +1302,13 @@ def q_dedup_index_refresh(spark, sf, table: str | None = None):
     the graded output is a pure function of the dataset: after any
     refresh the table holds EXACTLY the distinct fingerprints of the
     full corpus, which is what the oracle recomputes from scratch.
+    The invariant holds across sessions and dataset changes because
+    _ensure_findex is watermark-guarded (ADVICE r10): a table whose
+    recorded corpus snapshot (row count + max doc_id) disagrees with
+    the current documents table is rebuilt, never trusted. The one
+    blind spot is a rewrite that keeps every doc_id but changes text
+    — invisible at doc_id fidelity; drop the table to force a
+    rebuild in that case.
 
     Determinism: fp60 is the 60-bit md5 fingerprint (engine-exact);
     count and SUM(fp60 % 1e6-ish) per fp60-mod-16 bucket are

@@ -74,19 +74,29 @@ def _pairs(spark, sf):
 
 
 def _graph(spark, sf):
-    """(edges, nodes) — both localCheckpoint'd once per session+SF.
+    """(edges, nodes) — both persisted (MEMORY_AND_DISK) once per
+    session+SF.
 
     The edge relation is materialized DOUBLED (both directions) and
     hash-partitioned on dst (r10, the r9-verdict exchange cut):
     HashPartitioning(dst, K) satisfies the per-round contribution
-    aggregation's ClusteredDistribution for ANY K, and localCheckpoint
-    preserves outputPartitioning through LogicalRDD — so every
+    aggregation's ClusteredDistribution for ANY K, and the
+    InMemoryRelation preserves that partitioning — so every
     iteration's groupBy(dst) runs with NO shuffle at all (the
     broadcast rank join preserves the streamed edge side's
-    partitioning). Twice the checkpoint footprint of the single-
-    direction pair relation it replaces, in exchange for zero
-    per-round exchanges; this dst-partitioned layout is also exactly
-    the edge-partitioned shape the 100 TB shuffle-join variant wants."""
+    partitioning). Twice the cache footprint of the single-direction
+    pair relation it replaces, in exchange for zero per-round
+    exchanges; this dst-partitioned layout is also exactly the
+    edge-partitioned shape the 100 TB shuffle-join variant wants.
+
+    Lineage trade-off (ADVICE r10): persist does NOT truncate lineage
+    the way the pre-r10 localCheckpoint did — an evicted edge block
+    recomputes the orders⋈lineitem fact join mid-iteration. That is
+    accepted deliberately: checkpointed LogicalRDDs report
+    UnknownPartitioning under AQE (see the inline comment below),
+    which re-inserts the per-round exchange the whole design removes.
+    MEMORY_AND_DISK makes eviction a disk spill, not a drop, so the
+    recompute path only triggers if executor storage is lost."""
     import math
 
     from pyspark import StorageLevel
@@ -134,9 +144,9 @@ def _graph(spark, sf):
 
 def q_pagerank_bipartite(spark, sf):
     # Materialize the dst-partitioned DOUBLED edge relation once per
-    # session (_graph: localCheckpoint truncates the orders⋈lineitem
-    # lineage — the unrolled iterations would otherwise re-run the
-    # fact join every round, same rule as the CC loop). Per round the
+    # session (_graph: persisted MEMORY_AND_DISK, partitioning-
+    # preserving; see _graph's lineage note — the unrolled iterations
+    # would otherwise re-run the fact join every round). Per round the
     # rank join BROADCASTS the node-count-sized rank relation — the
     # edge side never moves — and the contribution groupBy(dst)
     # inherits the checkpoint's HashPartitioning(dst), so an

@@ -969,10 +969,17 @@ edges AS (
 hist_tiled AS (
   SELECT b.doc_id, b.n_trigrams, b.avg_logp, e.tile
   FROM binned b JOIN edges e USING (bin)),
+-- Arm predicates gate on the DOCUMENTS count — q_ccnet_buckets
+-- dispatches on _doc_count (full table), not on the scores count;
+-- docs whose normalized text has <3 chars drop out of scores, so
+-- near the gate boundary the two counts differ (ADVICE r10). The
+-- scores-derived n_total stays for the tile-edge division, which is
+-- what Spark's histogram sum uses.
+dn AS (SELECT COUNT(*) AS n_docs FROM documents),
 tiled AS (
-  SELECT * FROM exact_tiled WHERE (SELECT n_total FROM n) <= {gate}
+  SELECT * FROM exact_tiled WHERE (SELECT n_docs FROM dn) <= {gate}
   UNION ALL
-  SELECT * FROM hist_tiled WHERE (SELECT n_total FROM n) > {gate})
+  SELECT * FROM hist_tiled WHERE (SELECT n_docs FROM dn) > {gate})
 SELECT CASE WHEN tile = 1 THEN 'head'
             WHEN tile = 2 THEN 'middle'
             ELSE 'tail' END AS bucket,

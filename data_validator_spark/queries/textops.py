@@ -32,7 +32,7 @@ def q_token_count(spark, sf):
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 SQL_TOKEN_COUNT = r"""
@@ -58,7 +58,7 @@ def q_text_quality(spark, sf):
         feats["space_ratio"].alias("space_ratio"),
         feats["mean_token_len"].alias("mean_token_len"),
         quality_score(F.col("text"), feats=feats).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 SQL_TEXT_QUALITY = r"""
@@ -105,7 +105,6 @@ def q_lang_id(spark, sf):
             .otherwise(F.lit("und"))
             .alias("lang_pred"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -149,7 +148,7 @@ def q_doc_fingerprint(spark, sf):
         "doc_id",
         doc_fingerprint(F.col("text")).alias("fingerprint"),
         F.length(normalized_text(F.col("text"))).alias("n_norm_chars"),
-    ).orderBy("doc_id")
+    )
 
 
 # Normalization mirror of functions.text.normalized_text: lower →
