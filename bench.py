@@ -175,7 +175,108 @@ HEADLINE = [
 ]
 
 
+def _latest_round(prefix: str, suffix: str, files) -> tuple[int, str | None]:
+    """(round, filename) of the newest round-numbered artifact, e.g.
+    BENCH_r10.json / ORACLE_LOCAL_r9.txt (zero-padding tolerated);
+    (-1, None) when none exist."""
+    import re
+
+    best, best_name = -1, None
+    pat = re.compile(re.escape(prefix) + r"r(\d+)" + re.escape(suffix) + r"$")
+    for f in files:
+        m = pat.fullmatch(f)
+        if m and int(m.group(1)) > best:
+            best, best_name = int(m.group(1)), f
+    return best, best_name
+
+
+def check_guards(repo: str | None = None) -> list[str]:
+    """Round-hygiene guard (r10 verdict item 6): the r10 round shipped
+    a green-looking bench while the evidence artifacts (ORACLE_LOCAL,
+    BASELINE.md, PLANS.md) were a round stale — nothing failed loudly.
+    This makes bench.py the tripwire, since it runs every round:
+
+    1. dirty tree — modified TRACKED files mean the bench would
+       measure code that no commit records (BENCH_FULL.json, which
+       bench itself rewrites, is exempt; untracked files are exempt
+       because the driver stages round artifacts before committing);
+    2. evidence freshness — BASELINE.md, PLANS.md, and the newest
+       ORACLE_LOCAL_r{N}.txt must each have a commit AFTER the newest
+       committed BENCH_r{N}.json (the driver commits that at round
+       close, so "after" means refreshed THIS round), and the oracle
+       sweep's round number must not lag the bench round.
+
+    Failures are returned (and reported in the bench JSON + a nonzero
+    exit) rather than raised, so a guarded run still emits a parseable
+    artifact. SPARK_GRAFT_BENCH_FORCE=1 skips the guard for mid-round
+    local measurement runs; outside a git checkout the guard is N/A.
+    """
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1":
+        return []
+    repo = repo or os.path.dirname(os.path.abspath(__file__))
+
+    def git(*args) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            ["git", "-C", repo, *args], capture_output=True, text=True, timeout=30
+        )
+
+    try:
+        if git("rev-parse", "--is-inside-work-tree").returncode != 0:
+            return []
+    except (OSError, subprocess.SubprocessError):
+        return []
+    fails: list[str] = []
+    dirty = [
+        f
+        for f in git("diff", "--name-only", "HEAD").stdout.split("\n")
+        if f and f != "BENCH_FULL.json"
+    ]
+    if dirty:
+        fails.append(
+            f"dirty tree: uncommitted tracked changes ({', '.join(dirty[:5])}"
+            + (", ..." if len(dirty) > 5 else "")
+            + ") — commit before benching"
+        )
+    files = os.listdir(repo)
+    bench_r, bench_name = _latest_round("BENCH_", ".json", files)
+    oracle_r, oracle_name = _latest_round("ORACLE_LOCAL_", ".txt", files)
+    if bench_r < 0:
+        return fails  # first-ever bench: nothing to be stale against
+    if oracle_r < bench_r:
+        fails.append(
+            f"stale evidence: newest full-registry oracle sweep is "
+            f"ORACLE_LOCAL_r{oracle_r} but the bench round is r{bench_r} — "
+            "run tools/oracle_check.py and commit the sweep"
+        )
+
+    def last_commit_ts(name: str) -> int | None:
+        out = git("log", "-1", "--format=%ct", "--", name).stdout.strip()
+        return int(out) if out.isdigit() else None
+
+    bench_ts = last_commit_ts(bench_name)
+    if bench_ts is not None:
+        stale = [
+            name
+            for name in ("BASELINE.md", "PLANS.md", oracle_name)
+            if name is not None
+            and (ts := last_commit_ts(name)) is not None
+            and ts <= bench_ts
+        ]
+        if stale:
+            fails.append(
+                f"stale evidence: {', '.join(stale)} last committed before "
+                f"{bench_name} closed round r{bench_r} — regenerate and commit "
+                "(tools/baseline_duckdb.py + baseline_md.py, tools/plan_audit.py)"
+            )
+    return fails
+
+
 def main() -> int:
+    guard_failures = check_guards()
+    for g in guard_failures:
+        print(f"bench guard: {g}", file=sys.stderr)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     try:
@@ -314,6 +415,8 @@ def main() -> int:
         "runs_per_query": runs,
         "prime_pass_sec": prime_sec,
     }
+    if guard_failures:
+        out["guard_failures"] = guard_failures
     if os.environ.get("SPARK_GRAFT_CC_BENCH", "1") != "0":
         try:
             out["cc_chain"] = bench_cc_chain(spark)
@@ -331,7 +434,9 @@ def main() -> int:
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1)
     print(compact_line(out, "BENCH_FULL.json"))
-    return 0
+    # nonzero rc on guard failure (AFTER emitting the artifact, so a
+    # guarded run is still parseable — the failure is also in the JSON)
+    return 1 if guard_failures else 0
 
 
 STDOUT_BUDGET = 1800  # chars; driver tail-captures the last 2000

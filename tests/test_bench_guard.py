@@ -1,0 +1,136 @@
+"""bench.py round-hygiene guard (r10 verdict item 6): bench must fail
+loudly when run on a dirty tree or when the round's evidence artifacts
+(ORACLE_LOCAL sweep, BASELINE.md, PLANS.md) were not refreshed after
+the previous round closed. No Spark needed — the guard is pure
+git+filesystem logic."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+import pytest
+
+from bench import _latest_round, check_guards
+
+
+def test_latest_round_parses_padding_and_ignores_nonmatches():
+    files = [
+        "BENCH_r01.json",
+        "BENCH_r09.json",
+        "BENCH_r10.json",
+        "BENCH_FULL.json",
+        "ORACLE_LOCAL_r4.txt",
+        "ORACLE_LOCAL_r9.txt",
+        "ORACLE_SFSWEEP_r9.txt",
+    ]
+    assert _latest_round("BENCH_", ".json", files) == (10, "BENCH_r10.json")
+    assert _latest_round("ORACLE_LOCAL_", ".txt", files) == (
+        9,
+        "ORACLE_LOCAL_r9.txt",
+    )
+    assert _latest_round("CORRECTNESS_", ".json", files) == (-1, None)
+
+
+def _git(repo, *args, env_extra=None):
+    env = {**os.environ, **(env_extra or {})}
+    subprocess.run(
+        ["git", "-C", str(repo), *args], check=True, capture_output=True, env=env
+    )
+
+
+@pytest.fixture()
+def fake_repo(tmp_path):
+    """Tiny git repo with a closed round r1: BENCH_r1.json committed
+    LAST (the driver's round-close commit), evidence committed before
+    it — i.e. the exact stale state the guard must flag."""
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    _git(repo, "init", "-q")
+    _git(repo, "config", "user.email", "t@t")
+    _git(repo, "config", "user.name", "t")
+
+    def commit(name, content, when):
+        (repo / name).write_text(content)
+        _git(repo, "add", name)
+        _git(
+            repo,
+            "commit",
+            "-q",
+            "-m",
+            f"add {name}",
+            env_extra={
+                "GIT_AUTHOR_DATE": when,
+                "GIT_COMMITTER_DATE": when,
+            },
+        )
+
+    commit("ORACLE_LOCAL_r1.txt", "152 pass, 0 fail", "2026-01-01T10:00:00")
+    commit("BASELINE.md", "# BASELINE", "2026-01-01T10:01:00")
+    commit("PLANS.md", "# PLANS", "2026-01-01T10:02:00")
+    commit("BENCH_r1.json", "{}", "2026-01-01T11:00:00")
+    return repo
+
+
+def test_guard_flags_stale_evidence_then_clears_on_refresh(fake_repo):
+    fails = check_guards(str(fake_repo))
+    # all three evidence artifacts predate the round-close bench commit
+    assert len(fails) == 1 and "stale evidence" in fails[0]
+    for n in ("BASELINE.md", "PLANS.md", "ORACLE_LOCAL_r1.txt"):
+        assert n in fails[0]
+    # refresh this round: recommit evidence AFTER the bench commit
+    for name in ("ORACLE_LOCAL_r2.txt", "BASELINE.md", "PLANS.md"):
+        (fake_repo / name).write_text("refreshed r2")
+        _git(fake_repo, "add", name)
+    _git(
+        fake_repo,
+        "commit",
+        "-q",
+        "-m",
+        "r2 evidence refresh",
+        env_extra={
+            "GIT_AUTHOR_DATE": "2026-01-02T09:00:00",
+            "GIT_COMMITTER_DATE": "2026-01-02T09:00:00",
+        },
+    )
+    assert check_guards(str(fake_repo)) == []
+
+
+def test_guard_flags_oracle_round_lagging_bench_round(fake_repo):
+    # evidence recommitted fresh, but the SWEEP still carries r1 while
+    # a committed BENCH_r2 exists -> the filename-round rule fires
+    for name in ("ORACLE_LOCAL_r1.txt", "BASELINE.md", "PLANS.md", "BENCH_r2.json"):
+        (fake_repo / name).write_text("content r2")
+        _git(fake_repo, "add", name)
+    _git(
+        fake_repo,
+        "commit",
+        "-q",
+        "-m",
+        "bench r2 closed",
+        env_extra={
+            "GIT_AUTHOR_DATE": "2026-01-02T09:00:00",
+            "GIT_COMMITTER_DATE": "2026-01-02T09:00:00",
+        },
+    )
+    fails = check_guards(str(fake_repo))
+    assert any("ORACLE_LOCAL_r1" in f and "r2" in f for f in fails)
+
+
+def test_guard_flags_dirty_tracked_file_but_not_untracked(fake_repo):
+    (fake_repo / "PLANS.md").write_text("mutated, uncommitted")
+    (fake_repo / "CORRECTNESS_r2.json").write_text("driver artifact, untracked")
+    (fake_repo / "BENCH_FULL.json").write_text("bench's own output, exempt")
+    fails = check_guards(str(fake_repo))
+    dirty = [f for f in fails if "dirty tree" in f]
+    assert len(dirty) == 1 and "PLANS.md" in dirty[0]
+    assert "CORRECTNESS_r2" not in dirty[0] and "BENCH_FULL" not in dirty[0]
+
+
+def test_guard_force_env_skips(fake_repo, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE", "1")
+    assert check_guards(str(fake_repo)) == []
+
+
+def test_guard_noop_outside_git(tmp_path):
+    assert check_guards(str(tmp_path)) == []

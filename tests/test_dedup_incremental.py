@@ -274,6 +274,91 @@ def test_findex_refresh_plan_scans_delta_only(spark, tmp_path):
         _findex_drop(spark, t)
 
 
+def _findex_digest_of(spark, doc_path):
+    """Ground-truth digest recomputed from scratch over the current
+    corpus (what the oracle does)."""
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.functions.text import fingerprint60
+    from data_validator_spark.queries.dedup import (
+        FINDEX_DIGEST_BUCKETS,
+        FINDEX_MOD,
+    )
+
+    full = (
+        spark.read.parquet(str(doc_path))
+        .select(fingerprint60(F.col("text")).alias("fp60"))
+        .distinct()
+        .groupBy(
+            F.pmod(F.col("fp60"), F.lit(FINDEX_DIGEST_BUCKETS)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(F.pmod(F.col("fp60"), F.lit(FINDEX_MOD))).alias("digest"),
+        )
+    )
+    return sorted(tuple(r) for r in full.collect())
+
+
+def test_findex_watermark_rebuilds_on_corpus_change(spark, tmp_path):
+    """ADVICE r10: a stale index table must never be trusted. Two
+    divergence paths, both closed by the corpus watermark:
+    (a) in-session rewrite at the same path (table still registered) —
+        after evict_session_caches the next refresh must rebuild, not
+        serve stale fingerprints;
+    (b) cross-session append (catalog entry gone, files remain) — the
+        re-registration fast path must be REFUSED when the corpus
+        grew, since docs between the old and new pivots would
+        otherwise go unindexed."""
+    from data_validator_spark.queries import evict_session_caches
+    from data_validator_spark.queries.dedup import q_dedup_index_refresh
+
+    d = tmp_path / "documents.parquet"
+    rows1 = [(i, f"watermark corpus v1 text {i % 17}") for i in range(50)]
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d)
+    )
+    t = "dv_findex_pytest_watermark"
+    _findex_drop(spark, t)
+    try:
+        first = sorted(
+            tuple(r)
+            for r in q_dedup_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        assert first == _findex_digest_of(spark, d)
+
+        # (a) rewrite in place: table registered, corpus replaced
+        rows2 = [(i, f"watermark corpus v2 text {i % 29}") for i in range(80)]
+        spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d))
+        evict_session_caches(str(tmp_path))
+        got = sorted(
+            tuple(r)
+            for r in q_dedup_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        assert got == _findex_digest_of(spark, d)
+        assert sum(r[1] for r in got) == 29  # v1's 17 texts are GONE
+
+        # (b) cross-session append: drop catalog entry, grow corpus so
+        # the new pivot exceeds the old covered range
+        spark.sql(f"DROP TABLE {t}")
+        rows3 = rows2 + [(i, f"appended text {i}") for i in range(80, 200)]
+        spark.createDataFrame(rows3, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d))
+        evict_session_caches(str(tmp_path))
+        got = sorted(
+            tuple(r)
+            for r in q_dedup_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        assert got == _findex_digest_of(spark, d)
+        assert sum(r[1] for r in got) == 29 + 120
+    finally:
+        _findex_drop(spark, t)
+        evict_session_caches(str(tmp_path))
+
+
 def test_rp_jl_census_matches_numpy(spark, tmp_path):
     """embedding_rp_jl: the JL distortion census must match a direct
     numpy recomputation with the same ±1 planes on a synthetic
