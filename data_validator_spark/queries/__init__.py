@@ -211,97 +211,110 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # tier 0 — the 6 r9 batch-2 operators that have NEVER been
-    # driver-graded (the r9 budget cut before reaching them; r9
-    # verdict item 1 restores the every-entry-driver-green-at-least-
-    # once invariant, the same move r9 made for the r8 batch).
-    # Evidence so far: 3-SF local oracle sweeps (ORACLE_LOCAL_r9 /
-    # SFSWEEP_r9) + pytest twins. (Any key added mid-round but
-    # missing here is emitted before everything by build_registry's
-    # safety net.)
+    # === r11 cut. Tier 0a — the 4 entries the r10 verdict marked WEAK
+    # (exact_quantile ±inf rewrite consumers + the gate-aware ccnet
+    # oracle changed AFTER the r10 cut, and the r10 local sweep never
+    # ran, so they hold no post-change proof of any kind). Graded
+    # first (r10 verdict item 2).
+    "col_quantiles",
+    "mad_outliers",
+    "rfm_segments",
+    "ccnet_buckets",
+    # tier 0b — last driver row is r6 (rotated below the cut four
+    # rounds running; the oldest evidence tier).
+    "dedup_keep_best",
+    "split_contamination",
+    "events_json_extract",
+    "events_anomaly",
+    "multimodal_meta",
+    "multimodal_resize",
+    # tier 0c — semantics-adjacent r11 change: the findex table is now
+    # watermark-guarded (rebuild on corpus change, ADVICE r10).
+    "dedup_index_refresh",
+    # tier 1 — every entry whose OUTPUT PLAN changed in r11 (the
+    # cosmetic corpus-scale orderBy removal, r10 verdict item 3: one
+    # fewer range-partition exchange each; hashes are order-
+    # insensitive so values are unchanged by construction, but the
+    # plan change still rides the grading tier). 39 fit the budget;
+    # trigram_lm_score is the single changed entry left below the cut
+    # — its scores are transitively hash-verified by ccnet_buckets
+    # (tier 0a), which aggregates them exactly.
+    "multimodal_frame_sample",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "events_sessionized",
+    "events_asof_join",
+    "events_range_join",
+    "substring_dedup",
+    "dsir_importance",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "minhash_containment",
+    "dedup_clusters",
+    "dedup_incremental",
+    "gopher_quality",
+    "tfidf_topk",
+    "events_gap_fill",
+    "char_entropy",
+    "pii_scrub",
+    "embedding_norm_quant",
+    "global_shuffle",
+    "ngram_contamination",
+    "quality_ensemble",
+    "similarity_ann_lsh",
+    "dedup_embedding_cosine",
+    "semdedup",
+    "embedding_outliers",
+    "cluster_purity",
+    "streaming_sessionized",
+    "streaming_join",
+    "doc_chunk",
+    "repetition_strip",
+    "cdc_upsert",
+    "scd2_intervals",
+    "ivm_agg",
+    "events_rolling",
+    # --- driver budget cut (50) falls here ---
+    # changed in r11 but below the cut: local 3-SF sweep + transitive
+    # ccnet verification are its r11 evidence.
+    "trigram_lm_score",
+    # tier 2 — unchanged entries, stalest driver evidence first (r8),
+    # then r9-green, then r10-green (freshest, safest to rotate out).
+    # All re-proven locally each round via tools/oracle_check.py
+    # (ORACLE_LOCAL_r11 / ORACLE_SFSWEEP_r11).
     "embedding_rp_jl",
     "streaming_incremental_dedup",
     "source_overlap",
     "dedup_incremental_minhash",
     "ngram_novelty",
     "quality_calibration",
-    # tier 0a — NEW in r10: the persisted bucketed fingerprint-index
-    # table + ivm-style refresh (r9 verdict item 6). Never graded.
-    "dedup_index_refresh",
-    # tier 0b — execution changed (or is re-audited) in r10:
-    # pagerank_bipartite / multimodal_features perf work (r9 verdict
-    # items 3-4), events_rolling (the BENCH_r09 4.32s anomaly —
-    # re-grade alongside the bench re-audit), streaming_sessionized /
-    # streaming_join (micro-batch drift profiling, item 5 — any
-    # harness tuning must keep their hashes green).
     "pagerank_bipartite",
     "multimodal_features",
-    "events_rolling",
-    "streaming_sessionized",
-    "streaming_join",
-    # tier 1 — last driver row is r5 (the oldest evidence tier left
-    # after r9 graded the whole r5-stale batch green). All re-proven
-    # at 3 SFs on the final r9 code, but a fresh driver row is the
-    # stronger artifact.
     "hll_distinct",
-    "events_gap_fill",
     "events_time_weighted",
-    "gopher_quality",
-    # tier 2 — r6-green rows (now the oldest bulk tier). 35 fit the
-    # remaining budget; the rest rotate below the cut on the
-    # local-proof rule and become next round's tier 1.
-    "semdedup",
     "copurchase_similarity",
     "event_transitions",
     "conversion_lag",
     "weighted_sample",
-    "repetition_strip",
-    "global_shuffle",
-    "multimodal_frame_sample",
     "streaming_validation",
-    "quality_ensemble",
-    "dsir_importance",
-    "embedding_norm_quant",
     "corpus_train_filter",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "q17_small_quantity_revenue",
-    "events_asof_join",
-    "events_range_join",
     "events_funnel",
-    "text_quality",
     "token_frequencies",
-    "token_count",
     "doc_split_sample",
-    "dedup_exact",
-    "dedup_simhash",
     "salted_aggregation",
-    "lang_id",
-    "doc_fingerprint",
     "events_pivot",
     "events_retention",
     "similarity_topk",
-    "pii_scrub",
     "stratified_sample",
     "sequence_pack",
-    # --- driver budget cut (50) falls here ---
-    "dedup_keep_best",
-    # tier 3 — r6-green rows that didn't fit the budget (next
-    # round's tier 1), then the r9-green set (graded last round —
-    # freshest evidence, safest to rotate out), then the r8-green
-    # set. All re-proven locally each round via tools/oracle_check.py
-    # (ORACLE_LOCAL_r10).
-    "split_contamination",
-    "events_json_extract",
-    "events_anomaly",
-    "multimodal_meta",
-    "multimodal_resize",
-    # r9-green rows (CORRECTNESS_r09 all-green)
-    "dedup_incremental",
     "vocab_growth",
     "domain_diversity",
     "lang_id_confusion",
-    "rfm_segments",
     "event_seasonality",
     "tokenizer_fertility",
     "user_activity_gini",
@@ -311,47 +324,31 @@ GRADE_PRIORITY = [
     "events_user_cap",
     "l_diversity",
     "knn_label_noise",
-    "ccnet_buckets",
     "streaming_dedup",
-    "char_entropy",
-    "trigram_lm_score",
     "q2_min_cost_supplier",
     "ann_recall_eval",
     "q12_shipmode_priority",
     "q16_parts_supplier",
     "q21_waiting_orders",
-    "ngram_contamination",
     "triangle_count",
-    "doc_chunk",
     "streaming_drift",
-    "tfidf_topk",
     "pmi_collocations",
     "inverted_index",
     "bloom_filter_semijoin",
     "pareto_skyline",
     "rrf_fusion",
-    "ivm_agg",
-    "cdc_upsert",
-    "scd2_intervals",
     "bm25_topk",
-    "substring_dedup",
     "quantile_shard",
     "domain_mix_sample",
     "k_anonymity",
     "heavy_hitters_cms",
-    "dedup_clusters",
     "drift_psi",
     "fk_integrity",
     "benford_check",
     "fd_check",
     "key_skew_audit",
-    # r8-green rows
     "corr_matrix",
-    "embedding_outliers",
-    "cluster_purity",
     "similarity_ann_ivf",
-    "col_quantiles",
-    "mad_outliers",
     "profile_table",
     "kmeans_embeddings",
     "reconciliation_check",
@@ -370,7 +367,6 @@ GRADE_PRIORITY = [
     "q19_discounted_revenue",
     "q20_potential_promotion",
     "events_windowed",
-    "events_sessionized",
     "events_rollup",
     "column_sum_check",
     "combined_single_pass",
@@ -391,9 +387,6 @@ GRADE_PRIORITY = [
     "q8_market_share",
     "q13_customer_distribution",
     "q14_promo_revenue",
-    "similarity_ann_lsh",
-    "dedup_embedding_cosine",
-    "minhash_containment",
 ]
 
 

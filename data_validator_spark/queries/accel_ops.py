@@ -238,7 +238,7 @@ def q_events_rolling(spark, sf):
         "cnt",
         F.sum("cnt").over(w).alias("roll_cnt"),
         F.sum("sum_value").over(w).cast("double").alias("roll_sum_value"),
-    ).orderBy("event_type", "h")
+    )
 
 
 SQL_ROLLING = f"""

@@ -331,7 +331,6 @@ def events_sessionized(spark, sf):
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             dsum(F.col("value"), "session_value"),
         )
-        .orderBy("user_id", "session_seq")
     )
 
 
@@ -696,7 +695,7 @@ def events_asof_join(spark, sf):
         F.col("click_event_id").alias("click_id"),
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
-    ).orderBy("purchase_id")
+    )
 
 
 SQL_EVENTS_ASOF = """
@@ -752,7 +751,7 @@ def events_range_join(spark, sf):
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
         "n_nearby_clicks",
-    ).orderBy("error_id")
+    )
 
 
 SQL_EVENTS_RANGE_JOIN = f"""

@@ -324,7 +324,6 @@ def q_trigram_lm_score(spark, sf, base=None):
                 "avg_logp"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -390,7 +389,6 @@ def q_substring_dedup(spark, sf):
         .where(F.col("canon") < F.col("doc_id"))
         .groupBy("doc_id")
         .agg(F.min("canon").alias("dup_of"), F.count("*").alias("n_shared_windows"))
-        .orderBy("doc_id")
     )
 
 
@@ -846,7 +844,6 @@ def q_dsir_importance(spark, sf):
             .cast("double")
             .alias("dsir_logw"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -262,7 +262,7 @@ def q_dedup_minhash_lsh(spark, sf):
     the nondeterministic projection barrier defeats ReuseExchange),
     and the only shuffle is on the band signature. Pair expansion is
     array arithmetic over the tiny per-bucket member list."""
-    return _lsh_pairs_df(spark, sf).orderBy("doc_a", "doc_b")
+    return _lsh_pairs_df(spark, sf)
 
 
 def _sql_minhash_ctes() -> str:
@@ -320,7 +320,6 @@ def q_dedup_ngram_jaccard(spark, sf):
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -644,7 +643,6 @@ def q_minhash_containment(spark, sf):
             F.round(inter / F.size("ha"), 6).alias("contain_a_in_b"),
             F.round(inter / F.size("hb"), 6).alias("contain_b_in_a"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -920,7 +918,6 @@ def _cluster_rollup(labels):
             F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("members"),
         )
         .select(F.col("label").alias("cluster_id"), "n_members", "members")
-        .orderBy("cluster_id")
     )
 
 
@@ -1109,7 +1106,7 @@ def q_dedup_incremental(spark, sf):
         ((F.col("dup_of_corpus") == 0) & (F.col("dup_in_delta") == 0))
         .cast("long")
         .alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 def _sql_dedup_incremental() -> str:

@@ -200,7 +200,7 @@ def q_gopher_quality(spark, sf, base=None):
     key = (spark.sparkContext.applicationId, str(sf))
     cached = _GOPHER_CACHE.get(key)
     if cached is not None:
-        return cached.orderBy("doc_id")
+        return cached
     df = base if base is not None else spread(load(spark, sf, "documents"))
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
@@ -263,7 +263,7 @@ def q_gopher_quality(spark, sf, base=None):
 
     stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
     _GOPHER_CACHE[key] = stats
-    return stats.orderBy("doc_id")
+    return stats
 
 
 SQL_GOPHER = f"""
@@ -356,7 +356,6 @@ def q_tfidf_topk(spark, sf):
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TFIDF_K)
         .select("doc_id", "rank", F.col("t").alias("term"), "tf", "df", "tfidf")
-        .orderBy("doc_id", "rank")
     )
 
 
@@ -633,7 +632,7 @@ def q_events_gap_fill(spark, sf):
         F.coalesce(F.col("cnt"), F.lit(0)).alias("n_events"),
         (F.floor(interp * 1000000.0 + 0.5) / 1000000.0).alias("avg_value_filled"),
         F.col("cnt").isNull().cast("int").alias("is_gap"),
-    ).orderBy("event_type", "h")
+    )
 
 
 SQL_GAP_FILL = """
@@ -771,7 +770,7 @@ def q_char_entropy(spark, sf, base=None):
     key = (spark.sparkContext.applicationId, str(sf))
     cached = _ENTROPY_CACHE.get(key)
     if cached is not None:
-        return cached.orderBy("doc_id")
+        return cached
     if base is not None:
         docs = base.select("doc_id", "norm")
     else:
@@ -808,7 +807,7 @@ def q_char_entropy(spark, sf, base=None):
 
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
     _ENTROPY_CACHE[key] = out
-    return out.orderBy("doc_id")
+    return out
 
 
 SQL_CHAR_ENTROPY = f"""

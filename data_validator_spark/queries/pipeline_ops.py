@@ -81,7 +81,7 @@ def q_pii_scrub(spark, sf):
         n_ips.alias("n_ips"),
         n_phones.alias("n_phones"),
         _hash60(scrubbed).alias("scrub_hash"),
-    ).orderBy("doc_id")
+    )
 
 
 _SQL_SCRUBBED = (
@@ -323,7 +323,7 @@ def q_embedding_norm_quant(spark, sf):
         ).alias("q_sum"),
         F.array_min("q").alias("q_min"),
         F.array_max("q").alias("q_max"),
-    ).orderBy("vec_id")
+    )
 
 
 SQL_EMBEDDING_NORM_QUANT = """
@@ -506,7 +506,6 @@ def q_global_shuffle(spark, sf):
     return (
         proj.withColumn("shard_pos", F.row_number().over(w))
         .select("doc_id", "shard_id", "shard_pos")
-        .orderBy("doc_id")
     )
 
 

@@ -531,7 +531,7 @@ def q_ngram_contamination(spark, sf):
         .cast(DEC)
         .cast("double")
         .alias("contam_frac"),
-    ).orderBy("doc_id")
+    )
 
 
 SQL_NGRAM_CONTAMINATION = f"""
@@ -758,7 +758,6 @@ def q_quality_ensemble(spark, sf):
             .cast("int")
             .alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -207,7 +207,7 @@ def q_similarity_ann_lsh(spark, sf):
     b = vecs.select("vec_id", _bucket_expr(n_planes).alias("bucket"))
     return b.withColumn(
         "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-    ).orderBy("vec_id")
+    )
 
 
 def _sql_ann_lsh() -> str:
@@ -257,7 +257,6 @@ def q_dedup_embedding_cosine(spark, sf):
         a.join(c, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= COSINE_DEDUP_THRESHOLD)
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -528,7 +527,6 @@ def q_semdedup(spark, sf):
             "n_members",
             F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
         )
-        .orderBy("cluster_id")
     )
 
 
@@ -697,7 +695,7 @@ def q_embedding_outliers(spark, sf):
         .cast("decimal(30,6)")
         .cast("double")
         .alias("outlier_pct"),
-    ).orderBy("list_id")
+    )
 
 
 def _sql_embedding_outliers() -> str:
@@ -767,7 +765,6 @@ def q_cluster_purity(spark, sf):
             .cast("double")
             .alias("purity"),
         )
-        .orderBy("list_id")
     )
 
 

@@ -261,7 +261,6 @@ def q_streaming_sessionized(spark, sf):
             F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -421,7 +420,6 @@ def q_streaming_join(spark, sf):
             F.count(F.lit(1)).alias("n_prior_clicks"),
             dsum(F.col("c_value"), "sum_click_value"),
         )
-        .orderBy("purchase_id")
     )
 
 

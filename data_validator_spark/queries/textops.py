@@ -413,7 +413,7 @@ def q_doc_chunk(spark, sf):
         (F.col("chunk_idx") * CHUNK_S + 1).alias("start_tok"),
         F.size("chunk").alias("n_chunk_tokens"),
         _hash60(F.array_join(F.col("chunk"), " ")).alias("chunk_hash"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 def _sql_doc_chunk() -> str:
@@ -503,7 +503,6 @@ def q_repetition_strip(spark, sf):
             F.size(kept).alias("n_kept"),
             _hash60(F.array_join(kept, " ")).alias("clean_hash"),
         )
-        .orderBy("doc_id")
     )
 
 

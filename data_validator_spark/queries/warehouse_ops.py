@@ -87,7 +87,6 @@ def q_cdc_upsert(spark, sf):
             .otherwise(F.lit("base"))
             .alias("src"),
         )
-        .orderBy("custkey")
     )
 
 
@@ -137,7 +136,6 @@ def q_scd2_intervals(spark, sf):
             F.round("value", 6).alias("value"),
             F.lead("ts").over(w).isNull().alias("is_current"),
         )
-        .orderBy("user_id", "valid_from", "value")
     )
 
 
@@ -217,7 +215,6 @@ def q_ivm_agg(spark, sf):
     return (
         merged.where(F.col("n_orders") > 0)
         .select("o_custkey", "n_orders", F.col("s").cast("double").alias("sum_price"))
-        .orderBy("o_custkey")
     )
 
 

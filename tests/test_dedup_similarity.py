@@ -161,10 +161,12 @@ def test_cc_star_matches_propagation_on_lsh_graph(spark):
     )
 
     sf = "/root/testdata/sf0.001"
-    base = [tuple(r) for r in q_dedup_clusters(spark, sf).collect()]
+    # sorted(): the output carries no orderBy (cluster-count-sized
+    # relation; the driver hash is order-insensitive)
+    base = sorted(tuple(r) for r in q_dedup_clusters(spark, sf).collect())
     spark.conf.set(CC_ALGORITHM_CONF, "star")
     try:
-        star = [tuple(r) for r in q_dedup_clusters(spark, sf).collect()]
+        star = sorted(tuple(r) for r in q_dedup_clusters(spark, sf).collect())
     finally:
         spark.conf.unset(CC_ALGORITHM_CONF)
     assert star == base

@@ -109,7 +109,12 @@ def test_multimodal_decode_plumbing(spark, monkeypatch, tmp_path):
     )
     p = str(tmp_path / "documents.parquet")
     docs.write.parquet(p)
-    out = mm.q_multimodal_meta(spark, str(tmp_path)).collect()
+    # sort here: the query output carries no orderBy (corpus-sized
+    # relation; the driver hash is order-insensitive)
+    out = sorted(
+        mm.q_multimodal_meta(spark, str(tmp_path)).collect(),
+        key=lambda r: r["doc_id"],
+    )
     assert [r["doc_id"] for r in out] == [1, 2]
     assert out[0]["n_bytes"] == 5 and out[1]["n_bytes"] == 7
     assert out[0]["fake_width"] == 6 and out[0]["fake_height"] == 6  # len 5 -> (6,6)
