@@ -65,3 +65,108 @@ def assert_colocated(df: DataFrame) -> None:
         raise AssertionError(
             "bucketed join is NOT co-located (Exchange present):\n" + plan
         )
+
+
+# -- persisted bucketed fact tables (r11, r10 verdict item 5) ---------------
+# The dedup_index_refresh trick generalized to TPC-H facts: store
+# lineitem/orders bucketed on the order key so every fact⨝fact join on
+# that key reads co-located buckets instead of shuffling both sides —
+# at 100 TB that shuffle IS the query cost. Watermark-guarded exactly
+# like the dedup findex (queries/dedup.py): a sidecar records the
+# source snapshot (row count + max key) the copy derives from, and any
+# table/parquet whose watermark disagrees with the CURRENT source is
+# rebuilt, never trusted (same-path rewrites, cross-session appends).
+BUCKET_SIDECAR = "_dv_bucket_watermark.json"
+FACT_BUCKETS = 32
+
+# source-snapshot probes, one cached agg per (application, sf, table);
+# registered so evict_session_caches() invalidates after a same-path
+# dataset rewrite (the findex rule).
+from data_validator_spark.queries import register_session_cache  # noqa: E402
+
+_FACT_STATS_CACHE: dict = register_session_cache({})
+
+
+def _fact_watermark(spark: SparkSession, sf: str, name: str, key: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.queries import load
+
+    ck = (spark.sparkContext.applicationId, str(sf), name)
+    wm = _FACT_STATS_CACHE.get(ck)
+    if wm is None:
+        row = (
+            load(spark, sf, name)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.max(key), F.lit(-1)).alias("m"),
+            )
+            .first()
+        )
+        wm = {"n_rows": int(row["n"]), "max_key": int(row["m"]), "key": key}
+        _FACT_STATS_CACHE[ck] = wm
+    return wm
+
+
+def _read_sidecar(path: str) -> dict | None:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, BUCKET_SIDECAR)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def ensure_bucketed_fact(
+    spark: SparkSession,
+    sf: str,
+    name: str,
+    key: str,
+    num_buckets: int = FACT_BUCKETS,
+) -> str:
+    """Idempotently materialize + register the bucketed external copy
+    of one fact table; returns the catalog table name. Cases: catalog
+    entry + current watermark → no-op; parquet on disk + current
+    watermark → metadata-only CREATE TABLE (cross-session reuse);
+    anything stale → drop and rebuild. The build cost amortizes like
+    any at-rest table layout: it is the one-time price for exchange-
+    free SMJs in every downstream orderkey join."""
+    import json
+    import os
+    import re
+    import shutil
+
+    from data_validator_spark.queries import load
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_").lower()
+    t = f"dv_bkt_{name}_{tag}"
+    wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+    path = os.path.join(wh, t)
+    wm = _fact_watermark(spark, sf, name, key)
+    disk = _read_sidecar(path)
+    if spark.catalog.tableExists(t):
+        if disk == wm:
+            return t
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(path, ignore_errors=True)
+    elif (
+        disk == wm
+        and os.path.isdir(path)
+        and any(f.endswith(".parquet") for f in os.listdir(path))
+    ):
+        src = load(spark, sf, name)
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema)
+        spark.sql(
+            f"CREATE TABLE {t} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+        )
+        return t
+    elif os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    write_bucketed(load(spark, sf, name), t, [key], num_buckets, path=path)
+    with open(os.path.join(path, BUCKET_SIDECAR), "w") as f:
+        json.dump(wm, f)
+    return t

@@ -244,8 +244,8 @@ GRADE_PRIORITY = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
-    "dedup_exact",
-    "dedup_simhash",
+    "q7_volume_shipping",
+    "q9_product_profit",
     "events_sessionized",
     "events_asof_join",
     "events_range_join",
@@ -279,9 +279,16 @@ GRADE_PRIORITY = [
     "ivm_agg",
     "events_rolling",
     # --- driver budget cut (50) falls here ---
-    # changed in r11 but below the cut: local 3-SF sweep + transitive
-    # ccnet verification are its r11 evidence.
+    # changed in r11 but below the cut, each with declared local-only
+    # evidence (tests/test_registry_order.py:CHANGED_LOCAL_ONLY):
+    # trigram_lm_score is transitively hash-verified by the graded
+    # ccnet_buckets; dedup_exact/dedup_simhash are r10-driver-green
+    # with only the zero-risk output-sort drop — they ceded their
+    # slots to q7/q9, whose bucketed-fact join rework is the riskier
+    # r11 change.
     "trigram_lm_score",
+    "dedup_exact",
+    "dedup_simhash",
     # tier 2 — unchanged entries, stalest driver evidence first (r8),
     # then r9-green, then r10-green (freshest, safest to rotate out).
     # All re-proven locally each round via tools/oracle_check.py
@@ -357,12 +364,10 @@ GRADE_PRIORITY = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
-    "q7_volume_shipping",
     "q10_returned_items",
     "q15_top_supplier",
     "q18_large_volume",
     "q22_prospective_customers",
-    "q9_product_profit",
     "q11_important_stock",
     "q19_discounted_revenue",
     "q20_potential_promotion",

@@ -404,17 +404,23 @@ ORDER BY o_orderpriority
 def q7_volume_shipping(spark, sf):
     """Revenue by (customer nation, supplier nation, ship year).
 
-    Join order keeps the fact relations shuffling only on their
-    natural keys: lineitem⨝supplier and orders⨝customer each shuffle
-    once, then the two annotated facts meet on the order key. The
-    25-row nation table is broadcast onto both sides. supplier and
-    customer get NO broadcast hint — at 100 TB they are billions of
-    rows (SF-proportional), so AQE may broadcast them at small SF but
-    the plan must survive when it cannot."""
+    r11: the two facts meet FIRST, on the order key, reading the
+    persisted bucketed copies (operators/bucketing.ensure_bucketed_fact
+    — the dedup_index_refresh at-rest-layout trick applied to TPC-H):
+    both scans expose bucketing as the join's hash partitioning, so
+    the lineitem⨝orders SMJ runs with ZERO exchange — at 100 TB that
+    pair of orderkey shuffles IS the query cost. The joined fact then
+    shuffles once per dim key (custkey, suppkey); the 25-row nation
+    table broadcasts onto both dims. supplier and customer get NO
+    broadcast hint — SF-proportional, the plan must survive when AQE
+    cannot broadcast them. A/B at sf0.1 (SCALE.md r11): 2.01s → 1.02s
+    best-of-4 vs the shuffle-both-facts plan, identical output."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
     nation = load(spark, sf, "nation")
-    li = load(spark, sf, "lineitem")
+    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
     supp = load(spark, sf, "supplier")
-    orders = load(spark, sf, "orders")
+    orders = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey"))
     cust = load(spark, sf, "customer")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
@@ -424,12 +430,15 @@ def q7_volume_shipping(spark, sf):
     cust_n = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
         "c_custkey", F.col("n_name").alias("cust_nation")
     )
-    ord_c = orders.join(cust_n, orders.o_custkey == cust_n.c_custkey).select(
-        "o_orderkey", "cust_nation"
+    # merge hint: pins the bucket-colocated SMJ — without it the
+    # planner broadcasts small test-scale tables and the bucketing
+    # (the whole point at scale) never exercises
+    li_o = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount", "o_custkey"
     )
-    li_s = li.join(supp_n, li.l_suppkey == supp_n.s_suppkey)
     return (
-        li_s.join(ord_c, li_s.l_orderkey == ord_c.o_orderkey)
+        li_o.join(cust_n, li_o.o_custkey == cust_n.c_custkey)
+        .join(supp_n, F.col("l_suppkey") == supp_n.s_suppkey)
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
         .agg(dsum(revenue, "revenue"))
         .orderBy("cust_nation", "supp_nation", "ship_year")

@@ -274,22 +274,36 @@ def q9_product_profit(spark, sf):
     """TPC-H Q9: profit (revenue minus derived supply cost) by supplier
     nation and order year, for parts whose name contains a color.
 
-    Scale: the big joins are lineitem->orders (two fact shuffles on
-    orderkey), lineitem->partsupp (shuffle on partkey, suppkey), and
-    the SF-proportional part/supplier joins — none hint-broadcast
-    (the q7 rule, r9); only constant-size nation carries a hint.
-    Decimal accumulation for the order-independent profit sum."""
+    r11: lineitem⨝orders runs FIRST over the persisted bucketed fact
+    copies (operators/bucketing.ensure_bucketed_fact) — co-located
+    bucket scans, zero-exchange SMJ — removing both orderkey shuffles
+    from the plan (at 100 TB the dominant cost). The joined fact then
+    pays the partkey/(partkey,suppkey) shuffles for part/partsupp;
+    part/supplier stay hint-free (SF-proportional, the q7 rule, r9);
+    only constant-size nation broadcasts. Decimal accumulation for
+    the order-independent profit sum. A/B at sf0.1 (SCALE.md r11):
+    1.42s → 0.76s best-of-4, identical output."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
     part = load(spark, sf, "part").where(F.col("p_name").contains(Q9_NAME_FRAGMENT))
     supplier = load(spark, sf, "supplier")
     nation = F.broadcast(load(spark, sf, "nation"))
-    li = spread(load(spark, sf, "lineitem"))
-    orders = load(spark, sf, "orders")
+    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
+    orders = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey"))
     ps = partsupp_df(spark, sf)
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "ps_supplycost"
     ) * F.col("l_quantity")
+    li_o = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+        "o_orderdate",
+    )
     return (
-        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        li_o.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             ps,
             (F.col("l_partkey") == F.col("ps_partkey"))
@@ -297,7 +311,6 @@ def q9_product_profit(spark, sf):
         )
         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),

@@ -47,3 +47,91 @@ def test_assert_colocated_catches_mismatched_buckets(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_m1")
         spark.sql("DROP TABLE IF EXISTS bk_m2")
+
+
+# -- persisted bucketed fact tables (r11) -----------------------------------
+def _mini_facts(spark, tmp_path, n=200):
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("l_orderkey"),
+            (F.col("id") % 13).alias("l_suppkey"),
+            (F.col("id") * 2.0).alias("l_extendedprice"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "lineitem.parquet"))
+    )
+    (
+        spark.range(n)
+        .select(F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_custkey"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "orders.parquet"))
+    )
+
+
+def _drop_fact_tables(spark, sf):
+    import re
+    import shutil
+
+    from data_validator_spark.queries import evict_session_caches
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_").lower()
+    wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+    for name in ("lineitem", "orders"):
+        t = f"dv_bkt_{name}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    evict_session_caches(str(sf))
+
+
+def test_ensure_bucketed_fact_join_is_colocated(spark, tmp_path):
+    """The q7/q9 foundation: both bucketed fact scans must meet in a
+    zero-exchange SMJ (at 100 TB those two orderkey shuffles are the
+    query cost — this plan property is the whole point)."""
+    from data_validator_spark.operators.bucketing import (
+        assert_colocated,
+        ensure_bucketed_fact,
+    )
+
+    _mini_facts(spark, tmp_path)
+    sf = str(tmp_path)
+    try:
+        lt = ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey")
+        ot = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+        li, orders = spark.table(lt), spark.table(ot)
+        joined = li.hint("merge").join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )
+        assert_colocated(joined)
+        assert joined.count() == 200
+    finally:
+        _drop_fact_tables(spark, sf)
+
+
+def test_ensure_bucketed_fact_watermark_rebuilds_on_source_change(spark, tmp_path):
+    """Same-path source rewrite (after evict_session_caches) must
+    rebuild the bucketed copy, not serve stale rows — the findex
+    watermark rule applied to fact tables."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.queries import evict_session_caches
+
+    _mini_facts(spark, tmp_path, n=100)
+    sf = str(tmp_path)
+    try:
+        t = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+        assert spark.table(t).count() == 100
+        # idempotent while the source is unchanged
+        assert ensure_bucketed_fact(spark, sf, "orders", "o_orderkey") == t
+        _mini_facts(spark, tmp_path, n=150)  # rewrite at the same path
+        evict_session_caches(sf)
+        t2 = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+        assert spark.table(t2).count() == 150
+        # cross-session survival: catalog entry dropped, files remain,
+        # watermark current -> metadata-only re-registration
+        spark.sql(f"DROP TABLE {t2}")
+        t3 = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+        assert spark.table(t3).count() == 150
+    finally:
+        _drop_fact_tables(spark, sf)

@@ -34,7 +34,7 @@ R6_STALE = {
 R11_CHANGED_GRADED = {
     "dedup_index_refresh",
     "multimodal_frame_sample", "token_count", "text_quality", "lang_id",
-    "doc_fingerprint", "dedup_exact", "dedup_simhash",
+    "doc_fingerprint", "q7_volume_shipping", "q9_product_profit",
     "events_sessionized", "events_asof_join", "events_range_join",
     "substring_dedup", "dsir_importance", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "minhash_containment", "dedup_clusters",
@@ -52,7 +52,10 @@ R11_CHANGED_GRADED = {
 # justification; their r11 evidence is the committed 3-SF local sweep.
 # trigram_lm_score: its exact scores are aggregated by ccnet_buckets
 # (tier 0a), so a value drift would flip a GRADED hash.
-CHANGED_LOCAL_ONLY = {"trigram_lm_score"}
+# dedup_exact / dedup_simhash: r10-driver-green, touched only by the
+# zero-risk output-sort drop — they ceded their tier-1 slots to
+# q7/q9, whose bucketed-fact join rework is the riskier r11 change.
+CHANGED_LOCAL_ONLY = {"trigram_lm_score", "dedup_exact", "dedup_simhash"}
 
 # No SQL oracle by design — EMPTY since r5 session 5: every registry
 # entry carries a hash oracle.
