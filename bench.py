@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_index_refresh",
+    "dedup_band_index_refresh",
     "source_overlap",
     "ngram_novelty",
     "quality_calibration",

@@ -289,6 +289,10 @@ GRADE_PRIORITY = [
     "trigram_lm_score",
     "dedup_exact",
     "dedup_simhash",
+    # NEW in r11, below the cut (the budget is saturated; the
+    # verify-skill contract): the persisted minhash BAND index table.
+    # Evidence: 3-SF local sweeps + rebuild≡refresh pytests.
+    "dedup_band_index_refresh",
     # tier 2 — unchanged entries, stalest driver evidence first (r8),
     # then r9-green, then r10-green (freshest, safest to rotate out).
     # All re-proven locally each round via tools/oracle_check.py

@@ -359,6 +359,85 @@ def test_findex_watermark_rebuilds_on_corpus_change(spark, tmp_path):
         evict_session_caches(str(tmp_path))
 
 
+def _bindex_drop(spark, table):
+    import re
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+
+def test_band_index_refresh_equals_rebuild(spark, tmp_path):
+    """r11 stretch (r10 verdict item 7): after a build-at-pivot + delta
+    refresh, the persisted BAND index must hold exactly the distinct
+    (sig64, doc_id) postings of the full corpus — refresh ≡ rebuild —
+    and repeated refreshes must be no-ops. Ground truth recomputed
+    from the same band relation the production path uses."""
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.queries import evict_session_caches
+    from data_validator_spark.queries.dedup import (
+        FINDEX_DIGEST_BUCKETS,
+        FINDEX_MOD,
+        _band_df,
+        _sig64_col,
+        q_dedup_band_index_refresh,
+    )
+
+    rows = [(i, f"band index corpus text number {i % 37} padded") for i in range(100)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    t = "dv_bindex_pytest_rebuild"
+    _bindex_drop(spark, t)
+    try:
+        got = sorted(
+            tuple(r)
+            for r in q_dedup_band_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in (
+                _band_df(spark, str(tmp_path))
+                .select(_sig64_col().alias("sig64"), "doc_id")
+                .distinct()
+                .groupBy(
+                    F.pmod(F.col("sig64"), F.lit(FINDEX_DIGEST_BUCKETS))
+                    .cast("int")
+                    .alias("bucket")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_postings"),
+                    F.countDistinct("doc_id").alias("n_docs"),
+                    F.sum(F.pmod(F.col("sig64"), F.lit(FINDEX_MOD))).alias("digest_sig"),
+                    F.sum(F.pmod(F.col("doc_id"), F.lit(FINDEX_MOD))).alias("digest_doc"),
+                )
+                .collect()
+            )
+        )
+        assert got == want
+        # all 100 docs posted, 16 bands each
+        assert sum(r[1] for r in got) == 100 * 16
+        # idempotent: a second refresh appends nothing
+        again = sorted(
+            tuple(r)
+            for r in q_dedup_band_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        assert again == got
+        # cross-session: catalog entry gone, files + current watermark
+        # remain -> metadata-only re-register, same digest
+        spark.sql(f"DROP TABLE {t}")
+        third = sorted(
+            tuple(r)
+            for r in q_dedup_band_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        assert third == got
+    finally:
+        _bindex_drop(spark, t)
+        evict_session_caches(str(tmp_path))
+
+
 def test_rp_jl_census_matches_numpy(spark, tmp_path):
     """embedding_rp_jl: the JL distortion census must match a direct
     numpy recomputation with the same ±1 planes on a synthetic

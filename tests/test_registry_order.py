@@ -63,7 +63,10 @@ ROWS_ONLY: set[str] = set()
 
 # Entries below the cut with no driver row ever (new ops enter here
 # when the budget is saturated, per the verify-skill contract).
-NEW_LOCAL_ONLY: set[str] = set()
+# dedup_band_index_refresh (NEW r11): persisted minhash band-index
+# table — 3-SF local sweeps + rebuild≡refresh pytests are its
+# evidence.
+NEW_LOCAL_ONLY: set[str] = {"dedup_band_index_refresh"}
 
 
 def test_priority_list_matches_registry():
