@@ -11,6 +11,34 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def live_plan_string(df: DataFrame) -> str:
+    """Executed-plan string with every cached subtree pruned.
+
+    Spark reprints the FULL cached build plan under each
+    InMemoryTableScan/InMemoryRelation reference, so operator counts
+    over the raw string charge a persisted relation's one-time build
+    to every consumer — a 3-iteration pagerank over a persisted edge
+    relation reads as hundreds of scans/exchanges when its runtime
+    cost per iteration is zero of each (r11: the PLANS.md scorecard
+    counts live operators only). The cache node line itself is kept,
+    so cached references stay visible and countable."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for ln in plan_string(df).splitlines():
+        stripped = ln.lstrip(" :+-")
+        depth = len(ln) - len(stripped)
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryTableScan" in ln or "InMemoryRelation" in ln:
+            out.append(ln)
+            skip_depth = depth
+            continue
+        out.append(ln)
+    return "\n".join(out)
+
+
 def scan_count(df: DataFrame) -> int:
     return plan_string(df).count("FileScan")
 
