@@ -260,14 +260,14 @@ GRADE_PRIORITY = [
     "tfidf_topk",
     "events_gap_fill",
     "char_entropy",
-    "pii_scrub",
+    "q4_order_priority",
     "embedding_norm_quant",
-    "global_shuffle",
+    "q18_large_volume",
     "ngram_contamination",
     "quality_ensemble",
     "similarity_ann_lsh",
     "dedup_embedding_cosine",
-    "semdedup",
+    "q3_shipping_priority",
     "embedding_outliers",
     "cluster_purity",
     "streaming_sessionized",
@@ -289,6 +289,9 @@ GRADE_PRIORITY = [
     "trigram_lm_score",
     "dedup_exact",
     "dedup_simhash",
+    "semdedup",
+    "pii_scrub",
+    "global_shuffle",
     # NEW in r11, below the cut (the budget is saturated; the
     # verify-skill contract): the persisted minhash BAND index table.
     # Evidence: 3-SF local sweeps + rebuild≡refresh pytests.
@@ -365,12 +368,10 @@ GRADE_PRIORITY = [
     "reconciliation_check",
     "drift_ks",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
     "q15_top_supplier",
-    "q18_large_volume",
     "q22_prospective_customers",
     "q11_important_stock",
     "q19_discounted_revenue",
@@ -392,7 +393,6 @@ GRADE_PRIORITY = [
     "col_stats",
     "col_stats_histogram",
     "detailed_errors",
-    "q4_order_priority",
     "q8_market_share",
     "q13_customer_distribution",
     "q14_promo_revenue",

@@ -76,17 +76,26 @@ ORDER BY l_returnflag, l_linestatus
 
 # -- q3: shipping priority (3-way join + topN) -----------------------------
 def q3_shipping_priority(spark, sf):
+    """r11: reads the bucketed fact copies and joins lineitem⨝orders
+    FIRST (zero-exchange colocated SMJ; date filters still push into
+    the bucketed scans), then customer. The groupBy(l_orderkey, ...)
+    inherits the orderkey partitioning. A/B at sf0.1: 1.28s → 0.78s
+    best-of-4, identical output (SCALE.md r11). customer keeps NO
+    broadcast hint — SF-proportional (the q7 rule, r9): AQE may
+    broadcast it at small SF, and at 100 TB the join correctly
+    degrades to a key shuffle."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
     cust = load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    orders = load(spark, sf, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
-    li = load(spark, sf, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
+    orders = spark.table(
+        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+    ).where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = spark.table(
+        ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey")
+    ).where(F.col("l_shipdate") > F.lit("1998-01-01"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # customer is SF-PROPORTIONAL (150k×SF; the segment filter only
-    # divides by 5), so NO broadcast hint — the q7 rule (r9): the
-    # planner auto-broadcasts it below autoBroadcastJoinThreshold at
-    # small SF, and at 100 TB the join correctly degrades to a key
-    # shuffle instead of OOMing every executor with a forced build.
-    ofc = orders.join(cust, orders.o_custkey == cust.c_custkey)
-    joined = li.join(ofc, li.l_orderkey == F.col("o_orderkey"))
+    li_o = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
+    joined = li_o.join(cust, F.col("o_custkey") == cust.c_custkey)
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, "revenue"))
@@ -240,18 +249,26 @@ def q18_large_volume(spark, sf):
     orders + customer. The having-aggregate runs BEFORE the joins so
     only qualifying orderkeys (a tiny fraction) flow into them —
     at 100 TB the join input shrinks by ~1000× before any wide row is
-    materialized."""
-    li = load(spark, sf, "lineitem")
-    orders = load(spark, sf, "orders")
+    materialized.
+
+    r11: reads the bucketed fact copies — the groupBy(l_orderkey)
+    inherits the bucketed scan's partitioning (no exchange) AND the
+    join back to orders is a zero-exchange colocated SMJ. A/B at
+    sf0.1: 1.25s → 0.46s best-of-4, identical output (SCALE.md
+    r11)."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
+    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
+    orders = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey"))
     cust = load(spark, sf, "customer")
     big = (
         li.groupBy("l_orderkey")
         .agg(dsum(F.col("l_quantity"), "total_qty"))
         .where(F.col("total_qty") > 150)
     )
-    joined = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
-        cust, orders.o_custkey == cust.c_custkey
-    )
+    joined = big.hint("merge").join(
+        orders, big.l_orderkey == orders.o_orderkey
+    ).join(cust, F.col("o_custkey") == cust.c_custkey)
     return (
         joined.select(
             "c_name",
@@ -369,12 +386,21 @@ def q4_order_priority(spark, sf):
     broadcast) and the semi form stops scanning an order's lineitems
     at the first late one — strictly less work than join+distinct.
     (Adapted: testdata lineitem has no commitdate/receiptdate, so
-    lateness is l_shipdate > o_orderdate + 30 days.)"""
-    orders = load(spark, sf, "orders").where(
+    lateness is l_shipdate > o_orderdate + 30 days.)
+
+    r11: both sides read the bucketed fact copies, so the semi join
+    is a zero-exchange colocated SMJ (the orderdate filter pushes
+    into the bucketed orders scan). A/B at sf0.1: 1.01s → 0.41s
+    best-of-4, identical output (SCALE.md r11)."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
+    orders = spark.table(
+        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+    ).where(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
-    li = load(spark, sf, "lineitem")
-    late = orders.join(
+    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
+    late = orders.hint("merge").join(
         li,
         (li.l_orderkey == orders.o_orderkey)
         & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),

@@ -39,10 +39,10 @@ R11_CHANGED_GRADED = {
     "substring_dedup", "dsir_importance", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "minhash_containment", "dedup_clusters",
     "dedup_incremental", "gopher_quality", "tfidf_topk",
-    "events_gap_fill", "char_entropy", "pii_scrub",
-    "embedding_norm_quant", "global_shuffle", "ngram_contamination",
+    "events_gap_fill", "char_entropy", "q4_order_priority",
+    "embedding_norm_quant", "q18_large_volume", "ngram_contamination",
     "quality_ensemble", "similarity_ann_lsh", "dedup_embedding_cosine",
-    "semdedup", "embedding_outliers", "cluster_purity",
+    "q3_shipping_priority", "embedding_outliers", "cluster_purity",
     "streaming_sessionized", "streaming_join", "doc_chunk",
     "repetition_strip", "cdc_upsert", "scd2_intervals", "ivm_agg",
     "events_rolling",
@@ -52,10 +52,14 @@ R11_CHANGED_GRADED = {
 # justification; their r11 evidence is the committed 3-SF local sweep.
 # trigram_lm_score: its exact scores are aggregated by ccnet_buckets
 # (tier 0a), so a value drift would flip a GRADED hash.
-# dedup_exact / dedup_simhash: r10-driver-green, touched only by the
-# zero-risk output-sort drop — they ceded their tier-1 slots to
-# q7/q9, whose bucketed-fact join rework is the riskier r11 change.
-CHANGED_LOCAL_ONLY = {"trigram_lm_score", "dedup_exact", "dedup_simhash"}
+# dedup_exact / dedup_simhash / semdedup / pii_scrub / global_shuffle:
+# all r10-driver-green and touched only by the zero-risk output-sort
+# drop — they ceded their tier-1 slots to q7/q9/q3/q4/q18, whose
+# bucketed-fact join rework is the riskier r11 change.
+CHANGED_LOCAL_ONLY = {
+    "trigram_lm_score", "dedup_exact", "dedup_simhash",
+    "semdedup", "pii_scrub", "global_shuffle",
+}
 
 # No SQL oracle by design — EMPTY since r5 session 5: every registry
 # entry carries a hash oracle.
