@@ -211,34 +211,144 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # === r11 cut. Tier 0a — the 4 entries the r10 verdict marked WEAK
-    # (exact_quantile ±inf rewrite consumers + the gate-aware ccnet
-    # oracle changed AFTER the r10 cut, and the r10 local sweep never
-    # ran, so they hold no post-change proof of any kind). Graded
-    # first (r10 verdict item 2).
+    # === r12 cut. Tier 0a — the 7 entries the r11 verdict marked WEAK
+    # (driver-evidence debt, no wrong answers): the persisted minhash
+    # band index (NEW in r11, never driver-graded) plus the six
+    # sort-drop-only entries declared CHANGED_LOCAL_ONLY in r11.
+    # Graded first (r11 verdict item 1) — a green row for each
+    # restores the every-entry-driver-green invariant.
+    "dedup_band_index_refresh",
+    "trigram_lm_score",
+    "dedup_exact",
+    "dedup_simhash",
+    "semdedup",
+    "pii_scrub",
+    "global_shuffle",
+    # tier 0b — entries whose code changes THIS round (r11 verdict
+    # items 4/6/7): q12/q21 move onto the bucketed at-rest
+    # lineitem_ext layout, dedup_incremental_minhash screens against
+    # the persisted band-index table, pagerank carries the residual-
+    # overhead probe; q8 (facts-first onto the bucketed lineitem/
+    # orders copies) rides tier 1 below. Budgeted into the cut BEFORE
+    # the code lands (the grade_cut tripwire enforces the ordering).
+    "q12_shipmode_priority",
+    "q21_waiting_orders",
+    "dedup_incremental_minhash",
+    "pagerank_bipartite",
+    # tier 1 — the 35 entries whose freshest driver evidence is r8,
+    # four rounds old (r11 verdict item 2): rotating them in moves
+    # the oldest-evidence tier to <= r9. Includes q8_market_share
+    # (also a tier-0b change) and q19 (a lineitem_ext consumer).
+    "corr_matrix",
+    "similarity_ann_ivf",
+    "profile_table",
+    "kmeans_embeddings",
+    "reconciliation_check",
+    "drift_ks",
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q22_prospective_customers",
+    "q11_important_stock",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "events_windowed",
+    "events_rollup",
+    "column_sum_check",
+    "combined_single_pass",
+    "streaming_windowed",
+    "streaming_enriched",
+    "row_count",
+    "null_check",
+    "negative_check",
+    "range_check",
+    "string_length_check",
+    "string_regex_check",
+    "column_max_check",
+    "unique_check",
+    "col_stats",
+    "col_stats_histogram",
+    "detailed_errors",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    # tier 2 filler — head of the r9-evidence tier, next-stalest.
+    "vocab_growth",
+    "domain_diversity",
+    "lang_id_confusion",
+    "event_seasonality",
+    # --- driver budget cut (50) falls here ---
+    # Below: r9-evidence remainder first (the stalest next-round
+    # candidates), then r10, then the 50 r11-graded entries
+    # (freshest, safest to rotate out). The FULL registry is still
+    # locally re-proven each round via tools/oracle_check.py
+    # (ORACLE_LOCAL_r{N}.txt / ORACLE_SFSWEEP_r{N}.txt).
+    "tokenizer_fertility",
+    "user_activity_gini",
+    "boilerplate_prefix",
+    "streaming_seasonality",
+    "orders_cohort_retention",
+    "events_user_cap",
+    "l_diversity",
+    "knn_label_noise",
+    "streaming_dedup",
+    "q2_min_cost_supplier",
+    "ann_recall_eval",
+    "q16_parts_supplier",
+    "triangle_count",
+    "streaming_drift",
+    "pmi_collocations",
+    "inverted_index",
+    "bloom_filter_semijoin",
+    "pareto_skyline",
+    "rrf_fusion",
+    "bm25_topk",
+    "quantile_shard",
+    "domain_mix_sample",
+    "k_anonymity",
+    "heavy_hitters_cms",
+    "drift_psi",
+    "fk_integrity",
+    "benford_check",
+    "fd_check",
+    "key_skew_audit",
+    "embedding_rp_jl",
+    "streaming_incremental_dedup",
+    "source_overlap",
+    "ngram_novelty",
+    "quality_calibration",
+    "multimodal_features",
+    "hll_distinct",
+    "events_time_weighted",
+    "copurchase_similarity",
+    "event_transitions",
+    "conversion_lag",
+    "weighted_sample",
+    "streaming_validation",
+    "corpus_train_filter",
+    "q17_small_quantity_revenue",
+    "events_funnel",
+    "token_frequencies",
+    "doc_split_sample",
+    "salted_aggregation",
+    "events_pivot",
+    "events_retention",
+    "similarity_topk",
+    "stratified_sample",
+    "sequence_pack",
     "col_quantiles",
     "mad_outliers",
     "rfm_segments",
     "ccnet_buckets",
-    # tier 0b — last driver row is r6 (rotated below the cut four
-    # rounds running; the oldest evidence tier).
     "dedup_keep_best",
     "split_contamination",
     "events_json_extract",
     "events_anomaly",
     "multimodal_meta",
     "multimodal_resize",
-    # tier 0c — semantics-adjacent r11 change: the findex table is now
-    # watermark-guarded (rebuild on corpus change, ADVICE r10).
     "dedup_index_refresh",
-    # tier 1 — every entry whose OUTPUT PLAN changed in r11 (the
-    # cosmetic corpus-scale orderBy removal, r10 verdict item 3: one
-    # fewer range-partition exchange each; hashes are order-
-    # insensitive so values are unchanged by construction, but the
-    # plan change still rides the grading tier). 39 fit the budget;
-    # trigram_lm_score is the single changed entry left below the cut
-    # — its scores are transitively hash-verified by ccnet_buckets
-    # (tier 0a), which aggregates them exactly.
     "multimodal_frame_sample",
     "token_count",
     "text_quality",
@@ -278,124 +388,6 @@ GRADE_PRIORITY = [
     "scd2_intervals",
     "ivm_agg",
     "events_rolling",
-    # --- driver budget cut (50) falls here ---
-    # changed in r11 but below the cut, each with declared local-only
-    # evidence (tests/test_registry_order.py:CHANGED_LOCAL_ONLY):
-    # trigram_lm_score is transitively hash-verified by the graded
-    # ccnet_buckets; dedup_exact/dedup_simhash are r10-driver-green
-    # with only the zero-risk output-sort drop — they ceded their
-    # slots to q7/q9, whose bucketed-fact join rework is the riskier
-    # r11 change.
-    "trigram_lm_score",
-    "dedup_exact",
-    "dedup_simhash",
-    "semdedup",
-    "pii_scrub",
-    "global_shuffle",
-    # NEW in r11, below the cut (the budget is saturated; the
-    # verify-skill contract): the persisted minhash BAND index table.
-    # Evidence: 3-SF local sweeps + rebuild≡refresh pytests.
-    "dedup_band_index_refresh",
-    # tier 2 — unchanged entries, stalest driver evidence first (r8),
-    # then r9-green, then r10-green (freshest, safest to rotate out).
-    # All re-proven locally each round via tools/oracle_check.py
-    # (ORACLE_LOCAL_r11 / ORACLE_SFSWEEP_r11).
-    "embedding_rp_jl",
-    "streaming_incremental_dedup",
-    "source_overlap",
-    "dedup_incremental_minhash",
-    "ngram_novelty",
-    "quality_calibration",
-    "pagerank_bipartite",
-    "multimodal_features",
-    "hll_distinct",
-    "events_time_weighted",
-    "copurchase_similarity",
-    "event_transitions",
-    "conversion_lag",
-    "weighted_sample",
-    "streaming_validation",
-    "corpus_train_filter",
-    "q17_small_quantity_revenue",
-    "events_funnel",
-    "token_frequencies",
-    "doc_split_sample",
-    "salted_aggregation",
-    "events_pivot",
-    "events_retention",
-    "similarity_topk",
-    "stratified_sample",
-    "sequence_pack",
-    "vocab_growth",
-    "domain_diversity",
-    "lang_id_confusion",
-    "event_seasonality",
-    "tokenizer_fertility",
-    "user_activity_gini",
-    "boilerplate_prefix",
-    "streaming_seasonality",
-    "orders_cohort_retention",
-    "events_user_cap",
-    "l_diversity",
-    "knn_label_noise",
-    "streaming_dedup",
-    "q2_min_cost_supplier",
-    "ann_recall_eval",
-    "q12_shipmode_priority",
-    "q16_parts_supplier",
-    "q21_waiting_orders",
-    "triangle_count",
-    "streaming_drift",
-    "pmi_collocations",
-    "inverted_index",
-    "bloom_filter_semijoin",
-    "pareto_skyline",
-    "rrf_fusion",
-    "bm25_topk",
-    "quantile_shard",
-    "domain_mix_sample",
-    "k_anonymity",
-    "heavy_hitters_cms",
-    "drift_psi",
-    "fk_integrity",
-    "benford_check",
-    "fd_check",
-    "key_skew_audit",
-    "corr_matrix",
-    "similarity_ann_ivf",
-    "profile_table",
-    "kmeans_embeddings",
-    "reconciliation_check",
-    "drift_ks",
-    "q1_pricing_summary",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q22_prospective_customers",
-    "q11_important_stock",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "events_windowed",
-    "events_rollup",
-    "column_sum_check",
-    "combined_single_pass",
-    "streaming_windowed",
-    "streaming_enriched",
-    "row_count",
-    "null_check",
-    "negative_check",
-    "range_check",
-    "string_length_check",
-    "string_regex_check",
-    "column_max_check",
-    "unique_check",
-    "col_stats",
-    "col_stats_histogram",
-    "detailed_errors",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
 ]
 
 

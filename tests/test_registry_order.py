@@ -1,6 +1,6 @@
 """The driver grades registry entries in dict-insertion order and has
 cut after exactly 50 entries in every graded round — so ordering IS
-grading coverage. These tests pin the r11 rotation contract from
+grading coverage. These tests pin the r12 rotation contract from
 data_validator_spark/queries/__init__.py:GRADE_PRIORITY, plus the
 auto-promote rule (r10 verdict item 2): an entry whose code or oracle
 changes after the cut must ride INSIDE the graded budget — the r10
@@ -16,61 +16,62 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 DRIVER_GRADE_BUDGET = 50
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-# Tier 0a — the 4 entries the r10 verdict marked WEAK (the
-# exact_quantile ±inf rewrite / gate-aware ccnet oracle landed AFTER
-# the r10 cut and the r10 local sweep never ran).
-WEAK_R10 = {"col_quantiles", "mad_outliers", "rfm_segments", "ccnet_buckets"}
-
-# Tier 0b — last driver-green row is r6 (rotated out four rounds
-# running; the oldest evidence tier).
-R6_STALE = {
-    "dedup_keep_best", "split_contamination", "events_json_extract",
-    "events_anomaly", "multimodal_meta", "multimodal_resize",
+# Tier 0a — the 7 entries the r11 verdict marked WEAK (driver-evidence
+# debt only): dedup_band_index_refresh has never been driver-graded
+# (NEW in r11 below the saturated budget); the other six were r11's
+# CHANGED_LOCAL_ONLY (sort-drop-only changes on r9/r10-driver-green
+# values). A green r12 row for each restores the every-entry-driver-
+# green invariant (r11 verdict item 1).
+WEAK_R11 = {
+    "dedup_band_index_refresh", "trigram_lm_score", "dedup_exact",
+    "dedup_simhash", "semdedup", "pii_scrub", "global_shuffle",
 }
 
-# Tiers 0c/1 — every r11-changed entry that fits the budget: the
-# watermark-guarded findex plus the 39 outputs whose cosmetic
-# corpus-scale orderBy was dropped (r10 verdict item 3).
-R11_CHANGED_GRADED = {
-    "dedup_index_refresh",
-    "multimodal_frame_sample", "token_count", "text_quality", "lang_id",
-    "doc_fingerprint", "q7_volume_shipping", "q9_product_profit",
-    "events_sessionized", "events_asof_join", "events_range_join",
-    "substring_dedup", "dsir_importance", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "minhash_containment", "dedup_clusters",
-    "dedup_incremental", "gopher_quality", "tfidf_topk",
-    "events_gap_fill", "char_entropy", "q4_order_priority",
-    "embedding_norm_quant", "q18_large_volume", "ngram_contamination",
-    "quality_ensemble", "similarity_ann_lsh", "dedup_embedding_cosine",
-    "q3_shipping_priority", "embedding_outliers", "cluster_purity",
-    "streaming_sessionized", "streaming_join", "doc_chunk",
-    "repetition_strip", "cdc_upsert", "scd2_intervals", "ivm_agg",
-    "events_rolling",
+# Tier 0b — entries whose code changes in r12 (r11 verdict items
+# 4/6/7): q12/q21 onto the bucketed at-rest lineitem_ext, the
+# incremental minhash screen onto the persisted band-index table, the
+# pagerank overhead probe. q8_market_share (facts-first bucketed
+# rework) is also an r12 change but already rides the r8-stale tier.
+R12_CHANGED = {
+    "q12_shipmode_priority", "q21_waiting_orders",
+    "dedup_incremental_minhash", "pagerank_bipartite",
 }
 
-# r11-changed entries deliberately left BELOW the cut, each with a
-# justification; their r11 evidence is the committed 3-SF local sweep.
-# trigram_lm_score: its exact scores are aggregated by ccnet_buckets
-# (tier 0a), so a value drift would flip a GRADED hash.
-# dedup_exact / dedup_simhash / semdedup / pii_scrub / global_shuffle:
-# all r10-driver-green and touched only by the zero-risk output-sort
-# drop — they ceded their tier-1 slots to q7/q9/q3/q4/q18, whose
-# bucketed-fact join rework is the riskier r11 change.
-CHANGED_LOCAL_ONLY = {
-    "trigram_lm_score", "dedup_exact", "dedup_simhash",
-    "semdedup", "pii_scrub", "global_shuffle",
+# Tier 1 — the 35 entries whose freshest driver evidence is r8 (r11
+# verdict item 2).
+R8_STALE = {
+    "corr_matrix", "similarity_ann_ivf", "profile_table",
+    "kmeans_embeddings", "reconciliation_check", "drift_ks",
+    "q1_pricing_summary", "q5_local_supplier", "q6_forecast_revenue",
+    "q10_returned_items", "q15_top_supplier", "q22_prospective_customers",
+    "q11_important_stock", "q19_discounted_revenue",
+    "q20_potential_promotion", "events_windowed", "events_rollup",
+    "column_sum_check", "combined_single_pass", "streaming_windowed",
+    "streaming_enriched", "row_count", "null_check", "negative_check",
+    "range_check", "string_length_check", "string_regex_check",
+    "column_max_check", "unique_check", "col_stats", "col_stats_histogram",
+    "detailed_errors", "q8_market_share", "q13_customer_distribution",
+    "q14_promo_revenue",
 }
+
+# Tier 2 filler — head of the r9-evidence tier.
+R9_FILLER = {
+    "vocab_growth", "domain_diversity", "lang_id_confusion",
+    "event_seasonality",
+}
+
+# r12 starts with NO below-cut changed entries; anything that changes
+# mid-round must be promoted into the cut or declared here with a
+# justification (the grade_cut tripwire enforces it).
+CHANGED_LOCAL_ONLY: set[str] = set()
 
 # No SQL oracle by design — EMPTY since r5 session 5: every registry
 # entry carries a hash oracle.
 ROWS_ONLY: set[str] = set()
 
-# Entries below the cut with no driver row ever (new ops enter here
-# when the budget is saturated, per the verify-skill contract).
-# dedup_band_index_refresh (NEW r11): persisted minhash band-index
-# table — 3-SF local sweeps + rebuild≡refresh pytests are its
-# evidence.
-NEW_LOCAL_ONLY: set[str] = {"dedup_band_index_refresh"}
+# Entries below the cut with no driver row ever — EMPTY in r12:
+# dedup_band_index_refresh (the only such entry) is graded this round.
+NEW_LOCAL_ONLY: set[str] = set()
 
 
 def test_priority_list_matches_registry():
@@ -81,17 +82,18 @@ def test_priority_list_matches_registry():
 def test_new_and_stale_entries_fit_grading_budget():
     q, _ = build_registry()
     graded = set(list(q)[:DRIVER_GRADE_BUDGET])
-    assert WEAK_R10 <= graded, WEAK_R10 - graded
-    assert R6_STALE <= graded, R6_STALE - graded
-    assert R11_CHANGED_GRADED <= graded, R11_CHANGED_GRADED - graded
+    assert WEAK_R11 <= graded, WEAK_R11 - graded
+    assert R12_CHANGED <= graded, R12_CHANGED - graded
+    assert R8_STALE <= graded, R8_STALE - graded
+    assert R9_FILLER <= graded, R9_FILLER - graded
     # the tiers exactly fill the budget — no wasted slot
-    assert len(WEAK_R10 | R6_STALE | R11_CHANGED_GRADED) == DRIVER_GRADE_BUDGET
+    assert len(WEAK_R11 | R12_CHANGED | R8_STALE | R9_FILLER) == DRIVER_GRADE_BUDGET
     assert not CHANGED_LOCAL_ONLY & graded  # below the cut by design
 
 
 def test_rotated_out_entries_hold_recent_driver_green():
     """Whatever falls past the grading budget must already hold a
-    driver-green row in CORRECTNESS_r10, r09 or r08 (the freshest
+    driver-green row in CORRECTNESS_r11, r10 or r09 (the freshest
     evidence tiers), or be explicitly declared local-only."""
     import json
 
@@ -103,9 +105,9 @@ def test_rotated_out_entries_hold_recent_driver_green():
         }
 
     green_recent = (
-        green("CORRECTNESS_r10.json")
+        green("CORRECTNESS_r11.json")
+        | green("CORRECTNESS_r10.json")
         | green("CORRECTNESS_r09.json")
-        | green("CORRECTNESS_r08.json")
     )
     q, _ = build_registry()
     overflow = list(q)[DRIVER_GRADE_BUDGET:]
@@ -117,7 +119,6 @@ def test_rotated_out_entries_hold_recent_driver_green():
         and k not in CHANGED_LOCAL_ONLY
     ]
     assert not not_proven, not_proven
-
 
 def _load_tool(name):
     spec = importlib.util.spec_from_file_location(name, ROOT / "tools" / f"{name}.py")
@@ -179,7 +180,7 @@ def test_bench_headline_keys_exist_in_registry():
     missing = [k for k in bench.HEADLINE if k not in q]
     assert not missing, f"bench HEADLINE keys not in registry: {missing}"
     unbenched = [
-        k for k in (WEAK_R10 | R6_STALE | R11_CHANGED_GRADED | CHANGED_LOCAL_ONLY)
+        k for k in (WEAK_R11 | R12_CHANGED | R8_STALE | R9_FILLER | CHANGED_LOCAL_ONLY)
         if k not in bench.HEADLINE
     ]
     assert not unbenched, f"priority entries missing from bench: {unbenched}"
