@@ -205,7 +205,19 @@ def check_guards(repo: str | None = None) -> list[str]:
        ORACLE_LOCAL_r{N}.txt must each have a commit AFTER the newest
        committed BENCH_r{N}.json (the driver commits that at round
        close, so "after" means refreshed THIS round), and the oracle
-       sweep's round number must not lag the bench round.
+       sweep's round number must not lag the bench round. Evidence
+       landing in the SAME commit as the round-close bench is fresh
+       (same-hash exemption, ADVICE r11), and an evidence artifact
+       with NO commit at all is flagged, not skipped — an untracked
+       sweep used to satisfy the guard silently;
+    3. sweep-vs-source ordering (r11 verdict item 3) — the newest
+       ORACLE_LOCAL / ORACLE_SFSWEEP must not predate the last commit
+       touching the code that determines oracle results
+       (data_validator_spark/, __spark_entry__.py,
+       tools/oracle_check.py): the r11 sweeps were committed one
+       commit BEFORE a final query change, silently breaking the
+       "full registry re-proven on FINAL code" invariant. Same-commit
+       counts as fresh here too.
 
     Failures are returned (and reported in the bench JSON + a nonzero
     exit) rather than raised, so a guarded run still emits a parseable
@@ -252,25 +264,64 @@ def check_guards(repo: str | None = None) -> list[str]:
             "run tools/oracle_check.py and commit the sweep"
         )
 
-    def last_commit_ts(name: str) -> int | None:
-        out = git("log", "-1", "--format=%ct", "--", name).stdout.strip()
-        return int(out) if out.isdigit() else None
+    def last_commit(*paths: str) -> tuple[str, int] | None:
+        """(hash, committer-ts) of the newest commit touching any of
+        ``paths``; None when no commit does (e.g. untracked file)."""
+        out = git("log", "-1", "--format=%H %ct", "--", *paths).stdout.split()
+        return (out[0], int(out[1])) if len(out) == 2 and out[1].isdigit() else None
 
-    bench_ts = last_commit_ts(bench_name)
-    if bench_ts is not None:
-        stale = [
-            name
-            for name in ("BASELINE.md", "PLANS.md", oracle_name)
-            if name is not None
-            and (ts := last_commit_ts(name)) is not None
-            and ts <= bench_ts
-        ]
+    def is_stale(name: str, ref: tuple[str, int]) -> bool | None:
+        """True = committed strictly before ``ref`` (same commit is
+        fresh); None = never committed (the caller flags that
+        separately — an untracked artifact must not pass as fresh)."""
+        c = last_commit(name)
+        if c is None:
+            return None
+        return c[0] != ref[0] and c[1] <= ref[1]
+
+    bench_c = last_commit(bench_name)
+    if bench_c is not None:
+        stale, uncommitted = [], []
+        for name in ("BASELINE.md", "PLANS.md", oracle_name):
+            if name is None:
+                continue
+            s = is_stale(name, bench_c)
+            if s is None:
+                uncommitted.append(name)
+            elif s:
+                stale.append(name)
         if stale:
             fails.append(
                 f"stale evidence: {', '.join(stale)} last committed before "
                 f"{bench_name} closed round r{bench_r} — regenerate and commit "
                 "(tools/baseline_duckdb.py + baseline_md.py, tools/plan_audit.py)"
             )
+        if uncommitted:
+            fails.append(
+                f"uncommitted evidence: {', '.join(uncommitted)} exists but has "
+                "no commit — an artifact only counts once it is committed"
+            )
+    # sweep-vs-source ordering: the sweeps must re-prove the FINAL code
+    src_c = last_commit(
+        "data_validator_spark", "__spark_entry__.py", "tools/oracle_check.py"
+    )
+    if src_c is not None:
+        _, sweep_name = _latest_round("ORACLE_SFSWEEP_", ".txt", files)
+        for name in (oracle_name, sweep_name):
+            if name is None:
+                continue
+            s = is_stale(name, src_c)
+            if s is None:
+                fails.append(
+                    f"uncommitted sweep: {name} exists but has no commit — "
+                    "commit it (on final code) before benching"
+                )
+            elif s:
+                fails.append(
+                    f"stale sweep: {name} committed before the last source "
+                    "commit — re-run tools/oracle_check.py on the final code "
+                    "and commit the sweep"
+                )
     return fails
 
 

@@ -127,6 +127,92 @@ def test_guard_flags_dirty_tracked_file_but_not_untracked(fake_repo):
     assert "CORRECTNESS_r2" not in dirty[0] and "BENCH_FULL" not in dirty[0]
 
 
+def test_guard_same_commit_as_bench_counts_fresh(fake_repo):
+    """ADVICE r11: evidence refreshed in the SAME commit as the
+    round-close BENCH_r{N}.json used to be flagged stale (ts <=
+    bench_ts); the same-hash exemption must treat it as fresh."""
+    for name in ("ORACLE_LOCAL_r2.txt", "BASELINE.md", "PLANS.md", "BENCH_r2.json"):
+        (fake_repo / name).write_text("round 2, one commit")
+        _git(fake_repo, "add", name)
+    _git(
+        fake_repo,
+        "commit",
+        "-q",
+        "-m",
+        "round 2 close: bench + evidence together",
+        env_extra={
+            "GIT_AUTHOR_DATE": "2026-01-02T09:00:00",
+            "GIT_COMMITTER_DATE": "2026-01-02T09:00:00",
+        },
+    )
+    assert check_guards(str(fake_repo)) == []
+
+
+def test_guard_flags_uncommitted_newest_oracle(fake_repo):
+    """ADVICE r11: an untracked ORACLE_LOCAL_r{N}.txt (newest by round
+    number, but never committed) used to SKIP the staleness check and
+    pass — it must be flagged instead."""
+    (fake_repo / "ORACLE_LOCAL_r2.txt").write_text("fresh but uncommitted")
+    # recommit the other evidence so only the uncommitted sweep fails
+    for name in ("BASELINE.md", "PLANS.md"):
+        (fake_repo / name).write_text("refreshed r2")
+        _git(fake_repo, "add", name)
+    _git(
+        fake_repo,
+        "commit",
+        "-q",
+        "-m",
+        "r2 evidence refresh",
+        env_extra={
+            "GIT_AUTHOR_DATE": "2026-01-02T09:00:00",
+            "GIT_COMMITTER_DATE": "2026-01-02T09:00:00",
+        },
+    )
+    fails = check_guards(str(fake_repo))
+    assert any("uncommitted" in f and "ORACLE_LOCAL_r2" in f for f in fails)
+    assert not any("stale evidence" in f for f in fails)
+
+
+def test_guard_flags_sweep_predating_source_commit(fake_repo):
+    """r11 verdict item 3: the sweeps were committed one commit BEFORE
+    a final query change — the guard must require the newest
+    ORACLE_LOCAL / ORACLE_SFSWEEP to postdate the last commit touching
+    data_validator_spark/, __spark_entry__.py or tools/oracle_check.py
+    (same commit = fresh)."""
+
+    def commit(name, when, msg):
+        _git(fake_repo, "add", name)
+        _git(
+            fake_repo,
+            "commit",
+            "-q",
+            "-m",
+            msg,
+            env_extra={"GIT_AUTHOR_DATE": when, "GIT_COMMITTER_DATE": when},
+        )
+
+    # refresh all round-2 evidence properly first
+    for name in ("ORACLE_LOCAL_r2.txt", "ORACLE_SFSWEEP_r2.txt", "BASELINE.md", "PLANS.md"):
+        (fake_repo / name).write_text("refreshed r2")
+        _git(fake_repo, "add", name)
+    commit(".", "2026-01-02T09:00:00", "r2 evidence refresh")
+    assert check_guards(str(fake_repo)) == []
+    # now a source change lands AFTER the sweeps
+    src = fake_repo / "data_validator_spark"
+    src.mkdir()
+    (src / "q.py").write_text("# changed query code")
+    commit("data_validator_spark", "2026-01-02T10:00:00", "late query change")
+    fails = check_guards(str(fake_repo))
+    assert any("stale sweep" in f and "ORACLE_LOCAL_r2" in f for f in fails)
+    assert any("stale sweep" in f and "ORACLE_SFSWEEP_r2" in f for f in fails)
+    # re-running the sweeps on the final code clears it
+    for name in ("ORACLE_LOCAL_r2.txt", "ORACLE_SFSWEEP_r2.txt"):
+        (fake_repo / name).write_text("re-proven on final code")
+        _git(fake_repo, "add", name)
+    commit(".", "2026-01-02T11:00:00", "re-sweep on final code")
+    assert check_guards(str(fake_repo)) == []
+
+
 def test_guard_force_env_skips(fake_repo, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE", "1")
     assert check_guards(str(fake_repo)) == []
