@@ -11,6 +11,26 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def execute_to_final_plan(df: DataFrame) -> str:
+    """Run the DataFrame's OWN QueryExecution to completion and return
+    the finalized AQE plan string (``isFinalPlan=true``), trimmed to
+    the final-plan section.
+
+    A sink action (``df.write...save()``) plans the write under a NEW
+    QueryExecution, so ``df._jdf.queryExecution().executedPlan()``
+    afterwards still prints the un-executed initial plan (ADVICE r11 —
+    verified on Spark 4.1.2). Executing the physical plan's RDD
+    directly drives THIS QueryExecution's AdaptiveSparkPlanExec
+    through all its query stages; the ``count()`` action materializes
+    every partition while moving only one long to the driver (no row
+    collect)."""
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    plan = qe.executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    return plan[:cut] if cut != -1 else plan
+
+
 def live_plan_string(df: DataFrame) -> str:
     """Executed-plan string with every cached subtree pruned.
 
@@ -22,9 +42,15 @@ def live_plan_string(df: DataFrame) -> str:
     cost per iteration is zero of each (r11: the PLANS.md scorecard
     counts live operators only). The cache node line itself is kept,
     so cached references stay visible and countable."""
+    return prune_cached_subtrees(plan_string(df))
+
+
+def prune_cached_subtrees(plan: str) -> str:
+    """Drop the re-printed build plan under every cached-relation node
+    of an (already obtained) plan string — see live_plan_string."""
     out: list[str] = []
     skip_depth: int | None = None
-    for ln in plan_string(df).splitlines():
+    for ln in plan.splitlines():
         stripped = ln.lstrip(" :+-")
         depth = len(ln) - len(stripped)
         if skip_depth is not None:

@@ -47,3 +47,20 @@ def test_salted_duplicate_key_count_matches_unique_check(spark, skewed):
 def test_audit_reports_plan_shape(spark, skewed):
     a = pa.audit(skewed.groupBy("k").count())
     assert a["exchanges"] >= 1 and a["cartesian"] is False
+
+
+def test_execute_to_final_plan_is_actually_final(spark, skewed):
+    """ADVICE r11: a noop-sink write plans under a NEW QueryExecution,
+    so the audited plan stayed isFinalPlan=false — the helper must
+    drive the df's OWN QueryExecution and return the finalized AQE
+    plan, trimmed to the final-plan section."""
+    df = skewed.groupBy("k").count()
+    # the un-executed plan is NOT final under AQE
+    assert "isFinalPlan=false" in pa.plan_string(df)
+    plan = pa.execute_to_final_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "== Initial Plan ==" not in plan
+    # and the noop-write variant really does leave it unfinalized
+    df2 = skewed.groupBy("k").count()
+    df2.write.format("noop").mode("overwrite").save()
+    assert "isFinalPlan=false" in pa.plan_string(df2)
