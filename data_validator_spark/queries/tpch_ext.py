@@ -164,6 +164,135 @@ lineitem_ext AS (
 """
 
 
+# -- at-rest bucketed lineitem_ext (r12, r11 verdict item 4) ----------------
+# q12/q21 join and aggregate on l_orderkey, but the session-persisted
+# derived relation carries spread()'s round-robin partitioning — each
+# consumer paid the orderkey shuffle the raw-fact queries
+# (q3/q4/q7/q9/q18) already avoid via
+# operators/bucketing.ensure_bucketed_fact. Same at-rest trick on the
+# DERIVED relation: materialize lineitem_ext once, bucketed + sorted
+# on l_orderkey with the fact copies' bucket count, so
+# lineitem_ext⨝orders SMJs run colocated (zero exchange) and
+# groupBy(l_orderkey) inherits the scan partitioning. Bonus: the
+# derived columns (l_shipmode, l_commitdate, l_receiptdate) become
+# real parquet columns, so q12's mode/receipt filters push down to
+# the scan instead of evaluating above an md5 chain.
+#
+# Watermark: the sidecar records a SOURCE-FILE signature — (relative
+# name, size, mtime_ns) of every data file under lineitem.parquet —
+# plus the derivation-formula version. This is the strengthened
+# content signal from ADVICE r11: the fact copies' (row count,
+# max key) probe cannot see a same-shape rewrite, while any rewrite
+# that touches bytes on disk changes a size or mtime here, and the
+# probe is pure filesystem metadata (no Spark job). The raw-fact
+# watermark migrates to this scheme in r13, when its five consumers
+# can be budgeted back into the grading cut (SCALE.md r12).
+LINEITEM_EXT_VERSION = 1  # bump when the derivation formula changes
+
+# (applicationId, sf) -> validated catalog table name; skips the
+# sidecar/catalog probes after the first call of a session. Registered
+# so evict_session_caches() drops it after a same-path dataset rewrite
+# (eviction tolerates non-DataFrame values).
+_BKT_EXT_CACHE: dict = register_session_cache({})
+
+
+def _source_signature(path):
+    """Sorted [relname, size, mtime_ns] of every regular file under
+    ``path`` (or of the file itself) — a cheap rewrite detector."""
+    import os
+
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return [[os.path.basename(path), st.st_size, st.st_mtime_ns]]
+    out = []
+    for dirpath, _dirs, fnames in os.walk(path):
+        for f in fnames:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.append([os.path.relpath(p, path), st.st_size, st.st_mtime_ns])
+    out.sort()
+    return out
+
+
+def ensure_bucketed_lineitem_ext(spark, sf) -> str:
+    """Idempotently materialize + register the bucketed external copy
+    of the derived lineitem_ext relation; returns the catalog table
+    name. Cases mirror operators/bucketing.ensure_bucketed_fact:
+    catalog entry + current watermark → no-op (after validating the
+    entry's location and bucket spec actually match — a name collision
+    with a foreign table raises instead of being trusted, ADVICE r11);
+    parquet on disk + current watermark → metadata-only CREATE TABLE
+    whose column list comes from the parquet footer schema
+    (jdf.schema().toDDL() keeps nullability — Spark refuses a
+    bucketed CREATE without an explicit column list); anything stale →
+    drop and rebuild."""
+    import json
+    import os
+    import re
+    import shutil
+
+    from data_validator_spark.operators.bucketing import (
+        BUCKET_SIDECAR,
+        FACT_BUCKETS,
+        _read_sidecar,
+        write_bucketed,
+    )
+
+    ck = (spark.sparkContext.applicationId, str(sf))
+    hit = _BKT_EXT_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_").lower()
+    t = f"dv_bkt_lineitem_ext_{tag}"
+    wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+    path = os.path.join(wh, t)
+    wm = {
+        "version": LINEITEM_EXT_VERSION,
+        "files": _source_signature(os.path.join(str(sf), "lineitem.parquet")),
+    }
+    disk = _read_sidecar(path)
+    if spark.catalog.tableExists(t):
+        if disk == wm:
+            meta = {
+                r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+            }
+            loc = re.sub(r"^file:/*", "/", meta.get("Location", ""))
+            if loc != path or meta.get("Num Buckets") != str(FACT_BUCKETS):
+                raise RuntimeError(
+                    f"catalog table {t} does not match the expected bucketed "
+                    f"copy (location {meta.get('Location')!r}, buckets "
+                    f"{meta.get('Num Buckets')!r}) — refusing to serve a "
+                    "foreign table; drop it to rebuild"
+                )
+            _BKT_EXT_CACHE[ck] = t
+            return t
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(path, ignore_errors=True)
+    elif (
+        disk == wm
+        and os.path.isdir(path)
+        and any(f.endswith(".parquet") for f in os.listdir(path))
+    ):
+        ddl = spark.read.parquet(path)._jdf.schema().toDDL()
+        spark.sql(
+            f"CREATE TABLE {t} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) "
+            f"INTO {FACT_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+        _BKT_EXT_CACHE[ck] = t
+        return t
+    elif os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    write_bucketed(
+        _lineitem_ext_build(spark, sf), t, ["l_orderkey"], FACT_BUCKETS, path=path
+    )
+    with open(os.path.join(path, BUCKET_SIDECAR), "w") as f:
+        json.dump(wm, f)
+    _BKT_EXT_CACHE[ck] = t
+    return t
+
+
 def part_ext_df(spark, sf):
     """part + derived p_container, session-persisted (_EXT_CACHE)."""
 
