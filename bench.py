@@ -270,36 +270,76 @@ def check_guards(repo: str | None = None) -> list[str]:
         out = git("log", "-1", "--format=%H %ct", "--", *paths).stdout.split()
         return (out[0], int(out[1])) if len(out) == 2 and out[1].isdigit() else None
 
-    def is_stale(name: str, ref: tuple[str, int]) -> bool | None:
-        """True = committed strictly before ``ref`` (same commit is
-        fresh); None = never committed (the caller flags that
-        separately — an untracked artifact must not pass as fresh)."""
+    def is_stale(name: str, ref: tuple[str, int]) -> bool | str | None:
+        """False = fresh; True = committed strictly before ``ref``
+        (same commit is fresh); None = never committed (caller flags
+        that — an untracked artifact must not pass as fresh);
+        "missing" = has a commit but is gone from the working tree (a
+        once-committed-then-deleted artifact must not pass either).
+        Ordering is decided by commit ancestry (git merge-base
+        --is-ancestor), falling back to committer timestamps only when
+        the two commits are unrelated — same-second scripted commits
+        made the pure-timestamp compare flag genuinely-after evidence
+        as stale (ADVICE r12)."""
         c = last_commit(name)
         if c is None:
             return None
-        return c[0] != ref[0] and c[1] <= ref[1]
+        if not os.path.exists(os.path.join(repo, name)):
+            return "missing"
+        if c[0] == ref[0]:
+            return False
+        # ref an ancestor of evidence commit => evidence is after => fresh
+        if git("merge-base", "--is-ancestor", ref[0], c[0]).returncode == 0:
+            return False
+        if git("merge-base", "--is-ancestor", c[0], ref[0]).returncode == 0:
+            return True
+        return c[1] <= ref[1]
 
-    bench_c = last_commit(bench_name)
+    # Freshness reference: the newest COMMITTED bench artifact. If the
+    # newest on-disk BENCH_r{N}.json is untracked (driver hasn't staged
+    # it yet), falling through to "no reference, skip check 2" would
+    # let stale evidence pass silently (ADVICE r12) — walk back to the
+    # newest bench that does have a commit.
+    import re as _re
+
+    bench_c, bench_ref_name = None, None
+    _pat = _re.compile(r"BENCH_r(\d+)\.json$")
+    for _, cand in sorted(
+        ((int(m.group(1)), f) for f in files if (m := _pat.fullmatch(f))),
+        reverse=True,
+    ):
+        bench_c = last_commit(cand)
+        if bench_c is not None:
+            bench_ref_name = cand
+            break
     if bench_c is not None:
-        stale, uncommitted = [], []
+        stale, uncommitted, missing = [], [], []
         for name in ("BASELINE.md", "PLANS.md", oracle_name):
             if name is None:
                 continue
             s = is_stale(name, bench_c)
             if s is None:
                 uncommitted.append(name)
+            elif s == "missing":
+                missing.append(name)
             elif s:
                 stale.append(name)
         if stale:
             fails.append(
                 f"stale evidence: {', '.join(stale)} last committed before "
-                f"{bench_name} closed round r{bench_r} — regenerate and commit "
-                "(tools/baseline_duckdb.py + baseline_md.py, tools/plan_audit.py)"
+                f"{bench_ref_name} closed round r{bench_r} — regenerate and "
+                "commit (tools/baseline_duckdb.py + baseline_md.py, "
+                "tools/plan_audit.py)"
             )
         if uncommitted:
             fails.append(
                 f"uncommitted evidence: {', '.join(uncommitted)} exists but has "
                 "no commit — an artifact only counts once it is committed"
+            )
+        if missing:
+            fails.append(
+                f"missing evidence: {', '.join(missing)} has a commit but is "
+                "absent from the working tree — restore or regenerate it"
             )
     # sweep-vs-source ordering: the sweeps must re-prove the FINAL code
     src_c = last_commit(
@@ -315,6 +355,11 @@ def check_guards(repo: str | None = None) -> list[str]:
                 fails.append(
                     f"uncommitted sweep: {name} exists but has no commit — "
                     "commit it (on final code) before benching"
+                )
+            elif s == "missing":
+                fails.append(
+                    f"missing sweep: {name} has a commit but is absent from "
+                    "the working tree — restore or regenerate it"
                 )
             elif s:
                 fails.append(

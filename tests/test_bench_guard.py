@@ -213,6 +213,100 @@ def test_guard_flags_sweep_predating_source_commit(fake_repo):
     assert check_guards(str(fake_repo)) == []
 
 
+def test_guard_untracked_newest_bench_falls_back_to_committed(fake_repo):
+    """ADVICE r12: an untracked newest BENCH_r{N}.json made the
+    freshness reference None and silently SKIPPED check 2 — the guard
+    must instead fall back to the newest COMMITTED bench, so stale
+    evidence is still caught mid-round."""
+    # evidence is stale relative to the committed BENCH_r1 close
+    (fake_repo / "BENCH_r2.json").write_text("{}")  # untracked, mid-round
+    fails = check_guards(str(fake_repo))
+    assert any("stale evidence" in f and "BENCH_r1.json" in f for f in fails)
+
+
+def test_guard_bench_fallback_orders_rounds_numerically(fake_repo):
+    """BENCH_r9 must not beat BENCH_r10 lexicographically when picking
+    the committed freshness reference."""
+    for name in ("BENCH_r9.json", "BENCH_r10.json"):
+        (fake_repo / name).write_text("{}")
+        _git(fake_repo, "add", name)
+    _git(
+        fake_repo,
+        "commit",
+        "-q",
+        "-m",
+        "two benches",
+        env_extra={
+            "GIT_AUTHOR_DATE": "2026-01-03T09:00:00",
+            "GIT_COMMITTER_DATE": "2026-01-03T09:00:00",
+        },
+    )
+    fails = check_guards(str(fake_repo))
+    assert any("stale evidence" in f and "BENCH_r10.json" in f for f in fails)
+    assert not any("BENCH_r9.json" in f for f in fails)
+
+
+def test_guard_same_second_next_commit_is_fresh(fake_repo):
+    """ADVICE r12: evidence committed in the commit immediately AFTER
+    the bench commit, within the same second, was falsely flagged
+    stale by the timestamp compare — ancestry ordering must see it as
+    after and therefore fresh."""
+    # bench r2 closes at T
+    (fake_repo / "BENCH_r2.json").write_text("{}")
+    _git(fake_repo, "add", "BENCH_r2.json")
+    _git(
+        fake_repo,
+        "commit",
+        "-q",
+        "-m",
+        "bench r2 closed",
+        env_extra={
+            "GIT_AUTHOR_DATE": "2026-01-02T09:00:00",
+            "GIT_COMMITTER_DATE": "2026-01-02T09:00:00",
+        },
+    )
+    # evidence refresh lands in the NEXT commit at the SAME second
+    for name in ("ORACLE_LOCAL_r2.txt", "BASELINE.md", "PLANS.md"):
+        (fake_repo / name).write_text("refreshed r2, same second")
+        _git(fake_repo, "add", name)
+    _git(
+        fake_repo,
+        "commit",
+        "-q",
+        "-m",
+        "r2 evidence refresh (scripted, same second)",
+        env_extra={
+            "GIT_AUTHOR_DATE": "2026-01-02T09:00:00",
+            "GIT_COMMITTER_DATE": "2026-01-02T09:00:00",
+        },
+    )
+    assert check_guards(str(fake_repo)) == []
+
+
+def test_guard_flags_deleted_once_committed_evidence(fake_repo):
+    """ADVICE r12: a once-committed evidence file deleted from the
+    working tree still resolves to a commit and used to pass as fresh
+    — it must be flagged missing instead."""
+    for name in ("ORACLE_LOCAL_r2.txt", "BASELINE.md", "PLANS.md"):
+        (fake_repo / name).write_text("refreshed r2")
+        _git(fake_repo, "add", name)
+    _git(
+        fake_repo,
+        "commit",
+        "-q",
+        "-m",
+        "r2 evidence refresh",
+        env_extra={
+            "GIT_AUTHOR_DATE": "2026-01-02T09:00:00",
+            "GIT_COMMITTER_DATE": "2026-01-02T09:00:00",
+        },
+    )
+    assert check_guards(str(fake_repo)) == []
+    (fake_repo / "PLANS.md").unlink()
+    fails = check_guards(str(fake_repo))
+    assert any("missing evidence" in f and "PLANS.md" in f for f in fails)
+
+
 def test_guard_force_env_skips(fake_repo, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE", "1")
     assert check_guards(str(fake_repo)) == []
