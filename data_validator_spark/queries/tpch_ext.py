@@ -530,21 +530,21 @@ Q12_YEAR_END = "1998-01-01"
 
 def q12_shipmode_priority(spark, sf):
     """TPC-H Q12: late-commit analysis by ship mode over one receipt
-    year. One fact-fact shuffle (lineitem->orders on orderkey); the
-    selective receipt-window and mode filters run before the join.
-    The date filters sit on derived columns so they cannot reach the
-    parquet scan — the real l_shipdate predicate they imply
-    (shipdate within [window_start - 31d, window_end)) is pushed
-    explicitly to keep the scan bounded."""
-    li = lineitem_ext_df(spark, sf)
-    orders = load(spark, sf, "orders")
+    year. r13: reads the at-rest bucketed lineitem_ext copy
+    (ensure_bucketed_lineitem_ext) joined to the bucketed orders fact
+    — both bucketed+sorted on the order key, so the fact⨝fact join is
+    a zero-exchange colocated SMJ instead of shuffling both sides (at
+    100 TB that shuffle IS the query). Bonus of the at-rest copy: the
+    shipmode/receiptdate/commitdate predicates hit REAL parquet
+    columns, so they push down to the scan (PushedFilters) instead of
+    evaluating above an md5 div-chain."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
+    li = spark.table(ensure_bucketed_lineitem_ext(spark, sf))
+    orders = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey"))
     start, end = F.to_date(F.lit(Q12_YEAR_START)), F.to_date(F.lit(Q12_YEAR_END))
     filtered = li.where(
-        # receiptdate = shipdate + [1, 30] days, so the pushable scan
-        # bound below implies the receipt window checked next
-        (F.to_date("l_shipdate") >= F.date_sub(start, 31))
-        & (F.to_date("l_shipdate") < end)
-        & F.col("l_shipmode").isin(*Q12_MODES)
+        F.col("l_shipmode").isin(*Q12_MODES)
         & (F.col("l_commitdate") < F.col("l_receiptdate"))
         & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
         & (F.col("l_receiptdate") >= start)
@@ -552,7 +552,8 @@ def q12_shipmode_priority(spark, sf):
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        filtered.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        filtered.hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_shipmode")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -785,11 +786,26 @@ def q21_waiting_orders(spark, sf):
     + left-anti self-join — three passes over the derived lineitem),
     one per-order min/max supplier census answers both arms:
     multi-supplier ⟺ min(suppkey) ≠ max(suppkey); sole late supplier
-    ⟺ min/max over late rows coincide. min/max aggregate in a single
-    map-side-combined pass (no countDistinct Expand), lineitem_ext is
-    derived twice instead of three times, and the qualifying check is
-    one equi-join on l_orderkey. Benched 3.9 s → ~2.4 s at sf0.1."""
-    li = lineitem_ext_df(spark, sf).select(
+    ⟺ min/max over late rows coincide — and when they do, THAT key is
+    the waiting supplier and the census's late-line count is its
+    per-order numwait contribution. min/max/count aggregate in a
+    single map-side-combined pass (no countDistinct Expand), so
+    lineitem is scanned exactly ONCE (r11 scanned it twice: census +
+    late-row re-read; benched 3.9 s → ~2.4 s → ~1.3 s at sf0.1).
+
+    r13: the census reads the at-rest bucketed lineitem_ext copy
+    (ensure_bucketed_lineitem_ext) and orders its bucketed fact — both
+    bucketed+sorted on the order key, so the groupBy inherits the scan
+    partitioning (no exchange) and the census⨝orders SMJ is colocated.
+    The supplier/nation dim join runs LAST, on the tiny qualifying
+    remainder (inner joins commute; the census conditions don't
+    involve supplier), so at 100 TB the only suppkey join sees a few
+    rows per nation instead of every late line. The receipt/commit
+    comparison evaluates over real parquet columns instead of an md5
+    div-chain."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
+    li = spark.table(ensure_bucketed_lineitem_ext(spark, sf)).select(
         "l_orderkey", "l_suppkey", "l_commitdate", "l_receiptdate"
     )
     is_late = F.col("l_receiptdate") > F.col("l_commitdate")
@@ -798,8 +814,11 @@ def q21_waiting_orders(spark, sf):
         F.max("l_suppkey").alias("max_s"),
         F.min(F.when(is_late, F.col("l_suppkey"))).alias("min_ls"),
         F.max(F.when(is_late, F.col("l_suppkey"))).alias("max_ls"),
+        F.count(F.when(is_late, F.lit(1))).alias("n_late"),
     )
-    orders = load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    orders = spark.table(
+        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+    ).where(F.col("o_orderstatus") == "F")
     nation = F.broadcast(
         load(spark, sf, "nation").where(F.col("n_name") == Q21_NATION)
     )
@@ -808,20 +827,20 @@ def q21_waiting_orders(spark, sf):
     supplier = load(spark, sf, "supplier").join(
         nation, F.col("s_nationkey") == F.col("n_nationkey")
     )
-    l1 = (
-        li.where(is_late)
-        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("l_orderkey", "l_suppkey", "s_name")
-    )
-    return (
-        l1.join(flags, "l_orderkey")
-        .where(
-            (F.col("min_s") != F.col("max_s"))  # another supplier exists
+    qualifying = (
+        flags.where(
+            F.col("min_ls").isNotNull()  # at least one late line
+            & (F.col("min_s") != F.col("max_s"))  # another supplier exists
             & (F.col("min_ls") == F.col("max_ls"))  # ... but only one late
         )
+        .hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("min_ls").alias("l_suppkey"), "n_late")
+    )
+    return (
+        qualifying.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
 

@@ -110,6 +110,141 @@ def test_ensure_bucketed_fact_join_is_colocated(spark, tmp_path):
         _drop_fact_tables(spark, sf)
 
 
+# -- persisted bucketed lineitem_ext (r13: q12/q21 wiring) -------------------
+def _mini_lineitem(spark, tmp_path, n=200):
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("l_orderkey"),
+            (F.col("id") % 4 + 1).alias("l_linenumber"),
+            (F.col("id") % 13).alias("l_suppkey"),
+            (F.col("id") % 50 + 1.0).alias("l_quantity"),
+            F.to_date(F.lit("1997-06-01")).alias("l_shipdate"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "lineitem.parquet"))
+    )
+
+
+def _drop_ext_table(spark, sf):
+    import re
+    import shutil
+
+    from data_validator_spark.queries import evict_session_caches
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_").lower()
+    wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+    t = f"dv_bkt_lineitem_ext_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    evict_session_caches(str(sf))
+
+
+def test_bucketed_lineitem_ext_join_is_colocated(spark, tmp_path):
+    """The q12/q21 foundation: bucketed lineitem_ext ⨝ bucketed orders
+    must meet in a zero-exchange SMJ, and the derived ship columns
+    must be real parquet columns in the copy (so q12's mode/receipt
+    filters can push down to the scan)."""
+    from data_validator_spark.operators.bucketing import (
+        assert_colocated,
+        ensure_bucketed_fact,
+    )
+    from data_validator_spark.queries.tpch_ext import ensure_bucketed_lineitem_ext
+
+    _mini_facts(spark, tmp_path)
+    _mini_lineitem(spark, tmp_path)
+    sf = str(tmp_path)
+    try:
+        lt = ensure_bucketed_lineitem_ext(spark, sf)
+        ot = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+        li, orders = spark.table(lt), spark.table(ot)
+        for c in ("l_shipmode", "l_shipinstruct", "l_commitdate", "l_receiptdate"):
+            assert c in li.columns
+        joined = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
+        assert_colocated(joined)
+        assert joined.count() == 200
+    finally:
+        _drop_ext_table(spark, sf)
+        _drop_fact_tables(spark, sf)
+
+
+def test_bucketed_lineitem_ext_rebuilds_on_source_rewrite(spark, tmp_path):
+    """The file-signature watermark: a same-path rewrite of
+    lineitem.parquet (even to the same shape) changes a size or
+    mtime_ns in the sidecar signature, so the copy must rebuild; an
+    unchanged source must no-op; a dropped catalog entry over current
+    files must re-register metadata-only."""
+    from data_validator_spark.queries import evict_session_caches
+    from data_validator_spark.queries.tpch_ext import ensure_bucketed_lineitem_ext
+
+    _mini_lineitem(spark, tmp_path, n=100)
+    sf = str(tmp_path)
+    try:
+        t = ensure_bucketed_lineitem_ext(spark, sf)
+        assert spark.table(t).count() == 100
+        # idempotent while the source is unchanged
+        assert ensure_bucketed_lineitem_ext(spark, sf) == t
+        _mini_lineitem(spark, tmp_path, n=100)  # same-SHAPE rewrite
+        evict_session_caches(sf)
+        t2 = ensure_bucketed_lineitem_ext(spark, sf)
+        assert spark.table(t2).count() == 100
+        # prove it REBUILT (count alone can't tell): the sidecar must
+        # now record the rewritten source's signature, which a
+        # stale-serve would have left at the old mtime_ns values
+        import json as _json
+        import os as _os
+        import re as _re
+
+        from data_validator_spark.operators.bucketing import BUCKET_SIDECAR
+        from data_validator_spark.queries.tpch_ext import _source_signature
+
+        tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf).strip("_").lower()
+        wh = _re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+        with open(_os.path.join(wh, f"dv_bkt_lineitem_ext_{tag}", BUCKET_SIDECAR)) as f:
+            assert _json.load(f)["files"] == _source_signature(
+                str(tmp_path / "lineitem.parquet")
+            )
+        _mini_lineitem(spark, tmp_path, n=150)
+        evict_session_caches(sf)
+        t3 = ensure_bucketed_lineitem_ext(spark, sf)
+        assert spark.table(t3).count() == 150
+        # cross-session survival: catalog entry dropped, files remain,
+        # watermark current -> metadata-only CREATE TABLE
+        spark.sql(f"DROP TABLE {t3}")
+        evict_session_caches(sf)
+        t4 = ensure_bucketed_lineitem_ext(spark, sf)
+        assert spark.table(t4).count() == 150
+    finally:
+        _drop_ext_table(spark, sf)
+
+
+def test_bucketed_lineitem_ext_refuses_foreign_name_collision(spark, tmp_path):
+    """A catalog table squatting on the dv_bkt_lineitem_ext_* name that
+    does NOT match the expected location/bucket spec must raise, never
+    be served as the bucketed copy (ADVICE r11)."""
+    import pytest as _pytest
+
+    from data_validator_spark.queries import evict_session_caches
+    from data_validator_spark.queries.tpch_ext import ensure_bucketed_lineitem_ext
+
+    _mini_lineitem(spark, tmp_path, n=60)
+    sf = str(tmp_path)
+    try:
+        t = ensure_bucketed_lineitem_ext(spark, sf)
+        # replace the catalog entry with a foreign, unbucketed table at
+        # another location; the on-disk sidecar still matches
+        spark.sql(f"DROP TABLE {t}")
+        spark.range(5).write.mode("overwrite").option(
+            "path", str(tmp_path / "foreign")
+        ).saveAsTable(t)
+        evict_session_caches(sf)
+        with _pytest.raises(RuntimeError, match="foreign table"):
+            ensure_bucketed_lineitem_ext(spark, sf)
+    finally:
+        _drop_ext_table(spark, sf)
+
+
 def test_ensure_bucketed_fact_watermark_rebuilds_on_source_change(spark, tmp_path):
     """Same-path source rewrite (after evict_session_caches) must
     rebuild the bucketed copy, not serve stale rows — the findex

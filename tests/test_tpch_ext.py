@@ -83,10 +83,18 @@ def test_q12_pushes_shipdate_bound_to_scan(spark, monkeypatch):
 
 
 def test_lineitem_ext_is_cached_for_consumers(spark):
-    """q12/q19/q21 share the session-persisted derived relation — the
-    executed plan must read the in-memory relation, not re-run the
-    md5 derivation against parquet (r6 explain finding: unpersisted,
-    the derived filter ran on ONE scan split)."""
+    """q19 reads the session-persisted derived relation — the executed
+    plan must read the in-memory relation, not re-run the md5
+    derivation against parquet (r6 explain finding: unpersisted, the
+    derived filter ran on ONE scan split). q12/q21 moved OFF this
+    cache in r13: they read the at-rest bucketed copy, whose scan must
+    appear (bucketed, with the shipmode filter pushed down) instead of
+    an InMemoryTableScan."""
     tx.lineitem_ext_df(spark, SF).count()  # materialize
-    plan = tx.q12_shipmode_priority(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    plan = tx.q19_discounted_revenue(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+    q12_plan = (
+        tx.q12_shipmode_priority(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dv_bkt_lineitem_ext_" in q12_plan
+    assert "InMemoryTableScan" not in q12_plan
