@@ -353,15 +353,22 @@ def q_dedup_incremental_minhash(spark, sf):
     {JACCARD_THRESHOLD}, the near_dup verdict, and the best (lowest
     doc_id) confirmed corpus match.
 
-    Scale shape: the corpus band index and shingle arrays are views of
-    the SESSION-PERSISTED minhash/shingle relations (built once — the
-    same persisted-index discipline as _incremental_index); the delta
-    side is the pivot-filtered slice of the same cache. Candidates
-    come from ONE (band, sig) equi-join with the corpus-side
-    degenerate-bucket cap (≤ MAX_BUCKET members — the standard LSH
-    rule), so no delta row ever meets more than 16·MAX_BUCKET corpus
-    docs; the Jaccard confirm joins shingle arrays only for candidate
-    pairs (shuffle-hash hints, same rationale as dedup_ngram_jaccard).
+    Scale shape (r13): the corpus side is the PERSISTED bucketed band
+    index (_ensure_bindex — the same at-rest table
+    dedup_band_index_refresh maintains), filtered back to the existing
+    corpus (doc_id < pivot holds exactly the corpus postings whether or
+    not a refresh has appended delta rows), so screening an append
+    costs ZERO corpus-side shingle/minhash recomputation — only the
+    delta's bands are derived in-session, and the candidate equi-join
+    reads the corpus index colocated on its sig64 bucketing (the delta
+    side alone shuffles, delta-sized). sig64 is the index's band-bucket
+    identity (60-bit md5 of band:sig — the oracle recomputes the SAME
+    key, so the join is engine-exact by construction, not merely
+    collision-unlikely). The corpus-side degenerate-bucket cap
+    (≤ MAX_BUCKET members — the standard LSH rule) keeps any delta row
+    from meeting more than 16·MAX_BUCKET corpus docs; the Jaccard
+    confirm joins shingle arrays only for candidate pairs
+    (shuffle-hash hints, same rationale as dedup_ngram_jaccard).
     Output is one row per delta doc with NO cosmetic global sort
     (delta-scale output; the driver hash is order-insensitive).
 
@@ -369,17 +376,22 @@ def q_dedup_incremental_minhash(spark, sf):
     exact arithmetic; counts are integers; best_match is MIN over
     confirmed candidates (NULL when none — both engines)."""
     pivot = _incremental_pivot(spark, sf)
-    bands = _band_df(spark, sf)
-    cb = bands.where(F.col("doc_id") < F.lit(pivot)).select(
-        F.col("doc_id").alias("cand_id"), "band", "sig"
+    cb = (
+        spark.table(_ensure_bindex(spark, sf))
+        .where(F.col("doc_id") < F.lit(pivot))
+        .select(F.col("doc_id").alias("cand_id"), "sig64")
     )
-    db = bands.where(F.col("doc_id") >= F.lit(pivot))
-    bsz = cb.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
+    db = (
+        _band_df(spark, sf)
+        .where(F.col("doc_id") >= F.lit(pivot))
+        .select("doc_id", _sig64_col().alias("sig64"))
+    )
+    bsz = cb.groupBy("sig64").agg(F.count(F.lit(1)).alias("c"))
     cand = (
-        db.join(cb, ["band", "sig"])
+        db.join(cb, "sig64")
         .join(
-            F.broadcast(bsz.where(F.col("c") <= MAX_BUCKET).select("band", "sig")),
-            ["band", "sig"],
+            F.broadcast(bsz.where(F.col("c") <= MAX_BUCKET).select("sig64")),
+            "sig64",
             "left_semi",
         )
         .select("doc_id", "cand_id")
@@ -418,17 +430,26 @@ def q_dedup_incremental_minhash(spark, sf):
 
 
 def _sql_dedup_incremental_minhash() -> str:
+    from data_validator_spark.queries import _sql_hash60
+
+    # the corpus side keys on sig64 (60-bit md5 of band:sig), the SAME
+    # identity the persisted band index stores — the Spark plan joins
+    # the at-rest index on this key, so the oracle must too (identical
+    # bucketing identity ⇒ identical candidates on both engines even
+    # in the astronomically-unlikely collision case)
+    sig64 = _sql_hash60("CAST(band AS VARCHAR) || ':' || sig")
     return f"""
 WITH {_sql_minhash_ctes()},
 pv AS (SELECT CAST(floor((MAX(doc_id) + 1) * {DELTA_FRAC}) AS BIGINT) AS p
        FROM documents),
-cb AS (SELECT doc_id AS cand_id, band, sig FROM bands, pv WHERE doc_id < p),
-bsz AS (SELECT band, sig, count(*) AS c FROM cb GROUP BY 1, 2),
-db AS (SELECT doc_id, band, sig FROM bands, pv WHERE doc_id >= p),
+cb AS (SELECT DISTINCT doc_id AS cand_id, {sig64} AS sig64
+       FROM bands, pv WHERE doc_id < p),
+bsz AS (SELECT sig64, count(*) AS c FROM cb GROUP BY 1),
+db AS (SELECT doc_id, {sig64} AS sig64 FROM bands, pv WHERE doc_id >= p),
 cand AS (
   SELECT DISTINCT db.doc_id, cb.cand_id
-  FROM db JOIN cb ON db.band = cb.band AND db.sig = cb.sig
-  JOIN bsz ON cb.band = bsz.band AND cb.sig = bsz.sig AND bsz.c <= {MAX_BUCKET}),
+  FROM db JOIN cb ON db.sig64 = cb.sig64
+  JOIN bsz ON cb.sig64 = bsz.sig64 AND bsz.c <= {MAX_BUCKET}),
 scored AS (
   SELECT cand.doc_id, cand.cand_id,
          CAST(len(list_intersect(x.h, y.h)) AS DOUBLE)

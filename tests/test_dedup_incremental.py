@@ -569,6 +569,49 @@ def test_incremental_minhash_planted_near_dup(spark, tmp_path):
     assert out[19]["n_candidates"] == 0
 
 
+def test_incremental_minhash_reads_persisted_band_index(spark, tmp_path):
+    """r13: the screen's corpus side must come from the at-rest
+    bucketed band index (zero corpus-side shingle/minhash recompute),
+    and a band-index REFRESH that appends delta postings to that same
+    table must not leak delta docs into the candidate set — the
+    doc_id < pivot filter serves exactly the corpus postings in both
+    table states."""
+    from data_validator_spark.queries.dedup import (
+        q_dedup_band_index_refresh,
+        q_dedup_incremental_minhash,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the river runs past the old mill near the quiet town"
+    )
+    rows = [(i, f"unrelated corpus doc {i} token{i}x token{i}y token{i}z") for i in range(18)]
+    rows[3] = (3, base)
+    rows += [
+        (18, base + " freshly appended"),  # near-dups corpus doc 3 AND delta 19
+        (19, base + " freshly appended too"),  # near-dups 3 and 18
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+    plan = (
+        q_dedup_incremental_minhash(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dv_dedup_bindex_" in plan
+    before = {r["doc_id"]: r for r in q_dedup_incremental_minhash(spark, sf).collect()}
+    # refresh appends delta postings (18, 19) to the SAME table
+    q_dedup_band_index_refresh(spark, sf).collect()
+    after = {r["doc_id"]: r for r in q_dedup_incremental_minhash(spark, sf).collect()}
+    assert before == after  # delta postings must not become candidates
+    # 18 and 19 near-dup each other, but only corpus doc 3 may match
+    for d in (18, 19):
+        assert after[d]["near_dup"] == 1 and after[d]["best_match"] == 3
+
+
 def test_ngram_novelty_planted(spark, tmp_path):
     """ngram_novelty: a doc that repeats an earlier doc's text owns
     none of its shingles; a wholly novel doc owns all of them."""
