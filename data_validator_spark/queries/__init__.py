@@ -211,12 +211,146 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # === r12 cut. Tier 0a — the 7 entries the r11 verdict marked WEAK
-    # (driver-evidence debt, no wrong answers): the persisted minhash
-    # band index (NEW in r11, never driver-graded) plus the six
-    # sort-drop-only entries declared CHANGED_LOCAL_ONLY in r11.
-    # Graded first (r11 verdict item 1) — a green row for each
-    # restores the every-entry-driver-green invariant.
+    # === r13 cut. Tier 0 — entries whose CODE changed this round
+    # (r12 verdict items 2/3): q12/q21 landed on the bucketed at-rest
+    # lineitem_ext copy (the r12 tier-0b promise that stayed dead
+    # code), and dedup_incremental_minhash now screens against the
+    # persisted band-index table. pagerank_bipartite was probed
+    # (SCALE.md r13) and needed NO code change — it keeps its r12
+    # evidence and rotates out.
+    "q12_shipmode_priority",
+    "q21_waiting_orders",
+    "dedup_incremental_minhash",
+    # tier 1 — the five raw-fact bucketed-copy consumers: their
+    # watermark scheme migrated to the source-file signature
+    # (operators/bucketing.py, r12 verdict item 5), so the helper
+    # hash changed under all of them; a driver row re-proves the
+    # copies rebuild-and-serve correctly under the new sidecar.
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q18_large_volume",
+    # tier 2 — the 29 entries whose freshest driver evidence is r9,
+    # four rounds old: the whole stalest tier fits the remaining
+    # budget, moving the oldest-evidence tier to r10.
+    "tokenizer_fertility",
+    "user_activity_gini",
+    "boilerplate_prefix",
+    "streaming_seasonality",
+    "orders_cohort_retention",
+    "events_user_cap",
+    "l_diversity",
+    "knn_label_noise",
+    "streaming_dedup",
+    "q2_min_cost_supplier",
+    "ann_recall_eval",
+    "q16_parts_supplier",
+    "triangle_count",
+    "streaming_drift",
+    "pmi_collocations",
+    "inverted_index",
+    "bloom_filter_semijoin",
+    "pareto_skyline",
+    "rrf_fusion",
+    "bm25_topk",
+    "quantile_shard",
+    "domain_mix_sample",
+    "k_anonymity",
+    "heavy_hitters_cms",
+    "drift_psi",
+    "fk_integrity",
+    "benford_check",
+    "fd_check",
+    "key_skew_audit",
+    # tier 3 filler — 13 of the 24 r10-evidence entries: first the 9
+    # the grade-cut tripwire flags for the bucketing.py helper change
+    # (their modules import it even though their plans never call the
+    # changed watermark path — a driver row is still the cleaner
+    # answer than a declaration where budget allows), then the 4 at
+    # the head of the r10 tier.
+    "source_overlap",
+    "ngram_novelty",
+    "event_transitions",
+    "conversion_lag",
+    "q17_small_quantity_revenue",
+    "events_funnel",
+    "salted_aggregation",
+    "events_pivot",
+    "events_retention",
+    "embedding_rp_jl",
+    "streaming_incremental_dedup",
+    "quality_calibration",
+    "multimodal_features",
+    # --- driver budget cut (50) falls here ---
+    # Below: the r10-evidence remainder first (stalest next-round
+    # candidates), then the 11 tripwire-flagged r11-evidence entries
+    # declared CHANGED_LOCAL_ONLY in tests/test_registry_order.py
+    # (module-import-only exposure to the bucketing.py change; their
+    # executed plans never call the migrated watermark code — see the
+    # declaration's justification), then the rest of the r11 tier,
+    # then the r12-graded entries (freshest, safest to rotate out).
+    # The FULL registry is still locally re-proven each round via
+    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+    "hll_distinct",
+    "events_time_weighted",
+    "copurchase_similarity",
+    "weighted_sample",
+    "streaming_validation",
+    "corpus_train_filter",
+    "token_frequencies",
+    "doc_split_sample",
+    "similarity_topk",
+    "stratified_sample",
+    "sequence_pack",
+    # r11 evidence, tripwire-flagged, declared CHANGED_LOCAL_ONLY:
+    "events_json_extract",
+    "events_anomaly",
+    "dedup_index_refresh",
+    "events_sessionized",
+    "events_asof_join",
+    "events_range_join",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "minhash_containment",
+    "dedup_clusters",
+    "dedup_incremental",
+    # r11 evidence remainder:
+    "col_quantiles",
+    "mad_outliers",
+    "rfm_segments",
+    "ccnet_buckets",
+    "dedup_keep_best",
+    "split_contamination",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "substring_dedup",
+    "dsir_importance",
+    "gopher_quality",
+    "tfidf_topk",
+    "events_gap_fill",
+    "char_entropy",
+    "embedding_norm_quant",
+    "ngram_contamination",
+    "quality_ensemble",
+    "similarity_ann_lsh",
+    "dedup_embedding_cosine",
+    "embedding_outliers",
+    "cluster_purity",
+    "streaming_sessionized",
+    "streaming_join",
+    "doc_chunk",
+    "repetition_strip",
+    "cdc_upsert",
+    "scd2_intervals",
+    "ivm_agg",
+    "events_rolling",
+    # r12 evidence (freshest):
     "dedup_band_index_refresh",
     "trigram_lm_score",
     "dedup_exact",
@@ -224,21 +358,7 @@ GRADE_PRIORITY = [
     "semdedup",
     "pii_scrub",
     "global_shuffle",
-    # tier 0b — entries whose code changes THIS round (r11 verdict
-    # items 4/6/7): q12/q21 move onto the bucketed at-rest
-    # lineitem_ext layout, dedup_incremental_minhash screens against
-    # the persisted band-index table, pagerank carries the residual-
-    # overhead probe; q8 (facts-first onto the bucketed lineitem/
-    # orders copies) rides tier 1 below. Budgeted into the cut BEFORE
-    # the code lands (the grade_cut tripwire enforces the ordering).
-    "q12_shipmode_priority",
-    "q21_waiting_orders",
-    "dedup_incremental_minhash",
     "pagerank_bipartite",
-    # tier 1 — the 35 entries whose freshest driver evidence is r8,
-    # four rounds old (r11 verdict item 2): rotating them in moves
-    # the oldest-evidence tier to <= r9. Includes q8_market_share
-    # (also a tier-0b change) and q19 (a lineitem_ext consumer).
     "corr_matrix",
     "similarity_ann_ivf",
     "profile_table",
@@ -274,120 +394,10 @@ GRADE_PRIORITY = [
     "q8_market_share",
     "q13_customer_distribution",
     "q14_promo_revenue",
-    # tier 2 filler — head of the r9-evidence tier, next-stalest.
     "vocab_growth",
     "domain_diversity",
     "lang_id_confusion",
     "event_seasonality",
-    # --- driver budget cut (50) falls here ---
-    # Below: r9-evidence remainder first (the stalest next-round
-    # candidates), then r10, then the 50 r11-graded entries
-    # (freshest, safest to rotate out). The FULL registry is still
-    # locally re-proven each round via tools/oracle_check.py
-    # (ORACLE_LOCAL_r{N}.txt / ORACLE_SFSWEEP_r{N}.txt).
-    "tokenizer_fertility",
-    "user_activity_gini",
-    "boilerplate_prefix",
-    "streaming_seasonality",
-    "orders_cohort_retention",
-    "events_user_cap",
-    "l_diversity",
-    "knn_label_noise",
-    "streaming_dedup",
-    "q2_min_cost_supplier",
-    "ann_recall_eval",
-    "q16_parts_supplier",
-    "triangle_count",
-    "streaming_drift",
-    "pmi_collocations",
-    "inverted_index",
-    "bloom_filter_semijoin",
-    "pareto_skyline",
-    "rrf_fusion",
-    "bm25_topk",
-    "quantile_shard",
-    "domain_mix_sample",
-    "k_anonymity",
-    "heavy_hitters_cms",
-    "drift_psi",
-    "fk_integrity",
-    "benford_check",
-    "fd_check",
-    "key_skew_audit",
-    "embedding_rp_jl",
-    "streaming_incremental_dedup",
-    "source_overlap",
-    "ngram_novelty",
-    "quality_calibration",
-    "multimodal_features",
-    "hll_distinct",
-    "events_time_weighted",
-    "copurchase_similarity",
-    "event_transitions",
-    "conversion_lag",
-    "weighted_sample",
-    "streaming_validation",
-    "corpus_train_filter",
-    "q17_small_quantity_revenue",
-    "events_funnel",
-    "token_frequencies",
-    "doc_split_sample",
-    "salted_aggregation",
-    "events_pivot",
-    "events_retention",
-    "similarity_topk",
-    "stratified_sample",
-    "sequence_pack",
-    "col_quantiles",
-    "mad_outliers",
-    "rfm_segments",
-    "ccnet_buckets",
-    "dedup_keep_best",
-    "split_contamination",
-    "events_json_extract",
-    "events_anomaly",
-    "multimodal_meta",
-    "multimodal_resize",
-    "dedup_index_refresh",
-    "multimodal_frame_sample",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "events_sessionized",
-    "events_asof_join",
-    "events_range_join",
-    "substring_dedup",
-    "dsir_importance",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "minhash_containment",
-    "dedup_clusters",
-    "dedup_incremental",
-    "gopher_quality",
-    "tfidf_topk",
-    "events_gap_fill",
-    "char_entropy",
-    "q4_order_priority",
-    "embedding_norm_quant",
-    "q18_large_volume",
-    "ngram_contamination",
-    "quality_ensemble",
-    "similarity_ann_lsh",
-    "dedup_embedding_cosine",
-    "q3_shipping_priority",
-    "embedding_outliers",
-    "cluster_purity",
-    "streaming_sessionized",
-    "streaming_join",
-    "doc_chunk",
-    "repetition_strip",
-    "cdc_upsert",
-    "scd2_intervals",
-    "ivm_agg",
-    "events_rolling",
 ]
 
 

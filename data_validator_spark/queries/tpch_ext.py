@@ -181,12 +181,12 @@ lineitem_ext AS (
 # Watermark: the sidecar records a SOURCE-FILE signature — (relative
 # name, size, mtime_ns) of every data file under lineitem.parquet —
 # plus the derivation-formula version. This is the strengthened
-# content signal from ADVICE r11: the fact copies' (row count,
+# content signal from ADVICE r11: the old fact copies' (row count,
 # max key) probe cannot see a same-shape rewrite, while any rewrite
 # that touches bytes on disk changes a size or mtime here, and the
-# probe is pure filesystem metadata (no Spark job). The raw-fact
-# watermark migrates to this scheme in r13, when its five consumers
-# can be budgeted back into the grading cut (SCALE.md r12).
+# probe is pure filesystem metadata (no Spark job). As of r13 the
+# raw-fact copies (operators/bucketing._fact_watermark) share this
+# scheme and its _source_signature helper.
 LINEITEM_EXT_VERSION = 1  # bump when the derivation formula changes
 
 # (applicationId, sf) -> validated catalog table name; skips the
@@ -196,22 +196,9 @@ LINEITEM_EXT_VERSION = 1  # bump when the derivation formula changes
 _BKT_EXT_CACHE: dict = register_session_cache({})
 
 
-def _source_signature(path):
-    """Sorted [relname, size, mtime_ns] of every regular file under
-    ``path`` (or of the file itself) — a cheap rewrite detector."""
-    import os
-
-    if os.path.isfile(path):
-        st = os.stat(path)
-        return [[os.path.basename(path), st.st_size, st.st_mtime_ns]]
-    out = []
-    for dirpath, _dirs, fnames in os.walk(path):
-        for f in fnames:
-            p = os.path.join(dirpath, f)
-            st = os.stat(p)
-            out.append([os.path.relpath(p, path), st.st_size, st.st_mtime_ns])
-    out.sort()
-    return out
+# shared with the raw-fact copies since r13 (kept importable from here
+# for existing callers/tests)
+from data_validator_spark.operators.bucketing import _source_signature  # noqa: E402
 
 
 def ensure_bucketed_lineitem_ext(spark, sf) -> str:

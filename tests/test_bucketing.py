@@ -248,8 +248,19 @@ def test_bucketed_lineitem_ext_refuses_foreign_name_collision(spark, tmp_path):
 def test_ensure_bucketed_fact_watermark_rebuilds_on_source_change(spark, tmp_path):
     """Same-path source rewrite (after evict_session_caches) must
     rebuild the bucketed copy, not serve stale rows — the findex
-    watermark rule applied to fact tables."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    watermark rule applied to fact tables. r13: the watermark is the
+    file signature, so even a SAME-SHAPE rewrite (identical row count
+    and key range — invisible to the old (n_rows, max_key) probe) must
+    rebuild."""
+    import json
+    import os
+    import re
+
+    from data_validator_spark.operators.bucketing import (
+        BUCKET_SIDECAR,
+        _source_signature,
+        ensure_bucketed_fact,
+    )
     from data_validator_spark.queries import evict_session_caches
 
     _mini_facts(spark, tmp_path, n=100)
@@ -259,6 +270,17 @@ def test_ensure_bucketed_fact_watermark_rebuilds_on_source_change(spark, tmp_pat
         assert spark.table(t).count() == 100
         # idempotent while the source is unchanged
         assert ensure_bucketed_fact(spark, sf, "orders", "o_orderkey") == t
+        _mini_facts(spark, tmp_path, n=100)  # same-SHAPE rewrite
+        evict_session_caches(sf)
+        t15 = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+        assert spark.table(t15).count() == 100
+        # prove the REBUILD (count alone can't): the sidecar must track
+        # the rewritten source's signature
+        wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+        with open(os.path.join(wh, t15, BUCKET_SIDECAR)) as f:
+            assert json.load(f)["files"] == _source_signature(
+                str(tmp_path / "orders.parquet")
+            )
         _mini_facts(spark, tmp_path, n=150)  # rewrite at the same path
         evict_session_caches(sf)
         t2 = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
