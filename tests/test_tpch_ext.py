@@ -98,3 +98,19 @@ def test_lineitem_ext_is_cached_for_consumers(spark):
     )
     assert "dv_bkt_lineitem_ext_" in q12_plan
     assert "InMemoryTableScan" not in q12_plan
+
+
+def test_q21_scans_lineitem_exactly_once(spark):
+    """The r13 q21 rewrite's scale property: the per-order census
+    (min/max/count over late suppkeys) answers BOTH exists arms and
+    names the waiting supplier, so lineitem_ext must appear as exactly
+    ONE scan in the physical plan (the r11 shape re-read it for the
+    late rows) — at 100 TB a second fact scan is the single largest
+    avoidable cost in this query."""
+    import re
+
+    plan = (
+        tx.q21_waiting_orders(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Scan parquet \S*dv_bkt_lineitem_ext_", plan)) == 1
+    assert len(re.findall(r"Scan parquet \S*dv_bkt_orders_", plan)) == 1
