@@ -114,3 +114,106 @@ def test_q21_scans_lineitem_exactly_once(spark):
     )
     assert len(re.findall(r"Scan parquet \S*dv_bkt_lineitem_ext_", plan)) == 1
     assert len(re.findall(r"Scan parquet \S*dv_bkt_orders_", plan)) == 1
+
+
+def test_q21_census_matches_exists_spelling_on_random_data(spark, tmp_path):
+    """Spec test for the r13 single-scan census rewrite: on seeded
+    random data (multi-supplier orders, repeated late lines by the
+    same supplier — the cases where a census shortcut could silently
+    diverge), q21's output must equal a pandas brute force of the
+    LITERAL TPC-H Q21 spelling (per late line: EXISTS another
+    supplier on the order AND NOT EXISTS another LATE supplier),
+    evaluated over the SAME derived commit/receipt dates."""
+    import re
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(421)
+    n_orders, n_supp, n_lines = 120, 12, 600
+    ok = rng.randint(1, n_orders + 1, n_lines)
+    ln = np.zeros(n_lines, dtype=int)
+    # unique (orderkey, linenumber): number lines within each order
+    for o in np.unique(ok):
+        idx = np.where(ok == o)[0]
+        ln[idx] = np.arange(1, len(idx) + 1)
+    li_pd = pd.DataFrame(
+        {
+            "l_orderkey": ok.astype("int64"),
+            "l_linenumber": ln.astype("int64"),
+            "l_suppkey": rng.randint(1, n_supp + 1, n_lines).astype("int64"),
+            "l_quantity": rng.randint(1, 50, n_lines).astype("float64"),
+            "l_shipdate": pd.to_datetime("1997-03-01")
+            + pd.to_timedelta(rng.randint(0, 300, n_lines), unit="D"),
+        }
+    )
+    orders_pd = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n_orders + 1, dtype="int64"),
+            "o_orderstatus": rng.choice(["F", "O", "P"], n_orders, p=[0.6, 0.3, 0.1]),
+        }
+    )
+    # nationkeys 0..7 so Q21_NATION (NATION_5) exists and holds
+    # several suppliers
+    supp_pd = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(1, n_supp + 1, dtype="int64"),
+            "s_name": [f"Supplier#{i:03d}" for i in range(1, n_supp + 1)],
+            "s_nationkey": (np.arange(n_supp, dtype="int64") % 3) + 4,
+        }
+    )
+    nation_pd = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(8, dtype="int64"),
+            "n_name": [f"NATION_{i}" for i in range(8)],
+        }
+    )
+    for name, pdf in (
+        ("lineitem", li_pd),
+        ("orders", orders_pd),
+        ("supplier", supp_pd),
+        ("nation", nation_pd),
+    ):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+    sf = str(tmp_path)
+    try:
+        got = {
+            r["s_name"]: r["numwait"]
+            for r in tx.q21_waiting_orders(spark, sf).collect()
+        }
+        # brute force over the SAME derived dates
+        ext = tx._lineitem_ext_build(spark, sf).select(
+            "l_orderkey", "l_suppkey", "l_commitdate", "l_receiptdate"
+        ).toPandas()
+        ext["late"] = ext["l_receiptdate"] > ext["l_commitdate"]
+        fstat = set(orders_pd.loc[orders_pd.o_orderstatus == "F", "o_orderkey"])
+        nat5 = set(
+            supp_pd.loc[supp_pd.s_nationkey == 5, "s_suppkey"]
+        )
+        name_of = dict(zip(supp_pd.s_suppkey, supp_pd.s_name))
+        expected: dict[str, int] = {}
+        by_order = dict(tuple(ext.groupby("l_orderkey")))
+        for _, l1 in ext[ext.late].iterrows():
+            if l1.l_orderkey not in fstat or l1.l_suppkey not in nat5:
+                continue
+            g = by_order[l1.l_orderkey]
+            if not (g.l_suppkey != l1.l_suppkey).any():
+                continue  # no other supplier on the order
+            if (g.late & (g.l_suppkey != l1.l_suppkey)).any():
+                continue  # another supplier was ALSO late
+            nm = name_of[l1.l_suppkey]
+            expected[nm] = expected.get(nm, 0) + 1
+        assert expected, "seed produced an empty result — pick another seed"
+        assert got == expected
+    finally:
+        tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf).strip("_").lower()
+        wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+        for t in (f"dv_bkt_lineitem_ext_{tag}", f"dv_bkt_orders_{tag}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        from data_validator_spark.queries import evict_session_caches
+
+        evict_session_caches(sf)
