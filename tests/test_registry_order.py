@@ -250,3 +250,18 @@ def test_bench_stdout_line_fits_driver_capture_window():
     parsed_bad = json.loads(bench.compact_line({**out, "queries": bad}, "f"))
     assert parsed_bad["n_errors"] == 1
     assert parsed_bad["fast_queries_total_sec"] >= 0
+
+
+def test_changed_local_only_plans_avoid_bucketed_fact_copies(spark):
+    """The r13 CHANGED_LOCAL_ONLY declaration's load-bearing claim,
+    pinned mechanically: these 11 entries are tripwire-flagged only
+    because their MODULES import operators/bucketing.py — their
+    executed plans must not read any dv_bkt_* at-rest copy (the only
+    code path the r13 watermark migration changed). If one ever
+    starts consuming a bucketed copy, this fails and the entry must
+    move into the graded cut instead."""
+    q, _ = build_registry()
+    sf = "/root/testdata/sf0.001"
+    for name in sorted(CHANGED_LOCAL_ONLY):
+        plan = q[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "dv_bkt_" not in plan, f"{name} reads a bucketed fact copy"
