@@ -302,15 +302,15 @@ def check_guards(repo: str | None = None) -> list[str]:
     # newest bench that does have a commit.
     import re as _re
 
-    bench_c, bench_ref_name = None, None
+    bench_c, bench_ref_name, bench_ref_r = None, None, None
     _pat = _re.compile(r"BENCH_r(\d+)\.json$")
-    for _, cand in sorted(
+    for cand_r, cand in sorted(
         ((int(m.group(1)), f) for f in files if (m := _pat.fullmatch(f))),
         reverse=True,
     ):
         bench_c = last_commit(cand)
         if bench_c is not None:
-            bench_ref_name = cand
+            bench_ref_name, bench_ref_r = cand, cand_r
             break
     if bench_c is not None:
         stale, uncommitted, missing = [], [], []
@@ -327,7 +327,7 @@ def check_guards(repo: str | None = None) -> list[str]:
         if stale:
             fails.append(
                 f"stale evidence: {', '.join(stale)} last committed before "
-                f"{bench_ref_name} closed round r{bench_r} — regenerate and "
+                f"{bench_ref_name} closed round r{bench_ref_r} — regenerate and "
                 "commit (tools/baseline_duckdb.py + baseline_md.py, "
                 "tools/plan_audit.py)"
             )

@@ -73,9 +73,10 @@ def assert_colocated(df: DataFrame) -> None:
 # that key reads co-located buckets instead of shuffling both sides —
 # at 100 TB that shuffle IS the query cost. Watermark-guarded exactly
 # like the dedup findex (queries/dedup.py): a sidecar records the
-# source snapshot (row count + max key) the copy derives from, and any
-# table/parquet whose watermark disagrees with the CURRENT source is
-# rebuilt, never trusted (same-path rewrites, cross-session appends).
+# source-file signature — sorted (relname, size, mtime_ns) of every
+# data file — the copy derives from, and any table/parquet whose
+# watermark disagrees with the CURRENT source is rebuilt, never
+# trusted (same-path rewrites, cross-session appends).
 BUCKET_SIDECAR = "_dv_bucket_watermark.json"
 FACT_BUCKETS = 32
 
@@ -93,7 +94,14 @@ FACT_WM_VERSION = 2  # bump to force a rebuild of every at-rest copy
 
 def _source_signature(path: str) -> list:
     """Sorted [relname, size, mtime_ns] of every regular file under
-    ``path`` (or of the file itself) — a cheap rewrite detector."""
+    ``path`` (or of the file itself) — a cheap rewrite detector.
+
+    Raises on a missing/empty/non-local path (ADVICE r13): an empty
+    signature would be a CONSTANT watermark, so a rewritten source
+    would be served stale with no error. Sources Spark can read but
+    os.walk cannot (s3://, hdfs://) must not silently degrade either —
+    callers on remote storage need a filesystem-API probe, not a
+    local-path one."""
     import os
 
     if os.path.isfile(path):
@@ -106,6 +114,13 @@ def _source_signature(path: str) -> list:
             st = os.stat(p)
             out.append([os.path.relpath(p, path), st.st_size, st.st_mtime_ns])
     out.sort()
+    if not out:
+        raise FileNotFoundError(
+            f"cannot compute source-file signature for {path!r}: no local "
+            "files found (missing path, or a non-local URI like s3://). "
+            "Refusing to record an empty watermark — it would never detect "
+            "a source rewrite."
+        )
     return out
 
 

@@ -292,3 +292,17 @@ def test_ensure_bucketed_fact_watermark_rebuilds_on_source_change(spark, tmp_pat
         assert spark.table(t3).count() == 150
     finally:
         _drop_fact_tables(spark, sf)
+
+
+def test_source_signature_refuses_empty(tmp_path):
+    """ADVICE r13: a missing/non-local source must RAISE, not record a
+    constant empty watermark (which would serve a rewritten source
+    stale forever with no error)."""
+    from data_validator_spark.operators.bucketing import _source_signature
+
+    with pytest.raises(FileNotFoundError):
+        _source_signature(str(tmp_path / "does_not_exist.parquet"))
+    empty = tmp_path / "empty_dir.parquet"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        _source_signature(str(empty))

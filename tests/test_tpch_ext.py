@@ -64,22 +64,21 @@ def test_derivation_is_stable_across_partitionings(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
-def test_q12_pushes_shipdate_bound_to_scan(spark, monkeypatch):
-    """The receipt-window filter sits on derived columns, so q12
-    explicitly pushes the equivalent l_shipdate bound. With the
-    session cache bypassed (the real-deployment shape, where the ship
-    columns come straight off the table), the parquet scan must show
-    a pushed filter on l_shipdate."""
-    # Spark's CacheManager substitutes any matching persisted plan
-    # fragment, so bypassing _cached is not enough — drop the persisted
-    # relations too (later tests re-materialize on demand).
-    for df in tx._EXT_CACHE.values():
-        df.unpersist()
-    tx._EXT_CACHE.clear()
-    monkeypatch.setattr(tx, "_cached", lambda spark, sf, name, build: build())
+def test_q12_pushes_real_column_filters_to_bucketed_scan(spark):
+    """r13 q12 reads the at-rest bucketed lineitem_ext copy, whose
+    shipmode/receiptdate predicates hit REAL parquet columns — the
+    dv_bkt_lineitem_ext scan must carry pushed filters on l_shipmode
+    and l_receiptdate (the r11 shape evaluated them above an md5
+    div-chain with nothing pushable). Replaces the stale
+    shipdate-bound test (ADVICE r13): q12 no longer uses _cached or an
+    explicit shipdate rewrite."""
     plan = tx.q12_shipmode_priority(spark, SF)._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [" in plan
-    assert "l_shipdate" in plan.split("PushedFilters: [", 1)[1][:200]
+    scans = [s for s in plan.split("FileScan parquet") if "dv_bkt_lineitem_ext_" in s[:200]]
+    assert scans, f"q12 does not scan the bucketed ext copy:\n{plan}"
+    pushed = scans[0].split("PushedFilters: [", 1)
+    assert len(pushed) == 2, f"no PushedFilters on the bucketed ext scan:\n{scans[0][:800]}"
+    head = pushed[1][:400]
+    assert "l_shipmode" in head and "l_receiptdate" in head
 
 
 def test_lineitem_ext_is_cached_for_consumers(spark):
