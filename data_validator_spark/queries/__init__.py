@@ -211,87 +211,25 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # === r13 cut. Tier 0 — entries whose CODE changed this round
-    # (r12 verdict items 2/3): q12/q21 landed on the bucketed at-rest
-    # lineitem_ext copy (the r12 tier-0b promise that stayed dead
-    # code), and dedup_incremental_minhash now screens against the
-    # persisted band-index table. pagerank_bipartite was probed
-    # (SCALE.md r13) and needed NO code change — it keeps its r12
-    # evidence and rotates out.
-    "q12_shipmode_priority",
-    "q21_waiting_orders",
-    "dedup_incremental_minhash",
-    # tier 1 — the five raw-fact bucketed-copy consumers: their
-    # watermark scheme migrated to the source-file signature
-    # (operators/bucketing.py, r12 verdict item 5), so the helper
-    # hash changed under all of them; a driver row re-proves the
-    # copies rebuild-and-serve correctly under the new sidecar.
+    # === r14 cut. Tier 0 — entries whose code changes (or is slated
+    # to change) THIS round: q8 is the r13 verdict item-3 target
+    # (orderkey at-rest layout A/B), pagerank the item-6 experiment
+    # (fuse the final rank-sum barrier), and the seven bucketed-copy
+    # consumers are function-level-tripwire-flagged by the r14
+    # ADVICE fix to operators/bucketing.py (_source_signature now
+    # raises on an empty signature — a code path every
+    # ensure_bucketed_fact call executes).
+    "q8_market_share",
+    "pagerank_bipartite",
     "q3_shipping_priority",
     "q4_order_priority",
     "q7_volume_shipping",
     "q9_product_profit",
+    "q12_shipmode_priority",
     "q18_large_volume",
-    # tier 2 — the 29 entries whose freshest driver evidence is r9,
-    # four rounds old: the whole stalest tier fits the remaining
-    # budget, moving the oldest-evidence tier to r10.
-    "tokenizer_fertility",
-    "user_activity_gini",
-    "boilerplate_prefix",
-    "streaming_seasonality",
-    "orders_cohort_retention",
-    "events_user_cap",
-    "l_diversity",
-    "knn_label_noise",
-    "streaming_dedup",
-    "q2_min_cost_supplier",
-    "ann_recall_eval",
-    "q16_parts_supplier",
-    "triangle_count",
-    "streaming_drift",
-    "pmi_collocations",
-    "inverted_index",
-    "bloom_filter_semijoin",
-    "pareto_skyline",
-    "rrf_fusion",
-    "bm25_topk",
-    "quantile_shard",
-    "domain_mix_sample",
-    "k_anonymity",
-    "heavy_hitters_cms",
-    "drift_psi",
-    "fk_integrity",
-    "benford_check",
-    "fd_check",
-    "key_skew_audit",
-    # tier 3 filler — 13 of the 24 r10-evidence entries: first the 9
-    # the grade-cut tripwire flags for the bucketing.py helper change
-    # (their modules import it even though their plans never call the
-    # changed watermark path — a driver row is still the cleaner
-    # answer than a declaration where budget allows), then the 4 at
-    # the head of the r10 tier.
-    "source_overlap",
-    "ngram_novelty",
-    "event_transitions",
-    "conversion_lag",
-    "q17_small_quantity_revenue",
-    "events_funnel",
-    "salted_aggregation",
-    "events_pivot",
-    "events_retention",
-    "embedding_rp_jl",
-    "streaming_incremental_dedup",
-    "quality_calibration",
-    "multimodal_features",
-    # --- driver budget cut (50) falls here ---
-    # Below: the r10-evidence remainder first (stalest next-round
-    # candidates), then the 11 tripwire-flagged r11-evidence entries
-    # declared CHANGED_LOCAL_ONLY in tests/test_registry_order.py
-    # (module-import-only exposure to the bucketing.py change; their
-    # executed plans never call the migrated watermark code — see the
-    # declaration's justification), then the rest of the r11 tier,
-    # then the r12-graded entries (freshest, safest to rotate out).
-    # The FULL registry is still locally re-proven each round via
-    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+    "q21_waiting_orders",
+    # tier 1 — the 11 entries whose freshest driver evidence is r10,
+    # four rounds old (r13 verdict item 1: stalest tier first).
     "hll_distinct",
     "events_time_weighted",
     "copurchase_similarity",
@@ -303,7 +241,10 @@ GRADE_PRIORITY = [
     "similarity_topk",
     "stratified_sample",
     "sequence_pack",
-    # r11 evidence, tripwire-flagged, declared CHANGED_LOCAL_ONLY:
+    # tier 2 — the 11 entries declared CHANGED_LOCAL_ONLY in r13
+    # (module-import-only exposure to the bucketing change; r11
+    # evidence). The r13 verdict accepted the declaration once but
+    # directed it emptied here — a driver row retires the debt.
     "events_json_extract",
     "events_anomaly",
     "dedup_index_refresh",
@@ -315,7 +256,7 @@ GRADE_PRIORITY = [
     "minhash_containment",
     "dedup_clusters",
     "dedup_incremental",
-    # r11 evidence remainder:
+    # tier 3 filler — 19 from the head of the r11-evidence tier.
     "col_quantiles",
     "mad_outliers",
     "rfm_segments",
@@ -335,6 +276,13 @@ GRADE_PRIORITY = [
     "tfidf_topk",
     "events_gap_fill",
     "char_entropy",
+    # --- driver budget cut (50) falls here ---
+    # Below: stalest-first so r15's cut reads off the top. First the
+    # 15 r11-evidence entries the 50-slot budget could not fit (the
+    # bucketing-fix tier-0 promotion displaced them), then the r12
+    # tier, then the r13 tier (freshest, safest to rotate out). The
+    # FULL registry is still locally re-proven each round via
+    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
     "embedding_norm_quant",
     "ngram_contamination",
     "quality_ensemble",
@@ -350,7 +298,7 @@ GRADE_PRIORITY = [
     "scd2_intervals",
     "ivm_agg",
     "events_rolling",
-    # r12 evidence (freshest):
+    # r12 evidence:
     "dedup_band_index_refresh",
     "trigram_lm_score",
     "dedup_exact",
@@ -358,7 +306,6 @@ GRADE_PRIORITY = [
     "semdedup",
     "pii_scrub",
     "global_shuffle",
-    "pagerank_bipartite",
     "corr_matrix",
     "similarity_ann_ivf",
     "profile_table",
@@ -391,13 +338,56 @@ GRADE_PRIORITY = [
     "col_stats",
     "col_stats_histogram",
     "detailed_errors",
-    "q8_market_share",
     "q13_customer_distribution",
     "q14_promo_revenue",
     "vocab_growth",
     "domain_diversity",
     "lang_id_confusion",
     "event_seasonality",
+    # r13 evidence (freshest):
+    "dedup_incremental_minhash",
+    "tokenizer_fertility",
+    "user_activity_gini",
+    "boilerplate_prefix",
+    "streaming_seasonality",
+    "orders_cohort_retention",
+    "events_user_cap",
+    "l_diversity",
+    "knn_label_noise",
+    "streaming_dedup",
+    "q2_min_cost_supplier",
+    "ann_recall_eval",
+    "q16_parts_supplier",
+    "triangle_count",
+    "streaming_drift",
+    "pmi_collocations",
+    "inverted_index",
+    "bloom_filter_semijoin",
+    "pareto_skyline",
+    "rrf_fusion",
+    "bm25_topk",
+    "quantile_shard",
+    "domain_mix_sample",
+    "k_anonymity",
+    "heavy_hitters_cms",
+    "drift_psi",
+    "fk_integrity",
+    "benford_check",
+    "fd_check",
+    "key_skew_audit",
+    "source_overlap",
+    "ngram_novelty",
+    "event_transitions",
+    "conversion_lag",
+    "q17_small_quantity_revenue",
+    "events_funnel",
+    "salted_aggregation",
+    "events_pivot",
+    "events_retention",
+    "embedding_rp_jl",
+    "streaming_incremental_dedup",
+    "quality_calibration",
+    "multimodal_features",
 ]
 
 

@@ -16,65 +16,53 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 DRIVER_GRADE_BUDGET = 50
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-# Tier 0 — entries whose code (and for the minhash screen, oracle)
-# changed in r13: q12/q21 landed on the bucketed at-rest lineitem_ext
-# copy, dedup_incremental_minhash screens against the persisted
-# band-index table. pagerank_bipartite was probed (SCALE.md r13) and
-# needed no code change, so it keeps its r12 evidence below the cut.
-R13_CHANGED = {
-    "q12_shipmode_priority", "q21_waiting_orders",
-    "dedup_incremental_minhash",
-}
-
-# Tier 1 — the raw-fact bucketed-copy consumers: the watermark scheme
-# under them migrated to the source-file signature
-# (operators/bucketing.py, r12 verdict item 5), so a driver row must
-# re-prove the copies rebuild-and-serve under the new sidecar.
-WM_CONSUMERS = {
+# Tier 0 — r14: q8 (orderkey at-rest layout, r13 verdict item 3) and
+# pagerank (final-barrier fuse experiment, item 6), plus the seven
+# bucketed-copy consumers the FUNCTION-LEVEL tripwire flags for the
+# r14 ADVICE fix to operators/bucketing.py (_source_signature now
+# raises on an empty signature — executed by every
+# ensure_bucketed_fact call).
+R14_CHANGED = {
+    "q8_market_share", "pagerank_bipartite",
     "q3_shipping_priority", "q4_order_priority", "q7_volume_shipping",
-    "q9_product_profit", "q18_large_volume",
+    "q9_product_profit", "q12_shipmode_priority", "q18_large_volume",
+    "q21_waiting_orders",
 }
 
-# Tier 2 — the 29 entries whose freshest driver evidence is r9 (the
-# stalest tier; grading all of them moves the floor to r10).
-R9_STALE = {
-    "tokenizer_fertility", "user_activity_gini", "boilerplate_prefix",
-    "streaming_seasonality", "orders_cohort_retention", "events_user_cap",
-    "l_diversity", "knn_label_noise", "streaming_dedup",
-    "q2_min_cost_supplier", "ann_recall_eval", "q16_parts_supplier",
-    "triangle_count", "streaming_drift", "pmi_collocations",
-    "inverted_index", "bloom_filter_semijoin", "pareto_skyline",
-    "rrf_fusion", "bm25_topk", "quantile_shard", "domain_mix_sample",
-    "k_anonymity", "heavy_hitters_cms", "drift_psi", "fk_integrity",
-    "benford_check", "fd_check", "key_skew_audit",
+# Tier 1 — the 11 entries whose freshest driver evidence is r10 (the
+# stalest tier, r13 verdict item 1).
+R10_STALE = {
+    "hll_distinct", "events_time_weighted", "copurchase_similarity",
+    "weighted_sample", "streaming_validation", "corpus_train_filter",
+    "token_frequencies", "doc_split_sample", "similarity_topk",
+    "stratified_sample", "sequence_pack",
 }
 
-# Tier 3 filler — 13 of the 24 r10-evidence entries: the 9 the
-# grade-cut tripwire flags for the bucketing.py helper change, plus
-# the 4 at the head of the r10 tier.
-R10_FILLER = {
-    "source_overlap", "ngram_novelty", "event_transitions",
-    "conversion_lag", "q17_small_quantity_revenue", "events_funnel",
-    "salted_aggregation", "events_pivot", "events_retention",
-    "embedding_rp_jl", "streaming_incremental_dedup",
-    "quality_calibration", "multimodal_features",
-}
-
-# r13 below-cut declarations: the bucketing.py watermark migration
-# flips the module hash under every module that imports it, so the
-# tripwire flags these 11 r11-evidence entries too — but their
-# executed plans never call the changed code (_fact_watermark /
-# ensure_bucketed_fact): the dedup pair calls the UNCHANGED
-# write_bucketed, and the events_*/dedup_* rest merely share a module
-# with callers. All 11 hold r11 driver-green rows and are re-proven on
-# final r13 code by the full-registry 3-SF local oracle sweep
-# (ORACLE_LOCAL_r13 / ORACLE_SFSWEEP_r13).
-CHANGED_LOCAL_ONLY: set[str] = {
+# Tier 2 — the 11 entries declared CHANGED_LOCAL_ONLY in r13 (r11
+# evidence); the declaration is retired by grading them (r13 verdict
+# item 1: "the CHANGED_LOCAL_ONLY set emptied").
+R13_DECLARED = {
     "events_json_extract", "events_anomaly", "dedup_index_refresh",
     "events_sessionized", "events_asof_join", "events_range_join",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "minhash_containment",
     "dedup_clusters", "dedup_incremental",
 }
+
+# Tier 3 filler — 19 from the head of the r11-evidence tier.
+R11_FILLER = {
+    "col_quantiles", "mad_outliers", "rfm_segments", "ccnet_buckets",
+    "dedup_keep_best", "split_contamination", "multimodal_meta",
+    "multimodal_resize", "multimodal_frame_sample", "token_count",
+    "text_quality", "lang_id", "doc_fingerprint", "substring_dedup",
+    "dsir_importance", "gopher_quality", "tfidf_topk",
+    "events_gap_fill", "char_entropy",
+}
+
+# r14: EMPTY (r13 verdict item 1 — the r13 declaration was accepted
+# once, plan-pinned, and is retired by grading its 11 entries; the
+# function-level tripwire makes module-import-only false flags
+# structurally impossible, so this set should STAY empty).
+CHANGED_LOCAL_ONLY: set[str] = set()
 
 # No SQL oracle by design — EMPTY since r5 session 5: every registry
 # entry carries a hash oracle.
@@ -93,18 +81,18 @@ def test_priority_list_matches_registry():
 def test_new_and_stale_entries_fit_grading_budget():
     q, _ = build_registry()
     graded = set(list(q)[:DRIVER_GRADE_BUDGET])
-    assert R13_CHANGED <= graded, R13_CHANGED - graded
-    assert WM_CONSUMERS <= graded, WM_CONSUMERS - graded
-    assert R9_STALE <= graded, R9_STALE - graded
-    assert R10_FILLER <= graded, R10_FILLER - graded
+    assert R14_CHANGED <= graded, R14_CHANGED - graded
+    assert R10_STALE <= graded, R10_STALE - graded
+    assert R13_DECLARED <= graded, R13_DECLARED - graded
+    assert R11_FILLER <= graded, R11_FILLER - graded
     # the tiers exactly fill the budget — no wasted slot
-    assert len(R13_CHANGED | WM_CONSUMERS | R9_STALE | R10_FILLER) == DRIVER_GRADE_BUDGET
+    assert len(R14_CHANGED | R10_STALE | R13_DECLARED | R11_FILLER) == DRIVER_GRADE_BUDGET
     assert not CHANGED_LOCAL_ONLY & graded  # below the cut by design
 
 
 def test_rotated_out_entries_hold_recent_driver_green():
     """Whatever falls past the grading budget must already hold a
-    driver-green row in CORRECTNESS_r12, r11 or r10 (the freshest
+    driver-green row in CORRECTNESS_r13, r12 or r11 (the freshest
     evidence tiers), or be explicitly declared local-only."""
     import json
 
@@ -116,9 +104,9 @@ def test_rotated_out_entries_hold_recent_driver_green():
         }
 
     green_recent = (
-        green("CORRECTNESS_r12.json")
+        green("CORRECTNESS_r13.json")
+        | green("CORRECTNESS_r12.json")
         | green("CORRECTNESS_r11.json")
-        | green("CORRECTNESS_r10.json")
     )
     q, _ = build_registry()
     overflow = list(q)[DRIVER_GRADE_BUDGET:]
@@ -139,40 +127,41 @@ def _load_tool(name):
 
 
 def test_changed_since_cut_auto_promoted():
-    """The auto-promote tripwire (r10 verdict item 2): recompute the
-    cut-time hashes (tools/grade_cut_snapshot.json, regenerated ONLY in
-    the commit that finalizes GRADE_PRIORITY) and flag any registry
-    entry that changed since the cut — its query-function source, its
-    oracle text, or a HELPER module its query module imports (one hop;
-    this is what catches the r10 failure class, where
-    operators/exact_quantile.py changed but the query functions of the
-    entries it broke did not). Flagged entries must be inside the
+    """The auto-promote tripwire (r10 verdict item 2), FUNCTION-LEVEL
+    since r14 (r13 verdict item 2): recompute the cut-time hashes
+    (tools/grade_cut_snapshot.json, regenerated ONLY in the commit
+    that finalizes GRADE_PRIORITY) and flag any registry entry that
+    changed since the cut — its query-function source, its oracle
+    text, or any package function / constant / import binding its
+    call graph TRANSITIVELY reaches (static AST closure). Unlike the
+    r13 module-level hop, a helper edit flags only the entries whose
+    executed code can actually reach it — the 11-entry
+    CHANGED_LOCAL_ONLY declaration the module hop forced in r13 is
+    structurally impossible now. Flagged entries must be inside the
     graded top-50 or named in CHANGED_LOCAL_ONLY / NEW_LOCAL_ONLY."""
     import json
-    import os
 
     gc = _load_tool("grade_cut")
     snap = json.loads((ROOT / "tools" / "grade_cut_snapshot.json").read_text())
     cur_files = gc.source_hashes(str(ROOT))
-    changed_files = {rel for rel in cur_files if snap["files"].get(rel) != cur_files[rel]}
-    changed_files |= set(snap["files"]) - set(cur_files)
-    changed_helpers = {rel for rel in changed_files if gc.is_helper(rel)}
+    changed = gc.changed_keys(
+        snap["funcs"], gc.function_hashes(str(ROOT)), snap["files"], cur_files
+    )
     cur_entries = gc.entry_hashes(str(ROOT))
-    deps = gc.module_deps(str(ROOT)) if changed_helpers else {}
+    deps = gc.entry_deps(str(ROOT)) if changed else {}
     q, _ = build_registry()
     graded = set(list(q)[:DRIVER_GRADE_BUDGET])
     exempt = graded | CHANGED_LOCAL_ONLY | NEW_LOCAL_ONLY
     offenders = {}
-    for name, fn in q.items():
+    for name in q:
         if name in exempt:
             continue
         if snap["entries"].get(name) != cur_entries[name]:
             offenders[name] = "query fn or oracle changed"
             continue
-        rel = fn.__module__.replace(".", os.sep) + ".py"
-        touched = ({rel} | deps.get(rel, set())) & changed_helpers
+        touched = deps.get(name, set()) & changed
         if touched:
-            offenders[name] = f"helper changed: {sorted(touched)}"
+            offenders[name] = f"reachable code changed: {sorted(touched)[:4]}"
     assert not offenders, (
         "entries changed since the grading cut but not promoted into the "
         f"top-{DRIVER_GRADE_BUDGET} (re-cut GRADE_PRIORITY + rerun "
@@ -191,7 +180,7 @@ def test_bench_headline_keys_exist_in_registry():
     missing = [k for k in bench.HEADLINE if k not in q]
     assert not missing, f"bench HEADLINE keys not in registry: {missing}"
     unbenched = [
-        k for k in (R13_CHANGED | WM_CONSUMERS | R9_STALE | R10_FILLER | CHANGED_LOCAL_ONLY)
+        k for k in (R14_CHANGED | R10_STALE | R13_DECLARED | R11_FILLER | CHANGED_LOCAL_ONLY)
         if k not in bench.HEADLINE
     ]
     assert not unbenched, f"priority entries missing from bench: {unbenched}"
@@ -252,16 +241,34 @@ def test_bench_stdout_line_fits_driver_capture_window():
     assert parsed_bad["fast_queries_total_sec"] >= 0
 
 
-def test_changed_local_only_plans_avoid_bucketed_fact_copies(spark):
-    """The r13 CHANGED_LOCAL_ONLY declaration's load-bearing claim,
-    pinned mechanically: these 11 entries are tripwire-flagged only
-    because their MODULES import operators/bucketing.py — their
-    executed plans must not read any dv_bkt_* at-rest copy (the only
-    code path the r13 watermark migration changed). If one ever
-    starts consuming a bucketed copy, this fails and the entry must
-    move into the graded cut instead."""
-    q, _ = build_registry()
-    sf = "/root/testdata/sf0.001"
-    for name in sorted(CHANGED_LOCAL_ONLY):
-        plan = q[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
-        assert "dv_bkt_" not in plan, f"{name} reads a bucketed fact copy"
+_BK = "data_validator_spark/operators/bucketing.py"
+
+
+def test_tripwire_flags_only_real_bucketed_copy_consumers():
+    """The r13 declaration scenario, reproduced (r13 verdict item 2's
+    done-criterion): a change to the bucketing watermark functions
+    must flag exactly the entries whose call graphs reach
+    ensure_bucketed_fact — not the 11 entries that merely share a
+    module with a caller (r13 had to declare those
+    CHANGED_LOCAL_ONLY under the module-level hop)."""
+    gc = _load_tool("grade_cut")
+    deps = gc.entry_deps(str(ROOT))
+    changed = {
+        f"{_BK}::_fact_watermark",
+        f"{_BK}::_source_signature",
+        f"{_BK}::ensure_bucketed_fact",
+    }
+    flagged = {n for n, d in deps.items() if d & changed}
+    expected = {
+        "q3_shipping_priority", "q4_order_priority", "q7_volume_shipping",
+        "q9_product_profit", "q12_shipmode_priority", "q18_large_volume",
+        "q21_waiting_orders",
+    } | ({"q8_market_share"} if "q8_market_share" in flagged else set())
+    assert flagged == expected, flagged ^ expected
+    # the r13 false-flag victims must NOT appear...
+    assert not flagged & R13_DECLARED
+    # ...yet a write_bucketed change still reaches the index builders
+    # THROUGH their call graphs (the dedup pair really calls it):
+    w_flagged = {n for n, d in deps.items() if f"{_BK}::write_bucketed" in d}
+    assert {"dedup_index_refresh", "dedup_band_index_refresh"} <= w_flagged
+    assert "events_sessionized" not in w_flagged
