@@ -528,12 +528,27 @@ def q8_market_share(spark, sf):
     year — the widest join tree in the suite (lineitem + orders +
     customer + part + supplier + nation×2 + region).
 
-    Scale: every dimension (part pre-filtered on type, supplier,
-    nation twice, region) is broadcast, so the only shuffled
-    relations are the three facts meeting on their keys; the
-    conditional share divides two exact decimal sums per year."""
-    li = load(spark, sf, "lineitem")
-    orders = load(spark, sf, "orders").where(
+    Scale (r14, r13 verdict item 3): lineitem and orders come off the
+    at-rest copies bucketed+sorted on the order key
+    (operators/bucketing.ensure_bucketed_fact — the same copies
+    q3/q4/q7/q9/q12/q18/q21 already ride), and the fact⨝fact join
+    runs FIRST as a zero-exchange colocated SMJ; the o_orderdate
+    window pushes into the bucketed scan. The old shape joined
+    li⨝part first, which at 100 TB shuffles the FULL lineitem on
+    partkey (part, 200k×SF after the type filter, outgrows
+    broadcast); now only the date-windowed join result does.
+    Adopted under the plan-structural arm of the SCALE.md adoption
+    rule: local A/B is noise-bound (−59% best-of-4 .. +10% med,
+    three boots) but the removed shuffle is the dominant 100 TB
+    cost. Remaining dims follow the q7 rule — constant-size
+    nation/region broadcast-hinted, SF-proportional part/supplier/
+    customer left to AQE."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
+    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
+    orders = spark.table(
+        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+    ).where(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") <= F.lit("1997-12-31"))
     )
@@ -553,8 +568,9 @@ def q8_market_share(spark, sf):
     # SF-proportional → NO hints (the q7 rule, r9) — auto-broadcast
     # covers small SFs, key shuffles survive 100 TB.
     j = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))

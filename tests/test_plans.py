@@ -164,3 +164,21 @@ def test_q8_broadcasts_all_dimensions(spark, registry):
     assert plan.count("BroadcastHashJoin") >= 5
     assert "EqualTo(p_type,ECONOMY)" in plan
     assert "EqualTo(r_name,AMERICA)" in plan
+
+
+def test_q8_fact_join_rides_bucketed_copies(spark, registry):
+    """r14 (r13 verdict item 3): lineitem⨝orders reads both at-rest
+    orderkey-bucketed copies as a colocated SMJ — no exchange may sit
+    between either dv_bkt scan and the merge join, and the
+    o_orderdate window must push into the bucketed orders scan."""
+    plan = plan_of(spark, registry, "q8_market_share")
+    assert "dv_bkt_lineitem_" in plan and "dv_bkt_orders_" in plan
+    assert "SortMergeJoin" in plan, f"no SMJ in q8 plan:\n{plan}"
+    # colocation: neither side of the orderkey meet may be re-shuffled
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    orders_scan = next(
+        s for s in plan.split("FileScan parquet") if "dv_bkt_orders_" in s[:200]
+    )
+    pushed = orders_scan.split("PushedFilters: [", 1)[1][:300]
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
