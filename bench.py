@@ -371,6 +371,10 @@ def check_guards(repo: str | None = None) -> list[str]:
 
 
 def main() -> int:
+    try:
+        load_before = os.getloadavg()  # BEFORE any Spark work
+    except OSError:
+        load_before = ()
     guard_failures = check_guards()
     for g in guard_failures:
         print(f"bench guard: {g}", file=sys.stderr)
@@ -516,6 +520,13 @@ def main() -> int:
         "runs_per_query": runs,
         "prime_pass_sec": prime_sec,
     }
+    probe = contention_probe(
+        load_before, prime_sec, sf, os.path.dirname(os.path.abspath(__file__))
+    )
+    out["contended"] = probe["contended"]
+    out["contention"] = probe
+    if probe["contended"]:
+        print(f"bench contention: {'; '.join(probe['signals'])}", file=sys.stderr)
     if guard_failures:
         out["guard_failures"] = guard_failures
     if os.environ.get("SPARK_GRAFT_CC_BENCH", "1") != "0":
@@ -543,13 +554,82 @@ def main() -> int:
 STDOUT_BUDGET = 1800  # chars; driver tail-captures the last 2000
 
 
+LOADAVG_CONTENDED = 8.0  # 1-min loadavg before the run, 32-core box
+PRIME_RATIO_CONTENDED = 1.5  # prime pass vs newest committed bench
+
+
+def contention_probe(load_before, prime_sec: float, sf: float, repo_dir: str) -> dict:
+    """Self-identify a contended host (r13 verdict item 4 — three
+    rounds were burned re-measuring 'regressions' that were other
+    processes). Two independent signals, either one suffices:
+
+    1. the 1-minute loadavg sampled BEFORE any Spark work — a quiet
+       box shows <2 on 32 cores (SCALE.md r13 measured 0.88–1.41
+       during isolated probes); ≥LOADAVG_CONTENDED means something
+       else is already using a quarter of the machine;
+    2. this run's prime pass vs the newest recorded BENCH_r{N}.json
+       at the same SF — the prime list is a fixed workload, so a
+       ratio >PRIME_RATIO_CONTENDED is the same-host same-work
+       canary, independent of what the other process is doing to
+       loadavg NOW (it may have exited mid-run).
+
+    The flag is diagnostic, not a guard failure: a contended bench
+    still emits (the numbers are real, just dirty) — but the round
+    record says so, and the next-round forensic re-measure starts
+    from the flag instead of a guess."""
+    import re
+
+    probe: dict = {
+        "load_before": [round(x, 2) for x in load_before],
+        "prime_ref_name": None,
+        "prime_ref_sec": None,
+        "prime_ratio": None,
+        "signals": [],
+    }
+    if load_before and load_before[0] >= LOADAVG_CONTENDED:
+        probe["signals"].append(
+            f"loadavg_1m {load_before[0]:.2f} >= {LOADAVG_CONTENDED} before the run"
+        )
+    pat = re.compile(r"BENCH_r(\d+)\.json$")
+    cands = sorted(
+        ((int(m.group(1)), f) for f in os.listdir(repo_dir) if (m := pat.fullmatch(f))),
+        reverse=True,
+    )
+    for _, fname in cands:
+        try:
+            with open(os.path.join(repo_dir, fname)) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        rec = d.get("parsed") or d  # driver wrapper vs raw bench output
+        if not isinstance(rec, dict):
+            continue
+        ref = rec.get("prime_pass_sec")
+        if not ref or rec.get("sf") != sf:
+            continue
+        probe["prime_ref_name"] = fname
+        probe["prime_ref_sec"] = ref
+        if prime_sec > 0:
+            ratio = round(prime_sec / ref, 3)
+            probe["prime_ratio"] = ratio
+            if ratio > PRIME_RATIO_CONTENDED:
+                probe["signals"].append(
+                    f"prime pass {prime_sec}s is {ratio}x the {fname} prime "
+                    f"({ref}s) at the same sf"
+                )
+        break
+    probe["contended"] = bool(probe["signals"])
+    return probe
+
+
 def compact_line(out: dict, detail_file: str) -> str:
     """One JSON line under STDOUT_BUDGET chars: headline totals plus as
     many per-query timings as fit, slowest first (the informative
     tail); the rest are summarized so the total stays reconstructable
-    (fast_queries_total_sec + queries_omitted)."""
+    (fast_queries_total_sec + queries_omitted). The full contention
+    probe stays in the detail file; only the boolean rides the line."""
     results: dict = out["queries"]
-    base = {k: v for k, v in out.items() if k != "queries"}
+    base = {k: v for k, v in out.items() if k not in ("queries", "contention")}
     base["detail_file"] = detail_file
     base["n_queries"] = len(results)
     # -1.0 sentinels mark errored/missing entries; they are excluded

@@ -314,3 +314,73 @@ def test_guard_force_env_skips(fake_repo, monkeypatch):
 
 def test_guard_noop_outside_git(tmp_path):
     assert check_guards(str(tmp_path)) == []
+
+
+# --- contention self-identification (r13 verdict item 4) -------------------
+
+
+def _bench_file(tmp_path, name, prime, sf=0.1, wrapped=False):
+    import json
+
+    rec = {"prime_pass_sec": prime, "sf": sf}
+    body = {"n": 1, "rc": 0, "parsed": rec} if wrapped else rec
+    (tmp_path / name).write_text(json.dumps(body))
+
+
+def test_contention_probe_quiet_host_is_clean(tmp_path):
+    from bench import contention_probe
+
+    _bench_file(tmp_path, "BENCH_r13.json", prime=50.0, wrapped=True)
+    p = contention_probe((1.2, 1.0, 0.9), 55.0, 0.1, str(tmp_path))
+    assert p["contended"] is False and p["signals"] == []
+    assert p["prime_ref_name"] == "BENCH_r13.json"
+    assert p["prime_ratio"] == 1.1
+
+
+def test_contention_probe_flags_hot_loadavg(tmp_path):
+    from bench import LOADAVG_CONTENDED, contention_probe
+
+    p = contention_probe((LOADAVG_CONTENDED + 4, 9.0, 7.0), 0.0, 0.1, str(tmp_path))
+    assert p["contended"] is True
+    assert any("loadavg" in s for s in p["signals"])
+
+
+def test_contention_probe_flags_slow_prime_vs_committed_bench(tmp_path):
+    from bench import contention_probe
+
+    # newest round wins even when an older raw-shape file also matches
+    _bench_file(tmp_path, "BENCH_r09.json", prime=48.0)
+    _bench_file(tmp_path, "BENCH_r13.json", prime=50.0, wrapped=True)
+    p = contention_probe((0.5, 0.4, 0.3), 90.0, 0.1, str(tmp_path))
+    assert p["contended"] is True
+    assert p["prime_ref_name"] == "BENCH_r13.json"
+    assert p["prime_ratio"] == 1.8
+    assert any("prime pass" in s for s in p["signals"])
+
+
+def test_contention_probe_skips_other_sf_and_missing_prime(tmp_path):
+    from bench import contention_probe
+
+    # newest bench ran at a different SF — not a comparable prime
+    _bench_file(tmp_path, "BENCH_r13.json", prime=5.0, sf=0.01, wrapped=True)
+    p = contention_probe((0.5, 0.4, 0.3), 90.0, 0.1, str(tmp_path))
+    assert p["contended"] is False and p["prime_ref_name"] is None
+
+
+def test_compact_line_carries_contended_not_the_full_probe():
+    import json
+
+    from bench import compact_line
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q1_pricing_summary": 1.0},
+        "sf": 0.1,
+        "contended": True,
+        "contention": {"load_before": [9.1, 8.0, 7.5], "signals": ["loadavg..."]},
+    }
+    parsed = json.loads(compact_line(out, "BENCH_FULL.json"))
+    assert parsed["contended"] is True
+    assert "contention" not in parsed
