@@ -166,6 +166,8 @@ class _ModuleInfo:
                     self.func_imports[n] = {}
                 if not names:
                     body_residue.append(node)
+            elif isinstance(node, ast.Expr) and isinstance(node.value, ast.Constant):
+                pass  # module docstring — doc-only edits flag nobody
             else:
                 body_residue.append(node)
         self.func_hashes[f"{rel}::<module-body>"] = _sha(
