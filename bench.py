@@ -563,15 +563,27 @@ def contention_probe(load_before, prime_sec: float, sf: float, repo_dir: str) ->
     rounds were burned re-measuring 'regressions' that were other
     processes). Two independent signals, either one suffices:
 
-    1. the 1-minute loadavg sampled BEFORE any Spark work — a quiet
-       box shows <2 on 32 cores (SCALE.md r13 measured 0.88–1.41
-       during isolated probes); ≥LOADAVG_CONTENDED means something
-       else is already using a quarter of the machine;
-    2. this run's prime pass vs the newest recorded BENCH_r{N}.json
+    1. this run's prime pass vs the newest recorded BENCH_r{N}.json
        at the same SF — the prime list is a fixed workload, so a
        ratio >PRIME_RATIO_CONTENDED is the same-host same-work
        canary, independent of what the other process is doing to
-       loadavg NOW (it may have exited mid-run).
+       loadavg NOW (it may have exited mid-run);
+    2. the 1-minute loadavg sampled BEFORE any Spark work — a quiet
+       box shows <2 on 32 cores (SCALE.md r13 measured 0.88–1.41
+       during isolated probes); ≥LOADAVG_CONTENDED means something
+       is already using a quarter of the machine.
+
+    When a same-SF prime reference exists and the prime ran, the
+    PRIME RATIO decides `contended` and loadavg is recorded as
+    advisory only: loadavg cannot distinguish a competitor from the
+    decaying tail of our OWN previous run, so the second of two
+    back-to-back evidence runs would always false-flag (observed the
+    first time this probe ran — load 8.25 from run 1's tail, prime
+    ratio 1.43 correctly quiet). A competitor present at the loadavg
+    sample also slows the prime, which runs right after, so the
+    ratio subsumes the snapshot. Loadavg decides only when no
+    comparable reference exists (first bench at an SF, or prime
+    disabled).
 
     The flag is diagnostic, not a guard failure: a contended bench
     still emits (the numbers are real, just dirty) — but the round
@@ -586,10 +598,12 @@ def contention_probe(load_before, prime_sec: float, sf: float, repo_dir: str) ->
         "prime_ratio": None,
         "signals": [],
     }
-    if load_before and load_before[0] >= LOADAVG_CONTENDED:
-        probe["signals"].append(
-            f"loadavg_1m {load_before[0]:.2f} >= {LOADAVG_CONTENDED} before the run"
-        )
+    load_hot = bool(load_before) and load_before[0] >= LOADAVG_CONTENDED
+    load_signal = (
+        f"loadavg_1m {load_before[0]:.2f} >= {LOADAVG_CONTENDED} before the run"
+        if load_hot
+        else None
+    )
     pat = re.compile(r"BENCH_r(\d+)\.json$")
     cands = sorted(
         ((int(m.group(1)), f) for f in os.listdir(repo_dir) if (m := pat.fullmatch(f))),
@@ -618,6 +632,12 @@ def contention_probe(load_before, prime_sec: float, sf: float, repo_dir: str) ->
                     f"({ref}s) at the same sf"
                 )
         break
+    if probe["prime_ratio"] is not None:
+        # prime ratio decides; a hot loadavg is advisory detail only
+        if load_signal:
+            probe["load_advisory"] = load_signal
+    elif load_signal:
+        probe["signals"].append(load_signal)
     probe["contended"] = bool(probe["signals"])
     return probe
 

@@ -337,12 +337,29 @@ def test_contention_probe_quiet_host_is_clean(tmp_path):
     assert p["prime_ratio"] == 1.1
 
 
-def test_contention_probe_flags_hot_loadavg(tmp_path):
+def test_contention_probe_flags_hot_loadavg_without_prime_reference(tmp_path):
     from bench import LOADAVG_CONTENDED, contention_probe
 
     p = contention_probe((LOADAVG_CONTENDED + 4, 9.0, 7.0), 0.0, 0.1, str(tmp_path))
     assert p["contended"] is True
     assert any("loadavg" in s for s in p["signals"])
+
+
+def test_contention_probe_prime_ratio_overrules_own_tail_loadavg(tmp_path):
+    """Back-to-back evidence runs: the second run's loadavg carries
+    the FIRST run's decaying tail (observed 8.25 right after run 1
+    exited). When a same-SF prime reference exists, a quiet prime
+    ratio decides NOT-contended and the hot loadavg is recorded as
+    advisory only — otherwise every second run false-flags."""
+    from bench import LOADAVG_CONTENDED, contention_probe
+
+    _bench_file(tmp_path, "BENCH_r13.json", prime=50.0, wrapped=True)
+    p = contention_probe((LOADAVG_CONTENDED + 0.3, 7.0, 4.8), 71.5, 0.1, str(tmp_path))
+    assert p["contended"] is False
+    assert "loadavg" in p["load_advisory"]
+    # ...and a genuinely slow prime still flags regardless of loadavg
+    p2 = contention_probe((0.4, 0.3, 0.2), 90.0, 0.1, str(tmp_path))
+    assert p2["contended"] is True
 
 
 def test_contention_probe_flags_slow_prime_vs_committed_bench(tmp_path):
