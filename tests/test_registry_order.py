@@ -272,3 +272,32 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
     w_flagged = {n for n, d in deps.items() if f"{_BK}::write_bucketed" in d}
     assert {"dedup_index_refresh", "dedup_band_index_refresh"} <= w_flagged
     assert "events_sessionized" not in w_flagged
+
+
+def test_entry_deps_resolve_known_cross_module_edges():
+    """Spot-pins on the static call-graph closure so a resolver
+    regression (names silently unresolved -> entries silently
+    untracked) fails loudly rather than quietly shrinking tripwire
+    coverage."""
+    gc = _load_tool("grade_cut")
+    deps = gc.entry_deps(str(ROOT))
+    EQ = "data_validator_spark/operators/exact_quantile.py"
+    TX = "data_validator_spark/queries/tpch_ext.py"
+    CO = "data_validator_spark/queries/corpus_ops.py"
+    FT = "data_validator_spark/functions/text.py"
+    # operator-module function reached through the query fn
+    assert f"{EQ}::exact_quantiles" in deps["col_quantiles"]
+    # same-module private helper + module constant (the old blind spot)
+    assert f"{TX}::ensure_bucketed_lineitem_ext" in deps["q12_shipmode_priority"]
+    assert f"{TX}::Q12_MODES" in deps["q12_shipmode_priority"]
+    # helper chain INSIDE the helper module (ensure -> watermark -> signature)
+    assert f"{_BK}::_source_signature" in deps["q12_shipmode_priority"]
+    # cross-QUERY-module function and SQL constant
+    assert f"{CO}::q_trigram_lm_score" in deps["quality_ensemble"]
+    # functions-package kernel reached via a query-module import
+    assert f"{FT}::doc_fingerprint" in deps["dedup_exact"]
+    # no dep set is empty, and none should degrade to a whole-file dep
+    for name, d in deps.items():
+        assert d, f"{name} resolved to an empty dep set"
+    whole_file = {n for n, d in deps.items() if any("::" not in k for k in d)}
+    assert not whole_file, f"entries degraded to whole-file deps: {whole_file}"
