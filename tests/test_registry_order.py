@@ -179,6 +179,9 @@ def test_bench_headline_keys_exist_in_registry():
     q, _ = build_registry()
     missing = [k for k in bench.HEADLINE if k not in q]
     assert not missing, f"bench HEADLINE keys not in registry: {missing}"
+    # full-coverage invariant: the bench measures EVERY registry entry
+    # (a forgotten HEADLINE row would silently shrink the total)
+    assert set(bench.HEADLINE) == set(q), set(q) ^ set(bench.HEADLINE)
     unbenched = [
         k for k in (R14_CHANGED | R10_STALE | R13_DECLARED | R11_FILLER | CHANGED_LOCAL_ONLY)
         if k not in bench.HEADLINE
