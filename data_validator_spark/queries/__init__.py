@@ -218,7 +218,11 @@ GRADE_PRIORITY = [
     # consumers are function-level-tripwire-flagged by the r14
     # ADVICE fix to operators/bucketing.py (_source_signature now
     # raises on an empty signature — a code path every
-    # ensure_bucketed_fact call executes).
+    # ensure_bucketed_fact call executes). Late-round extension: the
+    # at-scale orderkey-shuffle census (SCALE.md r14) moved q5/q10/
+    # reconciliation_check/unique_check onto the bucketed copies too,
+    # so they join tier 0 (copurchase_similarity, also changed, was
+    # already in the r10-evidence tier below).
     "q8_market_share",
     "pagerank_bipartite",
     "q3_shipping_priority",
@@ -228,6 +232,10 @@ GRADE_PRIORITY = [
     "q12_shipmode_priority",
     "q18_large_volume",
     "q21_waiting_orders",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "reconciliation_check",
+    "unique_check",
     # tier 1 — the 11 entries whose freshest driver evidence is r10,
     # four rounds old (r13 verdict item 1: stalest tier first).
     "hll_distinct",
@@ -256,7 +264,8 @@ GRADE_PRIORITY = [
     "minhash_containment",
     "dedup_clusters",
     "dedup_incremental",
-    # tier 3 filler — 19 from the head of the r11-evidence tier.
+    # tier 3 filler — 15 from the head of the r11-evidence tier (the
+    # census promotions displaced the last four to below the cut).
     "col_quantiles",
     "mad_outliers",
     "rfm_segments",
@@ -272,10 +281,6 @@ GRADE_PRIORITY = [
     "doc_fingerprint",
     "substring_dedup",
     "dsir_importance",
-    "gopher_quality",
-    "tfidf_topk",
-    "events_gap_fill",
-    "char_entropy",
     # --- driver budget cut (50) falls here ---
     # Below: stalest-first so r15's cut reads off the top. First the
     # 15 r11-evidence entries the 50-slot budget could not fit (the
@@ -283,6 +288,10 @@ GRADE_PRIORITY = [
     # tier, then the r13 tier (freshest, safest to rotate out). The
     # FULL registry is still locally re-proven each round via
     # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+    "gopher_quality",
+    "tfidf_topk",
+    "events_gap_fill",
+    "char_entropy",
     "embedding_norm_quant",
     "ngram_contamination",
     "quality_ensemble",
@@ -310,12 +319,9 @@ GRADE_PRIORITY = [
     "similarity_ann_ivf",
     "profile_table",
     "kmeans_embeddings",
-    "reconciliation_check",
     "drift_ks",
     "q1_pricing_summary",
-    "q5_local_supplier",
     "q6_forecast_revenue",
-    "q10_returned_items",
     "q15_top_supplier",
     "q22_prospective_customers",
     "q11_important_stock",
@@ -334,7 +340,6 @@ GRADE_PRIORITY = [
     "string_length_check",
     "string_regex_check",
     "column_max_check",
-    "unique_check",
     "col_stats",
     "col_stats_histogram",
     "detailed_errors",

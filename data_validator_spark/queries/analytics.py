@@ -129,14 +129,27 @@ LIMIT 10
 
 # -- q5: local supplier volume (6-way star join) ---------------------------
 def q5_local_supplier(spark, sf):
+    """r14: the lineitem⨝orders meet reads the at-rest orderkey-
+    bucketed copies (ensure_bucketed_fact — the q3/q4/q7/q8/q9/q12/
+    q18/q21 layout) FIRST as a zero-exchange colocated SMJ, with the
+    o_orderdate window pushed into the bucketed scan; supplier and
+    customer join the date-windowed result afterwards. The r11 shape
+    joined li⨝supplier first, which at 100 TB shuffles the FULL
+    lineitem on suppkey and then again on orderkey — the
+    full-registry at-scale census (SCALE.md r14, auto-broadcast
+    disabled) flagged exactly that double fact shuffle."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
     region = load(spark, sf, "region").where(F.col("r_name") == "ASIA")
     nation = load(spark, sf, "nation")
     cust = load(spark, sf, "customer")
     supp = load(spark, sf, "supplier")
-    orders = load(spark, sf, "orders").where(
+    orders = spark.table(
+        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+    ).where(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
-    li = load(spark, sf, "lineitem")
+    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     # nation⨝region is constant-size → broadcast hint. supplier,
     # customer and orders are all SF-PROPORTIONAL, so their joins stay
@@ -145,8 +158,9 @@ def q5_local_supplier(spark, sf):
     # planner still auto-broadcasts whatever fits at runtime.
     nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     joined = (
-        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        li.hint("merge")
         .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(nr),
@@ -210,14 +224,27 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 def q10_returned_items(spark, sf):
     """Fact-side filter first (l_returnflag = 'R'), then join up the
     star: nation broadcast (constant 25 rows), customer joined on the
-    shuffled key. Top-20 by revenue with c_custkey tiebreaker."""
-    li = load(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
-    orders = load(spark, sf, "orders")
+    shuffled key. Top-20 by revenue with c_custkey tiebreaker.
+
+    r14: the li⨝orders meet reads the at-rest orderkey-bucketed
+    copies as a zero-exchange colocated SMJ with the returnflag
+    filter pushed into the bucketed scan. r11 declined this at −18%
+    under the old ≥20%-only rule; it qualifies under the clarified
+    plan-structural arm (SCALE.md r14) — the removed double fact
+    shuffle IS the 100 TB query cost, and the copies are free here
+    (built for the other eight consumers)."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
+    li = spark.table(
+        ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey")
+    ).where(F.col("l_returnflag") == "R")
+    orders = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey"))
     cust = load(spark, sf, "customer")
     nation = load(spark, sf, "nation")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import load, register_session_cache
+from data_validator_spark.queries import register_session_cache
 
 DAMPING = 0.85
 PR_ITERS = 3
@@ -61,10 +61,21 @@ def _pairs(spark, sf):
     auto-broadcasts the projection while it fits, and at scale the
     join correctly shuffles both facts on orderkey before the pair
     distinct (the wide exchange either way)."""
-    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    l = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    # r14: the one-time pair derivation reads both at-rest orderkey-
+    # bucketed copies as a zero-exchange colocated SMJ (SCALE.md r14
+    # at-scale census) — the only remaining wide exchange in the
+    # graph-cache build is the unavoidable pair DISTINCT.
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
+    o = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")).select(
+        "o_orderkey", "o_custkey"
+    )
+    l = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey")).select(
+        "l_orderkey", "l_suppkey"
+    )
     return (
-        l.join(o, o.o_orderkey == l.l_orderkey)
+        l.hint("merge")
+        .join(o, o.o_orderkey == l.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),

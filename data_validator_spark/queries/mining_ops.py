@@ -858,8 +858,19 @@ def _basket_lines(spark, sf):
     cached = _BASKET_CACHE.get(key)
     if cached is not None:
         return cached
+    # r14: scan the at-rest orderkey-bucketed lineitem copy (no
+    # spread() — it would repartition away the bucketing). Both wide
+    # exchanges of the old build vanish: the (l_orderkey, l_partkey)
+    # DISTINCT and the groupBy(l_orderkey) are each satisfied by the
+    # scan's HashPartitioning(l_orderkey) (subset clustering), so the
+    # basket build is now map-side only — at 100 TB those two
+    # lineitem-scale shuffles WERE the cache-build cost (SCALE.md r14
+    # at-scale census).
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
     li = (
-        spread(load(spark, sf, "lineitem").select("l_orderkey", "l_partkey"))
+        spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
+        .select("l_orderkey", "l_partkey")
         .distinct()
     )
     baskets = (

@@ -401,11 +401,17 @@ def q_reconciliation_check(spark, sf):
     widens (decimal there, since a global sum has no bounded-group
     argument).
     """
-    # no parallelism spread — the per-line product is three flops and
-    # the per-order groupBy combines map-side (drift_psi rule)
-    li = load(spark, sf, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
-    )
+    # r14: both facts read their at-rest orderkey-bucketed copies
+    # (SCALE.md r14 at-scale census): the per-order groupBy inherits
+    # the scan's HashPartitioning(l_orderkey) — no exchange — and the
+    # header-vs-lines comparison join is key-to-key on two relations
+    # ALREADY partitioned on k, so at 100 TB the whole reconciliation
+    # moves zero fact rows across the network.
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
+    li = spark.table(
+        ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey")
+    ).select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
     line_units = F.floor(
         F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)") * F.lit(1000000.0)
         + F.lit(0.5)
@@ -413,7 +419,9 @@ def q_reconciliation_check(spark, sf):
     computed = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.sum(line_units).alias("line_total")
     )
-    orders = load(spark, sf, "orders").select(
+    orders = spark.table(
+        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+    ).select(
         F.col("o_orderkey").alias("k"),
         F.floor(F.col("o_totalprice") * F.lit(1000000.0) + F.lit(0.5))
         .cast("long")

@@ -131,8 +131,19 @@ SQL_COLUMN_SUM_CHECK = f"SELECT {sql_dsum('l_extendedprice', 'sum_val')} FROM li
 
 # -- 9. unique_check -------------------------------------------------------
 def q_unique_check(spark, sf):
-    df = load(spark, sf, "lineitem")
     # UniqueCheck.scala: groupBy(keys).count.where(count>1).count
+    # r14: scan the at-rest orderkey-bucketed copy — the composite-key
+    # census needs ClusteredDistribution(l_orderkey, l_linenumber),
+    # which the scan's HashPartitioning(l_orderkey) (a subset of the
+    # grouping keys) already satisfies, so the check's ONLY wide
+    # exchange disappears (SCALE.md r14 at-scale census). Semantics
+    # are unchanged: the copy is watermark-guaranteed byte-equivalent
+    # to the source (source-file-signature sidecar), and the
+    # config-driven validator path (validators/row_based.py) still
+    # reads whatever table the user configured.
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
+    df = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
     dups = (
         df.groupBy("l_orderkey", "l_linenumber")
         .count()

@@ -182,3 +182,39 @@ def test_q8_fact_join_rides_bucketed_copies(spark, registry):
     )
     pushed = orders_scan.split("PushedFilters: [", 1)[1][:300]
     assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_r14_orderkey_census_queries_ride_bucketed_copies(spark, registry):
+    """SCALE.md r14 at-scale census closures: q5/q10 (fact⨝fact on
+    the order key), reconciliation_check (per-order totals vs
+    header), and unique_check (composite-key census) all read the
+    at-rest orderkey-bucketed copies, and NONE may hash-partition on
+    an order key — the bucketed scan's partitioning carries through
+    the groupBy/join (subset clustering)."""
+    for name in (
+        "q5_local_supplier",
+        "q10_returned_items",
+        "reconciliation_check",
+        "unique_check",
+    ):
+        plan = plan_of(spark, registry, name)
+        assert "dv_bkt_lineitem_" in plan, name
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, name
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, name
+        assert "Exchange hashpartitioning(k#" not in plan, name
+
+
+def test_copurchase_basket_build_is_shuffle_free(spark):
+    """The capped-basket cache build reads the bucketed lineitem copy:
+    both the (orderkey, partkey) DISTINCT and the groupBy(orderkey)
+    collect_list must be satisfied by the scan's partitioning — zero
+    l_orderkey exchanges in the build plan (at 100 TB those two
+    lineitem-scale shuffles WERE the cache-build cost)."""
+    from data_validator_spark.queries.mining_ops import _BASKET_CACHE, _basket_lines
+
+    for df in _BASKET_CACHE.values():
+        df.unpersist()
+    _BASKET_CACHE.clear()
+    plan = _basket_lines(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "dv_bkt_lineitem_" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan

@@ -27,6 +27,11 @@ R14_CHANGED = {
     "q3_shipping_priority", "q4_order_priority", "q7_volume_shipping",
     "q9_product_profit", "q12_shipmode_priority", "q18_large_volume",
     "q21_waiting_orders",
+    # late-round at-scale census closures (SCALE.md r14): these four
+    # moved onto the bucketed copies after the first r14 cut
+    # (copurchase_similarity, the fifth, already sits in R10_STALE)
+    "q5_local_supplier", "q10_returned_items", "reconciliation_check",
+    "unique_check",
 }
 
 # Tier 1 — the 11 entries whose freshest driver evidence is r10 (the
@@ -48,14 +53,14 @@ R13_DECLARED = {
     "dedup_clusters", "dedup_incremental",
 }
 
-# Tier 3 filler — 19 from the head of the r11-evidence tier.
+# Tier 3 filler — 15 from the head of the r11-evidence tier (the
+# census promotions displaced the last four below the cut).
 R11_FILLER = {
     "col_quantiles", "mad_outliers", "rfm_segments", "ccnet_buckets",
     "dedup_keep_best", "split_contamination", "multimodal_meta",
     "multimodal_resize", "multimodal_frame_sample", "token_count",
     "text_quality", "lang_id", "doc_fingerprint", "substring_dedup",
-    "dsir_importance", "gopher_quality", "tfidf_topk",
-    "events_gap_fill", "char_entropy",
+    "dsir_importance",
 }
 
 # r14: EMPTY (r13 verdict item 1 — the r13 declaration was accepted
@@ -263,10 +268,16 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
     }
     flagged = {n for n, d in deps.items() if d & changed}
     expected = {
+        # the r13 consumer set…
         "q3_shipping_priority", "q4_order_priority", "q7_volume_shipping",
         "q9_product_profit", "q12_shipmode_priority", "q18_large_volume",
         "q21_waiting_orders",
-    } | ({"q8_market_share"} if "q8_market_share" in flagged else set())
+        # …plus the r14 adoptions (q8 + the at-scale census closures;
+        # pagerank reaches ensure_bucketed_fact through _pairs now)
+        "q8_market_share", "q5_local_supplier", "q10_returned_items",
+        "copurchase_similarity", "reconciliation_check", "unique_check",
+        "pagerank_bipartite",
+    }
     assert flagged == expected, flagged ^ expected
     # the r13 false-flag victims must NOT appear...
     assert not flagged & R13_DECLARED
