@@ -470,6 +470,9 @@ def main() -> int:
         "q12_shipmode_priority", "q16_parts_supplier",
         "q19_discounted_revenue", "q20_potential_promotion",
         "q21_waiting_orders",
+        # r14: the events user_id-bucketed copy (ensure_bucketed_fact)
+        # serves the behavioral family — build it untimed once
+        "events_sessionized",
         # mapInPandas worker pool (pandas_udf warm-up above uses a
         # different eval type; spin the mapInPandas path too)
         "multimodal_meta",

@@ -56,6 +56,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events off its at-rest user_id-bucketed copy (r14, SCALE.md
+    census: the behavioral-analytics family's first — often only —
+    wide exchange is a user_id shuffle of raw events; the bucketed
+    scan's HashPartitioning(user_id) satisfies every per-user window,
+    groupBy and self-join downstream). The copy is built FROM load(),
+    so the TIMESTAMP(NANOS) normalization is baked in at build time
+    and the served schema is identical to load()'s."""
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+
+    return spark.table(ensure_bucketed_fact(spark, sf_dir, "events", "user_id"))
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Coerce events.ts to a session-tz TIMESTAMP regardless of how the
     generator encoded it: int64 nanos (TIMESTAMP(NANOS) under
@@ -236,6 +249,15 @@ GRADE_PRIORITY = [
     "q10_returned_items",
     "reconciliation_check",
     "unique_check",
+    # …and the events user_id-bucketed-copy adoptions (same census,
+    # second key class; the three events_* entries already in the
+    # tier-2 declared set below are also consumers):
+    "events_funnel",
+    "events_retention",
+    "event_transitions",
+    "conversion_lag",
+    "events_user_cap",
+    "scd2_intervals",
     # tier 1 — the 11 entries whose freshest driver evidence is r10,
     # four rounds old (r13 verdict item 1: stalest tier first).
     "hll_distinct",
@@ -264,8 +286,8 @@ GRADE_PRIORITY = [
     "minhash_containment",
     "dedup_clusters",
     "dedup_incremental",
-    # tier 3 filler — 15 from the head of the r11-evidence tier (the
-    # census promotions displaced the last four to below the cut).
+    # tier 3 filler — 9 from the head of the r11-evidence tier (the
+    # census promotions displaced the rest to below the cut).
     "col_quantiles",
     "mad_outliers",
     "rfm_segments",
@@ -275,12 +297,6 @@ GRADE_PRIORITY = [
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frame_sample",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "substring_dedup",
-    "dsir_importance",
     # --- driver budget cut (50) falls here ---
     # Below: stalest-first so r15's cut reads off the top. First the
     # 15 r11-evidence entries the 50-slot budget could not fit (the
@@ -288,6 +304,12 @@ GRADE_PRIORITY = [
     # tier, then the r13 tier (freshest, safest to rotate out). The
     # FULL registry is still locally re-proven each round via
     # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "substring_dedup",
+    "dsir_importance",
     "gopher_quality",
     "tfidf_topk",
     "events_gap_fill",
@@ -304,7 +326,6 @@ GRADE_PRIORITY = [
     "doc_chunk",
     "repetition_strip",
     "cdc_upsert",
-    "scd2_intervals",
     "ivm_agg",
     "events_rolling",
     # r12 evidence:
@@ -356,7 +377,6 @@ GRADE_PRIORITY = [
     "boilerplate_prefix",
     "streaming_seasonality",
     "orders_cohort_retention",
-    "events_user_cap",
     "l_diversity",
     "knn_label_noise",
     "streaming_dedup",
@@ -382,13 +402,9 @@ GRADE_PRIORITY = [
     "key_skew_audit",
     "source_overlap",
     "ngram_novelty",
-    "event_transitions",
-    "conversion_lag",
     "q17_small_quantity_revenue",
-    "events_funnel",
     "salted_aggregation",
     "events_pivot",
-    "events_retention",
     "embedding_rp_jl",
     "streaming_incremental_dedup",
     "quality_calibration",

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, dsum, load, spread, sql_dsum
+from data_validator_spark.queries import DEC, dsum, load, load_events_by_user, spread, sql_dsum
 
 
 # -- q1: pricing summary (TPC-H Q1 shape) ----------------------------------
@@ -359,7 +359,7 @@ ORDER BY 1, 2
 def events_sessionized(spark, sf):
     """Session = run of events per user with gaps < 30 min. One shuffle
     on user_id; lag + running-sum window funcs inside the partition."""
-    ev = load(spark, sf, "events")
+    ev = load_events_by_user(spark, sf)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact integer microseconds (unix_micros / epoch_us) on both
     # engines — no float rounding at the 30-min boundary
@@ -749,7 +749,7 @@ def events_asof_join(spark, sf):
     exact integer microseconds (engine-independent)."""
     from data_validator_spark.operators.asof import asof_join
 
-    ev = load(spark, sf, "events")
+    ev = load_events_by_user(spark, sf)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -815,7 +815,7 @@ def events_range_join(spark, sf):
     (user_id, bin) instead of a per-key quadratic non-equi SMJ."""
     from data_validator_spark.operators.rangejoin import range_join_count
 
-    ev = load(spark, sf, "events")
+    ev = load_events_by_user(spark, sf)
     errors = ev.where(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
@@ -999,7 +999,7 @@ def events_funnel(spark, sf):
     reuses the partitioning); stage joins are per-user 1-row meets.
     No window over the raw event stream — each stage reduces to one
     row per qualifying user before the next meet."""
-    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    ev = load_events_by_user(spark, sf).select("user_id", "event_type", "ts")
     signup = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -1060,7 +1060,7 @@ def events_retention(spark, sf):
     over (user, day) — both partial-aggregate map-side; the matrix
     itself is tiny (days × offsets). (user, day) is distinct and each
     user has ONE cohort, so the final count needs no second distinct."""
-    ev = load(spark, sf, "events")
+    ev = load_events_by_user(spark, sf)
     by_day = ev.select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
     )
@@ -1252,7 +1252,7 @@ def q_event_transitions(spark, sf):
     convention; counts are integers and the probability is one exact
     int/int division rounded through decimal(30,6).
     """
-    ev = load(spark, sf, "events")
+    ev = load_events_by_user(spark, sf)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(
@@ -1317,7 +1317,7 @@ def q_conversion_lag(spark, sf):
     from data_validator_spark.queries.validator_queries import _approx_enabled
 
     pctl = "percentile_approx" if _approx_enabled(spark) else "percentile"
-    ev = load(spark, sf, "events")
+    ev = load_events_by_user(spark, sf)
     signups = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, load, register_session_cache, spread, sql_dsum
+from data_validator_spark.queries import DEC, load, load_events_by_user, register_session_cache, spread, sql_dsum
 from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
 from data_validator_spark.queries.textops import SQL_NORM
 from data_validator_spark.functions.text import normalized_text
@@ -1168,7 +1168,7 @@ def q_events_user_cap(spark, sf):
 
     Determinism: pure integer counts; the keep set is a pure function
     of (ts, event_id), both unique per row."""
-    df = load(spark, sf, "events")
+    df = load_events_by_user(spark, sf)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ranked = df.select(
         "event_type", F.row_number().over(w).alias("rn")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import load, register_session_cache
+from data_validator_spark.queries import load, load_events_by_user, register_session_cache
 
 
 # -- cdc_upsert ------------------------------------------------------------
@@ -126,7 +126,7 @@ def q_scd2_intervals(spark, sf):
     (integers) so the cross-engine hash never touches timestamp
     formatting.
     """
-    ev = load(spark, sf, "events").where(F.col("event_type") == "purchase")
+    ev = load_events_by_user(spark, sf).where(F.col("event_type") == "purchase")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.select(

@@ -218,3 +218,25 @@ def test_copurchase_basket_build_is_shuffle_free(spark):
     plan = _basket_lines(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "dv_bkt_lineitem_" in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_behavioral_family_rides_user_bucketed_events(spark, registry):
+    """SCALE.md r14 census, second key class: the per-user analytics
+    queries read the user_id-bucketed events copy and may not
+    hash-partition on user_id — every per-user window/groupBy/self-
+    join is satisfied by the scan partitioning. (events_asof_join /
+    events_range_join keep ONE user_id exchange by design: their
+    tagged UNION discards child partitioning — a Spark Union
+    limitation documented in SCALE.md.)"""
+    for name in (
+        "events_sessionized",
+        "events_funnel",
+        "events_retention",
+        "event_transitions",
+        "conversion_lag",
+        "events_user_cap",
+        "scd2_intervals",
+    ):
+        plan = plan_of(spark, registry, name)
+        assert "dv_bkt_events_" in plan, name
+        assert "Exchange hashpartitioning(user_id" not in plan, name

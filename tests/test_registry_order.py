@@ -27,11 +27,15 @@ R14_CHANGED = {
     "q3_shipping_priority", "q4_order_priority", "q7_volume_shipping",
     "q9_product_profit", "q12_shipmode_priority", "q18_large_volume",
     "q21_waiting_orders",
-    # late-round at-scale census closures (SCALE.md r14): these four
-    # moved onto the bucketed copies after the first r14 cut
-    # (copurchase_similarity, the fifth, already sits in R10_STALE)
+    # late-round at-scale census closures (SCALE.md r14): these moved
+    # onto the bucketed copies after the first r14 cut
+    # (copurchase_similarity already sits in R10_STALE; the three
+    # events_* declared entries in R13_DECLARED are also consumers)
     "q5_local_supplier", "q10_returned_items", "reconciliation_check",
     "unique_check",
+    # …user_id-bucketed events copy adoptions (second key class):
+    "events_funnel", "events_retention", "event_transitions",
+    "conversion_lag", "events_user_cap", "scd2_intervals",
 }
 
 # Tier 1 — the 11 entries whose freshest driver evidence is r10 (the
@@ -53,14 +57,12 @@ R13_DECLARED = {
     "dedup_clusters", "dedup_incremental",
 }
 
-# Tier 3 filler — 15 from the head of the r11-evidence tier (the
-# census promotions displaced the last four below the cut).
+# Tier 3 filler — 9 from the head of the r11-evidence tier (the
+# census promotions displaced the rest below the cut).
 R11_FILLER = {
     "col_quantiles", "mad_outliers", "rfm_segments", "ccnet_buckets",
     "dedup_keep_best", "split_contamination", "multimodal_meta",
-    "multimodal_resize", "multimodal_frame_sample", "token_count",
-    "text_quality", "lang_id", "doc_fingerprint", "substring_dedup",
-    "dsir_importance",
+    "multimodal_resize", "multimodal_frame_sample",
 }
 
 # r14: EMPTY (r13 verdict item 1 — the r13 declaration was accepted
@@ -272,20 +274,33 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         "q3_shipping_priority", "q4_order_priority", "q7_volume_shipping",
         "q9_product_profit", "q12_shipmode_priority", "q18_large_volume",
         "q21_waiting_orders",
-        # …plus the r14 adoptions (q8 + the at-scale census closures;
-        # pagerank reaches ensure_bucketed_fact through _pairs now)
+        # …plus the r14 orderkey-census adoptions (pagerank reaches
+        # ensure_bucketed_fact through _pairs now)…
         "q8_market_share", "q5_local_supplier", "q10_returned_items",
         "copurchase_similarity", "reconciliation_check", "unique_check",
         "pagerank_bipartite",
+        # …plus the user_id-bucketed events consumers (via
+        # load_events_by_user)
+        "events_sessionized", "events_asof_join", "events_range_join",
+        "events_funnel", "events_retention", "event_transitions",
+        "conversion_lag", "events_user_cap", "scd2_intervals",
     }
     assert flagged == expected, flagged ^ expected
-    # the r13 false-flag victims must NOT appear...
-    assert not flagged & R13_DECLARED
+    # the r13 false-flag victims that remain NON-consumers (the dedup
+    # family, which only shares modules with callers, plus the two
+    # unswitched events entries) must still NOT appear:
+    assert not flagged & {
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "minhash_containment",
+        "dedup_clusters", "dedup_incremental", "dedup_index_refresh",
+        "events_json_extract", "events_anomaly",
+    }
     # ...yet a write_bucketed change still reaches the index builders
     # THROUGH their call graphs (the dedup pair really calls it):
     w_flagged = {n for n, d in deps.items() if f"{_BK}::write_bucketed" in d}
     assert {"dedup_index_refresh", "dedup_band_index_refresh"} <= w_flagged
-    assert "events_sessionized" not in w_flagged
+    # a module-mate that consumes NO bucketed machinery stays clean
+    assert "events_json_extract" not in w_flagged
+    assert "dedup_minhash_lsh" not in w_flagged
 
 
 def test_entry_deps_resolve_known_cross_module_edges():
