@@ -306,3 +306,20 @@ def test_source_signature_refuses_empty(tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         _source_signature(str(empty))
+
+
+def test_events_user_copy_serves_identical_relation(spark):
+    """The user_id-bucketed events copy must be indistinguishable from
+    load(): same schema (TIMESTAMP(NANOS) normalization baked in at
+    build) and the exact same rows — the behavioral family's
+    correctness rides this identity."""
+    from data_validator_spark.queries import load, load_events_by_user
+
+    sf = "/root/testdata/sf0.001"
+    raw = load(spark, sf, "events")
+    bkt = load_events_by_user(spark, sf)
+    assert [(f.name, f.dataType.simpleString()) for f in bkt.schema] == [
+        (f.name, f.dataType.simpleString()) for f in raw.schema
+    ]
+    assert bkt.count() == raw.count()
+    assert bkt.exceptAll(raw).count() == 0 and raw.exceptAll(bkt).count() == 0
