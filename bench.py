@@ -473,6 +473,12 @@ def main() -> int:
         # r14: the events user_id-bucketed copy (ensure_bucketed_fact)
         # serves the behavioral family — build it untimed once
         "events_sessionized",
+        # r15: the o_custkey/c_custkey at-rest copies serve the
+        # per-customer family — rfm_segments builds the orders copy
+        # (plus its session-persisted per-customer relation),
+        # cdc_upsert the customer copy
+        "rfm_segments",
+        "cdc_upsert",
         # mapInPandas worker pool (pandas_udf warm-up above uses a
         # different eval type; spin the mapInPandas path too)
         "multimodal_meta",

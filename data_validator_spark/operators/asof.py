@@ -75,3 +75,60 @@ def asof_join(
     out_cols = [F.col(f"_row.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"_match.{p}").alias(f"{prefix}{p}") for p in payload]
     return matched.select(*out_cols)
+
+
+def asof_self_join(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str,
+    left_pred,
+    right_pred,
+    payload: Sequence[str],
+    tiebreak: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """The partitioning-preserving form of `asof_join` for the common
+    case where BOTH streams are row subsets of ONE relation (purchases
+    vs clicks of the same events table, trades vs quotes of one tape):
+    tag rows in place with predicates instead of filtering into two
+    DataFrames and unioning them back.
+
+    Why it exists (SCALE.md r14→r15): Spark's Union node reports
+    UnknownPartitioning even over identically-partitioned children, so
+    the generic tagged-union plan re-shuffles on `on` even when the
+    input scan is already hash-partitioned on those keys (the at-rest
+    bucketed events copy). Tagging with a projection keeps the child's
+    outputPartitioning, so over a bucketed scan the whole join plans
+    as Filter → Sort(within buckets) → Window — ZERO exchanges.
+
+    Semantics are identical to
+    `asof_join(df.where(left_pred), df.where(right_pred), ...)` for
+    DISJOINT predicates (asserted nowhere — a row matching both would
+    enter both streams in the generic form but only the right stream
+    here, so callers must keep them disjoint). Output: the full `df`
+    row for each left row, plus `prefix+payload` columns from the
+    latest right row with right[ts] <= left[ts] (inclusive; among
+    equal-ts right rows the largest `tiebreak` wins, and right rows
+    order before left rows at equal ts — the same tie rules as
+    `asof_join`).
+    """
+    on = list(on)
+    payload = list(payload)
+    tagged = df.where(left_pred | right_pred).select(
+        *df.columns,
+        F.when(right_pred, 0).otherwise(1).alias("_stream"),
+        F.when(right_pred, F.col(tiebreak).cast("long")).alias("_tb"),
+        F.when(right_pred, F.struct(*payload)).alias("_carry"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col("_stream").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        tagged.withColumn("_match", F.last("_carry", ignorenulls=True).over(w))
+        .where(F.col("_stream") == 1)
+    )
+    out_cols = [F.col(c) for c in df.columns]
+    out_cols += [F.col(f"_match.{p}").alias(f"{prefix}{p}") for p in payload]
+    return matched.select(*out_cols)

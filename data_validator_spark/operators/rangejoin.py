@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -75,3 +75,50 @@ def range_join_count(
     )
     out_cols = [F.col(f"_row.{c}").alias(c) for c in probe.columns]
     return counted.select(*out_cols, count_alias)
+
+
+def range_count_self(
+    df: DataFrame,
+    on: Sequence[str],
+    ts: str,
+    probe_pred,
+    build_pred,
+    tolerance_us: int,
+    count_alias: str = "n_matches",
+) -> DataFrame:
+    """The partitioning-preserving form of `range_join_count` for the
+    common case where probe and build rows are subsets of ONE relation
+    (errors vs clicks of the same events table): a RANGE-framed window
+    over the shared keys replaces the bucket-explode equi-join
+    entirely.
+
+    Why (SCALE.md r14→r15): the generic form's probe explosion + pair
+    join + per-probe groupBy re-shuffles on (keys…, bucket) even when
+    the input scan is already hash-partitioned on `on` (the at-rest
+    bucketed events copy). Here the count is
+    ``sum(build_pred) OVER (PARTITION BY on ORDER BY unix_micros(ts)
+    RANGE BETWEEN -tol AND +tol)`` evaluated at probe rows: one
+    in-bucket sort, a sliding frame Spark maintains incrementally
+    (add/evict per row — linear, never per-pair), ZERO exchanges over
+    a bucketed scan, and no 3× row fan-out. Bounds are inclusive on
+    both ends, matching the generic form's |Δt| <= tol.
+
+    Predicates need not be disjoint: a row matching both contributes
+    to its own count, exactly as it would match itself in the generic
+    two-input form when the same relation is passed twice."""
+    on = list(on)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.unix_micros(F.col(ts)))
+        .rangeBetween(-int(tolerance_us), int(tolerance_us))
+    )
+    return (
+        df.where(probe_pred | build_pred)
+        .select(
+            *df.columns,
+            F.sum(build_pred.cast("long")).over(w).alias(count_alias),
+            probe_pred.alias("_is_probe"),
+        )
+        .where(F.col("_is_probe"))
+        .drop("_is_probe")
+    )

@@ -63,10 +63,37 @@ def load_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan's HashPartitioning(user_id) satisfies every per-user window,
     groupBy and self-join downstream). The copy is built FROM load(),
     so the TIMESTAMP(NANOS) normalization is baked in at build time
-    and the served schema is identical to load()'s."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    and the served schema is identical to load()'s. The session tz is
+    pinned to UTC here too (ADVICE r14): an external caller hitting a
+    pre-built copy skips load()'s conf side effect, and date_trunc /
+    timestamp formatting must stay engine-deterministic on that path."""
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
-    return spark.table(ensure_bucketed_fact(spark, sf_dir, "events", "user_id"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bucketed_fact(spark, sf_dir, "events", "user_id")
+
+
+def load_orders_by_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders off its at-rest o_custkey-bucketed copy (r15, SCALE.md
+    census: rfm_segments/cohort/ivm_agg/cdc_upsert/q13/q22/fd_check
+    all consume RAW orders keyed by customer — a SECOND orders layout
+    with a different sort key, the standard warehouse projection
+    trade; the o_orderkey copy keeps serving the fact⨝fact meets)."""
+    from data_validator_spark.operators.bucketing import bucketed_fact
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bucketed_fact(spark, sf_dir, "orders", "o_custkey")
+
+
+def load_customer_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer off its at-rest c_custkey-bucketed copy (r15): meets
+    the o_custkey orders copy in colocated SMJs (q13's outer join,
+    q22's anti join, cdc_upsert's MERGE) with zero exchange on the
+    customer side."""
+    from data_validator_spark.operators.bucketing import bucketed_fact
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bucketed_fact(spark, sf_dir, "customer", "c_custkey")
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

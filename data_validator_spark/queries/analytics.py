@@ -23,7 +23,16 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, dsum, load, load_events_by_user, spread, sql_dsum
+from data_validator_spark.queries import (
+    DEC,
+    dsum,
+    load,
+    load_customer_by_key,
+    load_events_by_user,
+    load_orders_by_cust,
+    spread,
+    sql_dsum,
+)
 
 
 # -- q1: pricing summary (TPC-H Q1 shape) ----------------------------------
@@ -84,15 +93,11 @@ def q3_shipping_priority(spark, sf):
     broadcast hint — SF-proportional (the q7 rule, r9): AQE may
     broadcast it at small SF, and at 100 TB the join correctly
     degrades to a key shuffle."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
     cust = load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    orders = spark.table(
-        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
-    ).where(F.col("o_orderdate") < F.lit("1998-01-01"))
-    li = spark.table(
-        ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey")
-    ).where(F.col("l_shipdate") > F.lit("1998-01-01"))
+    orders = bucketed_fact(spark, sf, "orders", "o_orderkey").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey").where(F.col("l_shipdate") > F.lit("1998-01-01"))
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     li_o = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
     joined = li_o.join(cust, F.col("o_custkey") == cust.c_custkey)
@@ -138,18 +143,16 @@ def q5_local_supplier(spark, sf):
     lineitem on suppkey and then again on orderkey — the
     full-registry at-scale census (SCALE.md r14, auto-broadcast
     disabled) flagged exactly that double fact shuffle."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
     region = load(spark, sf, "region").where(F.col("r_name") == "ASIA")
     nation = load(spark, sf, "nation")
     cust = load(spark, sf, "customer")
     supp = load(spark, sf, "supplier")
-    orders = spark.table(
-        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
-    ).where(
+    orders = bucketed_fact(spark, sf, "orders", "o_orderkey").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
-    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
+    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     # nation⨝region is constant-size → broadcast hint. supplier,
     # customer and orders are all SF-PROPORTIONAL, so their joins stay
@@ -233,12 +236,10 @@ def q10_returned_items(spark, sf):
     plan-structural arm (SCALE.md r14) — the removed double fact
     shuffle IS the 100 TB query cost, and the copies are free here
     (built for the other eight consumers)."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
-    li = spark.table(
-        ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey")
-    ).where(F.col("l_returnflag") == "R")
-    orders = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey"))
+    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey").where(F.col("l_returnflag") == "R")
+    orders = bucketed_fact(spark, sf, "orders", "o_orderkey")
     cust = load(spark, sf, "customer")
     nation = load(spark, sf, "nation")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -283,10 +284,10 @@ def q18_large_volume(spark, sf):
     join back to orders is a zero-exchange colocated SMJ. A/B at
     sf0.1: 1.25s → 0.46s best-of-4, identical output (SCALE.md
     r11)."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
-    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
-    orders = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey"))
+    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey")
+    orders = bucketed_fact(spark, sf, "orders", "o_orderkey")
     cust = load(spark, sf, "customer")
     big = (
         li.groupBy("l_orderkey")
@@ -419,14 +420,12 @@ def q4_order_priority(spark, sf):
     is a zero-exchange colocated SMJ (the orderdate filter pushes
     into the bucketed orders scan). A/B at sf0.1: 1.01s → 0.41s
     best-of-4, identical output (SCALE.md r11)."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
-    orders = spark.table(
-        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
-    ).where(
+    orders = bucketed_fact(spark, sf, "orders", "o_orderkey").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
-    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
+    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey")
     late = orders.hint("merge").join(
         li,
         (li.l_orderkey == orders.o_orderkey)
@@ -468,12 +467,12 @@ def q7_volume_shipping(spark, sf):
     broadcast hint — SF-proportional, the plan must survive when AQE
     cannot broadcast them. A/B at sf0.1 (SCALE.md r11): 2.01s → 1.02s
     best-of-4 vs the shuffle-both-facts plan, identical output."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
     nation = load(spark, sf, "nation")
-    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
+    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey")
     supp = load(spark, sf, "supplier")
-    orders = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey"))
+    orders = bucketed_fact(spark, sf, "orders", "o_orderkey")
     cust = load(spark, sf, "customer")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
@@ -570,12 +569,10 @@ def q8_market_share(spark, sf):
     cost. Remaining dims follow the q7 rule — constant-size
     nation/region broadcast-hinted, SF-proportional part/supplier/
     customer left to AQE."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
-    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
-    orders = spark.table(
-        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
-    ).where(
+    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey")
+    orders = bucketed_fact(spark, sf, "orders", "o_orderkey").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") <= F.lit("1997-12-31"))
     )
@@ -655,13 +652,17 @@ def q13_customer_distribution(spark, sf):
     """How many customers placed 0, 1, 2, ... orders — LEFT OUTER join
     followed by two cascaded aggregations.
 
-    Scale: the join and the first groupBy both key on custkey, so the
-    single shuffle is reused; the second aggregation's key domain is
-    the distinct order counts (tiny), collapsing in map-side partials.
-    Customers without orders survive the outer join with a 0 count —
-    an inner join would silently drop the most interesting bucket."""
-    cust = load(spark, sf, "customer")
-    orders = load(spark, sf, "orders")
+    Scale (r15): both sides read their at-rest custkey-bucketed
+    copies (customer on c_custkey, orders on o_custkey, same bucket
+    count), so the outer join is a colocated SMJ and the per-customer
+    groupBy inherits the same partitioning — ZERO custkey exchanges
+    (the r14 census counted the raw-orders shuffle here); the second
+    aggregation's key domain is the distinct order counts (tiny),
+    collapsing in map-side partials. Customers without orders survive
+    the outer join with a 0 count — an inner join would silently drop
+    the most interesting bucket."""
+    cust = load_customer_by_key(spark, sf)
+    orders = load_orders_by_cust(spark, sf)
     per_cust = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
         .groupBy("c_custkey")
@@ -697,14 +698,18 @@ def q22_prospective_customers(spark, sf):
     the phone prefix, and "no large order" for "no order", since every
     synthetic customer has at least one order).
 
-    Scale: the threshold is a one-row scan-agg broadcast into the
-    filter (no recompute per row); the anti-join's build side is
-    orders pre-filtered on totalprice (pushed to the scan), and only
-    the balance-filtered slice of customer shuffles against it.
+    Scale (r15): the threshold is a one-row scan-agg broadcast into
+    the filter (no recompute per row); both anti-join sides read
+    their at-rest custkey-bucketed copies, so NEITHER side shuffles —
+    the totalprice pre-filter still pushes into the bucketed orders
+    scan, and the balance-filtered customer slice keeps the scan's
+    c_custkey partitioning through the broadcast-threshold join.
     The threshold is sum(DECIMAL)/count — exact in both engines, so
     the boundary predicate is bit-stable for the oracle."""
-    cust = load(spark, sf, "customer")
-    orders = load(spark, sf, "orders").where(F.col("o_totalprice") > F.lit(LARGE_ORDER))
+    cust = load_customer_by_key(spark, sf)
+    orders = load_orders_by_cust(spark, sf).where(
+        F.col("o_totalprice") > F.lit(LARGE_ORDER)
+    )
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
         (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")).alias(
             "avg_bal"
@@ -744,23 +749,24 @@ def events_asof_join(spark, sf):
     point-in-time enrichment shape feature stores and trade/quote
     pipelines need, which plain SQL only reaches via a range self-join.
 
-    Scale: ONE shuffle on user_id for the tagged union, then a sorted
-    window per user — no non-equi join, no per-row subquery. gap_us is
+    Scale (r15): both streams are subsets of ONE relation, so this
+    rides asof_self_join — predicates tag rows in place instead of
+    union-ing two filtered frames, preserving the bucketed events
+    scan's HashPartitioning(user_id) (Spark's Union reports
+    UnknownPartitioning even over identically-partitioned children,
+    which was this family's last user_id exchange, SCALE.md r14).
+    Plan over the at-rest copy: Filter → in-bucket Sort → Window —
+    ZERO exchanges, no non-equi join, no per-row subquery. gap_us is
     exact integer microseconds (engine-independent)."""
-    from data_validator_spark.operators.asof import asof_join
+    from data_validator_spark.operators.asof import asof_self_join
 
     ev = load_events_by_user(spark, sf)
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    j = asof_join(
-        purchases,
-        clicks,
+    j = asof_self_join(
+        ev.select("event_id", "user_id", "ts", "value", "event_type"),
         on=["user_id"],
         ts="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
         payload=["event_id", "ts"],
         tiebreak="event_id",
         prefix="click_",
@@ -808,21 +814,25 @@ RANGE_TOL_US = 5 * 60 * 1_000_000  # ±5 minutes
 
 def events_range_join(spark, sf):
     """For every error event, how many same-user clicks happened
-    within ±5 minutes — a big-big temporal range join executed as a
-    bucketed equi-join (operators/rangejoin.py): the time tolerance
-    becomes part of the join key (5-minute bins, probe exploded to 3
-    neighbor bins), so the plan is a linear hash join on
-    (user_id, bin) instead of a per-key quadratic non-equi SMJ."""
-    from data_validator_spark.operators.rangejoin import range_join_count
+    within ±5 minutes — a big-big temporal range join. r15: both
+    streams are subsets of ONE relation, so this rides
+    range_count_self (operators/rangejoin.py): a RANGE-framed window
+    over the bucketed events copy — in-bucket sort, incremental
+    sliding frame, ZERO exchanges and no row fan-out (the generic
+    bucket-explode equi-join form, kept for genuinely two-input
+    joins, re-shuffled on (user_id, bin) and tripled the probe side;
+    at 100 TB the shuffle it removes was the query cost)."""
+    from data_validator_spark.operators.rangejoin import range_count_self
 
     ev = load_events_by_user(spark, sf)
-    errors = ev.where(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
-    j = range_join_count(
-        errors, clicks, on=["user_id"], ts="ts",
-        tolerance_us=RANGE_TOL_US, count_alias="n_nearby_clicks",
+    j = range_count_self(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        on=["user_id"],
+        ts="ts",
+        probe_pred=F.col("event_type") == "error",
+        build_pred=F.col("event_type") == "click",
+        tolerance_us=RANGE_TOL_US,
+        count_alias="n_nearby_clicks",
     )
     return j.select(
         F.col("event_id").alias("error_id"),

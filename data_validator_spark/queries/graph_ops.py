@@ -65,12 +65,12 @@ def _pairs(spark, sf):
     # bucketed copies as a zero-exchange colocated SMJ (SCALE.md r14
     # at-scale census) — the only remaining wide exchange in the
     # graph-cache build is the unavoidable pair DISTINCT.
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
-    o = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")).select(
+    o = bucketed_fact(spark, sf, "orders", "o_orderkey").select(
         "o_orderkey", "o_custkey"
     )
-    l = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey")).select(
+    l = bucketed_fact(spark, sf, "lineitem", "l_orderkey").select(
         "l_orderkey", "l_suppkey"
     )
     return (
@@ -149,14 +149,22 @@ def _graph(spark, sf):
     raw = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is persisted across the TWO build actions (ADVICE r14: the
+    # former bare `deg.count()` re-ran the full doubled-edge groupBy a
+    # second time — two full-edge aggregations for one scalar); it is
+    # node-count-sized, feeds the edges_deg join from cache, and is
+    # released as soon as both actions have run.
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     edges_deg = (
         raw.join(deg, "src")
         .repartition(nparts, F.col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     edges_deg.count()  # materialize once, at cache-build (prime) time
-    n = deg.count()  # node count — ONE scalar to the driver
+    n = deg.count()  # node count — ONE scalar, served from the persisted deg
+    deg.unpersist()
     pairs.unpersist()
     _GRAPH_CACHE[key] = (edges_deg, n)
     return edges_deg, n

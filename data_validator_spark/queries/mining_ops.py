@@ -866,10 +866,10 @@ def _basket_lines(spark, sf):
     # basket build is now map-side only — at 100 TB those two
     # lineitem-scale shuffles WERE the cache-build cost (SCALE.md r14
     # at-scale census).
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
     li = (
-        spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
+        bucketed_fact(spark, sf, "lineitem", "l_orderkey")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )

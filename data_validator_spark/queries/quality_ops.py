@@ -406,11 +406,14 @@ def q_reconciliation_check(spark, sf):
     # the scan's HashPartitioning(l_orderkey) — no exchange — and the
     # header-vs-lines comparison join is key-to-key on two relations
     # ALREADY partitioned on k, so at 100 TB the whole reconciliation
-    # moves zero fact rows across the network.
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    # moves zero fact rows across the network. content_wm=True (r15):
+    # a reconciliation CHECK must not trust an mtime/size-preserving
+    # source rewrite, so the copies' parquet footer digests are
+    # verified against the current source too (ADVICE r14).
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
-    li = spark.table(
-        ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey")
+    li = bucketed_fact(
+        spark, sf, "lineitem", "l_orderkey", content_wm=True
     ).select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
     line_units = F.floor(
         F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)") * F.lit(1000000.0)
@@ -419,8 +422,8 @@ def q_reconciliation_check(spark, sf):
     computed = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.sum(line_units).alias("line_total")
     )
-    orders = spark.table(
-        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+    orders = bucketed_fact(
+        spark, sf, "orders", "o_orderkey", content_wm=True
     ).select(
         F.col("o_orderkey").alias("k"),
         F.floor(F.col("o_totalprice") * F.lit(1000000.0) + F.lit(0.5))
@@ -1020,30 +1023,41 @@ def q_fd_check(spark, sf):
     value — violation counts for schema discovery, denormalization
     safety, and dimension-integrity monitoring.
 
-    Scale shape: one scan per audited table, and per candidate a
+    Scale shape: one scan per audited table — irreducible, since the
+    five candidates live on five DIFFERENT tables (a shared-scan
+    tagged explode, the fk_integrity trick, needs arms on the SAME
+    table; fusing across tables was A/B-measured SLOWER here, 2.0s vs
+    1.4s at sf0.1, because fusion shares no scan and tagging forces
+    mixed-type keys through string casts — contrast key_skew_audit,
+    where two keys share the lineitem scan). Per candidate, a
     three-level aggregation cascade on NATIVE key types: (lhs, rhs)
     counts collapse map-side first, the lhs-group relation derives
     from that, and the verdict is a scalar aggregate — no Expand
     anywhere (the distinct-rhs count falls out of the (lhs,rhs)
     pre-aggregation instead of a countDistinct rewrite, which at
-    scale would double every shuffled row). No parallelism spread —
-    the per-row work is zero and every cascade level combines
-    map-side (drift_psi rule). Fusing all five candidates into one
-    tagged union was A/B-measured SLOWER here (2.0s vs 1.4s at
-    sf0.1): the arms live on five different tables, so fusion shares
-    no scan, and tagging forces key columns of mixed types through
-    string casts — more expensive per row than five independent
-    native-typed cascades that run concurrently anyway (contrast
-    key_skew_audit, where two keys share the lineitem scan and all
-    keys are BIGINT, so its fused form costs nothing and halves the
-    fact-table IO).
+    scale would double every shuffled row). r15: the two FACT arms
+    whose lhs matches an at-rest bucket key read the bucketed copies
+    (orders on o_custkey, events on user_id) — both cascade levels
+    inherit the scan's HashPartitioning (subset clustering), so those
+    arms run with ZERO wide exchanges; only the three dim-table arms
+    still pay their (tiny) aggregation shuffles. No parallelism
+    spread — the per-row work is zero and every cascade level
+    combines map-side (drift_psi rule).
 
     Determinism: integer counts; violation_pct is one exact int/int
     division rounded through decimal(30,6).
     """
+    from data_validator_spark.queries import load_events_by_user, load_orders_by_cust
+
+    bucketed_arm = {
+        ("orders", "o_custkey"): load_orders_by_cust,
+        ("events", "user_id"): load_events_by_user,
+    }
     rows = []
     for table, lhs, rhs in FD_CANDIDATES:
-        df = load(spark, sf, table).select(lhs, rhs)
+        loader = bucketed_arm.get((table, lhs))
+        src = loader(spark, sf) if loader else load(spark, sf, table)
+        df = src.select(lhs, rhs)
         lvl = df.groupBy(F.col(lhs).alias("k"), F.col(rhs).alias("v")).agg(
             F.count(F.lit(1)).alias("c")
         )

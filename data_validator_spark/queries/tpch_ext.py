@@ -399,13 +399,13 @@ def q9_product_profit(spark, sf):
     only constant-size nation broadcasts. Decimal accumulation for
     the order-independent profit sum. A/B at sf0.1 (SCALE.md r11):
     1.42s → 0.76s best-of-4, identical output."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
     part = load(spark, sf, "part").where(F.col("p_name").contains(Q9_NAME_FRAGMENT))
     supplier = load(spark, sf, "supplier")
     nation = F.broadcast(load(spark, sf, "nation"))
-    li = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
-    orders = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey"))
+    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey")
+    orders = bucketed_fact(spark, sf, "orders", "o_orderkey")
     ps = partsupp_df(spark, sf)
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "ps_supplycost"
@@ -525,10 +525,10 @@ def q12_shipmode_priority(spark, sf):
     shipmode/receiptdate/commitdate predicates hit REAL parquet
     columns, so they push down to the scan (PushedFilters) instead of
     evaluating above an md5 div-chain."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
     li = spark.table(ensure_bucketed_lineitem_ext(spark, sf))
-    orders = spark.table(ensure_bucketed_fact(spark, sf, "orders", "o_orderkey"))
+    orders = bucketed_fact(spark, sf, "orders", "o_orderkey")
     start, end = F.to_date(F.lit(Q12_YEAR_START)), F.to_date(F.lit(Q12_YEAR_END))
     filtered = li.where(
         F.col("l_shipmode").isin(*Q12_MODES)
@@ -790,7 +790,7 @@ def q21_waiting_orders(spark, sf):
     rows per nation instead of every late line. The receipt/commit
     comparison evaluates over real parquet columns instead of an md5
     div-chain."""
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
     li = spark.table(ensure_bucketed_lineitem_ext(spark, sf)).select(
         "l_orderkey", "l_suppkey", "l_commitdate", "l_receiptdate"
@@ -803,9 +803,7 @@ def q21_waiting_orders(spark, sf):
         F.max(F.when(is_late, F.col("l_suppkey"))).alias("max_ls"),
         F.count(F.when(is_late, F.lit(1))).alias("n_late"),
     )
-    orders = spark.table(
-        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
-    ).where(F.col("o_orderstatus") == "F")
+    orders = bucketed_fact(spark, sf, "orders", "o_orderkey").where(F.col("o_orderstatus") == "F")
     nation = F.broadcast(
         load(spark, sf, "nation").where(F.col("n_name") == Q21_NATION)
     )

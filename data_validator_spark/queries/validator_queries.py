@@ -136,14 +136,17 @@ def q_unique_check(spark, sf):
     # census needs ClusteredDistribution(l_orderkey, l_linenumber),
     # which the scan's HashPartitioning(l_orderkey) (a subset of the
     # grouping keys) already satisfies, so the check's ONLY wide
-    # exchange disappears (SCALE.md r14 at-scale census). Semantics
-    # are unchanged: the copy is watermark-guaranteed byte-equivalent
-    # to the source (source-file-signature sidecar), and the
-    # config-driven validator path (validators/row_based.py) still
-    # reads whatever table the user configured.
-    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    # exchange disappears (SCALE.md r14 at-scale census). The copy is
+    # served only while its sidecar matches the CURRENT source's
+    # (relname, size, mtime_ns) set — and, because this is a
+    # data-QUALITY check, content_wm=True additionally verifies the
+    # source's parquet footer digests (r15, ADVICE r14: a same-size
+    # mtime-preserving rewrite is invisible to the stat signature
+    # alone). The config-driven validator path (validators/
+    # row_based.py) still reads whatever table the user configured.
+    from data_validator_spark.operators.bucketing import bucketed_fact
 
-    df = spark.table(ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"))
+    df = bucketed_fact(spark, sf, "lineitem", "l_orderkey", content_wm=True)
     dups = (
         df.groupBy("l_orderkey", "l_linenumber")
         .count()

@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import load, load_events_by_user, register_session_cache
+from data_validator_spark.queries import (
+    load_customer_by_key,
+    load_events_by_user,
+    load_orders_by_cust,
+    register_session_cache,
+)
 
 
 # -- cdc_upsert ------------------------------------------------------------
@@ -39,25 +44,49 @@ def _r2(col):
 
 
 def _changes(base):
-    """(key, new_acctbal, op) change rows — op in U/D/I."""
-    upd = base.where(F.col("c_custkey") % 7 == 0).select(
-        F.col("c_custkey").alias("key"),
-        _r2(F.col("c_acctbal") + 100.0).alias("new_acctbal"),
-        F.lit("U").alias("op"),
+    """(key, new_acctbal, op) change rows — op in U/D/I — derived in
+    ONE pass with array+filter+explode instead of the r14 3-branch
+    union (r15): one scan instead of three, and a U row that is ALSO
+    an insert seed (key % 7 == 0 AND % 31 == 1) still yields both
+    entries, exactly like the union did. A union here would also
+    discard the scan's partitioning (Spark Union reports
+    UnknownPartitioning) — moot for the changes side, which must
+    shuffle anyway because insert keys relocate (+INS_OFFSET), but the
+    single-scan form halves the source IO."""
+    u = F.col("c_custkey") % 7 == 0
+    d = (F.col("c_custkey") % 7 != 0) & (F.col("c_custkey") % 13 == 3)
+    i = F.col("c_custkey") % 31 == 1
+    arr = F.array(
+        F.when(
+            u,
+            F.struct(
+                F.col("c_custkey").alias("key"),
+                _r2(F.col("c_acctbal") + 100.0).alias("new_acctbal"),
+                F.lit("U").alias("op"),
+            ),
+        ),
+        F.when(
+            d,
+            F.struct(
+                F.col("c_custkey").alias("key"),
+                F.lit(None).cast("double").alias("new_acctbal"),
+                F.lit("D").alias("op"),
+            ),
+        ),
+        F.when(
+            i,
+            F.struct(
+                (F.col("c_custkey") + INS_OFFSET).alias("key"),
+                _r2(F.col("c_acctbal") / 2.0).alias("new_acctbal"),
+                F.lit("I").alias("op"),
+            ),
+        ),
     )
-    dele = base.where(
-        (F.col("c_custkey") % 7 != 0) & (F.col("c_custkey") % 13 == 3)
-    ).select(
-        F.col("c_custkey").alias("key"),
-        F.lit(None).cast("double").alias("new_acctbal"),
-        F.lit("D").alias("op"),
+    return (
+        base.where(u | d | i)
+        .select(F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("c"))
+        .select("c.*")
     )
-    ins = base.where(F.col("c_custkey") % 31 == 1).select(
-        (F.col("c_custkey") + INS_OFFSET).alias("key"),
-        _r2(F.col("c_acctbal") / 2.0).alias("new_acctbal"),
-        F.lit("I").alias("op"),
-    )
-    return upd.union(dele).union(ins)
 
 
 def q_cdc_upsert(spark, sf):
@@ -66,13 +95,15 @@ def q_cdc_upsert(spark, sf):
     ONE full-outer equi-join on the key — matched+U rewrites the
     value, matched+D drops the row, unmatched-change inserts.
 
-    Scale shape: the merge is a single shuffle join on the primary
-    key; with the base table bucketed on that key (operators/
-    bucketing.py) the base side never re-shuffles across daily merge
-    cycles — the standard lakehouse upsert topology. No window, no
-    driver state; AQE handles skewed keys.
+    Scale shape (r15): the base side reads the at-rest c_custkey-
+    bucketed customer copy, so the merge join consumes the scan's
+    HashPartitioning directly — the BASE TABLE NEVER SHUFFLES across
+    daily merge cycles, only the |delta|-scale changes side does (and
+    must: insert keys relocate by construction). The standard
+    lakehouse upsert topology. No window, no driver state; AQE
+    handles skewed keys.
     """
-    base = load(spark, sf, "customer")
+    base = load_customer_by_key(spark, sf)
     merged = base.join(_changes(base), base.c_custkey == F.col("key"), "full_outer")
     return (
         merged.where(F.col("op").isNull() | (F.col("op") != "D"))
@@ -170,37 +201,50 @@ def q_ivm_agg(spark, sf):
     The DuckDB oracle IS the full recompute over (base − deletes +
     inserts), so a green hash PROVES merge-equals-recompute.
 
-    Scale shape: the base aggregate is |customers| rows (in
+    Scale shape (r15): the base aggregate is |customers| rows (in
     production, read back from the store — here rebuilt once to stand
-    in for it); the delta pipeline shuffles at |delta| scale with
-    map-side combine; the merge is ONE full-outer equi-join on the
-    aggregate key. Refresh cost tracks the delta, not the fact table —
-    the entire point of IVM at 100 TB.
+    in for it); everything keys on o_custkey, so both the base and the
+    delta aggregation read the at-rest o_custkey-bucketed orders copy
+    and inherit the scan's HashPartitioning — and the r14 3-branch
+    delta union (whose Union node reported UnknownPartitioning and
+    forced the delta groupBy to re-shuffle) is now ONE signed-
+    contribution pass: per row, the delete predicate contributes
+    (−1, −price) and the insert predicate (+1, +price+bump), summed in
+    the same aggregation. ZERO wide exchanges end to end — the merge
+    full-outer join meets two relations already partitioned on the
+    key. Refresh cost tracks the delta, not the fact table — the
+    entire point of IVM at 100 TB.
 
     Determinism: counts are signed integers; price sums accumulate in
     decimal(30,6) on both the base and delta sides (exact retraction:
-    a deleted row subtracts the identical decimal it added); keys
-    whose count reaches 0 drop out in both engines.
+    a deleted row subtracts the identical decimal it added; a row
+    matching BOTH predicates nets the same sum the two union rows
+    did, since decimal addition commutes); keys whose count reaches 0
+    drop out in both engines.
     """
-    orders = load(spark, sf, "orders")
+    orders = load_orders_by_cust(spark, sf)
     dec_price = F.col("o_totalprice").cast("decimal(30,6)")
     base = orders.groupBy("o_custkey").agg(
         F.count("*").alias("n_b"), F.sum(dec_price).alias("s_b")
     )
-    deletes = orders.where(F.col("o_orderkey") % IVM_DEL_MOD == 0).select(
-        "o_custkey",
-        F.lit(-1).alias("dn"),
-        (-dec_price).alias("ds"),
-    )
-    inserts = orders.where(F.col("o_orderkey") % IVM_INS_MOD == 0).select(
-        "o_custkey",
-        F.lit(1).alias("dn"),
-        (F.col("o_totalprice") + IVM_INS_BUMP).cast("decimal(30,6)").alias("ds"),
-    )
+    is_del = F.col("o_orderkey") % IVM_DEL_MOD == 0
+    is_ins = F.col("o_orderkey") % IVM_INS_MOD == 0
+    zero = F.lit(0).cast("decimal(30,6)")
     delta = (
-        deletes.unionAll(inserts)
+        orders.where(is_del | is_ins)
         .groupBy("o_custkey")
-        .agg(F.sum("dn").alias("n_d"), F.sum("ds").alias("s_d"))
+        .agg(
+            F.sum(
+                F.when(is_del, -1).otherwise(0) + F.when(is_ins, 1).otherwise(0)
+            ).alias("n_d"),
+            F.sum(
+                F.when(is_del, -dec_price).otherwise(zero)
+                + F.when(
+                    is_ins,
+                    (F.col("o_totalprice") + IVM_INS_BUMP).cast("decimal(30,6)"),
+                ).otherwise(zero)
+            ).alias("s_d"),
+        )
     )
     merged = base.join(delta, "o_custkey", "full_outer").select(
         "o_custkey",
@@ -254,9 +298,12 @@ def _rfm_relation(spark, sf):
     cached = _RFM_CACHE.get(key)
     if cached is not None:
         return cached
-    # no parallelism spread: per-row work is a date cast and a cents
-    # quantization — the per-customer combine is the first real stage
-    orders = load(spark, sf, "orders")
+    # r15: the at-rest o_custkey-bucketed copy — the per-customer
+    # combine inherits the scan's HashPartitioning, so the relation
+    # builds with ZERO wide exchanges (SCALE.md r14 census: this
+    # build held 4 custkey exchanges on raw orders). No parallelism
+    # spread: per-row work is a date cast and a cents quantization.
+    orders = load_orders_by_cust(spark, sf)
     cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
@@ -397,18 +444,19 @@ def q_orders_cohort_retention(spark, sf):
     every retention curve and LTV projection, done without a single
     corpus-scale window.
 
-    Scale: months collapse to integer month indexes in-row; the
-    first-order month is one map-side-combined groupBy(custkey)
-    (user-scale), joined back key-to-key (never broadcast — the
-    cohort relation is user-scale); the matrix census is one more
-    aggregation over ≤ |months|² cells with a two-phase distinct for
-    active-customer counts.
+    Scale (r15): months collapse to integer month indexes in-row; the
+    source is the at-rest o_custkey-bucketed orders copy, so the
+    first-order-month groupBy(custkey) AND the key-to-key join back
+    both ride the scan's HashPartitioning — zero custkey exchanges
+    (the r14 census counted 2 on raw orders); the matrix census is
+    one more aggregation over ≤ |months|² cells with a two-phase
+    distinct for active-customer counts.
 
     Determinism: month index = year*12 + month - 1 (pure integers),
     revenue in exact cents via the package floor(x*100+0.5) rule."""
     # no parallelism spread: in-row month indexes are trivial — the
     # per-customer combine is the first real stage (the r7 A/B rule)
-    orders = load(spark, sf, "orders")
+    orders = load_orders_by_cust(spark, sf)
     per = orders.select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),

@@ -137,3 +137,92 @@ def test_asof_join_matches_pandas_merge_asof_randomized(spark):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+# -- asof_self_join (r15: partitioning-preserving single-relation form) -----
+def _one_relation(spark):
+    """left/right streams folded into one tagged relation: purchases
+    carry value, clicks don't (NULL)."""
+    rows = [
+        # (user_id, event_id, ts, value, event_type)
+        (1, 100, T("2024-01-01 10:00:00"), 5.0, "purchase"),
+        (1, 101, T("2024-01-01 12:00:00"), 6.0, "purchase"),
+        (2, 102, T("2024-01-01 09:00:00"), 7.0, "purchase"),
+        (3, 103, T("2024-01-01 10:00:00"), 8.0, "purchase"),
+        (1, 10, T("2024-01-01 09:30:00"), None, "click"),
+        (1, 11, T("2024-01-01 11:00:00"), None, "click"),
+        (2, 12, T("2024-01-01 09:30:00"), None, "click"),
+        (3, 13, T("2024-01-01 10:00:00"), None, "click"),
+        (3, 14, T("2024-01-01 10:00:00"), None, "click"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double, event_type string"
+    )
+
+
+def test_asof_self_join_matches_generic_semantics(spark):
+    from data_validator_spark.operators.asof import asof_self_join
+
+    df = _one_relation(spark)
+    out = asof_self_join(
+        df,
+        on=["user_id"],
+        ts="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
+        payload=["event_id", "ts"],
+        tiebreak="event_id",
+        prefix="m_",
+    )
+    rows = {r.event_id: r for r in out.collect()}
+    # same verdicts as test_asof_join_semantics on the equivalent split
+    assert len(rows) == 4
+    assert rows[100].m_event_id == 10
+    assert rows[101].m_event_id == 11
+    assert rows[102].m_event_id is None and rows[102].m_ts is None
+    assert rows[103].m_event_id == 14  # inclusive tie, max tiebreak wins
+    # full-row passthrough: every input column survives for left rows
+    assert set(out.columns) == {
+        "user_id", "event_id", "ts", "value", "event_type", "m_event_id", "m_ts"
+    }
+
+
+def test_asof_self_join_equals_generic_on_split_frames(spark):
+    """The self form must be row-identical to asof_join() of the two
+    predicate-filtered frames (the documented equivalence)."""
+    from data_validator_spark.operators.asof import asof_self_join
+
+    df = _one_relation(spark)
+    generic = asof_join(
+        df.where(F.col("event_type") == "purchase"),
+        df.where(F.col("event_type") == "click").select("user_id", "event_id", "ts"),
+        on=["user_id"], ts="ts", payload=["event_id", "ts"],
+        tiebreak="event_id", prefix="m_",
+    ).select("event_id", "m_event_id", "m_ts")
+    self_form = asof_self_join(
+        df, on=["user_id"], ts="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
+        payload=["event_id", "ts"], tiebreak="event_id", prefix="m_",
+    ).select("event_id", "m_event_id", "m_ts")
+    assert sorted(map(tuple, generic.collect())) == sorted(
+        map(tuple, self_form.collect())
+    )
+
+
+def test_asof_self_join_preserves_input_partitioning(spark):
+    """Over an input already hash-partitioned on the keys, the self
+    form must plan WITHOUT any exchange besides the input's own — the
+    entire reason it exists (the union form re-shuffles)."""
+    df = _one_relation(spark).repartition(4, "user_id")
+    from data_validator_spark.operators.asof import asof_self_join
+
+    out = asof_self_join(
+        df, on=["user_id"], ts="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
+        payload=["event_id"], tiebreak="event_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly the one repartition exchange we inserted, nothing added
+    assert plan.count("Exchange") == 1

@@ -79,8 +79,13 @@ def _drop_fact_tables(spark, sf):
 
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_").lower()
     wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
-    for name in ("lineitem", "orders"):
-        t = f"dv_bkt_{name}_{tag}"
+    for name, key in (
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_orderkey"),
+        ("orders", "o_custkey"),
+        ("customer", "c_custkey"),
+    ):
+        t = f"dv_bkt_{name}_{key}_{tag}"
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     evict_session_caches(str(sf))
@@ -306,6 +311,116 @@ def test_source_signature_refuses_empty(tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         _source_signature(str(empty))
+
+
+def test_two_layouts_of_one_table_coexist(spark, tmp_path):
+    """r15: orders carries TWO at-rest layouts (o_orderkey for the
+    fact⨝fact meets, o_custkey for the per-customer family). The key
+    is part of the table name, so requesting one layout must never
+    invalidate or rebuild the other (the r14 single-name scheme would
+    have thrashed: each request rewrote the copy with the other key)."""
+    import json as _json
+    import os as _os
+
+    from data_validator_spark.operators.bucketing import (
+        BUCKET_SIDECAR,
+        ensure_bucketed_fact,
+    )
+
+    _mini_facts(spark, tmp_path, n=120)
+    sf = str(tmp_path)
+    try:
+        t_ord = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+        t_cust = ensure_bucketed_fact(spark, sf, "orders", "o_custkey")
+        assert t_ord != t_cust
+        wh = _re_wh(spark)
+        sc = _os.path.join(wh, t_ord, BUCKET_SIDECAR)
+        before = _os.stat(sc).st_mtime_ns
+        with open(sc) as f:
+            assert _json.load(f)["key"] == "o_orderkey"
+        # re-requesting the OTHER layout must not touch this one
+        assert ensure_bucketed_fact(spark, sf, "orders", "o_custkey") == t_cust
+        assert ensure_bucketed_fact(spark, sf, "orders", "o_orderkey") == t_ord
+        assert _os.stat(sc).st_mtime_ns == before
+        assert spark.table(t_cust).count() == 120
+    finally:
+        _drop_fact_tables(spark, sf)
+
+
+def _re_wh(spark):
+    import re
+
+    return re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+
+
+def _plain_parquet(path, offset: int, n: int = 400):
+    """A parquet file whose size is offset-independent: two int64
+    columns, dictionary encoding off, no compression — shifting every
+    value changes bytes (and footer stats) but not the file length."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array([offset + i for i in range(n)], pa.int64()),
+        }
+    )
+    pq.write_table(t, path, use_dictionary=False, compression="NONE")
+
+
+def test_content_watermark_catches_mtime_preserving_rewrite(spark, tmp_path):
+    """ADVICE r14: the stat signature (relname, size, mtime_ns) is
+    blind to a same-size rewrite that restores mtime (cp -p, restore
+    tools). A content_wm=True consumer must verify parquet footer
+    digests and rebuild; the stat-only path serves the copy (that is
+    its documented guarantee, asserted here so the gap stays visible)."""
+    import os as _os
+
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.queries import evict_session_caches
+
+    src = tmp_path / "orders.parquet"
+    _plain_parquet(str(src), offset=0)
+    sf = str(tmp_path)
+    try:
+        t = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey", content_wm=True)
+        assert spark.table(t).agg({"o_custkey": "max"}).collect()[0][0] == 399
+        st = _os.stat(src)
+        _plain_parquet(str(src), offset=1000)  # value-visible rewrite...
+        assert _os.stat(src).st_size == st.st_size  # ...at the same size
+        _os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns))  # ...and mtime
+        evict_session_caches(sf)
+        # stat-only consumers cannot see this rewrite — documented gap
+        assert (
+            ensure_bucketed_fact(spark, sf, "orders", "o_orderkey") == t
+        )
+        # the content-verified path must catch it and rebuild
+        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey", content_wm=True)
+        evict_session_caches(sf)
+        assert spark.table(t).agg({"o_custkey": "max"}).collect()[0][0] == 1399
+    finally:
+        _drop_fact_tables(spark, sf)
+
+
+def test_bucketed_fact_degrades_to_raw_reader_when_unsignable(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14 (medium): a source whose files os.walk cannot list
+    (s3://, hdfs://) must keep WORKING — bucketed_fact serves load()
+    with a warning instead of raising, losing only the at-rest layout."""
+    import data_validator_spark.operators.bucketing as bk
+
+    _mini_facts(spark, tmp_path, n=80)
+    sf = str(tmp_path)
+
+    def _unsignable(path):
+        raise FileNotFoundError(f"pretend {path} is s3://")
+
+    monkeypatch.setattr(bk, "_source_signature", _unsignable)
+    with pytest.warns(RuntimeWarning, match="raw reader"):
+        df = bk.bucketed_fact(spark, sf, "orders", "o_orderkey")
+    assert df.count() == 80
 
 
 def test_events_user_copy_serves_identical_relation(spark):

@@ -224,10 +224,11 @@ def test_behavioral_family_rides_user_bucketed_events(spark, registry):
     """SCALE.md r14 census, second key class: the per-user analytics
     queries read the user_id-bucketed events copy and may not
     hash-partition on user_id — every per-user window/groupBy/self-
-    join is satisfied by the scan partitioning. (events_asof_join /
-    events_range_join keep ONE user_id exchange by design: their
-    tagged UNION discards child partitioning — a Spark Union
-    limitation documented in SCALE.md.)"""
+    join is satisfied by the scan partitioning. r15 closes the last
+    two: events_asof_join rides asof_self_join and events_range_join
+    rides range_count_self (in-place predicate tagging / RANGE-framed
+    window), so neither carries the tagged UNION that discarded child
+    partitioning — the whole family is now user_id-exchange-free."""
     for name in (
         "events_sessionized",
         "events_funnel",
@@ -236,7 +237,58 @@ def test_behavioral_family_rides_user_bucketed_events(spark, registry):
         "conversion_lag",
         "events_user_cap",
         "scd2_intervals",
+        "events_asof_join",
+        "events_range_join",
     ):
         plan = plan_of(spark, registry, name)
         assert "dv_bkt_events_" in plan, name
         assert "Exchange hashpartitioning(user_id" not in plan, name
+
+
+def test_r15_custkey_family_rides_bucketed_copies(spark, registry):
+    """SCALE.md r15, third key class: the per-customer consumers of
+    RAW orders/customer read the o_custkey/c_custkey at-rest copies
+    and may not hash-partition on either custkey — the copies'
+    HashPartitioning satisfies every per-customer groupBy and the
+    q13/q22/cdc key-to-key joins. (cdc_upsert's changes side still
+    shuffles on its own `key` column — insert keys relocate by
+    construction, a |delta|-scale exchange that is the point of the
+    MERGE shape.)"""
+    for name in (
+        "orders_cohort_retention",
+        "ivm_agg",
+        "cdc_upsert",
+        "q13_customer_distribution",
+        "q22_prospective_customers",
+    ):
+        plan = plan_of(spark, registry, name)
+        assert (
+            "dv_bkt_orders_o_custkey_" in plan
+            or "dv_bkt_customer_c_custkey_" in plan
+        ), name
+        assert "Exchange hashpartitioning(o_custkey" not in plan, name
+        assert "Exchange hashpartitioning(c_custkey" not in plan, name
+    # rfm_segments consumes the copy through its session-persisted
+    # per-customer relation: assert the BUILD plan (the relation the
+    # quantile engine and the final scoring both scan) is custkey-
+    # exchange-free and reads the copy.
+    from data_validator_spark.queries.warehouse_ops import _RFM_CACHE, _rfm_relation
+
+    for df in _RFM_CACHE.values():
+        df.unpersist()
+    _RFM_CACHE.clear()
+    plan = _rfm_relation(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "dv_bkt_orders_o_custkey_" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+
+
+def test_r15_asof_range_self_forms_are_window_only(spark, registry):
+    """The union-free rewrites must not reintroduce a join: both plans
+    are scan → filter → sort → window over the bucketed events copy —
+    no Join operator, no Union, no row fan-out Generate."""
+    for name in ("events_asof_join", "events_range_join"):
+        plan = plan_of(spark, registry, name)
+        assert "Window" in plan, name
+        assert "Union" not in plan, name
+        for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert op not in plan, (name, op)

@@ -101,3 +101,78 @@ def test_range_join_preserves_duplicate_probe_rows(spark):
     ).collect()
     assert len(out) == 2
     assert [r.n_matches for r in out] == [1, 1]
+
+
+# -- range_count_self (r15: partitioning-preserving single-relation form) ---
+def _one_relation(spark):
+    rows = [
+        # probe rows (errors)
+        (1, 100, us(0), "error"),
+        (1, 101, us(1000), "error"),
+        (2, 102, us(0), "error"),
+        # build rows (clicks)
+        (1, None, us(-10), "click"),
+        (1, None, us(5), "click"),
+        (1, None, us(10), "click"),          # exactly at tolerance -> inclusive
+        (1, None, us(10.000001), "click"),   # 1 µs past -> excluded
+        (1, None, us(500), "click"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+
+
+def test_range_count_self_boundary_inclusive(spark):
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.operators.rangejoin import range_count_self
+
+    df = _one_relation(spark)
+    out = range_count_self(
+        df, on=["user_id"], ts="ts",
+        probe_pred=F.col("event_type") == "error",
+        build_pred=F.col("event_type") == "click",
+        tolerance_us=10_000_000,
+    )
+    got = {r.event_id: r.n_matches for r in out.collect()}
+    assert got == {100: 3, 101: 0, 102: 0}
+
+
+def test_range_count_self_equals_generic_on_split_frames(spark):
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.operators.rangejoin import range_count_self
+
+    df = _one_relation(spark)
+    generic = range_join_count(
+        df.where(F.col("event_type") == "error").select("user_id", "event_id", "ts"),
+        df.where(F.col("event_type") == "click").select("user_id", "ts"),
+        on=["user_id"], ts="ts", tolerance_us=10_000_000,
+    ).select("event_id", "n_matches")
+    self_form = range_count_self(
+        df, on=["user_id"], ts="ts",
+        probe_pred=F.col("event_type") == "error",
+        build_pred=F.col("event_type") == "click",
+        tolerance_us=10_000_000,
+    ).select("event_id", "n_matches")
+    assert sorted(map(tuple, generic.collect())) == sorted(
+        map(tuple, self_form.collect())
+    )
+
+
+def test_range_count_self_is_window_only_no_join_no_fanout(spark):
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.operators.rangejoin import range_count_self
+
+    df = _one_relation(spark).repartition(4, "user_id")
+    out = range_count_self(
+        df, on=["user_id"], ts="ts",
+        probe_pred=F.col("event_type") == "error",
+        build_pred=F.col("event_type") == "click",
+        tolerance_us=10_000_000,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # only the repartition we inserted
+    assert "Join" not in plan and "Generate" not in plan
+    assert "Window" in plan

@@ -210,7 +210,7 @@ def test_q21_census_matches_exists_spelling_on_random_data(spark, tmp_path):
     finally:
         tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf).strip("_").lower()
         wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
-        for t in (f"dv_bkt_lineitem_ext_{tag}", f"dv_bkt_orders_{tag}"):
+        for t in (f"dv_bkt_lineitem_ext_{tag}", f"dv_bkt_orders_o_orderkey_{tag}"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
         from data_validator_spark.queries import evict_session_caches
