@@ -251,86 +251,50 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # === r14 cut. Tier 0 — entries whose code changes (or is slated
-    # to change) THIS round: q8 is the r13 verdict item-3 target
-    # (orderkey at-rest layout A/B), pagerank the item-6 experiment
-    # (fuse the final rank-sum barrier), and the seven bucketed-copy
-    # consumers are function-level-tripwire-flagged by the r14
-    # ADVICE fix to operators/bucketing.py (_source_signature now
-    # raises on an empty signature — a code path every
-    # ensure_bucketed_fact call executes). Late-round extension: the
-    # at-scale orderkey-shuffle census (SCALE.md r14) moved q5/q10/
-    # reconciliation_check/unique_check onto the bucketed copies too,
-    # so they join tier 0 (copurchase_similarity, also changed, was
-    # already in the r10-evidence tier below).
-    "q8_market_share",
-    "pagerank_bipartite",
+    # === r15 cut. Tier 0a — entries whose SEMANTICS or plan changed
+    # directly this round: the o_custkey/c_custkey at-rest-copy
+    # adoptions (rfm/cohort/ivm/cdc/q13/q22 — SCALE.md r15, verdict
+    # item 1), the union-free asof/range rewrites (item 2), fd_check's
+    # bucketed-arm routing (item 3), and the two validator-class
+    # entries that now verify parquet footer digests (content_wm).
+    "rfm_segments",
+    "orders_cohort_retention",
+    "ivm_agg",
+    "cdc_upsert",
+    "q13_customer_distribution",
+    "q22_prospective_customers",
+    "events_asof_join",
+    "events_range_join",
+    "fd_check",
+    "unique_check",
+    "reconciliation_check",
+    # Tier 0b — consumers whose executed plans reach the changed
+    # bucketing/loader code (function-level tripwire): the orderkey-
+    # copy family and the user_id events family, all re-routed through
+    # the new bucketed_fact() graceful-degrade front door this round.
     "q3_shipping_priority",
     "q4_order_priority",
+    "q5_local_supplier",
     "q7_volume_shipping",
+    "q8_market_share",
     "q9_product_profit",
+    "q10_returned_items",
     "q12_shipmode_priority",
     "q18_large_volume",
     "q21_waiting_orders",
-    "q5_local_supplier",
-    "q10_returned_items",
-    "reconciliation_check",
-    "unique_check",
-    # …and the events user_id-bucketed-copy adoptions (same census,
-    # second key class; the three events_* entries already in the
-    # tier-2 declared set below are also consumers):
+    "pagerank_bipartite",
+    "copurchase_similarity",
+    "events_sessionized",
     "events_funnel",
     "events_retention",
     "event_transitions",
     "conversion_lag",
     "events_user_cap",
     "scd2_intervals",
-    # tier 1 — the 11 entries whose freshest driver evidence is r10,
-    # four rounds old (r13 verdict item 1: stalest tier first).
-    "hll_distinct",
-    "events_time_weighted",
-    "copurchase_similarity",
-    "weighted_sample",
-    "streaming_validation",
-    "corpus_train_filter",
-    "token_frequencies",
-    "doc_split_sample",
-    "similarity_topk",
-    "stratified_sample",
-    "sequence_pack",
-    # tier 2 — the 11 entries declared CHANGED_LOCAL_ONLY in r13
-    # (module-import-only exposure to the bucketing change; r11
-    # evidence). The r13 verdict accepted the declaration once but
-    # directed it emptied here — a driver row retires the debt.
-    "events_json_extract",
-    "events_anomaly",
-    "dedup_index_refresh",
-    "events_sessionized",
-    "events_asof_join",
-    "events_range_join",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "minhash_containment",
-    "dedup_clusters",
-    "dedup_incremental",
-    # tier 3 filler — 9 from the head of the r11-evidence tier (the
-    # census promotions displaced the rest to below the cut).
-    "col_quantiles",
-    "mad_outliers",
-    "rfm_segments",
-    "ccnet_buckets",
-    "dedup_keep_best",
-    "split_contamination",
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # --- driver budget cut (50) falls here ---
-    # Below: stalest-first so r15's cut reads off the top. First the
-    # 15 r11-evidence entries the 50-slot budget could not fit (the
-    # bucketing-fix tier-0 promotion displaced them), then the r12
-    # tier, then the r13 tier (freshest, safest to rotate out). The
-    # FULL registry is still locally re-proven each round via
-    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+    # Tier 1 — 20 of the 22 remaining entries whose freshest driver
+    # evidence is r11, four rounds old (stalest-first rule); the two
+    # that did not fit (repetition_strip, events_rolling) head the
+    # below-cut order for r16.
     "token_count",
     "text_quality",
     "lang_id",
@@ -351,9 +315,14 @@ GRADE_PRIORITY = [
     "streaming_sessionized",
     "streaming_join",
     "doc_chunk",
+    # --- driver budget cut (50) falls here ---
+    # Below: stalest-first so r16's cut reads off the top. The two
+    # r11-evidence entries the budget could not fit, then the r12
+    # tier, the r13 tier, and the r14-graded entries (freshest,
+    # safest to rotate out). The FULL registry is still locally
+    # re-proven each round via tools/oracle_check.py
+    # (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
     "repetition_strip",
-    "cdc_upsert",
-    "ivm_agg",
     "events_rolling",
     # r12 evidence:
     "dedup_band_index_refresh",
@@ -371,7 +340,6 @@ GRADE_PRIORITY = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q15_top_supplier",
-    "q22_prospective_customers",
     "q11_important_stock",
     "q19_discounted_revenue",
     "q20_potential_promotion",
@@ -391,19 +359,17 @@ GRADE_PRIORITY = [
     "col_stats",
     "col_stats_histogram",
     "detailed_errors",
-    "q13_customer_distribution",
     "q14_promo_revenue",
     "vocab_growth",
     "domain_diversity",
     "lang_id_confusion",
     "event_seasonality",
-    # r13 evidence (freshest):
+    # r13 evidence:
     "dedup_incremental_minhash",
     "tokenizer_fertility",
     "user_activity_gini",
     "boilerplate_prefix",
     "streaming_seasonality",
-    "orders_cohort_retention",
     "l_diversity",
     "knn_label_noise",
     "streaming_dedup",
@@ -425,7 +391,6 @@ GRADE_PRIORITY = [
     "drift_psi",
     "fk_integrity",
     "benford_check",
-    "fd_check",
     "key_skew_audit",
     "source_overlap",
     "ngram_novelty",
@@ -436,6 +401,33 @@ GRADE_PRIORITY = [
     "streaming_incremental_dedup",
     "quality_calibration",
     "multimodal_features",
+    # r14 evidence (freshest):
+    "hll_distinct",
+    "events_time_weighted",
+    "weighted_sample",
+    "streaming_validation",
+    "corpus_train_filter",
+    "token_frequencies",
+    "doc_split_sample",
+    "similarity_topk",
+    "stratified_sample",
+    "sequence_pack",
+    "events_json_extract",
+    "events_anomaly",
+    "dedup_index_refresh",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "minhash_containment",
+    "dedup_clusters",
+    "dedup_incremental",
+    "col_quantiles",
+    "mad_outliers",
+    "ccnet_buckets",
+    "dedup_keep_best",
+    "split_contamination",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 

@@ -16,59 +16,42 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 DRIVER_GRADE_BUDGET = 50
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-# Tier 0 — r14: q8 (orderkey at-rest layout, r13 verdict item 3) and
-# pagerank (final-barrier fuse experiment, item 6), plus the seven
-# bucketed-copy consumers the FUNCTION-LEVEL tripwire flags for the
-# r14 ADVICE fix to operators/bucketing.py (_source_signature now
-# raises on an empty signature — executed by every
-# ensure_bucketed_fact call).
-R14_CHANGED = {
-    "q8_market_share", "pagerank_bipartite",
-    "q3_shipping_priority", "q4_order_priority", "q7_volume_shipping",
-    "q9_product_profit", "q12_shipmode_priority", "q18_large_volume",
-    "q21_waiting_orders",
-    # late-round at-scale census closures (SCALE.md r14): these moved
-    # onto the bucketed copies after the first r14 cut
-    # (copurchase_similarity already sits in R10_STALE; the three
-    # events_* declared entries in R13_DECLARED are also consumers)
-    "q5_local_supplier", "q10_returned_items", "reconciliation_check",
-    "unique_check",
-    # …user_id-bucketed events copy adoptions (second key class):
-    "events_funnel", "events_retention", "event_transitions",
-    "conversion_lag", "events_user_cap", "scd2_intervals",
+# Tier 0 — r15: (a) entries whose semantics/plan changed directly —
+# the o_custkey/c_custkey at-rest-copy adoptions, the union-free
+# asof/range rewrites, fd_check's bucketed-arm routing, and the two
+# content_wm validator entries; (b) consumers whose executed plans
+# reach the changed bucketing/loader code (bucketed_fact front door,
+# function-level tripwire).
+R15_CHANGED = {
+    # (a) direct semantic/plan changes
+    "rfm_segments", "orders_cohort_retention", "ivm_agg", "cdc_upsert",
+    "q13_customer_distribution", "q22_prospective_customers",
+    "events_asof_join", "events_range_join", "fd_check",
+    "unique_check", "reconciliation_check",
+    # (b) copy-consumer re-routes (orderkey family + events family)
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q12_shipmode_priority", "q18_large_volume",
+    "q21_waiting_orders", "pagerank_bipartite", "copurchase_similarity",
+    "events_sessionized", "events_funnel", "events_retention",
+    "event_transitions", "conversion_lag", "events_user_cap",
+    "scd2_intervals",
 }
 
-# Tier 1 — the 11 entries whose freshest driver evidence is r10 (the
-# stalest tier, r13 verdict item 1).
-R10_STALE = {
-    "hll_distinct", "events_time_weighted", "copurchase_similarity",
-    "weighted_sample", "streaming_validation", "corpus_train_filter",
-    "token_frequencies", "doc_split_sample", "similarity_topk",
-    "stratified_sample", "sequence_pack",
+# Tier 1 — 20 of the 22 remaining entries whose freshest driver
+# evidence is r11 (stalest-first rule); repetition_strip and
+# events_rolling did not fit the budget and head the below-cut order.
+R11_STALE = {
+    "token_count", "text_quality", "lang_id", "doc_fingerprint",
+    "substring_dedup", "dsir_importance", "gopher_quality", "tfidf_topk",
+    "events_gap_fill", "char_entropy", "embedding_norm_quant",
+    "ngram_contamination", "quality_ensemble", "similarity_ann_lsh",
+    "dedup_embedding_cosine", "embedding_outliers", "cluster_purity",
+    "streaming_sessionized", "streaming_join", "doc_chunk",
 }
 
-# Tier 2 — the 11 entries declared CHANGED_LOCAL_ONLY in r13 (r11
-# evidence); the declaration is retired by grading them (r13 verdict
-# item 1: "the CHANGED_LOCAL_ONLY set emptied").
-R13_DECLARED = {
-    "events_json_extract", "events_anomaly", "dedup_index_refresh",
-    "events_sessionized", "events_asof_join", "events_range_join",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "minhash_containment",
-    "dedup_clusters", "dedup_incremental",
-}
-
-# Tier 3 filler — 9 from the head of the r11-evidence tier (the
-# census promotions displaced the rest below the cut).
-R11_FILLER = {
-    "col_quantiles", "mad_outliers", "rfm_segments", "ccnet_buckets",
-    "dedup_keep_best", "split_contamination", "multimodal_meta",
-    "multimodal_resize", "multimodal_frame_sample",
-}
-
-# r14: EMPTY (r13 verdict item 1 — the r13 declaration was accepted
-# once, plan-pinned, and is retired by grading its 11 entries; the
-# function-level tripwire makes module-import-only false flags
-# structurally impossible, so this set should STAY empty).
+# r15: EMPTY (the function-level tripwire makes module-import-only
+# false flags structurally impossible, so this set should STAY empty).
 CHANGED_LOCAL_ONLY: set[str] = set()
 
 # No SQL oracle by design — EMPTY since r5 session 5: every registry
@@ -88,19 +71,17 @@ def test_priority_list_matches_registry():
 def test_new_and_stale_entries_fit_grading_budget():
     q, _ = build_registry()
     graded = set(list(q)[:DRIVER_GRADE_BUDGET])
-    assert R14_CHANGED <= graded, R14_CHANGED - graded
-    assert R10_STALE <= graded, R10_STALE - graded
-    assert R13_DECLARED <= graded, R13_DECLARED - graded
-    assert R11_FILLER <= graded, R11_FILLER - graded
+    assert R15_CHANGED <= graded, R15_CHANGED - graded
+    assert R11_STALE <= graded, R11_STALE - graded
     # the tiers exactly fill the budget — no wasted slot
-    assert len(R14_CHANGED | R10_STALE | R13_DECLARED | R11_FILLER) == DRIVER_GRADE_BUDGET
+    assert len(R15_CHANGED | R11_STALE) == DRIVER_GRADE_BUDGET
     assert not CHANGED_LOCAL_ONLY & graded  # below the cut by design
 
 
 def test_rotated_out_entries_hold_recent_driver_green():
     """Whatever falls past the grading budget must already hold a
-    driver-green row in CORRECTNESS_r13, r12 or r11 (the freshest
-    evidence tiers), or be explicitly declared local-only."""
+    driver-green row in CORRECTNESS_r14, r13, r12 or r11 (the
+    freshest evidence tiers), or be explicitly declared local-only."""
     import json
 
     def green(fname):
@@ -111,7 +92,8 @@ def test_rotated_out_entries_hold_recent_driver_green():
         }
 
     green_recent = (
-        green("CORRECTNESS_r13.json")
+        green("CORRECTNESS_r14.json")
+        | green("CORRECTNESS_r13.json")
         | green("CORRECTNESS_r12.json")
         | green("CORRECTNESS_r11.json")
     )
@@ -190,7 +172,7 @@ def test_bench_headline_keys_exist_in_registry():
     # (a forgotten HEADLINE row would silently shrink the total)
     assert set(bench.HEADLINE) == set(q), set(q) ^ set(bench.HEADLINE)
     unbenched = [
-        k for k in (R14_CHANGED | R10_STALE | R13_DECLARED | R11_FILLER | CHANGED_LOCAL_ONLY)
+        k for k in (R15_CHANGED | R11_STALE | CHANGED_LOCAL_ONLY)
         if k not in bench.HEADLINE
     ]
     assert not unbenched, f"priority entries missing from bench: {unbenched}"
@@ -284,6 +266,11 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         "events_sessionized", "events_asof_join", "events_range_join",
         "events_funnel", "events_retention", "event_transitions",
         "conversion_lag", "events_user_cap", "scd2_intervals",
+        # …plus the r15 o_custkey/c_custkey copy consumers (via
+        # load_orders_by_cust / load_customer_by_key)
+        "rfm_segments", "orders_cohort_retention", "ivm_agg",
+        "cdc_upsert", "q13_customer_distribution",
+        "q22_prospective_customers", "fd_check",
     }
     assert flagged == expected, flagged ^ expected
     # the r13 false-flag victims that remain NON-consumers (the dedup
