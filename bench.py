@@ -476,9 +476,11 @@ def main() -> int:
         # r15: the o_custkey/c_custkey at-rest copies serve the
         # per-customer family — rfm_segments builds the orders copy
         # (plus its session-persisted per-customer relation),
-        # cdc_upsert the customer copy
+        # cdc_upsert the customer copy, token_count the doc_id
+        # documents copy (graded doc family)
         "rfm_segments",
         "cdc_upsert",
+        "token_count",
         # mapInPandas worker pool (pandas_udf warm-up above uses a
         # different eval type; spin the mapInPandas path too)
         "multimodal_meta",

@@ -96,6 +96,22 @@ def load_customer_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_fact(spark, sf_dir, "customer", "c_custkey")
 
 
+def load_documents_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents off its at-rest doc_id-bucketed copy (r15, census:
+    documents IS the 100 TB table of an LLM pipeline, and its query
+    family re-keys on doc_id constantly — signal joins, per-doc gram
+    collapses, score compositions). The bucketed scan's
+    HashPartitioning(doc_id) survives the in-row text kernels and
+    explodes, so every downstream groupBy("doc_id")/doc-keyed join
+    plans exchange-free; it also supersedes spread() for these
+    consumers (32 bucket splits = the local parallelism target, and
+    at real scale the scan has thousands of splits anyway)."""
+    from data_validator_spark.operators.bucketing import bucketed_fact
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bucketed_fact(spark, sf_dir, "documents", "doc_id")
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Coerce events.ts to a session-tz TIMESTAMP regardless of how the
     generator encoded it: int64 nanos (TIMESTAMP(NANOS) under
@@ -291,10 +307,12 @@ GRADE_PRIORITY = [
     "conversion_lag",
     "events_user_cap",
     "scd2_intervals",
-    # Tier 1 — 20 of the 22 remaining entries whose freshest driver
-    # evidence is r11, four rounds old (stalest-first rule); the two
-    # that did not fit (repetition_strip, events_rolling) head the
-    # below-cut order for r16.
+    # Tier 0c — the doc_id-bucketed documents-copy adoptions (r15,
+    # second half of the round): the twelve doc-family entries whose
+    # load site switched (all were ALREADY graded this cut as r11-
+    # stale, so the switch costs no budget) plus quality_calibration,
+    # which the function-level tripwire flags through the shared
+    # _ensemble_docs helper.
     "token_count",
     "text_quality",
     "lang_id",
@@ -303,25 +321,30 @@ GRADE_PRIORITY = [
     "dsir_importance",
     "gopher_quality",
     "tfidf_topk",
-    "events_gap_fill",
     "char_entropy",
-    "embedding_norm_quant",
     "ngram_contamination",
     "quality_ensemble",
+    "doc_chunk",
+    "quality_calibration",
+    # Tier 1 — the remaining r11-evidence entries (stalest-first);
+    # streaming_join was displaced by the quality_calibration
+    # promotion and heads the below-cut order with repetition_strip
+    # and events_rolling for r16.
+    "events_gap_fill",
+    "embedding_norm_quant",
     "similarity_ann_lsh",
     "dedup_embedding_cosine",
     "embedding_outliers",
     "cluster_purity",
     "streaming_sessionized",
-    "streaming_join",
-    "doc_chunk",
     # --- driver budget cut (50) falls here ---
-    # Below: stalest-first so r16's cut reads off the top. The two
+    # Below: stalest-first so r16's cut reads off the top. The three
     # r11-evidence entries the budget could not fit, then the r12
     # tier, the r13 tier, and the r14-graded entries (freshest,
     # safest to rotate out). The FULL registry is still locally
     # re-proven each round via tools/oracle_check.py
     # (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+    "streaming_join",
     "repetition_strip",
     "events_rolling",
     # r12 evidence:
@@ -399,7 +422,6 @@ GRADE_PRIORITY = [
     "events_pivot",
     "embedding_rp_jl",
     "streaming_incremental_dedup",
-    "quality_calibration",
     "multimodal_features",
     # r14 evidence (freshest):
     "hll_distinct",

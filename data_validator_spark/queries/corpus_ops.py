@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, load, register_session_cache, spread
+from data_validator_spark.queries import (
+    DEC,
+    load,
+    load_documents_by_id,
+    register_session_cache,
+    spread,
+)
 from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
 from data_validator_spark.functions.text import normalized_text, token_count
 from data_validator_spark.queries.textops import SQL_NORM
@@ -369,7 +375,7 @@ def q_substring_dedup(spark, sf):
     shared by k docs costs k rows, not k². The join back to windows is
     on the window hash, partition-pruned by AQE. Two shuffles total.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     docs = df.select("doc_id", normalized_text(F.col("text")).alias("norm"))
     wins = docs.select(
         "doc_id",
@@ -766,7 +772,7 @@ def _dsir_tagged(spark, sf):
     cached = _DSIR_CACHE.get(key)
     if cached is not None:
         return cached
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     toks = df.select(
         "doc_id", F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("toks")
     )

@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, load, load_events_by_user, register_session_cache, spread, sql_dsum
+from data_validator_spark.queries import (
+    DEC,
+    load,
+    load_documents_by_id,
+    load_events_by_user,
+    register_session_cache,
+    spread,
+    sql_dsum,
+)
 from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
 from data_validator_spark.queries.textops import SQL_NORM
 from data_validator_spark.functions.text import normalized_text
@@ -201,7 +209,7 @@ def q_gopher_quality(spark, sf, base=None):
     cached = _GOPHER_CACHE.get(key)
     if cached is not None:
         return cached
-    df = base if base is not None else spread(load(spark, sf, "documents"))
+    df = base if base is not None else load_documents_by_id(spark, sf)
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
     ).where(F.length("t") > 0)
@@ -327,7 +335,7 @@ def q_tfidf_topk(spark, sf):
     N reaches the plan as a broadcast 1-row aggregate (bm25's stats
     pattern) — no driver-side count() action, no extra corpus scan.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     n = df.agg(F.count("*").cast("double").alias("n_docs"))
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
@@ -774,7 +782,7 @@ def q_char_entropy(spark, sf, base=None):
     if base is not None:
         docs = base.select("doc_id", "norm")
     else:
-        df = spread(load(spark, sf, "documents"))
+        df = load_documents_by_id(spark, sf)
         docs = df.select("doc_id", normalized_text(F.col("text")).alias("norm"))
     chars = docs.select(
         "doc_id",

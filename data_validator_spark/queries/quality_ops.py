@@ -25,7 +25,13 @@ import math
 
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, load, register_session_cache, spread
+from data_validator_spark.queries import (
+    DEC,
+    load,
+    load_documents_by_id,
+    register_session_cache,
+    spread,
+)
 from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
 from data_validator_spark.queries.textops import (
     SQL_SPLIT_BUCKET,
@@ -498,7 +504,7 @@ def q_ngram_contamination(spark, sf):
     joined token string; counts are integers, the contamination
     fraction one exact int/int division through decimal(30,6).
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     bucket = split_bucket()
     toks = df.select(
         "doc_id",
@@ -688,7 +694,7 @@ def _ensemble_docs(spark, sf):
     cached = _ENSEMBLE_DOCS_CACHE.get(key)
     if cached is not None:
         return cached
-    df = spread(load(spark, sf, "documents")).select(
+    df = load_documents_by_id(spark, sf).select(
         "doc_id", "text", normalized_text(F.col("text")).alias("norm")
     )
     from pyspark import StorageLevel

@@ -22,12 +22,12 @@ from data_validator_spark.functions.text import (
     quality_score,
     token_count,
 )
-from data_validator_spark.queries import DEC, load, spread
+from data_validator_spark.queries import DEC, load, load_documents_by_id, spread
 
 
 # -- token_count -----------------------------------------------------------
 def q_token_count(spark, sf):
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     return df.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -46,7 +46,7 @@ FROM documents ORDER BY doc_id
 
 # -- text_quality ----------------------------------------------------------
 def q_text_quality(spark, sf):
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     feats = quality_features(F.col("text"))
     return df.select(
         "doc_id",
@@ -90,7 +90,7 @@ FROM f ORDER BY doc_id
 
 # -- lang_id ---------------------------------------------------------------
 def q_lang_id(spark, sf):
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     # two projections so the argmin struct is a real column evaluated
     # once per row (a single-expression form would re-evaluate the
     # whole entry array for each field access — HOF scores sit outside
@@ -143,7 +143,7 @@ FROM b ORDER BY doc_id
 
 # -- doc_fingerprint -------------------------------------------------------
 def q_doc_fingerprint(spark, sf):
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     return df.select(
         "doc_id",
         doc_fingerprint(F.col("text")).alias("fingerprint"),
@@ -394,7 +394,7 @@ def q_doc_chunk(spark, sf):
     """
     from data_validator_spark.queries import _hash60
 
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     # split('') yields [''] (size 1, never 0) — guard on trimmed text
     # length, the token_count rule, so blank docs emit no phantom chunk
     toks = df.where(F.length(F.trim(F.col("text"))) > 0).select(

@@ -282,6 +282,35 @@ def test_r15_custkey_family_rides_bucketed_copies(spark, registry):
     assert "Exchange hashpartitioning(o_custkey" not in plan
 
 
+def test_r15_doc_family_rides_doc_bucketed_documents(spark, registry):
+    """SCALE.md r15, fourth key class: the graded doc-family entries
+    read the doc_id-bucketed documents copy, and the pure per-doc
+    pipelines (text kernels + groupBy(doc_id) collapses) plan with
+    ZERO exchanges — the in-row kernels and gram explodes preserve
+    the scan's HashPartitioning(doc_id). (The below-cut doc-family
+    entries stay on spread(load()) until the r16 grading rotation can
+    cover their switch — the staged plan in SCALE.md.)"""
+    zero_exchange = (
+        "token_count",
+        "text_quality",
+        "lang_id",
+        "doc_fingerprint",
+        "gopher_quality",
+        "char_entropy",
+        "doc_chunk",
+    )
+    for name in zero_exchange:
+        plan = plan_of(spark, registry, name)
+        assert "dv_bkt_documents_doc_id_" in plan, name
+        # zero WIDE exchanges (a one-time BroadcastExchange inside a
+        # session-persisted signal build is not a shuffle)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Exchange roundrobin" not in plan, name
+    for name in ("dsir_importance", "quality_ensemble", "tfidf_topk"):
+        plan = plan_of(spark, registry, name)
+        assert "dv_bkt_documents_doc_id_" in plan, name
+
+
 def test_r15_asof_range_self_forms_are_window_only(spark, registry):
     """The union-free rewrites must not reintroduce a join: both plans
     are scan → filter → sort → window over the bucketed events copy —

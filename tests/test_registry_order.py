@@ -36,18 +36,23 @@ R15_CHANGED = {
     "events_sessionized", "events_funnel", "events_retention",
     "event_transitions", "conversion_lag", "events_user_cap",
     "scd2_intervals",
+    # (c) the doc_id-bucketed documents-copy adoptions (second half
+    # of the round) — twelve switched load sites plus
+    # quality_calibration, tripwire-flagged through the shared
+    # _ensemble_docs helper
+    "token_count", "text_quality", "lang_id", "doc_fingerprint",
+    "substring_dedup", "dsir_importance", "gopher_quality",
+    "tfidf_topk", "char_entropy", "ngram_contamination",
+    "quality_ensemble", "doc_chunk", "quality_calibration",
 }
 
-# Tier 1 — 20 of the 22 remaining entries whose freshest driver
-# evidence is r11 (stalest-first rule); repetition_strip and
-# events_rolling did not fit the budget and head the below-cut order.
+# Tier 1 — the remaining r11-evidence entries (stalest-first);
+# streaming_join was displaced by the quality_calibration promotion
+# and heads the below-cut order with repetition_strip/events_rolling.
 R11_STALE = {
-    "token_count", "text_quality", "lang_id", "doc_fingerprint",
-    "substring_dedup", "dsir_importance", "gopher_quality", "tfidf_topk",
-    "events_gap_fill", "char_entropy", "embedding_norm_quant",
-    "ngram_contamination", "quality_ensemble", "similarity_ann_lsh",
+    "events_gap_fill", "embedding_norm_quant", "similarity_ann_lsh",
     "dedup_embedding_cosine", "embedding_outliers", "cluster_purity",
-    "streaming_sessionized", "streaming_join", "doc_chunk",
+    "streaming_sessionized",
 }
 
 # r15: EMPTY (the function-level tripwire makes module-import-only
@@ -271,6 +276,13 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         "rfm_segments", "orders_cohort_retention", "ivm_agg",
         "cdc_upsert", "q13_customer_distribution",
         "q22_prospective_customers", "fd_check",
+        # …plus the doc_id documents-copy consumers (via
+        # load_documents_by_id; quality_calibration reaches it
+        # through the shared _ensemble_docs relation)
+        "token_count", "text_quality", "lang_id", "doc_fingerprint",
+        "substring_dedup", "dsir_importance", "gopher_quality",
+        "tfidf_topk", "char_entropy", "ngram_contamination",
+        "quality_ensemble", "doc_chunk", "quality_calibration",
     }
     assert flagged == expected, flagged ^ expected
     # the r13 false-flag victims that remain NON-consumers (the dedup
