@@ -481,6 +481,9 @@ def main() -> int:
         "rfm_segments",
         "cdc_upsert",
         "token_count",
+        # …and q17 builds the l_partkey lineitem + p_partkey part
+        # copies (q14/fd_check share them)
+        "q17_small_quantity_revenue",
         # mapInPandas worker pool (pandas_udf warm-up above uses a
         # different eval type; spin the mapInPandas path too)
         "multimodal_meta",

@@ -96,6 +96,30 @@ def load_customer_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_fact(spark, sf_dir, "customer", "c_custkey")
 
 
+def load_lineitem_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem off its at-rest l_partkey-bucketed copy (r15, census:
+    q14/q17 join RAW lineitem to part with NO orderkey meet first, and
+    fd_check audits l_partkey→l_suppkey — a THIRD lineitem layout,
+    same projection trade as orders' two). Meets the p_partkey part
+    copy in colocated SMJs; per-part aggregations (q17's avg-quantity
+    threshold) inherit the scan partitioning."""
+    from data_validator_spark.operators.bucketing import bucketed_fact
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bucketed_fact(spark, sf_dir, "lineitem", "l_partkey")
+
+
+def load_part_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part off its at-rest p_partkey-bucketed copy (r15): the build
+    side of the q14/q17 part joins — SF-proportional, so it cannot
+    broadcast at 100 TB (the q7 rule) and the colocated layout is
+    what removes its shuffle."""
+    from data_validator_spark.operators.bucketing import bucketed_fact
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bucketed_fact(spark, sf_dir, "part", "p_partkey")
+
+
 def load_documents_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents off its at-rest doc_id-bucketed copy (r15, census:
     documents IS the 100 TB table of an LLM pipeline, and its query
@@ -326,24 +350,29 @@ GRADE_PRIORITY = [
     "quality_ensemble",
     "doc_chunk",
     "quality_calibration",
+    # Tier 0d — the l_partkey copy adoptions (r15 late extension):
+    # q14/q17 join RAW lineitem to part with no orderkey meet, and
+    # fd_check's lineitem arm (already tier 0a) keys on l_partkey.
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
     # Tier 1 — the remaining r11-evidence entries (stalest-first);
-    # streaming_join was displaced by the quality_calibration
-    # promotion and heads the below-cut order with repetition_strip
-    # and events_rolling for r16.
+    # the quality_calibration/q14/q17 promotions displaced
+    # streaming_join, cluster_purity and streaming_sessionized to
+    # head the below-cut order with repetition_strip/events_rolling.
     "events_gap_fill",
     "embedding_norm_quant",
     "similarity_ann_lsh",
     "dedup_embedding_cosine",
     "embedding_outliers",
-    "cluster_purity",
-    "streaming_sessionized",
     # --- driver budget cut (50) falls here ---
-    # Below: stalest-first so r16's cut reads off the top. The three
+    # Below: stalest-first so r16's cut reads off the top. The five
     # r11-evidence entries the budget could not fit, then the r12
     # tier, the r13 tier, and the r14-graded entries (freshest,
     # safest to rotate out). The FULL registry is still locally
     # re-proven each round via tools/oracle_check.py
     # (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+    "cluster_purity",
+    "streaming_sessionized",
     "streaming_join",
     "repetition_strip",
     "events_rolling",
@@ -382,7 +411,6 @@ GRADE_PRIORITY = [
     "col_stats",
     "col_stats_histogram",
     "detailed_errors",
-    "q14_promo_revenue",
     "vocab_growth",
     "domain_diversity",
     "lang_id_confusion",
@@ -417,7 +445,6 @@ GRADE_PRIORITY = [
     "key_skew_audit",
     "source_overlap",
     "ngram_novelty",
-    "q17_small_quantity_revenue",
     "salted_aggregation",
     "events_pivot",
     "embedding_rp_jl",

@@ -29,7 +29,9 @@ from data_validator_spark.queries import (
     load,
     load_customer_by_key,
     load_events_by_user,
+    load_lineitem_by_part,
     load_orders_by_cust,
+    load_part_by_key,
     spread,
     sql_dsum,
 )
@@ -515,13 +517,18 @@ ORDER BY 1, 2, 3
 # -- q14: promotion effect (TPC-H Q14 shape) -------------------------------
 def q14_promo_revenue(spark, sf):
     """Share of one month's revenue coming from PROMO parts — join +
-    conditional aggregate collapsing to one row. The shipdate filter is
-    pushed to the lineitem scan; part joins on partkey with no hint
-    (SF-proportional at 100 TB; AQE broadcasts it when it is small)."""
-    li = load(spark, sf, "lineitem").where(
+    conditional aggregate collapsing to one row.
+
+    Scale (r15): both sides read their at-rest partkey-bucketed
+    copies (lineitem's THIRD layout — no orderkey meet here, the
+    partkey join IS the query), so the join is a colocated SMJ with
+    zero exchanges; the shipdate filter still pushes into the
+    bucketed lineitem scan. part keeps no broadcast hint
+    (SF-proportional at 100 TB; AQE broadcasts it when small)."""
+    li = load_lineitem_by_part(spark, sf).where(
         (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-02-01"))
     )
-    part = load(spark, sf, "part")
+    part = load_part_by_key(spark, sf)
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
     j = li.join(part, li.l_partkey == part.p_partkey)
@@ -958,12 +965,16 @@ def q17_small_quantity_revenue(spark, sf):
     part's average quantity) were not taken — per-group scalar
     threshold joined back to the fact (TPC-H Q17).
 
-    Scale: the per-part average aggregates map-side first (one
-    shuffle on partkey shared with the join); the brand filter prunes
-    part before its join. The threshold is sum(DECIMAL)/count — exact
-    in both engines, so the strict < boundary is bit-stable."""
-    li = load(spark, sf, "lineitem")
-    part = load(spark, sf, "part").where(F.col("p_brand") == "Brand#23")
+    Scale (r15): all three partkey meets — the per-part average, the
+    part join, and the threshold join-back — ride the at-rest
+    partkey-bucketed copies, so the whole query plans with zero
+    partkey exchanges (was 2 lineitem-scale shuffles, the r15
+    census); the brand filter prunes part before its join and pushes
+    into the bucketed part scan. The threshold is sum(DECIMAL)/count
+    — exact in both engines, so the strict < boundary is
+    bit-stable."""
+    li = load_lineitem_by_part(spark, sf)
+    part = load_part_by_key(spark, sf).where(F.col("p_brand") == "Brand#23")
     avg_qty = li.groupBy("l_partkey").agg(
         (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
             "avg_qty"

@@ -1041,23 +1041,29 @@ def q_fd_check(spark, sf):
     from that, and the verdict is a scalar aggregate — no Expand
     anywhere (the distinct-rhs count falls out of the (lhs,rhs)
     pre-aggregation instead of a countDistinct rewrite, which at
-    scale would double every shuffled row). r15: the two FACT arms
+    scale would double every shuffled row). r15: the three FACT arms
     whose lhs matches an at-rest bucket key read the bucketed copies
-    (orders on o_custkey, events on user_id) — both cascade levels
-    inherit the scan's HashPartitioning (subset clustering), so those
-    arms run with ZERO wide exchanges; only the three dim-table arms
-    still pay their (tiny) aggregation shuffles. No parallelism
+    (orders on o_custkey, events on user_id, lineitem on l_partkey)
+    — both cascade levels inherit the scan's HashPartitioning
+    (subset clustering), so those arms run with ZERO wide exchanges;
+    only the two dim-table arms (customer, nation) still pay their
+    (tiny) aggregation shuffles. No parallelism
     spread — the per-row work is zero and every cascade level
     combines map-side (drift_psi rule).
 
     Determinism: integer counts; violation_pct is one exact int/int
     division rounded through decimal(30,6).
     """
-    from data_validator_spark.queries import load_events_by_user, load_orders_by_cust
+    from data_validator_spark.queries import (
+        load_events_by_user,
+        load_lineitem_by_part,
+        load_orders_by_cust,
+    )
 
     bucketed_arm = {
         ("orders", "o_custkey"): load_orders_by_cust,
         ("events", "user_id"): load_events_by_user,
+        ("lineitem", "l_partkey"): load_lineitem_by_part,
     }
     rows = []
     for table, lhs, rhs in FD_CANDIDATES:

@@ -282,6 +282,20 @@ def test_r15_custkey_family_rides_bucketed_copies(spark, registry):
     assert "Exchange hashpartitioning(o_custkey" not in plan
 
 
+def test_r15_partkey_family_rides_bucketed_copies(spark, registry):
+    """SCALE.md r15 late extension, fifth key class: q14/q17 join RAW
+    lineitem to part with no orderkey meet — both now read the
+    l_partkey/p_partkey at-rest copies and may not hash-partition on
+    either partkey (q17's per-part average threshold and its
+    join-back ride the same scan partitioning). fd_check's lineitem
+    arm keys on l_partkey and rides the same copy."""
+    for name in ("q14_promo_revenue", "q17_small_quantity_revenue", "fd_check"):
+        plan = plan_of(spark, registry, name)
+        assert "dv_bkt_lineitem_l_partkey_" in plan, name
+        assert "Exchange hashpartitioning(l_partkey" not in plan, name
+        assert "Exchange hashpartitioning(p_partkey" not in plan, name
+
+
 def test_r15_doc_family_rides_doc_bucketed_documents(spark, registry):
     """SCALE.md r15, fourth key class: the graded doc-family entries
     read the doc_id-bucketed documents copy, and the pure per-doc

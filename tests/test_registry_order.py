@@ -44,15 +44,18 @@ R15_CHANGED = {
     "substring_dedup", "dsir_importance", "gopher_quality",
     "tfidf_topk", "char_entropy", "ngram_contamination",
     "quality_ensemble", "doc_chunk", "quality_calibration",
+    # (d) the l_partkey copy adoptions (late extension): q14/q17
+    # join raw lineitem to part with no orderkey meet
+    "q14_promo_revenue", "q17_small_quantity_revenue",
 }
 
-# Tier 1 — the remaining r11-evidence entries (stalest-first);
-# streaming_join was displaced by the quality_calibration promotion
-# and heads the below-cut order with repetition_strip/events_rolling.
+# Tier 1 — the remaining r11-evidence entries (stalest-first); the
+# quality_calibration/q14/q17 promotions displaced streaming_join,
+# cluster_purity and streaming_sessionized to head the below-cut
+# order with repetition_strip/events_rolling.
 R11_STALE = {
     "events_gap_fill", "embedding_norm_quant", "similarity_ann_lsh",
-    "dedup_embedding_cosine", "embedding_outliers", "cluster_purity",
-    "streaming_sessionized",
+    "dedup_embedding_cosine", "embedding_outliers",
 }
 
 # r15: EMPTY (the function-level tripwire makes module-import-only
@@ -283,6 +286,9 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         "substring_dedup", "dsir_importance", "gopher_quality",
         "tfidf_topk", "char_entropy", "ngram_contamination",
         "quality_ensemble", "doc_chunk", "quality_calibration",
+        # …plus the l_partkey copy consumers (via
+        # load_lineitem_by_part / load_part_by_key)
+        "q14_promo_revenue", "q17_small_quantity_revenue",
     }
     assert flagged == expected, flagged ^ expected
     # the r13 false-flag victims that remain NON-consumers (the dedup
