@@ -226,3 +226,50 @@ def test_asof_self_join_preserves_input_partitioning(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # exactly the one repartition exchange we inserted, nothing added
     assert plan.count("Exchange") == 1
+
+
+def test_asof_self_join_randomized_against_brute_force(spark):
+    """Seeded randomized equivalence: asof_self_join vs an independent
+    per-row python reference (inclusive match, right-before-left at
+    equal ts, max tiebreak among equal-ts rights) — the tie lattice is
+    exactly where window-based implementations go wrong, so the
+    generator plants heavy ts collisions on purpose."""
+    import random
+
+    from data_validator_spark.operators.asof import asof_self_join
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for u in range(6):
+            # coarse ts grid -> many exact-tie collisions
+            for _ in range(rng.randint(0, 40)):
+                ts_us = rng.randint(0, 15) * 1_000_000
+                kind = rng.choice(["purchase", "click"])
+                rows.append((u, eid, ts_us, kind))
+                eid += 1
+        if not any(k == "purchase" for *_, k in rows):
+            rows.append((0, eid, 0, "purchase"))
+        df = spark.createDataFrame(
+            [(u, e, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=t), k)
+             for u, e, t, k in rows],
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+        got = {
+            r.event_id: r.m_event_id
+            for r in asof_self_join(
+                df, on=["user_id"], ts="ts",
+                left_pred=F.col("event_type") == "purchase",
+                right_pred=F.col("event_type") == "click",
+                payload=["event_id"], tiebreak="event_id", prefix="m_",
+            ).collect()
+        }
+        want = {}
+        for u, e, t, k in rows:
+            if k != "purchase":
+                continue
+            elig = [(t2, e2) for u2, e2, t2, k2 in rows
+                    if u2 == u and k2 == "click" and t2 <= t]
+            want[e] = max(elig)[1] if elig else None
+        assert got == want, f"seed {seed}"

@@ -438,3 +438,32 @@ def test_events_user_copy_serves_identical_relation(spark):
     ]
     assert bkt.count() == raw.count()
     assert bkt.exceptAll(raw).count() == 0 and raw.exceptAll(bkt).count() == 0
+
+
+def test_content_consumer_accepts_stat_only_build_without_thrash(spark, tmp_path):
+    """Builds always RECORD footer digests, so a stat-only build
+    followed by a content_wm=True consumer must serve the same copy
+    without a rebuild (the alternating-consumer thrash this design
+    exists to prevent), and vice versa."""
+    import os as _os
+
+    from data_validator_spark.operators.bucketing import (
+        BUCKET_SIDECAR,
+        ensure_bucketed_fact,
+    )
+
+    _mini_facts(spark, tmp_path, n=90)
+    sf = str(tmp_path)
+    try:
+        t = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")  # stat-only build
+        sc = _os.path.join(_re_wh(spark), t, BUCKET_SIDECAR)
+        before = _os.stat(sc).st_mtime_ns
+        # content consumer: must verify via recorded footers, not rebuild
+        assert ensure_bucketed_fact(
+            spark, sf, "orders", "o_orderkey", content_wm=True
+        ) == t
+        # stat-only consumer again: also no rebuild
+        assert ensure_bucketed_fact(spark, sf, "orders", "o_orderkey") == t
+        assert _os.stat(sc).st_mtime_ns == before
+    finally:
+        _drop_fact_tables(spark, sf)

@@ -176,3 +176,49 @@ def test_range_count_self_is_window_only_no_join_no_fanout(spark):
     assert plan.count("Exchange") == 1  # only the repartition we inserted
     assert "Join" not in plan and "Generate" not in plan
     assert "Window" in plan
+
+
+def test_range_count_self_randomized_against_brute_force(spark):
+    """Seeded randomized equivalence vs a per-row python reference
+    (|Δt| <= tol inclusive, same user) — boundary collisions planted
+    by generating timestamps on a grid equal to the tolerance."""
+    import datetime as _dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.operators.rangejoin import range_count_self
+
+    TOL = 2_000_000  # 2s
+    for seed in (5, 41, 77):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for u in range(5):
+            for _ in range(rng.randint(0, 35)):
+                # half the points land exactly ON the tolerance grid
+                t = rng.randint(0, 12) * TOL // rng.choice([1, 2])
+                rows.append((u, eid, t, rng.choice(["error", "click"])))
+                eid += 1
+        if not any(k == "error" for *_, k in rows):
+            rows.append((0, eid, 0, "error"))
+        df = spark.createDataFrame(
+            [(u, e, _dt.datetime(2024, 1, 1) + _dt.timedelta(microseconds=t), k)
+             for u, e, t, k in rows],
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+        got = {
+            r.event_id: r.n_matches
+            for r in range_count_self(
+                df, on=["user_id"], ts="ts",
+                probe_pred=F.col("event_type") == "error",
+                build_pred=F.col("event_type") == "click",
+                tolerance_us=TOL,
+            ).collect()
+        }
+        want = {
+            e: sum(1 for u2, _e2, t2, k2 in rows
+                   if u2 == u and k2 == "click" and abs(t2 - t) <= TOL)
+            for u, e, t, k in rows if k == "error"
+        }
+        assert got == want, f"seed {seed}"
