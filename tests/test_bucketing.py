@@ -467,3 +467,27 @@ def test_content_consumer_accepts_stat_only_build_without_thrash(spark, tmp_path
         assert _os.stat(sc).st_mtime_ns == before
     finally:
         _drop_fact_tables(spark, sf)
+
+
+def test_query_stays_correct_in_degrade_mode(spark, monkeypatch):
+    """End-to-end guard for the ADVICE r14 scenario: with the source
+    unsignable (remote storage), a behavioral-family query must still
+    produce EXACTLY the rows it produces off the bucketed copy — only
+    the layout is lost, never the answer."""
+    import data_validator_spark.operators.bucketing as bk
+    from data_validator_spark.queries import build_registry
+
+    q, _ = build_registry()
+    sf = "/root/testdata/sf0.001"
+    want = sorted(map(tuple, q["events_sessionized"](spark, sf).collect()))
+
+    real = bk._source_signature
+
+    def _unsignable(path):
+        raise FileNotFoundError(f"pretend {path} is s3://")
+
+    monkeypatch.setattr(bk, "_source_signature", _unsignable)
+    with pytest.warns(RuntimeWarning, match="raw reader"):
+        got = sorted(map(tuple, q["events_sessionized"](spark, sf).collect()))
+    monkeypatch.setattr(bk, "_source_signature", real)
+    assert got == want
