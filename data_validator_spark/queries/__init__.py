@@ -355,6 +355,7 @@ GRADE_PRIORITY = [
     # fd_check's lineitem arm (already tier 0a) keys on l_partkey.
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
     # Tier 1 — the remaining r11-evidence entries (stalest-first);
     # the quality_calibration/q14/q17 promotions displaced
     # streaming_join, cluster_purity and streaming_sessionized to
@@ -363,7 +364,6 @@ GRADE_PRIORITY = [
     "embedding_norm_quant",
     "similarity_ann_lsh",
     "dedup_embedding_cosine",
-    "embedding_outliers",
     # --- driver budget cut (50) falls here ---
     # Below: stalest-first so r16's cut reads off the top. The five
     # r11-evidence entries the budget could not fit, then the r12
@@ -371,6 +371,7 @@ GRADE_PRIORITY = [
     # safest to rotate out). The FULL registry is still locally
     # re-proven each round via tools/oracle_check.py
     # (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+    "embedding_outliers",
     "cluster_purity",
     "streaming_sessionized",
     "streaming_join",
@@ -393,7 +394,6 @@ GRADE_PRIORITY = [
     "q6_forecast_revenue",
     "q15_top_supplier",
     "q11_important_stock",
-    "q19_discounted_revenue",
     "q20_potential_promotion",
     "events_windowed",
     "events_rollup",

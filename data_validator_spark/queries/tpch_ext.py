@@ -280,18 +280,122 @@ def ensure_bucketed_lineitem_ext(spark, sf) -> str:
     return t
 
 
+def _part_ext_build(spark, sf):
+    part = spread(load(spark, sf, "part"))
+    cont = F.array(*[F.lit(c) for c in CONTAINERS])
+    h = _hash60(F.lit("pc"), F.col("p_partkey"))
+    return part.withColumn(
+        "p_container", F.element_at(cont, (h % 40 + 1).cast("int"))
+    )
+
+
 def part_ext_df(spark, sf):
     """part + derived p_container, session-persisted (_EXT_CACHE)."""
+    return _cached(spark, sf, "part_ext", lambda: _part_ext_build(spark, sf))
 
-    def build():
-        part = spread(load(spark, sf, "part"))
-        cont = F.array(*[F.lit(c) for c in CONTAINERS])
-        h = _hash60(F.lit("pc"), F.col("p_partkey"))
-        return part.withColumn(
-            "p_container", F.element_at(cont, (h % 40 + 1).cast("int"))
+
+# -- generalized derived-relation copies (r15: q19's partkey meet) ----------
+# The r12 lineitem_ext trick, parameterized over (relation, bucket
+# key): q19 joins lineitem_ext to part_ext on the PART key with no
+# orderkey meet anywhere — the l_orderkey ext copy has the wrong
+# layout for it, so the derived relations get partkey-bucketed copies
+# of their own (the same multiple-layouts-per-table trade the raw
+# facts adopted this round; copy names carry the key). Watermarks are
+# the shared source-file-signature scheme against the RAW source each
+# derivation reads, plus the derivation-formula version.
+PART_EXT_VERSION = 1  # bump when the p_container formula changes
+
+
+def _ensure_bucketed_derived(
+    spark, sf, relname: str, key: str, build_df, src_name: str, version: int
+) -> str:
+    """Idempotently materialize + register a bucketed external copy of
+    a DERIVED relation under ``dv_bkt_{relname}_{key}_{tag}``; returns
+    the catalog table name. Mirrors ensure_bucketed_lineitem_ext's
+    cases (no-op / metadata-only re-register / rebuild, foreign-name
+    collision raises) with the bucket key and derivation version
+    parameterized."""
+    import json
+    import os
+    import re
+    import shutil
+
+    from data_validator_spark.operators.bucketing import (
+        BUCKET_SIDECAR,
+        FACT_BUCKETS,
+        _read_sidecar,
+        write_bucketed,
+    )
+
+    ck = (spark.sparkContext.applicationId, str(sf), relname, key)
+    hit = _BKT_EXT_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_").lower()
+    t = f"dv_bkt_{relname}_{key}_{tag}"
+    wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+    path = os.path.join(wh, t)
+    wm = {
+        "version": version,
+        "key": key,
+        "files": _source_signature(os.path.join(str(sf), f"{src_name}.parquet")),
+    }
+    disk = _read_sidecar(path)
+    if spark.catalog.tableExists(t):
+        if disk == wm:
+            meta = {
+                r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+            }
+            loc = re.sub(r"^file:/*", "/", meta.get("Location", ""))
+            if loc != path or meta.get("Num Buckets") != str(FACT_BUCKETS):
+                raise RuntimeError(
+                    f"catalog table {t} does not match the expected bucketed "
+                    f"copy (location {meta.get('Location')!r}, buckets "
+                    f"{meta.get('Num Buckets')!r}) — refusing to serve a "
+                    "foreign table; drop it to rebuild"
+                )
+            _BKT_EXT_CACHE[ck] = t
+            return t
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(path, ignore_errors=True)
+    elif (
+        disk == wm
+        and os.path.isdir(path)
+        and any(f.endswith(".parquet") for f in os.listdir(path))
+    ):
+        ddl = spark.read.parquet(path)._jdf.schema().toDDL()
+        spark.sql(
+            f"CREATE TABLE {t} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {FACT_BUCKETS} BUCKETS LOCATION '{path}'"
         )
+        _BKT_EXT_CACHE[ck] = t
+        return t
+    elif os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    write_bucketed(build_df(spark, sf), t, [key], FACT_BUCKETS, path=path)
+    with open(os.path.join(path, BUCKET_SIDECAR), "w") as f:
+        json.dump(wm, f)
+    _BKT_EXT_CACHE[ck] = t
+    return t
 
-    return _cached(spark, sf, "part_ext", build)
+
+def ensure_bucketed_lineitem_ext_by_part(spark, sf) -> str:
+    """lineitem_ext bucketed on l_partkey — q19's layout (its part
+    meet is the whole query; the l_orderkey ext copy serves q12/q21)."""
+    return _ensure_bucketed_derived(
+        spark, sf, "lineitem_ext", "l_partkey",
+        _lineitem_ext_build, "lineitem", LINEITEM_EXT_VERSION,
+    )
+
+
+def ensure_bucketed_part_ext(spark, sf) -> str:
+    """part_ext bucketed on p_partkey — the build side of q19's meet."""
+    return _ensure_bucketed_derived(
+        spark, sf, "part_ext", "p_partkey",
+        _part_ext_build, "part", PART_EXT_VERSION,
+    )
 
 
 SQL_PART_EXT_CTE = f"""
@@ -627,14 +731,30 @@ def q19_discounted_revenue(spark, sf):
     brackets — the classic OR-of-ANDs predicate — over air shipments
     delivered in person.
 
-    Scale: part is SF-proportional (200k×SF), so NO broadcast hint
-    (the q7 rule, r9) — at small SF the planner auto-broadcasts it
-    into the lineitem scan and the predicate evaluates in one codegen
-    stage with no shuffle before the single-row aggregate; at 100 TB
-    the join correctly degrades to a key shuffle instead of a forced
-    1e8-row build."""
-    li = lineitem_ext_df(spark, sf)
-    part = part_ext_df(spark, sf)
+    Scale (r15): both sides read partkey-bucketed at-rest copies of
+    the DERIVED relations (lineitem_ext on l_partkey — a second ext
+    layout next to q12/q21's orderkey one — and part_ext on
+    p_partkey), so the meet is a colocated SMJ with ZERO exchanges
+    and the shipmode/shipinstruct predicates push into the copy scan
+    as real parquet columns. part stays SF-proportional with NO
+    broadcast hint (the q7 rule, r9) — at small SF the planner still
+    auto-broadcasts it; at 100 TB the colocated layout is what
+    removes the shuffle instead of a forced 1e8-row build."""
+    # session-persist the COPY scans (not the raw derivations): the
+    # InMemoryRelation keeps the bucketed scan's HashPartitioning
+    # (the pagerank r10 rule), so the meet stays colocated AND warm
+    # executions read columnar memory instead of re-decoding parquet
+    # (A/B at sf0.1: 1.14s pure-parquet vs 0.42s cached-copy steady;
+    # the old UNBUCKETED session cache was 0.48s and shuffled both
+    # sides at scale).
+    li = _cached(
+        spark, sf, "lineitem_ext_by_part",
+        lambda: spark.table(ensure_bucketed_lineitem_ext_by_part(spark, sf)),
+    )
+    part = _cached(
+        spark, sf, "part_ext_by_key",
+        lambda: spark.table(ensure_bucketed_part_ext(spark, sf)),
+    )
     q = F.col("l_quantity")
     sz = F.col("p_size")
     br1 = (

@@ -294,6 +294,14 @@ def test_r15_partkey_family_rides_bucketed_copies(spark, registry):
         assert "dv_bkt_lineitem_l_partkey_" in plan, name
         assert "Exchange hashpartitioning(l_partkey" not in plan, name
         assert "Exchange hashpartitioning(p_partkey" not in plan, name
+    # q19's meet is on the DERIVED relations: partkey-bucketed ext
+    # copies (lineitem_ext on l_partkey, part_ext on p_partkey), with
+    # the shipmode/shipinstruct predicates pushed into the copy scan
+    plan = plan_of(spark, registry, "q19_discounted_revenue")
+    assert "dv_bkt_lineitem_ext_l_partkey_" in plan
+    assert "dv_bkt_part_ext_p_partkey_" in plan
+    assert "Exchange hashpartitioning(l_partkey" not in plan
+    assert "Exchange hashpartitioning(p_partkey" not in plan
 
 
 def test_r15_doc_family_rides_doc_bucketed_documents(spark, registry):

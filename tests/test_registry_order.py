@@ -45,8 +45,10 @@ R15_CHANGED = {
     "tfidf_topk", "char_entropy", "ngram_contamination",
     "quality_ensemble", "doc_chunk", "quality_calibration",
     # (d) the l_partkey copy adoptions (late extension): q14/q17
-    # join raw lineitem to part with no orderkey meet
+    # join raw lineitem to part with no orderkey meet, and q19's
+    # derived relations gained partkey-bucketed ext copies
     "q14_promo_revenue", "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
 }
 
 # Tier 1 — the remaining r11-evidence entries (stalest-first); the
@@ -55,7 +57,7 @@ R15_CHANGED = {
 # order with repetition_strip/events_rolling.
 R11_STALE = {
     "events_gap_fill", "embedding_norm_quant", "similarity_ann_lsh",
-    "dedup_embedding_cosine", "embedding_outliers",
+    "dedup_embedding_cosine",
 }
 
 # r15: EMPTY (the function-level tripwire makes module-import-only
@@ -289,6 +291,10 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         # …plus the l_partkey copy consumers (via
         # load_lineitem_by_part / load_part_by_key)
         "q14_promo_revenue", "q17_small_quantity_revenue",
+        # …plus q19, which reaches the shared _source_signature
+        # watermark helper through tpch_ext._ensure_bucketed_derived
+        # (its partkey-bucketed DERIVED ext copies)
+        "q19_discounted_revenue",
     }
     assert flagged == expected, flagged ^ expected
     # the r13 false-flag victims that remain NON-consumers (the dedup

@@ -81,17 +81,17 @@ def test_q12_pushes_real_column_filters_to_bucketed_scan(spark):
     assert "l_shipmode" in head and "l_receiptdate" in head
 
 
-def test_lineitem_ext_is_cached_for_consumers(spark):
-    """q19 reads the session-persisted derived relation — the executed
-    plan must read the in-memory relation, not re-run the md5
-    derivation against parquet (r6 explain finding: unpersisted, the
-    derived filter ran on ONE scan split). q12/q21 moved OFF this
-    cache in r13: they read the at-rest bucketed copy, whose scan must
-    appear (bucketed, with the shipmode filter pushed down) instead of
-    an InMemoryTableScan."""
-    tx.lineitem_ext_df(spark, SF).count()  # materialize
-    plan = tx.q19_discounted_revenue(spark, SF)._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
+def test_derived_ext_consumers_read_at_rest_copies(spark):
+    """Every lineitem_ext consumer now reads an at-rest bucketed copy
+    instead of the session-persisted derivation (q12/q21 moved in
+    r13 — orderkey layout; q19 in r15 — partkey layout, plus a
+    part_ext copy). q19 session-persists the COPY scans (colocated
+    AND warm — the InMemoryRelation keeps the bucketed scan's
+    partitioning), so its plan shows the copy scan UNDER an
+    InMemoryTableScan; q12 reads its copy directly."""
+    q19_plan = tx.q19_discounted_revenue(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "dv_bkt_lineitem_ext_l_partkey_" in q19_plan
+    assert "dv_bkt_part_ext_p_partkey_" in q19_plan
     q12_plan = (
         tx.q12_shipmode_priority(spark, SF)._jdf.queryExecution().executedPlan().toString()
     )
