@@ -122,6 +122,7 @@ def _mini_lineitem(spark, tmp_path, n=200):
         .select(
             F.col("id").alias("l_orderkey"),
             (F.col("id") % 4 + 1).alias("l_linenumber"),
+            (F.col("id") % 20).alias("l_partkey"),
             (F.col("id") % 13).alias("l_suppkey"),
             (F.col("id") % 50 + 1.0).alias("l_quantity"),
             F.to_date(F.lit("1997-06-01")).alias("l_shipdate"),
@@ -491,3 +492,107 @@ def test_query_stays_correct_in_degrade_mode(spark, monkeypatch):
         got = sorted(map(tuple, q["events_sessionized"](spark, sf).collect()))
     monkeypatch.setattr(bk, "_source_signature", real)
     assert got == want
+
+
+# -- generalized derived-relation copies (r15: q19's partkey layout) ---------
+def _drop_derived_tables(spark, sf):
+    import re
+    import shutil
+
+    from data_validator_spark.queries import evict_session_caches
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_").lower()
+    wh = _re_wh(spark)
+    for t in (
+        f"dv_bkt_lineitem_ext_l_partkey_{tag}",
+        f"dv_bkt_part_ext_p_partkey_{tag}",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    evict_session_caches(str(sf))
+
+
+def _mini_part(spark, tmp_path, n=80):
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("p_partkey"),
+            F.concat(F.lit("Brand#"), (F.col("id") % 5).cast("string")).alias("p_brand"),
+            (F.col("id") % 50 + 1).cast("int").alias("p_size"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "part.parquet"))
+    )
+
+
+def test_derived_partkey_copies_join_colocated_and_rebuild_on_rewrite(
+    spark, tmp_path
+):
+    """The generalized derived-copy builder must (a) give a
+    zero-exchange SMJ between the two partkey ext copies, (b) carry
+    the derived columns as real parquet columns, and (c) rebuild on a
+    same-path source rewrite exactly like the raw-fact copies — the
+    sidecar tracks the RAW source each derivation reads."""
+    import json as _json
+    import os as _os
+
+    from data_validator_spark.operators.bucketing import (
+        BUCKET_SIDECAR,
+        _source_signature,
+        assert_colocated,
+    )
+    from data_validator_spark.queries import evict_session_caches
+    from data_validator_spark.queries.tpch_ext import (
+        ensure_bucketed_lineitem_ext_by_part,
+        ensure_bucketed_part_ext,
+    )
+
+    _mini_lineitem(spark, tmp_path, n=120)
+    _mini_part(spark, tmp_path, n=60)
+    sf = str(tmp_path)
+    try:
+        lt = ensure_bucketed_lineitem_ext_by_part(spark, sf)
+        pt = ensure_bucketed_part_ext(spark, sf)
+        li, part = spark.table(lt), spark.table(pt)
+        assert "l_shipmode" in li.columns and "p_container" in part.columns
+        joined = li.hint("merge").join(part, li.l_partkey == part.p_partkey)
+        assert_colocated(joined)
+        assert joined.count() > 0
+        # idempotent while sources are unchanged
+        assert ensure_bucketed_lineitem_ext_by_part(spark, sf) == lt
+        # same-path rewrite of the RAW source must rebuild the copy
+        _mini_part(spark, tmp_path, n=90)
+        evict_session_caches(sf)
+        pt2 = ensure_bucketed_part_ext(spark, sf)
+        assert spark.table(pt2).count() == 90
+        wh = _re_wh(spark)
+        with open(_os.path.join(wh, pt2, BUCKET_SIDECAR)) as f:
+            assert _json.load(f)["files"] == _source_signature(
+                str(tmp_path / "part.parquet")
+            )
+    finally:
+        _drop_derived_tables(spark, sf)
+
+
+def test_derived_copy_refuses_foreign_name_collision(spark, tmp_path):
+    """A catalog table squatting on the derived-copy name that does
+    not match the expected location/bucket spec must raise, never be
+    served (same ADVICE r11 contract as the lineitem_ext builder)."""
+    from data_validator_spark.queries import evict_session_caches
+    from data_validator_spark.queries.tpch_ext import ensure_bucketed_part_ext
+
+    _mini_part(spark, tmp_path, n=40)
+    sf = str(tmp_path)
+    try:
+        t = ensure_bucketed_part_ext(spark, sf)
+        spark.sql(f"DROP TABLE {t}")
+        spark.range(5).write.mode("overwrite").option(
+            "path", str(tmp_path / "foreign")
+        ).saveAsTable(t)
+        evict_session_caches(sf)
+        with pytest.raises(RuntimeError, match="foreign table"):
+            ensure_bucketed_part_ext(spark, sf)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _drop_derived_tables(spark, sf)
