@@ -29,6 +29,24 @@ def spark():
     yield s
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _sweep_tmp_path_copies():
+    """At session end, delete at-rest copies built for pytest tmp_path
+    sources (their tags embed the per-run tmp directory, so they can
+    never be re-served and would otherwise accumulate in
+    spark-warehouse/ forever — observed 148 MB of orphans after a few
+    rounds). Copies for the real testdata SFs are deliberately KEPT:
+    cross-session reuse is part of their design."""
+    yield
+    import glob
+    import shutil
+
+    root = Path(__file__).resolve().parent.parent
+    for pat in ("dv_bkt_*tmp_pytest*", "dv_dedup_*tmp_pytest*"):
+        for p in glob.glob(str(root / "spark-warehouse" / pat)):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 class DFSource(TableSource):
     """In-memory source for runner tests (no files needed)."""
 
