@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, load, spread
+from data_validator_spark.queries import DEC, load, load_documents_by_id, spread
 from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
 
 # -- bloom_filter_semijoin -------------------------------------------------
@@ -144,7 +144,7 @@ def q_pareto_skyline(spark, sf):
     vocab among all STRICTLY shorter docs, and it achieves the max
     vocab for its own length.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
     ).where(F.length("t") > 0)
@@ -283,7 +283,7 @@ def q_rrf_fusion(spark, sf):
     no float keys; rrf adds two exact 1/(60+int) doubles in fixed
     order; final ties break on doc_id.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
     ).where(F.length("t") > 0)

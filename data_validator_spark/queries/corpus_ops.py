@@ -56,7 +56,7 @@ def q_bm25_topk(spark, sf):
     four per-term scores are added left-to-right explicitly in both
     engines; the emitted score passes through decimal(30,6).
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     toks = F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")
     dl = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(F.size(toks))
 
@@ -288,7 +288,7 @@ def q_trigram_lm_score(spark, sf, base=None):
     if base is not None:
         docs = base.select("doc_id", "norm")
     else:
-        df = spread(load(spark, sf, "documents"))
+        df = load_documents_by_id(spark, sf)
         docs = df.select("doc_id", normalized_text(F.col("text")).alias("norm"))
     tri = docs.select(
         "doc_id",
@@ -436,7 +436,7 @@ def q_quantile_shard(spark, sf):
     assignment joins back by broadcast. shard = (16 * cum_before) DIV N
     is integer arithmetic — exact in both engines, no float boundary.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     docs = df.select("doc_id", token_count(F.col("text")).alias("tc"))
     hist = docs.groupBy("tc").agg(F.count("*").alias("cnt"))
     w = Window.orderBy("tc").rowsBetween(Window.unboundedPreceding, -1)
@@ -502,7 +502,7 @@ def q_domain_mix_sample(spark, sf):
     the per-source audit: kept counts and an id-checksum proving
     membership, not just cardinality.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     docs = df.select("doc_id", "source")
     counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
     tot = docs.agg(
@@ -677,7 +677,7 @@ def q_heavy_hitters_cms(spark, sf):
     Deterministic: pure integer counts and 60-bit md5 bucket hashes,
     identical in both engines.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     toks = df.select(
         F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("token")
     ).where(F.length("token") > 0)

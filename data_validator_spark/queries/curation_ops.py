@@ -29,7 +29,7 @@ from data_validator_spark.functions.text import (
     lang_best_struct,
     normalized_text,
 )
-from data_validator_spark.queries import load, spread
+from data_validator_spark.queries import load, load_documents_by_id, spread
 from data_validator_spark.queries.textops import SQL_NORM
 
 # -- vocab_growth: Heaps-law vocabulary growth curve -------------------------
@@ -62,7 +62,7 @@ def q_vocab_growth(spark, sf):
     Determinism: all outputs are BIGINT counts; checkpoint thresholds
     and decile assignment are integer floor-divisions of the doc_id
     span (numerators non-negative, so Spark `div` == DuckDB `//`)."""
-    docs = spread(load(spark, sf, "documents")).select(
+    docs = load_documents_by_id(spark, sf).select(
         "doc_id", normalized_text(F.col("text")).alias("norm")
     )
     bounds = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -325,7 +325,7 @@ def q_boilerplate_prefix(spark, sf):
     Determinism: counts and micro-unit floor divisions only; docs
     whose normalized text is empty are excluded in BOTH engines."""
     docs = (
-        spread(load(spark, sf, "documents"))
+        load_documents_by_id(spark, sf)
         .select("lang", normalized_text(F.col("text")).alias("norm"))
         .where(F.col("norm") != "")
     )

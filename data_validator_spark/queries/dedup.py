@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from data_validator_spark.functions.text import rolling_shingle_hashes
 from data_validator_spark.operators.checkpoint import free_local_checkpoint
-from data_validator_spark.queries import load, register_session_cache, spread
+from data_validator_spark.queries import (
+    load,
+    load_documents_by_id,
+    register_session_cache,
+    spread,
+)
 
 # MinHash parameters: 64 permutations h_i(x) = (a_i*(x mod P) + b_i) mod P,
 # banded 16×4. P = 2^31-1 keeps a_i*(x%P)+b_i < 2^62 (no int64 overflow,
@@ -115,7 +120,7 @@ def q_dedup_exact(spark, sf):
     is the min doc_id. One shuffle on the fingerprint hash."""
     from data_validator_spark.functions.text import doc_fingerprint
 
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     return (
         df.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")

@@ -116,7 +116,7 @@ def q_hll_distinct(spark, sf):
     # no parallelism spread: it would shuffle the full-width text
     # column only to feed split/md5 work the register groupBy already
     # combines map-side (A/B 1.23s vs 0.78s at sf0.1, r7)
-    df = load(spark, sf, "documents")
+    df = load_documents_by_id(spark, sf)
     toks = df.select(
         F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("v")
     ).where(F.length("v") > 0)
@@ -418,7 +418,7 @@ def q_pmi_collocations(spark, sf):
     the total branch shares the groupBy exchange with the join branch
     Catalyst reuses it (ReusedExchange) instead of re-scanning.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
     ).where(F.length("t") > 0)
@@ -521,7 +521,7 @@ def q_inverted_index(spark, sf):
     Determinism: posting order is doc_id ascending (unique), term
     ranking breaks ties on the term string, counts are exact integers.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     toks = df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("t")
     ).where(F.length("t") > 0)

@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_validator_spark.functions.text import token_count
-from data_validator_spark.queries import DEC, load, spread
+from data_validator_spark.queries import DEC, load, load_documents_by_id, spread
 from data_validator_spark.queries.textops import (
     SQL_NORM,
     SQL_SPLIT_BUCKET,
@@ -69,7 +69,7 @@ def q_pii_scrub(spark, sf):
     scrubbed text is emitted as its 60-bit hash (proves the exact
     transformation without shipping full text through the comparator).
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     t = F.col("text")
     n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
     n_ips = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
@@ -120,7 +120,7 @@ def q_stratified_sample(spark, sf):
     correlate with the train/val/test split hash in textops. Map stage
     + one partial-aggregated groupBy on `lang` — at 100 TB the shuffle
     carries only (lang, partial sums): bytes, not rows."""
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     bucket = (
         _hash60(F.concat(F.lit(f"{SAMPLE_SALT}:"), F.col("doc_id").cast("string")))
         % SAMPLE_BUCKETS
@@ -447,7 +447,7 @@ def q_weighted_sample(spark, sf):
     tfidf rule) and ties break on doc_id, so a 1-ulp ln() difference
     cannot reorder the cut.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     u = (
         _hash60(F.concat(F.lit(WSAMPLE_SALT + ":"), F.col("doc_id").cast("string")))
         + 1
@@ -495,7 +495,7 @@ def q_global_shuffle(spark, sf):
     Determinism: the hash is the package md5-prefix rule; within-shard
     ties (impossible for distinct ids, but stated) break on doc_id.
     """
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     h = _hash60(F.concat(F.lit(f"{SHUFFLE_SALT}:"), F.col("doc_id").cast("string")))
     proj = df.select(
         "doc_id",

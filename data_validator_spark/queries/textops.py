@@ -22,7 +22,7 @@ from data_validator_spark.functions.text import (
     quality_score,
     token_count,
 )
-from data_validator_spark.queries import DEC, load, load_documents_by_id, spread
+from data_validator_spark.queries import DEC, load_documents_by_id
 
 
 # -- token_count -----------------------------------------------------------
@@ -209,7 +209,7 @@ def q_doc_split_sample(spark, sf):
     and engine changes (the DuckDB oracle deals the identical split),
     and adding documents never reassigns existing ones. Returns the
     per-(lang, split) census used to sanity-check stratification."""
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     bucket = split_bucket()
     split = (
         F.when(bucket < TRAIN_CUT, "train")
@@ -257,7 +257,7 @@ def q_token_frequencies(spark, sf):
     exchange carries one row per distinct token per partition, not one
     per occurrence; the final top-k is a tiny sorted take. Ties at the
     cutoff break on the token string for cross-engine determinism."""
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     toks = df.select(
         F.explode(F.split(F.trim(normalized_text(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("token")
     ).where(F.col("token") != "")
@@ -298,7 +298,7 @@ def q_corpus_train_filter(spark, sf):
     at any corpus size."""
     from pyspark.sql import Window
 
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     bucket = split_bucket()
     enriched = df.select(
         "doc_id",
@@ -479,7 +479,7 @@ def q_repetition_strip(spark, sf):
     """
     from data_validator_spark.queries import _hash60
 
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     text = F.coalesce(F.col("text"), F.lit(""))
     # regexp-trim ALL leading/trailing whitespace (F.trim strips only
     # spaces — a trailing '\n' would survive it and split() would then
@@ -545,7 +545,7 @@ def q_tokenizer_fertility(spark, sf):
     Determinism: BIGINT totals + micro-unit floor divisions
     (numerators non-negative, zero denominators nulled via nullif in
     BOTH engines)."""
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     per = df.select(
         "lang",
         F.length("text").alias("n_chars"),
