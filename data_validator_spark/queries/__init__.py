@@ -136,6 +136,21 @@ def load_documents_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_fact(spark, sf_dir, "documents", "doc_id")
 
 
+def load_embeddings_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings off its at-rest vec_id-bucketed copy (r16, staged in
+    the r15 census: the IVF-assignment family — semdedup, outliers,
+    purity, knn, recall — re-keys the corpus on vec_id when joining
+    per-vector signals back to vectors, and EVERY consumer paid a
+    round-robin spread() exchange to unblock the per-row kernels. The
+    bucketed scan gives both for free: 32 splits of parallelism at
+    local scale — thousands at real scale — AND
+    HashPartitioning(vec_id) that the join-backs reuse)."""
+    from data_validator_spark.operators.bucketing import bucketed_fact
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bucketed_fact(spark, sf_dir, "embeddings", "vec_id")
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Coerce events.ts to a session-tz TIMESTAMP regardless of how the
     generator encoded it: int64 nanos (TIMESTAMP(NANOS) under

@@ -23,8 +23,8 @@ from data_validator_spark.queries import (
     DEC,
     load,
     load_documents_by_id,
+    load_embeddings_by_id,
     register_session_cache,
-    spread,
 )
 from data_validator_spark.queries.pipeline_ops import _hash60, _sql_hash60
 from data_validator_spark.functions.text import normalized_text, token_count
@@ -192,7 +192,7 @@ def q_kmeans_embeddings(spark, sf):
     bit-identical centroids. Clusters that lose all members drop out
     (same natural semantics in both engines).
     """
-    df = spread(load(spark, sf, "embeddings")).select("vec_id", "embedding")
+    df = load_embeddings_by_id(spark, sf).select("vec_id", "embedding")
     init = df.orderBy("vec_id").limit(KMEANS_K).collect()
     centroids = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(init)]
     assigned = _assign(df, centroids)

@@ -20,7 +20,13 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_validator_spark.functions.text import token_count
-from data_validator_spark.queries import DEC, load, load_documents_by_id, spread
+from data_validator_spark.queries import (
+    DEC,
+    load,
+    load_documents_by_id,
+    load_embeddings_by_id,
+    spread,
+)
 from data_validator_spark.queries.textops import (
     SQL_NORM,
     SQL_SPLIT_BUCKET,
@@ -294,7 +300,7 @@ def q_embedding_norm_quant(spark, sf):
     Pure map stage over (vec_id, embedding) — array lambdas run inside
     codegen, no shuffle, no Python. Zero vectors pass through as
     all-zero quants (norm guard)."""
-    df = spread(load(spark, sf, "embeddings"))
+    df = load_embeddings_by_id(spark, sf)
     q = df.select(
         "vec_id",
         F.expr(

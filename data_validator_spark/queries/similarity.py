@@ -42,7 +42,12 @@ import hashlib
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, load, register_session_cache, spread
+from data_validator_spark.queries import (
+    DEC,
+    load,
+    load_embeddings_by_id,
+    register_session_cache,
+)
 
 DIM = 64
 N_QUERIES = 10
@@ -84,7 +89,7 @@ def _vecs(spark, sf):
     touch `label` (topk/LSH paths) get it pruned from the scan by
     Catalyst; the label-aware ops (cluster_purity, knn_label_noise)
     read it through the shared IVF assignment."""
-    df = spread(load(spark, sf, "embeddings"))
+    df = load_embeddings_by_id(spark, sf)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot_self = F.aggregate(
         F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
