@@ -86,6 +86,7 @@ def asof_self_join(
     payload: Sequence[str],
     tiebreak: str,
     prefix: str = "asof_",
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """The partitioning-preserving form of `asof_join` for the common
     case where BOTH streams are row subsets of ONE relation (purchases
@@ -101,19 +102,33 @@ def asof_self_join(
     outputPartitioning, so over a bucketed scan the whole join plans
     as Filter → Sort(within buckets) → Window — ZERO exchanges.
 
-    Semantics are identical to
-    `asof_join(df.where(left_pred), df.where(right_pred), ...)` for
-    DISJOINT predicates (asserted nowhere — a row matching both would
-    enter both streams in the generic form but only the right stream
-    here, so callers must keep them disjoint). Output: the full `df`
-    row for each left row, plus `prefix+payload` columns from the
-    latest right row with right[ts] <= left[ts] (inclusive; among
-    equal-ts right rows the largest `tiebreak` wins, and right rows
-    order before left rows at equal ts — the same tie rules as
-    `asof_join`).
+    RIGHT-PRECEDENCE contract (ADVICE r15, made explicit): a row
+    matching BOTH predicates joins the right stream only — it carries
+    payload to later left rows but does not come back as a left output
+    row. The equivalence with the generic form is therefore exact as
+    `asof_join(df.where(left_pred & ~right_pred),
+    df.where(right_pred), ...)`; callers wanting a both-matching row
+    on both sides must use `asof_join` with two explicit filters.
+    `check_disjoint=True` turns a contract violation into an error
+    (one extra count job — debug tool, not for production plans).
+    Output: the full `df` row for each left row, plus `prefix+payload`
+    columns from the latest right row with right[ts] <= left[ts]
+    (inclusive; among equal-ts right rows the largest `tiebreak` wins,
+    and right rows order before left rows at equal ts — the same tie
+    rules as `asof_join`).
     """
     on = list(on)
     payload = list(payload)
+    if check_disjoint:
+        n_both = df.where(left_pred & right_pred).limit(1).count()
+        if n_both:
+            raise ValueError(
+                "asof_self_join predicates are not disjoint: at least one "
+                "row matches both left_pred and right_pred and would be "
+                "routed to the right stream only (right-precedence). Use "
+                "asof_join with explicit filters if that row must appear "
+                "on both sides."
+            )
     tagged = df.where(left_pred | right_pred).select(
         *df.columns,
         F.when(right_pred, 0).otherwise(1).alias("_stream"),

@@ -112,11 +112,18 @@ def range_count_self(
         .orderBy(F.unix_micros(F.col(ts)))
         .rangeBetween(-int(tolerance_us), int(tolerance_us))
     )
+    # three-valued logic guard (ADVICE r15): build_pred over a nullable
+    # column can evaluate to NULL; a frame holding only NULL-predicate
+    # rows must count 0 — the generic form's left join yields 0 there —
+    # so map the predicate through when/otherwise instead of cast
+    # (sum(CAST(NULL AS LONG)) over an all-NULL frame is NULL, not 0)
     return (
         df.where(probe_pred | build_pred)
         .select(
             *df.columns,
-            F.sum(build_pred.cast("long")).over(w).alias(count_alias),
+            F.sum(F.when(build_pred, F.lit(1)).otherwise(F.lit(0)))
+            .over(w)
+            .alias(count_alias),
             probe_pred.alias("_is_probe"),
         )
         .where(F.col("_is_probe"))

@@ -273,3 +273,44 @@ def test_asof_self_join_randomized_against_brute_force(spark):
                     if u2 == u and k2 == "click" and t2 <= t]
             want[e] = max(elig)[1] if elig else None
         assert got == want, f"seed {seed}"
+
+
+def test_asof_self_join_check_disjoint_raises(spark):
+    """Right-precedence contract (ADVICE r15): check_disjoint=True
+    turns overlapping predicates into an error instead of silently
+    dropping the both-matching row from the left output."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.operators.asof import asof_self_join
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(0, 0, base, 5), (0, 1, base + dt.timedelta(seconds=1), 9)],
+        "user_id long, event_id long, ts timestamp, v long",
+    )
+    with pytest.raises(ValueError, match="not disjoint"):
+        asof_self_join(
+            df,
+            on=["user_id"],
+            ts="ts",
+            left_pred=F.col("v") >= 5,   # overlaps: v=9 matches both
+            right_pred=F.col("v") >= 9,
+            payload=["event_id"],
+            tiebreak="event_id",
+            check_disjoint=True,
+        )
+    # disjoint predicates pass the check and still join
+    out = asof_self_join(
+        df,
+        on=["user_id"],
+        ts="ts",
+        left_pred=F.col("v") == 9,
+        right_pred=F.col("v") == 5,
+        payload=["event_id"],
+        tiebreak="event_id",
+        check_disjoint=True,
+    ).collect()
+    assert [(r.event_id, r.asof_event_id) for r in out] == [(1, 0)]

@@ -222,3 +222,39 @@ def test_range_count_self_randomized_against_brute_force(spark):
             for u, e, t, k in rows if k == "error"
         }
         assert got == want, f"seed {seed}"
+
+
+def test_range_count_self_null_predicate_counts_zero(spark):
+    """Three-valued-logic guard (ADVICE r15): a probe row whose frame
+    holds only rows where build_pred evaluates to NULL must count 0,
+    matching range_join_count's left-join form — not NULL."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.operators.rangejoin import range_count_self
+
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            # user 0: one probe, one NULL-kind row nearby (pred -> NULL)
+            (0, 0, base, "error"),
+            (0, 1, base + _dt.timedelta(seconds=1), None),
+            # user 1: a real click inside tolerance sanity-checks the path
+            (1, 2, base, "error"),
+            (1, 3, base + _dt.timedelta(seconds=1), "click"),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.event_id: r.n_matches
+        for r in range_count_self(
+            df,
+            on=["user_id"],
+            ts="ts",
+            probe_pred=F.col("event_type") == "error",
+            build_pred=F.col("event_type") == "click",
+            tolerance_us=2_000_000,
+        ).collect()
+    }
+    assert got == {0: 0, 2: 1}
