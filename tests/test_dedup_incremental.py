@@ -655,3 +655,63 @@ def test_quality_calibration_totals_and_bounds(spark):
         for c in ("keep_rate", "gopher_rate", "ent_rate", "lm_rate"):
             assert 0.0 <= r[c] <= 1.0, (r["score_bin"], c, r[c])
         assert abs(r["keep_rate"] - round(r["n_keep"] / r["n_docs"], 6)) < 1e-9
+
+
+def test_band_refresh_steady_state_skips_probe_and_append(spark, tmp_path):
+    """r16 (r15 verdict item 5): a repeated band-index refresh under an
+    unchanged corpus watermark must not touch the table — no empty-
+    delta append job (observable: the table directory's file set is
+    byte-identical) — and must still emit the same digest. A manual
+    table drop (no corpus change) must invalidate the cached probe so
+    the rebuilt table is refreshed, not trusted."""
+    import os
+
+    from data_validator_spark.queries import evict_session_caches
+    from data_validator_spark.queries.dedup import (
+        _findex_identity,
+        q_dedup_band_index_refresh,
+    )
+
+    d = tmp_path / "documents.parquet"
+    rows = [(i, f"steady state text {i % 13}") for i in range(60)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d)
+    )
+    t = "dv_bindex_pytest_steady"
+    _findex_drop(spark, t)
+    try:
+        def snap(path):
+            return sorted(
+                (f, os.path.getsize(os.path.join(path, f)))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+
+        first = sorted(
+            tuple(r)
+            for r in q_dedup_band_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        _, path = _findex_identity(spark, str(tmp_path), t)
+        files_after_first = snap(path)
+        second = sorted(
+            tuple(r)
+            for r in q_dedup_band_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        assert second == first
+        assert snap(path) == files_after_first  # no empty append happened
+
+        # manual drop without a corpus change: the rebuild path must
+        # invalidate the cached probe, so the refresh appends the delta
+        # again instead of trusting a stale-high table max
+        spark.sql(f"DROP TABLE {t}")
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        third = sorted(
+            tuple(r)
+            for r in q_dedup_band_index_refresh(spark, str(tmp_path), table=t).collect()
+        )
+        assert third == first
+    finally:
+        _findex_drop(spark, t)
+        evict_session_caches(str(tmp_path))
