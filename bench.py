@@ -404,6 +404,96 @@ def main() -> int:
 
     queries, _ = build_registry()
 
+    # one-time warehouse hygiene (ADVICE r15): drop at-rest copies
+    # orphaned by the r15 key-in-name rename — bench touches every
+    # per-round warehouse, so running the sweep here migrates them all
+    from data_validator_spark.operators.bucket_sweep import drop_legacy_copies
+
+    swept = drop_legacy_copies(spark)
+    if swept:
+        print(f"bench sweep: dropped legacy copies {swept}", file=sys.stderr)
+
+    # streaming progress tap (r15 verdict items 1/8): BENCH_r15 showed
+    # streaming_windowed at 12.2s driver-side vs 1.9s here with no way
+    # to tell WHICH micro-batch paid it — record per-batch
+    # recentProgress into BENCH_FULL so the next divergence is
+    # diagnosable from artifacts alone
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _ProgressTap(StreamingQueryListener):
+        def __init__(self):
+            self.events: list[dict] = []
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            try:
+                # the listener bus delivers ASYNC — often after
+                # q.stop(), sometimes after the NEXT query started — so
+                # attribution must use the trigger's own start stamp
+                # (p.timestamp, UTC ISO), not arrival order/time
+                try:
+                    from datetime import datetime, timezone
+
+                    t = (
+                        datetime.strptime(
+                            p.timestamp, "%Y-%m-%dT%H:%M:%S.%fZ"
+                        )
+                        .replace(tzinfo=timezone.utc)
+                        .timestamp()
+                    )
+                except Exception:
+                    t = time.time()
+                self.events.append(
+                    {
+                        "_t": t,
+                        "batch_id": p.batchId,
+                        "input_rows": p.numInputRows,
+                        "duration_ms": dict(p.durationMs or {}),
+                        "state_rows_total": sum(
+                            s.numRowsTotal for s in (p.stateOperators or [])
+                        ),
+                    }
+                )
+            except Exception:
+                pass  # a malformed event must never kill the bench
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    tap = _ProgressTap()
+    try:
+        spark.streams.addListener(tap)
+    except Exception as e:
+        print(f"bench: progress tap unavailable ({e})", file=sys.stderr)
+
+    # tiny fixed mapInPandas probe — run untimed after the prime and
+    # again after the timed loop. If a driver-env run shows a slow
+    # multimodal stage while both probes stay ~100ms, the Python worker
+    # pool is warm and the cause is elsewhere; a slow second probe
+    # means the pool went cold mid-run (idle reaping / memory kill).
+    def py_worker_probe() -> float:
+        import pandas as _pd
+
+        def _ident(it):
+            for b in it:
+                yield b
+
+        t0 = time.time()
+        (
+            spark.range(int(cpus), numPartitions=int(cpus))
+            .mapInPandas(_ident, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.time() - t0, 3)
+
     # warmup: touch every table so listing/footer IO is out of the
     # timings (spread() also primes its split-count cache here, so no
     # timed query pays the cold RDD probe), and spawn the Arrow Python
@@ -503,7 +593,11 @@ def main() -> int:
             except Exception as e:
                 print(f"prime error in {name}: {e}", file=sys.stderr)
         prime_sec = round(time.time() - t0, 3)
+    probe_after_prime = py_worker_probe()
     results: dict[str, float] = {}
+    runs_detail: dict[str, list[float]] = {}
+    streaming_progress: dict[str, list[dict]] = {}
+    stream_windows: list[tuple[float, str]] = []
     total = 0.0
     for name in HEADLINE:
         fn = queries.get(name)
@@ -513,17 +607,38 @@ def main() -> int:
             print(f"bench error in {name}: not in registry", file=sys.stderr)
             continue
         try:
+            if name.startswith("streaming_"):
+                stream_windows.append((time.time(), name))
             best = None
+            all_runs: list[float] = []
             for _ in range(runs):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
+                all_runs.append(round(dt, 3))
                 best = dt if best is None else min(best, dt)
             results[name] = round(best, 3)
+            runs_detail[name] = all_runs
             total += best
         except Exception as e:  # keep the bench line parseable on partial failure
             results[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+    probe_after_timed = py_worker_probe()
+    # attribute the async progress events: only streaming queries emit
+    # them, so every event belongs to the newest streaming query that
+    # had STARTED by the event's arrival (a short drain wait catches
+    # the tail the listener bus delivers after the last q.stop())
+    if stream_windows:
+        time.sleep(1.5)
+        import bisect
+
+        starts = [t for t, _ in stream_windows]
+        for ev in tap.events:
+            i = bisect.bisect_right(starts, ev.get("_t", 0.0)) - 1
+            if i >= 0:
+                owner = stream_windows[i][1]
+                ev = {k: v for k, v in ev.items() if k != "_t"}
+                streaming_progress.setdefault(owner, []).append(ev)
 
     out = {
         "metric": "headline_queries_total",
@@ -533,6 +648,16 @@ def main() -> int:
         "sf": sf,
         "runs_per_query": runs,
         "prime_pass_sec": prime_sec,
+        # diagnostics (BENCH_FULL only — compact_line drops them):
+        # every run's wall time (codegen-vs-steady-state visible per
+        # query), the Python-worker pool probes bracketing the timed
+        # loop, and per-micro-batch streaming progress (r15 items 1/8)
+        "runs_sec": runs_detail,
+        "py_worker_probe_sec": {
+            "after_prime": probe_after_prime,
+            "after_timed": probe_after_timed,
+        },
+        "streaming_progress": streaming_progress,
     }
     probe = contention_probe(
         load_before, prime_sec, sf, os.path.dirname(os.path.abspath(__file__))
@@ -663,7 +788,18 @@ def compact_line(out: dict, detail_file: str) -> str:
     (fast_queries_total_sec + queries_omitted). The full contention
     probe stays in the detail file; only the boolean rides the line."""
     results: dict = out["queries"]
-    base = {k: v for k, v in out.items() if k not in ("queries", "contention")}
+    base = {
+        k: v
+        for k, v in out.items()
+        if k
+        not in (
+            "queries",
+            "contention",
+            "runs_sec",
+            "py_worker_probe_sec",
+            "streaming_progress",
+        )
+    }
     base["detail_file"] = detail_file
     base["n_queries"] = len(results)
     # -1.0 sentinels mark errored/missing entries; they are excluded
