@@ -126,11 +126,23 @@ def _source_signature(path: str) -> list:
 
 def _footer_digest(path: str) -> str:
     """md5 of the parquet footer byte range (metadata + page-index
-    tail) — a content signal that catches the one rewrite class the
-    (size, mtime_ns) signature cannot: a same-size, mtime-preserving
-    rewrite (`cp -p` of altered same-size files, restore tools). The
-    footer carries row counts and per-row-group min/max stats, so any
-    value-visible rewrite perturbs it.
+    tail) — a content signal that catches most of the rewrite class
+    the (size, mtime_ns) signature cannot: a same-size, mtime-
+    preserving rewrite (`cp -p` of altered same-size files, restore
+    tools). The footer carries row counts and per-row-group min/max
+    stats, so a value-visible rewrite USUALLY perturbs it.
+
+    Residual gap (ADVICE r15 — documented, not closed): a same-size
+    mtime-preserving rewrite that changes only INTERIOR values while
+    leaving every footer statistic intact (possible for fixed-width
+    uncompressed columns whose per-row-group min/max, row counts and
+    page sizes all survive the edit) produces a byte-identical footer
+    and is NOT detected. Closing it would mean hashing full file
+    contents — a full-corpus read per verification, unjustifiable at
+    100 TB for an adversarial-rewrite scenario no normal data tool
+    produces (writers rewrite files wholesale, changing sizes or
+    mtimes, which the base signature already catches). content_wm
+    consumers inherit this bound; see ensure_bucketed_fact.
 
     Deliberately NOT cached by (size, mtime_ns): the whole point is to
     see through rewrites those fields miss, so a stat-keyed cache
@@ -213,13 +225,18 @@ def ensure_bucketed_fact(
     and they must not thrash each other's watermark.
 
     ``content_wm=True`` additionally verifies the sidecar's parquet
-    FOOTER digests against the current source (stat-cached, so the
-    steady-state cost stays one os.stat per file). The base signature
-    already catches every rewrite that touches a size or mtime_ns;
-    the footer check is for validator-class consumers (unique_check,
-    reconciliation_check) that must not trust an mtime/size-preserving
-    rewrite either. Builds always RECORD footers so a later content
-    consumer can verify without a rebuild."""
+    FOOTER digests against the current source. That verification is
+    deliberately UNCACHED — _footer_digest exists to see through
+    rewrites the stat fields miss, so a stat-keyed cache would defeat
+    it — and therefore costs one footer tail-read (seek + a few KB)
+    per source file per call; stat-only consumers never pay it. The
+    base signature already catches every rewrite that touches a size
+    or mtime_ns; the footer check is for validator-class consumers
+    (unique_check, reconciliation_check) that must not trust an
+    mtime/size-preserving rewrite either — up to the stats-preserving
+    residual gap documented on _footer_digest. Builds always RECORD
+    footers so a later content consumer can verify without a
+    rebuild."""
     import json
     import os
     import re

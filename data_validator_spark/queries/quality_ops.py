@@ -415,7 +415,11 @@ def q_reconciliation_check(spark, sf):
     # moves zero fact rows across the network. content_wm=True (r15):
     # a reconciliation CHECK must not trust an mtime/size-preserving
     # source rewrite, so the copies' parquet footer digests are
-    # verified against the current source too (ADVICE r14).
+    # verified against the current source too (ADVICE r14). Residual
+    # bound (ADVICE r15): a rewrite preserving size, mtime AND every
+    # footer statistic (fixed-width uncompressed interior edit) is
+    # still invisible — see _footer_digest; force a rebuild if that
+    # adversarial case must be excluded.
     from data_validator_spark.operators.bucketing import bucketed_fact
 
     li = bucketed_fact(

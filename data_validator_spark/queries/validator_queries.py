@@ -142,7 +142,9 @@ def q_unique_check(spark, sf):
     # data-QUALITY check, content_wm=True additionally verifies the
     # source's parquet footer digests (r15, ADVICE r14: a same-size
     # mtime-preserving rewrite is invisible to the stat signature
-    # alone). The config-driven validator path (validators/
+    # alone; ADVICE r15: a rewrite that also preserves every footer
+    # statistic evades the digest too — see _footer_digest's residual-
+    # gap note — so drop the copy to force a rebuild in that case). The config-driven validator path (validators/
     # row_based.py) still reads whatever table the user configured.
     from data_validator_spark.operators.bucketing import bucketed_fact
 

@@ -341,3 +341,35 @@ def test_entry_deps_resolve_known_cross_module_edges():
         assert d, f"{name} resolved to an empty dep set"
     whole_file = {n for n, d in deps.items() if any("::" not in k for k in d)}
     assert not whole_file, f"entries degraded to whole-file deps: {whole_file}"
+
+
+def test_tripwire_ignores_docstring_only_edits():
+    """r16: function/class docstring edits must hash identically to
+    the stripped form (module docstrings were already exempt) — a
+    documentation fix to a shared helper (e.g. the ADVICE r15
+    bucketing.py docstring corrections) cannot change an executed
+    plan and must not force a re-grade of every consumer. Real code
+    edits must still change the hash."""
+    import ast
+
+    gc = _load_tool("grade_cut")
+    mk = lambda src: ast.parse(src).body[0]
+    h = lambda node: ast.dump(gc._strip_docstrings(node), include_attributes=False)
+    v1 = mk('def f(x):\n    """doc v1."""\n    return x + 1\n')
+    v2 = mk('def f(x):\n    """doc v2, rewritten."""\n    return x + 1\n')
+    bare = mk("def f(x):\n    return x + 1\n")
+    code_edit = mk('def f(x):\n    """doc v1."""\n    return x + 2\n')
+    nested = mk(
+        'def f(x):\n    def g():\n        """inner doc."""\n        return 1\n'
+        "    return g()\n"
+    )
+    nested2 = mk(
+        'def f(x):\n    def g():\n        """inner doc CHANGED."""\n        return 1\n'
+        "    return g()\n"
+    )
+    assert h(v1) == h(v2) == h(bare)
+    assert h(v1) != h(code_edit)
+    assert h(nested) == h(nested2)
+    # a def whose body is ONLY a docstring must stay a valid AST
+    only_doc = mk('def f():\n    """just a doc."""\n')
+    assert "Pass" in h(only_doc)

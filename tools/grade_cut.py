@@ -139,7 +139,7 @@ class _ModuleInfo:
         for node in tree.body:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                 self.func_hashes[f"{rel}::{node.name}"] = _sha(
-                    ast.dump(node, include_attributes=False)
+                    ast.dump(_strip_docstrings(node), include_attributes=False)
                 )
                 self.bindings[node.name] = ("func", rel, node.name)
                 self.func_refs[node.name] = _collect_refs(node)
@@ -199,6 +199,33 @@ def _collect_local_imports(fn_node) -> dict[str, tuple]:
         if isinstance(node, (ast.Import, ast.ImportFrom)):
             out.update(_import_bindings(node))
     return out
+
+
+def _strip_docstrings(node):
+    """Deep-copied ``node`` with every docstring removed (the node's
+    own and those of any nested def/class). Hashing the stripped AST
+    makes doc-only edits flag nobody — the same rule _ModuleInfo
+    already applied to MODULE docstrings, extended to function/class
+    ones (r16): a docstring cannot change an executed plan, and
+    honoring ADVICE documentation fixes must not force a re-grade of
+    every consumer of a shared helper."""
+    import ast
+    import copy
+
+    node = copy.deepcopy(node)
+    for n in ast.walk(node):
+        if isinstance(
+            n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Module)
+        ):
+            body = getattr(n, "body", None)
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                n.body = body[1:] or [ast.Pass()]
+    return node
 
 
 def _collect_refs(node) -> list:
