@@ -306,192 +306,200 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # === r15 cut. Tier 0a — entries whose SEMANTICS or plan changed
-    # directly this round: the o_custkey/c_custkey at-rest-copy
-    # adoptions (rfm/cohort/ivm/cdc/q13/q22 — SCALE.md r15, verdict
-    # item 1), the union-free asof/range rewrites (item 2), fd_check's
-    # bucketed-arm routing (item 3), and the two validator-class
-    # entries that now verify parquet footer digests (content_wm).
-    "rfm_segments",
-    "orders_cohort_retention",
-    "ivm_agg",
-    "cdc_upsert",
-    "q13_customer_distribution",
-    "q22_prospective_customers",
+    # === r16 cut. Tier 0a — the 22 below-cut doc-family entries
+    # switched onto the doc_id-bucketed documents copy this round
+    # (SCALE.md r15 "r16 candidates" item 1 — the flag set was
+    # computed against the r15 tree with the new docstring-stripped
+    # hashing and checked to fit the 50-entry budget before the
+    # switch landed, the r15 pattern).
+
+    "bm25_topk",
+    "trigram_lm_score",
+    "quantile_shard",
+    "domain_mix_sample",
+    "heavy_hitters_cms",
+    "repetition_strip",
+    "token_frequencies",
+    "doc_split_sample",
+    "corpus_train_filter",
+    "tokenizer_fertility",
+    "pii_scrub",
+    "stratified_sample",
+    "weighted_sample",
+    "global_shuffle",
+    "dedup_exact",
+    "vocab_growth",
+    "boilerplate_prefix",
+    "pareto_skyline",
+    "rrf_fusion",
+    "inverted_index",
+    "hll_distinct",
+    "pmi_collocations",
+    # Tier 0b — the embeddings family: similarity._vecs (shared by
+    # the first ten) plus kmeans_embeddings and embedding_norm_quant
+    # now read the vec_id-bucketed embeddings copy ("r16 candidates"
+    # item 2).
+
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "dedup_embedding_cosine",
+    "semdedup",
+    "embedding_outliers",
+    "cluster_purity",
+    "knn_label_noise",
+    "ann_recall_eval",
+    "embedding_rp_jl",
+    "kmeans_embeddings",
+    "embedding_norm_quant",
+    # Tier 0c — index-maintenance steady-state caching (r15 verdict
+    # item 5): the probe/census/append-skip changes in dedup.py.
+
+    "dedup_band_index_refresh",
+    "dedup_incremental_minhash",
+    "dedup_index_refresh",
+    # Tier 0d — operator hardening (ADVICE r15): range_count_self's
+    # three-valued-logic count fix and asof_self_join's explicit
+    # right-precedence contract.
+
     "events_asof_join",
     "events_range_join",
-    "fd_check",
+    # Tier 0e — the contamination train-gram session cache and its
+    # _ensemble_docs co-consumers (function-level tripwire).
+
+    "ngram_contamination",
+    "quality_ensemble",
+    "quality_calibration",
+    "ccnet_buckets",
+    # Tier 0f — content_wm validator entries (comment-level source
+    # changes documenting the footer-digest residual gap; promoted
+    # conservatively since their source text changed).
+
     "unique_check",
     "reconciliation_check",
-    # Tier 0b — consumers whose executed plans reach the changed
-    # bucketing/loader code (function-level tripwire): the orderkey-
-    # copy family and the user_id events family, all re-routed through
-    # the new bucketed_fact() graceful-degrade front door this round.
+    # Tier 1 — the three remaining r11-evidence entries, so nothing
+    # in the registry falls below r12 evidence after this round.
+
+    "streaming_sessionized",
+    "streaming_join",
+    "events_rolling",
+    # Tier 2 — budget fillers: the two stalest r12-evidence entries
+    # not already flagged (the tiers exactly fill the 50 budget).
+
+    "dedup_simhash",
+    "corr_matrix",
+    # --- driver budget cut (50) falls here ---
+    # Below: stalest-first so r17's cut reads off the top; the FULL
+    # registry is still locally re-proven each round via
+    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+
+    # r12 evidence:
+    "col_stats",
+    "col_stats_histogram",
+    "column_max_check",
+    "column_sum_check",
+    "combined_single_pass",
+    "detailed_errors",
+    "domain_diversity",
+    "drift_ks",
+    "event_seasonality",
+    "events_rollup",
+    "events_windowed",
+    "lang_id_confusion",
+    "negative_check",
+    "null_check",
+    "profile_table",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q20_potential_promotion",
+    "q6_forecast_revenue",
+    "range_check",
+    "row_count",
+    "streaming_enriched",
+    "streaming_windowed",
+    "string_length_check",
+    "string_regex_check",
+    # r13 evidence:
+    "benford_check",
+    "bloom_filter_semijoin",
+    "drift_psi",
+    "events_pivot",
+    "fk_integrity",
+    "k_anonymity",
+    "key_skew_audit",
+    "l_diversity",
+    "multimodal_features",
+    "ngram_novelty",
+    "q16_parts_supplier",
+    "q2_min_cost_supplier",
+    "salted_aggregation",
+    "source_overlap",
+    "streaming_dedup",
+    "streaming_drift",
+    "streaming_incremental_dedup",
+    "streaming_seasonality",
+    "triangle_count",
+    "user_activity_gini",
+    # r14 evidence:
+    "col_quantiles",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "events_anomaly",
+    "events_json_extract",
+    "events_time_weighted",
+    "mad_outliers",
+    "minhash_containment",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize",
+    "sequence_pack",
+    "split_contamination",
+    "streaming_validation",
+    # r15 evidence:
+    "cdc_upsert",
+    "char_entropy",
+    "conversion_lag",
+    "copurchase_similarity",
+    "doc_chunk",
+    "doc_fingerprint",
+    "dsir_importance",
+    "event_transitions",
+    "events_funnel",
+    "events_gap_fill",
+    "events_retention",
+    "events_sessionized",
+    "events_user_cap",
+    "fd_check",
+    "gopher_quality",
+    "ivm_agg",
+    "lang_id",
+    "orders_cohort_retention",
+    "pagerank_bipartite",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q21_waiting_orders",
+    "q22_prospective_customers",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q18_large_volume",
-    "q21_waiting_orders",
-    "pagerank_bipartite",
-    "copurchase_similarity",
-    "events_sessionized",
-    "events_funnel",
-    "events_retention",
-    "event_transitions",
-    "conversion_lag",
-    "events_user_cap",
+    "rfm_segments",
     "scd2_intervals",
-    # Tier 0c — the doc_id-bucketed documents-copy adoptions (r15,
-    # second half of the round): the twelve doc-family entries whose
-    # load site switched (all were ALREADY graded this cut as r11-
-    # stale, so the switch costs no budget) plus quality_calibration,
-    # which the function-level tripwire flags through the shared
-    # _ensemble_docs helper.
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
     "substring_dedup",
-    "dsir_importance",
-    "gopher_quality",
+    "text_quality",
     "tfidf_topk",
-    "char_entropy",
-    "ngram_contamination",
-    "quality_ensemble",
-    "doc_chunk",
-    "quality_calibration",
-    # Tier 0d — the l_partkey copy adoptions (r15 late extension):
-    # q14/q17 join RAW lineitem to part with no orderkey meet, and
-    # fd_check's lineitem arm (already tier 0a) keys on l_partkey.
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    # Tier 1 — the remaining r11-evidence entries (stalest-first);
-    # the quality_calibration/q14/q17 promotions displaced
-    # streaming_join, cluster_purity and streaming_sessionized to
-    # head the below-cut order with repetition_strip/events_rolling.
-    "events_gap_fill",
-    "embedding_norm_quant",
-    "similarity_ann_lsh",
-    "dedup_embedding_cosine",
-    # --- driver budget cut (50) falls here ---
-    # Below: stalest-first so r16's cut reads off the top. The five
-    # r11-evidence entries the budget could not fit, then the r12
-    # tier, the r13 tier, and the r14-graded entries (freshest,
-    # safest to rotate out). The FULL registry is still locally
-    # re-proven each round via tools/oracle_check.py
-    # (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
-    "embedding_outliers",
-    "cluster_purity",
-    "streaming_sessionized",
-    "streaming_join",
-    "repetition_strip",
-    "events_rolling",
-    # r12 evidence:
-    "dedup_band_index_refresh",
-    "trigram_lm_score",
-    "dedup_exact",
-    "dedup_simhash",
-    "semdedup",
-    "pii_scrub",
-    "global_shuffle",
-    "corr_matrix",
-    "similarity_ann_ivf",
-    "profile_table",
-    "kmeans_embeddings",
-    "drift_ks",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q15_top_supplier",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    "events_windowed",
-    "events_rollup",
-    "column_sum_check",
-    "combined_single_pass",
-    "streaming_windowed",
-    "streaming_enriched",
-    "row_count",
-    "null_check",
-    "negative_check",
-    "range_check",
-    "string_length_check",
-    "string_regex_check",
-    "column_max_check",
-    "col_stats",
-    "col_stats_histogram",
-    "detailed_errors",
-    "vocab_growth",
-    "domain_diversity",
-    "lang_id_confusion",
-    "event_seasonality",
-    # r13 evidence:
-    "dedup_incremental_minhash",
-    "tokenizer_fertility",
-    "user_activity_gini",
-    "boilerplate_prefix",
-    "streaming_seasonality",
-    "l_diversity",
-    "knn_label_noise",
-    "streaming_dedup",
-    "q2_min_cost_supplier",
-    "ann_recall_eval",
-    "q16_parts_supplier",
-    "triangle_count",
-    "streaming_drift",
-    "pmi_collocations",
-    "inverted_index",
-    "bloom_filter_semijoin",
-    "pareto_skyline",
-    "rrf_fusion",
-    "bm25_topk",
-    "quantile_shard",
-    "domain_mix_sample",
-    "k_anonymity",
-    "heavy_hitters_cms",
-    "drift_psi",
-    "fk_integrity",
-    "benford_check",
-    "key_skew_audit",
-    "source_overlap",
-    "ngram_novelty",
-    "salted_aggregation",
-    "events_pivot",
-    "embedding_rp_jl",
-    "streaming_incremental_dedup",
-    "multimodal_features",
-    # r14 evidence (freshest):
-    "hll_distinct",
-    "events_time_weighted",
-    "weighted_sample",
-    "streaming_validation",
-    "corpus_train_filter",
-    "token_frequencies",
-    "doc_split_sample",
-    "similarity_topk",
-    "stratified_sample",
-    "sequence_pack",
-    "events_json_extract",
-    "events_anomaly",
-    "dedup_index_refresh",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "minhash_containment",
-    "dedup_clusters",
-    "dedup_incremental",
-    "col_quantiles",
-    "mad_outliers",
-    "ccnet_buckets",
-    "dedup_keep_best",
-    "split_contamination",
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_frame_sample",
+    "token_count",
 ]
 
 

@@ -16,48 +16,41 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 DRIVER_GRADE_BUDGET = 50
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-# Tier 0 — r15: (a) entries whose semantics/plan changed directly —
-# the o_custkey/c_custkey at-rest-copy adoptions, the union-free
-# asof/range rewrites, fd_check's bucketed-arm routing, and the two
-# content_wm validator entries; (b) consumers whose executed plans
-# reach the changed bucketing/loader code (bucketed_fact front door,
-# function-level tripwire).
-R15_CHANGED = {
-    # (a) direct semantic/plan changes
-    "rfm_segments", "orders_cohort_retention", "ivm_agg", "cdc_upsert",
-    "q13_customer_distribution", "q22_prospective_customers",
-    "events_asof_join", "events_range_join", "fd_check",
-    "unique_check", "reconciliation_check",
-    # (b) copy-consumer re-routes (orderkey family + events family)
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q12_shipmode_priority", "q18_large_volume",
-    "q21_waiting_orders", "pagerank_bipartite", "copurchase_similarity",
-    "events_sessionized", "events_funnel", "events_retention",
-    "event_transitions", "conversion_lag", "events_user_cap",
-    "scd2_intervals",
-    # (c) the doc_id-bucketed documents-copy adoptions (second half
-    # of the round) — twelve switched load sites plus
-    # quality_calibration, tripwire-flagged through the shared
-    # _ensemble_docs helper
-    "token_count", "text_quality", "lang_id", "doc_fingerprint",
-    "substring_dedup", "dsir_importance", "gopher_quality",
-    "tfidf_topk", "char_entropy", "ngram_contamination",
-    "quality_ensemble", "doc_chunk", "quality_calibration",
-    # (d) the l_partkey copy adoptions (late extension): q14/q17
-    # join raw lineitem to part with no orderkey meet, and q19's
-    # derived relations gained partkey-bucketed ext copies
-    "q14_promo_revenue", "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
+# Tier 0 — r16: every entry the function-level tripwire flags against
+# the r15 tree (recomputed with the docstring-stripped hashing): the
+# 22 doc_id-bucketed-copy switches, the 12-entry embeddings family
+# (similarity._vecs + kmeans + norm_quant on the vec_id copy), the
+# index-maintenance steady-state caches, the asof/range operator
+# hardening, the contamination train-gram cache and its shared-helper
+# co-consumers, and the two content_wm validator entries.
+R16_CHANGED = {
+    "ann_recall_eval", "bm25_topk", "boilerplate_prefix",
+    "ccnet_buckets", "cluster_purity", "corpus_train_filter",
+    "dedup_band_index_refresh", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_incremental_minhash", "dedup_index_refresh", "doc_split_sample",
+    "domain_mix_sample", "embedding_norm_quant", "embedding_outliers",
+    "embedding_rp_jl", "events_asof_join", "events_range_join",
+    "global_shuffle", "heavy_hitters_cms", "hll_distinct",
+    "inverted_index", "kmeans_embeddings", "knn_label_noise",
+    "ngram_contamination", "pareto_skyline", "pii_scrub",
+    "pmi_collocations", "quality_calibration", "quality_ensemble",
+    "quantile_shard", "reconciliation_check", "repetition_strip",
+    "rrf_fusion", "semdedup", "similarity_ann_ivf",
+    "similarity_ann_lsh", "similarity_topk", "stratified_sample",
+    "token_frequencies", "tokenizer_fertility", "trigram_lm_score",
+    "unique_check", "vocab_growth", "weighted_sample",
 }
 
-# Tier 1 — the remaining r11-evidence entries (stalest-first); the
-# quality_calibration/q14/q17 promotions displaced streaming_join,
-# cluster_purity and streaming_sessionized to head the below-cut
-# order with repetition_strip/events_rolling.
+# Tier 1 — the three remaining r11-evidence entries: after this round
+# no registry entry's driver evidence is older than r12.
 R11_STALE = {
-    "events_gap_fill", "embedding_norm_quant", "similarity_ann_lsh",
-    "dedup_embedding_cosine",
+    "streaming_sessionized", "streaming_join", "events_rolling",
+}
+
+# Tier 2 — budget fillers: the two stalest r12-evidence entries not
+# already flagged (the tiers exactly fill the 50 budget).
+R12_FILLERS = {
+    "dedup_simhash", "corr_matrix",
 }
 
 # r15: EMPTY (the function-level tripwire makes module-import-only
@@ -81,17 +74,19 @@ def test_priority_list_matches_registry():
 def test_new_and_stale_entries_fit_grading_budget():
     q, _ = build_registry()
     graded = set(list(q)[:DRIVER_GRADE_BUDGET])
-    assert R15_CHANGED <= graded, R15_CHANGED - graded
+    assert R16_CHANGED <= graded, R16_CHANGED - graded
     assert R11_STALE <= graded, R11_STALE - graded
+    assert R12_FILLERS <= graded, R12_FILLERS - graded
     # the tiers exactly fill the budget — no wasted slot
-    assert len(R15_CHANGED | R11_STALE) == DRIVER_GRADE_BUDGET
+    assert len(R16_CHANGED | R11_STALE | R12_FILLERS) == DRIVER_GRADE_BUDGET
     assert not CHANGED_LOCAL_ONLY & graded  # below the cut by design
 
 
 def test_rotated_out_entries_hold_recent_driver_green():
     """Whatever falls past the grading budget must already hold a
-    driver-green row in CORRECTNESS_r14, r13, r12 or r11 (the
-    freshest evidence tiers), or be explicitly declared local-only."""
+    driver-green row in CORRECTNESS_r15, r14, r13 or r12 (the
+    freshest evidence tiers; the r11 stragglers are all graded this
+    round), or be explicitly declared local-only."""
     import json
 
     def green(fname):
@@ -102,10 +97,10 @@ def test_rotated_out_entries_hold_recent_driver_green():
         }
 
     green_recent = (
-        green("CORRECTNESS_r14.json")
+        green("CORRECTNESS_r15.json")
+        | green("CORRECTNESS_r14.json")
         | green("CORRECTNESS_r13.json")
         | green("CORRECTNESS_r12.json")
-        | green("CORRECTNESS_r11.json")
     )
     q, _ = build_registry()
     overflow = list(q)[DRIVER_GRADE_BUDGET:]
@@ -182,7 +177,7 @@ def test_bench_headline_keys_exist_in_registry():
     # (a forgotten HEADLINE row would silently shrink the total)
     assert set(bench.HEADLINE) == set(q), set(q) ^ set(bench.HEADLINE)
     unbenched = [
-        k for k in (R15_CHANGED | R11_STALE | CHANGED_LOCAL_ONLY)
+        k for k in (R16_CHANGED | R11_STALE | R12_FILLERS | CHANGED_LOCAL_ONLY)
         if k not in bench.HEADLINE
     ]
     assert not unbenched, f"priority entries missing from bench: {unbenched}"
@@ -295,6 +290,24 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         # watermark helper through tpch_ext._ensure_bucketed_derived
         # (its partkey-bucketed DERIVED ext copies)
         "q19_discounted_revenue",
+        # …plus the r16 adoptions: the 22 below-cut doc-family
+        # switches onto load_documents_by_id…
+        "bm25_topk", "trigram_lm_score", "quantile_shard",
+        "domain_mix_sample", "heavy_hitters_cms", "repetition_strip",
+        "token_frequencies", "doc_split_sample", "corpus_train_filter",
+        "tokenizer_fertility", "pii_scrub", "stratified_sample",
+        "weighted_sample", "global_shuffle", "dedup_exact",
+        "vocab_growth", "boilerplate_prefix", "pareto_skyline",
+        "rrf_fusion", "inverted_index", "hll_distinct",
+        "pmi_collocations",
+        # …and the embeddings family on load_embeddings_by_id (the
+        # _vecs sharers plus kmeans/norm_quant; ccnet reaches the
+        # loader through the shared quality_ops helpers)
+        "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
+        "dedup_embedding_cosine", "semdedup", "embedding_outliers",
+        "cluster_purity", "knn_label_noise", "ann_recall_eval",
+        "embedding_rp_jl", "kmeans_embeddings", "embedding_norm_quant",
+        "ccnet_buckets",
     }
     assert flagged == expected, flagged ^ expected
     # the r13 false-flag victims that remain NON-consumers (the dedup
