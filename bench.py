@@ -396,6 +396,14 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # pinned explicitly (r16): the r15 driver-env run showed the
+        # Python stages at 5-10x their local numbers with both of a
+        # query's runs slow — the signature of a per-run worker
+        # respawn. reuse defaults to true, but pin it so an
+        # environment override can't silently disable the pool; the
+        # py_worker_probe_sec bracket in BENCH_FULL decides the
+        # question either way.
+        .config("spark.python.worker.reuse", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
