@@ -422,7 +422,11 @@ def q_dedup_incremental_minhash(spark, sf):
         F.sum(confirmed.cast("long")).alias("n_confirmed"),
         F.min(F.when(confirmed, F.col("cand_id"))).alias("best_match"),
     )
-    spine = load(spark, sf, "documents").where(
+    # spine off the doc_id-bucketed copy (r16): its HashPartitioning
+    # satisfies the left-outer join against the per-doc aggregate, so
+    # the delta spine contributes no exchange (the pivot literal still
+    # prunes row groups inside the bucketed scan)
+    spine = load_documents_by_id(spark, sf).where(
         F.col("doc_id") >= F.lit(pivot)
     ).select("doc_id")
     return spine.join(agg, "doc_id", "left").select(
