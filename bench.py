@@ -563,6 +563,7 @@ def main() -> int:
         "dedup_band_index_refresh",
         "quality_ensemble",       # quality_ops._ENSEMBLE_DOCS_CACHE
         "ngram_contamination",    # quality_ops._CONTAM_TRAIN_CACHE (r16)
+        "kmeans_embeddings",      # corpus_ops._KMEANS_CENTROIDS_CACHE (r16)
         "similarity_ann_ivf",     # similarity._ASSIGNED_CACHE
         # tpch_ext._EXT_CACHE is keyed per derived relation
         "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
