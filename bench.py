@@ -370,6 +370,13 @@ def check_guards(repo: str | None = None) -> list[str]:
     return fails
 
 
+def _loadavg_now() -> tuple:
+    try:
+        return os.getloadavg()
+    except OSError:
+        return ()
+
+
 def main() -> int:
     try:
         load_before = os.getloadavg()  # BEFORE any Spark work
@@ -606,6 +613,7 @@ def main() -> int:
     probe_after_prime = py_worker_probe()
     results: dict[str, float] = {}
     runs_detail: dict[str, list[float]] = {}
+    query_t0: dict[str, float] = {}
     streaming_progress: dict[str, list[dict]] = {}
     stream_windows: list[tuple[float, str]] = []
     total = 0.0
@@ -617,6 +625,7 @@ def main() -> int:
             print(f"bench error in {name}: not in registry", file=sys.stderr)
             continue
         try:
+            query_t0[name] = round(time.time(), 3)
             if name.startswith("streaming_"):
                 stream_windows.append((time.time(), name))
             best = None
@@ -663,6 +672,15 @@ def main() -> int:
         # query), the Python-worker pool probes bracketing the timed
         # loop, and per-micro-batch streaming progress (r15 items 1/8)
         "runs_sec": runs_detail,
+        # per-query start stamps + the loadavg AFTER the loop: a
+        # systemic mid-run slowdown (observed r16: a contiguous
+        # window where EVERY query ran 3-10x slow while the prime and
+        # worker probes were normal — transient host contention the
+        # prime-ratio canary cannot see because it starts later) is
+        # attributable from the artifact by correlating slow entries'
+        # wall-clock window, without re-running anything
+        "query_start_epoch": query_t0,
+        "load_after": [round(x, 2) for x in _loadavg_now()],
         "py_worker_probe_sec": {
             "after_prime": probe_after_prime,
             "after_timed": probe_after_timed,
@@ -806,6 +824,8 @@ def compact_line(out: dict, detail_file: str) -> str:
             "queries",
             "contention",
             "runs_sec",
+            "query_start_epoch",
+            "load_after",
             "py_worker_probe_sec",
             "streaming_progress",
         )
