@@ -308,6 +308,9 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         "cluster_purity", "knn_label_noise", "ann_recall_eval",
         "embedding_rp_jl", "kmeans_embeddings", "embedding_norm_quant",
         "ccnet_buckets",
+        # …and the incremental-minhash screen, whose delta spine rides
+        # the doc_id copy since the r16 late extension
+        "dedup_incremental_minhash",
     }
     assert flagged == expected, flagged ^ expected
     # the r13 false-flag victims that remain NON-consumers (the dedup
