@@ -343,3 +343,59 @@ def test_r15_asof_range_self_forms_are_window_only(spark, registry):
         assert "Union" not in plan, name
         for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
             assert op not in plan, (name, op)
+
+
+def test_r16_below_cut_doc_family_rides_doc_bucketed_documents(spark, registry):
+    """SCALE.md r16, class closure (1): the 22 formerly-below-cut
+    doc-family entries read the doc_id-bucketed documents copy and
+    never re-shuffle raw documents on doc_id or pay a round-robin
+    spread. Spot-pins one entry per module plus the heaviest
+    consumers; the full set was census-verified at switch time."""
+    for name in (
+        "bm25_topk",
+        "trigram_lm_score",
+        "heavy_hitters_cms",
+        "token_frequencies",
+        "corpus_train_filter",
+        "pii_scrub",
+        "stratified_sample",
+        "global_shuffle",
+        "dedup_exact",
+        "vocab_growth",
+        "pareto_skyline",
+        "inverted_index",
+        "hll_distinct",
+        "pmi_collocations",
+    ):
+        plan = plan_of(spark, registry, name)
+        assert "dv_bkt_documents_doc_id_" in plan, name
+        assert "Exchange RoundRobinPartitioning" not in plan, name
+
+
+def test_r16_embeddings_family_rides_vec_bucketed_copy(spark, registry):
+    """SCALE.md r16, class closure (2): the embeddings family serves
+    from the vec_id-bucketed copy — zero vec_id hash exchanges (the
+    scan partitioning carries the per-vector signal join-backs) and
+    zero round-robin spreads anywhere in the family."""
+    for name in (
+        "similarity_topk",
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        "dedup_embedding_cosine",
+        "semdedup",
+        "embedding_outliers",
+        "cluster_purity",
+        "knn_label_noise",
+        "ann_recall_eval",
+        "embedding_rp_jl",
+        "kmeans_embeddings",
+        "embedding_norm_quant",
+    ):
+        plan = plan_of(spark, registry, name)
+        assert "dv_bkt_embeddings_vec_id_" in plan, name
+        assert "Exchange hashpartitioning(vec_id" not in plan, name
+        assert "Exchange rangepartitioning(vec_id" not in plan, name
+        assert "Exchange RoundRobinPartitioning" not in plan, name
+    # norm_quant is the pure map case: NO exchange of any kind
+    plan = plan_of(spark, registry, "embedding_norm_quant")
+    assert "Exchange" not in plan
