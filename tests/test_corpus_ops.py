@@ -262,3 +262,50 @@ def test_l_diversity_census_on_corpus(spark):
     for r in rows:
         assert 1 <= r["n_sensitive_bands"] <= r["group_size"]
         assert 0 < r["top_band_share_micro"] <= 1_000_000
+
+
+def test_kmeans_centroid_cache_evicts_on_dataset_rewrite(spark, tmp_path):
+    """r16: the trained-centroid session cache must not serve a stale
+    model after the dataset is rewritten at the same path — the
+    standard rewrite discipline (evict_session_caches between
+    same-path rewrites) has to reach the new scalar cache too. The
+    post-rewrite output is checked against a DuckDB recomputation of
+    the op's own oracle SQL on the v2 files."""
+    import duckdb
+
+    from data_validator_spark.queries import build_registry, evict_session_caches
+    from data_validator_spark.queries.corpus_ops import EMB_DIM, q_kmeans_embeddings
+
+    def write(seed):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(EMB_DIM)], i % 3)
+            for i in range(120)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    def oracle_rows():
+        _, oracles = build_registry()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/embeddings.parquet/*.parquet')"
+        )
+        return sorted(tuple(r) for r in con.execute(
+            oracles["kmeans_embeddings"]
+        ).fetchall())
+
+    def spark_rows():
+        return sorted(
+            tuple(r) for r in q_kmeans_embeddings(spark, str(tmp_path)).collect()
+        )
+
+    write(seed=1)
+    assert spark_rows() == oracle_rows()
+    write(seed=2)  # same path, same row count — only values change
+    evict_session_caches(str(tmp_path))
+    assert spark_rows() == oracle_rows()

@@ -545,3 +545,54 @@ def test_corr_matrix_zero_variance_is_null(spark, tmp_path):
     for (cx, cy), r in out.items():
         if "l_tax" in (cx, cy):
             assert r["corr"] is None, (cx, cy)
+
+
+def test_contam_train_cache_evicts_on_dataset_rewrite(spark, tmp_path):
+    """r16: the persisted train-gram relation must not leak across a
+    same-path dataset rewrite — after evict_session_caches the next
+    run rebuilds it from the v2 corpus (checked against a DuckDB
+    recomputation of the op's own oracle SQL on the v2 files)."""
+    import duckdb
+
+    from data_validator_spark.queries import build_registry, evict_session_caches
+    from data_validator_spark.queries.quality_ops import q_ngram_contamination
+
+    def write(seed):
+        import random
+
+        rng = random.Random(seed)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        rows = [
+            (
+                i,
+                " ".join(rng.choice(words) for _ in range(rng.randint(8, 30))),
+                "en",
+                f"src{i % 3}",
+            )
+            for i in range(400)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def oracle_rows():
+        _, oracles = build_registry()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/documents.parquet/*.parquet')"
+        )
+        return sorted(tuple(r) for r in con.execute(
+            oracles["ngram_contamination"]
+        ).fetchall())
+
+    def spark_rows():
+        return sorted(
+            tuple(r) for r in q_ngram_contamination(spark, str(tmp_path)).collect()
+        )
+
+    write(seed=11)
+    assert spark_rows() == oracle_rows()
+    write(seed=12)  # same path, same row count — only text changes
+    evict_session_caches(str(tmp_path))
+    assert spark_rows() == oracle_rows()
