@@ -22,7 +22,6 @@ from data_validator_spark.queries import (
     load,
     load_documents_by_id,
     register_session_cache,
-    spread,
 )
 
 # MinHash parameters: 64 permutations h_i(x) = (a_i*(x mod P) + b_i) mod P,
@@ -73,6 +72,16 @@ def _shingle_hashes_df(spark, sf):
     """(doc_id, h: array<bigint>) — distinct 60-bit shingle hashes,
     persisted and shared across the dedup family (see note above).
 
+    Built over the doc_id-bucketed documents copy (r17, the pagerank/
+    q19 InMemoryRelation rule): the bucketed scan's
+    HashPartitioning(doc_id) survives the in-row hash kernels and the
+    persist, so the InMemoryRelation serves every downstream doc_id
+    join (the Jaccard-confirm joins of ngram_jaccard /
+    incremental_minhash / containment) WITHOUT re-shuffling the cached
+    corpus relation per run — the r16-measured residual behind the one
+    heavy >1.3× ratio. The previous spread() build round-robined the
+    cache, paying that exchange on every consumer.
+
     Tokenization is materialized behind a projection barrier before the
     per-shingle lambda runs. Without it, CollapseProject inlines the
     whole lower→regexp_replace→split chain into the lambda body of
@@ -86,7 +95,7 @@ def _shingle_hashes_df(spark, sf):
     cached = _HS_CACHE.get(key)
     if cached is not None:
         return cached
-    df = spread(load(spark, sf, "documents"))
+    df = load_documents_by_id(spark, sf)
     from data_validator_spark.functions.text import normalized_text, tokens
 
     tk = df.select(
@@ -246,10 +255,16 @@ def _lsh_pairs_df(spark, sf):
             ),
         )
     )
+    # pair-dedup rides ONE shuffle on doc_a (r17): HashPartitioning
+    # (doc_a) satisfies the dedup's ClusteredDistribution(doc_a, doc_b)
+    # — subset rule — and the persisted relation then serves every
+    # consumer's first join (on doc_a) exchange-free, where .distinct()
+    # partitioned the cache on (doc_a, doc_b), which no join key uses
     out = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .distinct()
+        .repartition("doc_a")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     from pyspark import StorageLevel
 
@@ -303,21 +318,28 @@ JACCARD_THRESHOLD = 0.5
 def q_dedup_ngram_jaccard(spark, sf):
     """Exact shingle-set Jaccard, computed ONLY on LSH candidate pairs.
 
-    The hash-array lookups are pinned to shuffle-hash joins on doc_id:
-    the shingle-hash relation's size estimate hovers at the broadcast
+    The hash-array lookups are pinned to shuffle-hash joins on doc_id,
+    with the CANDIDATE side hinted as the build side (r17): the
+    shingle-hash relation's size estimate hovers at the broadcast
     threshold, and letting the planner broadcast it means collecting
     the (large at scale) array table to the driver — the one plan that
-    cannot survive 100 TB. With the hint, candidates and hash arrays
-    co-shuffle on doc_id and AQE may still broadcast the CANDIDATE side
-    when it is tiny."""
+    cannot survive 100 TB. Hinting the candidate side (a) still forces
+    the shuffle-hash strategy, so hs never broadcasts, and (b) builds
+    the per-partition hash map over the O(near-dup) pair relation
+    while the corpus-scale hs relation STREAMS as the probe — the
+    build-small/stream-big rule; with the pre-r17 hint on hs, every
+    run re-materialized a corpus-scale hash map. hs itself arrives
+    partition-aligned for free off the doc_id-bucketed cache."""
     cand = _lsh_pairs_df(spark, sf)
-    hs = _shingle_hashes_df(spark, sf).hint("shuffle_hash")
+    hs = _shingle_hashes_df(spark, sf)
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
     union = F.size(F.array_union(F.col("ha"), F.col("hb")))
     return (
-        cand.join(a, "doc_a")
+        cand.hint("shuffle_hash")
+        .join(a, "doc_a")
+        .hint("shuffle_hash")
         .join(b, "doc_b")
         .select(
             "doc_a",
@@ -396,19 +418,32 @@ def q_dedup_incremental_minhash(spark, sf):
     # (session, watermark) — repeated screens skip the full-index
     # census (r16, see _bindex_ok_buckets)
     ok = _bindex_ok_buckets(spark, sf, t, _corpus_watermark(spark, sf))
+    # one delta-scale shuffle on doc_id serves BOTH the pair-dedup and
+    # the confirm join (r17): HashPartitioning(doc_id) satisfies the
+    # distinct's ClusteredDistribution(doc_id, cand_id) — same-key rows
+    # are already colocated — and the join on doc_id reuses it, where a
+    # bare .distinct() paid hash(doc_id, cand_id) and then re-shuffled
+    # hash(doc_id) for the join
     cand = (
         db.join(cb, "sig64")
         .join(F.broadcast(ok), "sig64", "left_semi")
         .select("doc_id", "cand_id")
-        .distinct()
+        .repartition("doc_id")
+        .dropDuplicates(["doc_id", "cand_id"])
     )
-    hs = _shingle_hashes_df(spark, sf).hint("shuffle_hash")
+    # candidate side hinted as the shuffle-hash BUILD side (r17, the
+    # ngram_jaccard rationale): the hash map is delta×candidate-scale,
+    # the corpus hs relation streams probe-side off its doc_id-bucketed
+    # cache partitioning, and hs still can never broadcast
+    hs = _shingle_hashes_df(spark, sf)
     x = hs.select(F.col("doc_id"), F.col("h").alias("hx"))
     y = hs.select(F.col("doc_id").alias("cand_id"), F.col("h").alias("hy"))
     inter = F.size(F.array_intersect(F.col("hx"), F.col("hy")))
     union = F.size(F.array_union(F.col("hx"), F.col("hy")))
     scored = (
-        cand.join(x, "doc_id")
+        cand.hint("shuffle_hash")
+        .join(x, "doc_id")
+        .hint("shuffle_hash")
         .join(y, "cand_id")
         .select(
             "doc_id",
@@ -513,7 +548,7 @@ def q_ngram_novelty(spark, sf):
             F.sum((F.col("doc_id") == F.col("owner")).cast("long")).alias("n_novel"),
         )
     )
-    docs = load(spark, sf, "documents").select("doc_id", "source")
+    docs = load_documents_by_id(spark, sf).select("doc_id", "source")
     ratio = F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
     return (
         per_doc.join(docs, "doc_id")
@@ -584,14 +619,16 @@ def q_source_overlap(spark, sf):
     graded dedup_ngram_jaccard pass; pair orientation normalizes via
     LEAST/GREATEST on the source strings; counts are exact integers."""
     cand = _lsh_pairs_df(spark, sf)
-    hs = _shingle_hashes_df(spark, sf).hint("shuffle_hash")
-    docs = load(spark, sf, "documents").select("doc_id", "source")
+    hs = _shingle_hashes_df(spark, sf)
+    docs = load_documents_by_id(spark, sf).select("doc_id", "source")
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
     union = F.size(F.array_union(F.col("ha"), F.col("hb")))
     scored = (
-        cand.join(a, "doc_a")
+        cand.hint("shuffle_hash")
+        .join(a, "doc_a")
+        .hint("shuffle_hash")
         .join(b, "doc_b")
         .select(
             "doc_a",
@@ -660,12 +697,14 @@ def q_minhash_containment(spark, sf):
     shuffle-hash hints (broadcasting the array relation cannot survive
     100 TB)."""
     cand = _lsh_pairs_df(spark, sf)
-    hs = _shingle_hashes_df(spark, sf).hint("shuffle_hash")
+    hs = _shingle_hashes_df(spark, sf)
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb"))).cast("double")
     return (
-        cand.join(a, "doc_a")
+        cand.hint("shuffle_hash")
+        .join(a, "doc_a")
+        .hint("shuffle_hash")
         .join(b, "doc_b")
         .select(
             "doc_a",
@@ -746,8 +785,10 @@ def q_dedup_simhash(spark, sf):
     the majority vote of bit i across the document's token hashes.
     Map-only — see _get_simhash_kernel. Documents with no tokens are
     dropped (parity with the previous explode semantics; none exist in
-    the corpus)."""
-    df = spread(load(spark, sf, "documents"))
+    the corpus). Reads the doc_id-bucketed copy (r17): 32 bucket
+    splits give the same parallelism spread() bought, without the
+    round-robin exchange."""
+    df = load_documents_by_id(spark, sf)
     from data_validator_spark.functions.text import normalized_text, tokens
 
     th = F.array_distinct(
@@ -1033,7 +1074,7 @@ def _incremental_index(spark, sf):
     from data_validator_spark.queries.accel_ops import BLOOM_K, _bloom_pos
 
     pivot = _incremental_pivot(spark, sf)
-    docs = spread(load(spark, sf, "documents"))
+    docs = load_documents_by_id(spark, sf)
     index = (
         docs.where(F.col("doc_id") < F.lit(pivot))
         .select(doc_fingerprint(F.col("text")).alias("fingerprint"))
@@ -1304,7 +1345,7 @@ def _ensure_findex(spark, sf, table: str | None = None) -> str:
     _invalidate_index_caches(t)
     pivot = _incremental_pivot(spark, sf)
     base = (
-        spread(load(spark, sf, "documents"))
+        load_documents_by_id(spark, sf)
         .where(F.col("doc_id") < F.lit(pivot))
         .select(fingerprint60(F.col("text")).alias("fp60"))
         .distinct()
