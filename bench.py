@@ -450,15 +450,18 @@ def main() -> int:
                 # attribution must use the trigger's own start stamp
                 # (p.timestamp, UTC ISO), not arrival order/time
                 try:
-                    from datetime import datetime, timezone
+                    from datetime import datetime
 
-                    t = (
-                        datetime.strptime(
-                            p.timestamp, "%Y-%m-%dT%H:%M:%S.%fZ"
-                        )
-                        .replace(tzinfo=timezone.utc)
-                        .timestamp()
-                    )
+                    # fromisoformat handles BOTH ISO-8601 forms Spark
+                    # emits: with fractional seconds and without (the
+                    # fraction is omitted when it is zero — ADVICE r16;
+                    # the old strptime '%...%fZ' pattern threw on the
+                    # whole-second form and fell back to arrival time,
+                    # which the async bus can deliver after the NEXT
+                    # query started, misattributing the batch)
+                    t = datetime.fromisoformat(
+                        p.timestamp.replace("Z", "+00:00")
+                    ).timestamp()
                 except Exception:
                     t = time.time()
                 self.events.append(
@@ -611,59 +614,119 @@ def main() -> int:
                 print(f"prime error in {name}: {e}", file=sys.stderr)
         prime_sec = round(time.time() - t0, 3)
     probe_after_prime = py_worker_probe()
-    results: dict[str, float] = {}
-    runs_detail: dict[str, list[float]] = {}
-    query_t0: dict[str, float] = {}
-    streaming_progress: dict[str, list[dict]] = {}
-    stream_windows: list[tuple[float, str]] = []
-    total = 0.0
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            # visible in the artifact, not a silent shrink of the total
-            results[name] = -1.0
-            print(f"bench error in {name}: not in registry", file=sys.stderr)
-            continue
-        try:
-            query_t0[name] = round(time.time(), 3)
-            if name.startswith("streaming_"):
-                stream_windows.append((time.time(), name))
-            best = None
-            all_runs: list[float] = []
-            for _ in range(runs):
-                t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                all_runs.append(round(dt, 3))
-                best = dt if best is None else min(best, dt)
-            results[name] = round(best, 3)
-            runs_detail[name] = all_runs
-            total += best
-        except Exception as e:  # keep the bench line parseable on partial failure
-            results[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-    probe_after_timed = py_worker_probe()
-    # attribute the async progress events: only streaming queries emit
-    # them, so every event belongs to the newest streaming query that
-    # had STARTED by the event's arrival (a short drain wait catches
-    # the tail the listener bus delivers after the last q.stop())
-    if stream_windows:
-        time.sleep(1.5)
-        import bisect
 
-        starts = [t for t, _ in stream_windows]
-        for ev in tap.events:
-            i = bisect.bisect_right(starts, ev.get("_t", 0.0)) - 1
-            if i >= 0:
-                owner = stream_windows[i][1]
-                ev = {k: v for k, v in ev.items() if k != "_t"}
-                streaming_progress.setdefault(owner, []).append(ev)
+    def timed_pass() -> dict:
+        """One full best-of-RUNS pass over HEADLINE, with per-query
+        start stamps and streaming-progress attribution. Isolated so a
+        contention-flagged first pass can be retried (r16 verdict item
+        4) with identical protocol."""
+        if tap is not None:
+            tap.events = []
+        results: dict[str, float] = {}
+        runs_detail: dict[str, list[float]] = {}
+        query_t0: dict[str, float] = {}
+        streaming_progress: dict[str, list[dict]] = {}
+        stream_windows: list[tuple[float, str]] = []
+        total = 0.0
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None:
+                # visible in the artifact, not a silent shrink of the total
+                results[name] = -1.0
+                print(f"bench error in {name}: not in registry", file=sys.stderr)
+                continue
+            try:
+                query_t0[name] = round(time.time(), 3)
+                if name.startswith("streaming_"):
+                    stream_windows.append((time.time(), name))
+                best = None
+                all_runs: list[float] = []
+                for _ in range(runs):
+                    t0 = time.time()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    dt = time.time() - t0
+                    all_runs.append(round(dt, 3))
+                    best = dt if best is None else min(best, dt)
+                results[name] = round(best, 3)
+                runs_detail[name] = all_runs
+                total += best
+            except Exception as e:  # keep the bench line parseable on partial failure
+                results[name] = -1.0
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+        probe_after_timed = py_worker_probe()
+        # attribute the async progress events: only streaming queries
+        # emit them, so every event belongs to the newest streaming
+        # query that had STARTED by the event's arrival (a short drain
+        # wait catches the tail the listener bus delivers after the
+        # last q.stop())
+        if stream_windows:
+            time.sleep(1.5)
+            import bisect
+
+            starts = [t for t, _ in stream_windows]
+            for ev in tap.events:
+                i = bisect.bisect_right(starts, ev.get("_t", 0.0)) - 1
+                if i >= 0:
+                    owner = stream_windows[i][1]
+                    ev = {k: v for k, v in ev.items() if k != "_t"}
+                    streaming_progress.setdefault(owner, []).append(ev)
+        return {
+            "value": round(total, 3),
+            "queries": results,
+            "runs_sec": runs_detail,
+            "query_start_epoch": query_t0,
+            "load_after": [round(x, 2) for x in _loadavg_now()],
+            "py_worker_probe_after_timed": probe_after_timed,
+            "streaming_progress": streaming_progress,
+        }
+
+    published = timed_pass()
+    probe = contention_probe(
+        load_before, prime_sec, sf, os.path.dirname(os.path.abspath(__file__))
+    )
+    attempt1 = None
+    if probe["contended"]:
+        print(f"bench contention: {'; '.join(probe['signals'])}", file=sys.stderr)
+    # self-heal (r16 verdict item 4): a contention-flagged first pass
+    # is RETRIED once before publishing — the r16 driver artifact was
+    # poisoned by a transient window the detector correctly flagged,
+    # yet the flagged numbers still became the round's record. Both
+    # attempts land in BENCH_FULL; the retry publishes. The flag
+    # clears ONLY if the retry genuinely ran faster (<0.9x) under a
+    # quiet loadavg — two equally slow passes stay flagged with the
+    # full diagnosis (a persistent competitor, or a real regression
+    # the prime-ratio canary caught: either way, don't trust silently).
+    if probe["contended"] and os.environ.get("SPARK_GRAFT_BENCH_RETRY", "1") != "0":
+        print("bench contention: retrying the timed loop once", file=sys.stderr)
+        load_retry = _loadavg_now()
+        retry = timed_pass()
+        attempt1 = published
+        published = retry
+        # the ratio alone decides: loadavg right after our OWN first
+        # pass is always hot on 32 cores (the probe's documented
+        # own-tail blindness), so it cannot gate the clear; a retry
+        # under 0.9x means the flagged slowdown did not reproduce
+        retry_quiet = attempt1["value"] > 0 and retry["value"] < 0.9 * attempt1["value"]
+        probe = dict(
+            probe,
+            retried=True,
+            retry_load_before=[round(x, 2) for x in load_retry],
+            attempt1_total=attempt1["value"],
+            retry_total=retry["value"],
+            contended=not retry_quiet,
+        )
+        if probe["contended"]:
+            print(
+                "bench contention: retry did not clear the flag "
+                f"(attempt1 {attempt1['value']}s, retry {retry['value']}s)",
+                file=sys.stderr,
+            )
 
     out = {
         "metric": "headline_queries_total",
-        "value": round(total, 3),
+        "value": published["value"],
         "unit": "sec",
-        "queries": results,
+        "queries": published["queries"],
         "sf": sf,
         "runs_per_query": runs,
         "prime_pass_sec": prime_sec,
@@ -671,7 +734,7 @@ def main() -> int:
         # every run's wall time (codegen-vs-steady-state visible per
         # query), the Python-worker pool probes bracketing the timed
         # loop, and per-micro-batch streaming progress (r15 items 1/8)
-        "runs_sec": runs_detail,
+        "runs_sec": published["runs_sec"],
         # per-query start stamps + the loadavg AFTER the loop: a
         # systemic mid-run slowdown (observed r16: a contiguous
         # window where EVERY query ran 3-10x slow while the prime and
@@ -679,21 +742,20 @@ def main() -> int:
         # prime-ratio canary cannot see because it starts later) is
         # attributable from the artifact by correlating slow entries'
         # wall-clock window, without re-running anything
-        "query_start_epoch": query_t0,
-        "load_after": [round(x, 2) for x in _loadavg_now()],
+        "query_start_epoch": published["query_start_epoch"],
+        "load_after": published["load_after"],
         "py_worker_probe_sec": {
             "after_prime": probe_after_prime,
-            "after_timed": probe_after_timed,
+            "after_timed": published["py_worker_probe_after_timed"],
         },
-        "streaming_progress": streaming_progress,
+        "streaming_progress": published["streaming_progress"],
     }
-    probe = contention_probe(
-        load_before, prime_sec, sf, os.path.dirname(os.path.abspath(__file__))
-    )
+    if attempt1 is not None:
+        # the flagged first pass, in full (r16 verdict item 4: carry
+        # both attempts; the published fields above are the retry's)
+        out["attempt1"] = attempt1
     out["contended"] = probe["contended"]
     out["contention"] = probe
-    if probe["contended"]:
-        print(f"bench contention: {'; '.join(probe['signals'])}", file=sys.stderr)
     if guard_failures:
         out["guard_failures"] = guard_failures
     if os.environ.get("SPARK_GRAFT_CC_BENCH", "1") != "0":
@@ -765,6 +827,11 @@ def contention_probe(load_before, prime_sec: float, sf: float, repo_dir: str) ->
         "prime_ratio": None,
         "signals": [],
     }
+    if os.environ.get("SPARK_GRAFT_BENCH_FORCE_CONTENDED") == "1":
+        # test hook: exercise the retry path deterministically
+        probe["signals"].append("forced via SPARK_GRAFT_BENCH_FORCE_CONTENDED")
+        probe["contended"] = True
+        return probe
     load_hot = bool(load_before) and load_before[0] >= LOADAVG_CONTENDED
     load_signal = (
         f"loadavg_1m {load_before[0]:.2f} >= {LOADAVG_CONTENDED} before the run"

@@ -86,7 +86,14 @@ def drop_legacy_copies(spark: SparkSession) -> list[str]:
             continue  # no readable sidecar -> not provably ours
         if "key" in sidecar:
             continue  # post-rename copy, live
-        spark.sql(f"DROP TABLE IF EXISTS {d}")
-        shutil.rmtree(path, ignore_errors=True)
-        removed.append(d)
+        # backtick-quoted identifier + per-directory guard (ADVICE r16):
+        # a foreign dv_bkt_* directory whose name is not a valid bare
+        # identifier (e.g. contains a hyphen) must not abort the whole
+        # sweep — bench.py runs this unguarded before timing
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS `{d}`")
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(d)
+        except Exception:
+            continue
     return removed

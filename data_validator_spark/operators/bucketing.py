@@ -181,6 +181,43 @@ def _footer_signature(path: str) -> list:
     return out
 
 
+# content_wm="full" reads every source byte per verification, so it is
+# gated to sources whose total size stays under this bound (default
+# 256 MiB — the full read costs ~0.1s there; at the 100 TB fact scale
+# the mode degrades to footer verification with a warning, because a
+# full-corpus read per validator call is never the right trade).
+FULL_WM_MAX_BYTES = 256 << 20
+
+
+def _content_signature(path: str) -> list:
+    """Sorted [relname, md5(all file bytes)] for every regular file
+    under ``path`` — the full-content watermark behind
+    content_wm="full" (ADVICE r15 residual: a same-size, mtime- and
+    footer-statistic-preserving interior rewrite evades both the stat
+    signature and the footer digest; hashing every byte is the only
+    signal that closes it). Deliberately uncached, like
+    _footer_digest and for the same reason."""
+    import hashlib
+    import os
+
+    def h(p):
+        m = hashlib.md5()
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                m.update(chunk)
+        return m.hexdigest()
+
+    if os.path.isfile(path):
+        return [[os.path.basename(path), h(path)]]
+    out = []
+    for dirpath, _dirs, fnames in os.walk(path):
+        for f in fnames:
+            p = os.path.join(dirpath, f)
+            out.append([os.path.relpath(p, path), h(p)])
+    out.sort()
+    return out
+
+
 def _fact_watermark(spark: SparkSession, sf: str, name: str, key: str) -> dict:
     import os
 
@@ -208,7 +245,7 @@ def ensure_bucketed_fact(
     name: str,
     key: str,
     num_buckets: int = FACT_BUCKETS,
-    content_wm: bool = False,
+    content_wm: bool | str = False,
 ) -> str:
     """Idempotently materialize + register the bucketed external copy
     of one fact table; returns the catalog table name. Cases: catalog
@@ -236,7 +273,20 @@ def ensure_bucketed_fact(
     mtime/size-preserving rewrite either — up to the stats-preserving
     residual gap documented on _footer_digest. Builds always RECORD
     footers so a later content consumer can verify without a
-    rebuild."""
+    rebuild.
+
+    ``content_wm="full"`` (r17, ADVICE r15 / r16 verdict item 5)
+    closes that residual for sources under FULL_WM_MAX_BYTES: the
+    sidecar records md5s of EVERY source byte and each call re-hashes
+    the source — an interior rewrite that preserves sizes, mtimes and
+    every footer statistic is still caught. Above the bound the mode
+    degrades to the footer check with a one-time warning (a
+    full-corpus read per validator call is never the right trade at
+    100 TB; the documented gap is the contract there). A sidecar
+    built by a stat-only consumer lacks the full signature, so the
+    first "full" consumer rebuilds the copy once and records it —
+    stat-only builders ignore the extra key, so the layouts never
+    thrash."""
     import json
     import os
     import re
@@ -250,11 +300,29 @@ def ensure_bucketed_fact(
     path = os.path.join(wh, t)
     src_path = os.path.join(str(sf), f"{name}.parquet")
     wm = _fact_watermark(spark, sf, name, key)
+    full_wm = content_wm == "full" and sum(
+        fsize for _rel, fsize, _mt in wm["files"]
+    ) <= FULL_WM_MAX_BYTES
+    if content_wm == "full" and not full_wm:
+        import warnings
+
+        warnings.warn(
+            f"content_wm='full' on {name!r} under {sf!r} exceeds "
+            f"FULL_WM_MAX_BYTES ({FULL_WM_MAX_BYTES}); degrading to the "
+            "footer-digest check (its stats-preserving-rewrite residual "
+            "applies — see _footer_digest)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     disk = _read_sidecar(path)
     base_keys = ("version", "key", "files")
     current = disk is not None and {k: disk.get(k) for k in base_keys} == wm
     if current and content_wm:
         current = disk.get("footers") == _footer_signature(src_path)
+    if current and full_wm:
+        # missing full signature (stat-only build) compares unequal ->
+        # one rebuild that records it
+        current = disk.get("content_md5") == _content_signature(src_path)
     if spark.catalog.tableExists(t):
         if current:
             return t
@@ -277,6 +345,8 @@ def ensure_bucketed_fact(
         shutil.rmtree(path, ignore_errors=True)
     write_bucketed(load(spark, sf, name), t, [key], num_buckets, path=path)
     wm["footers"] = _footer_signature(src_path)
+    if full_wm:
+        wm["content_md5"] = _content_signature(src_path)
     with open(os.path.join(path, BUCKET_SIDECAR), "w") as f:
         json.dump(wm, f)
     return t
@@ -288,7 +358,7 @@ def bucketed_fact(
     name: str,
     key: str,
     num_buckets: int = FACT_BUCKETS,
-    content_wm: bool = False,
+    content_wm: bool | str = False,
 ) -> "DataFrame":
     """The DataFrame-returning front door every query consumer uses:
     serve the at-rest bucketed copy when one can be watermark-guarded,

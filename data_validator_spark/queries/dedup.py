@@ -1408,7 +1408,7 @@ def q_dedup_index_refresh(spark, sf, table: str | None = None):
         # the distinct fingerprints of the full corpus — a repeated run
         # would anti-join to nothing, so skip the delta scan + append
         # job (r16, same steady-state rule as the band-index probe)
-        _FINDEX_DONE_CACHE[done_key] = True
+        _put_wm_cache(_FINDEX_DONE_CACHE, done_key, True)
     idx = spark.table(t)
     return (
         idx.groupBy(
@@ -1488,6 +1488,39 @@ def _wm_key(spark, sf, table: str, wm: dict) -> tuple:
     )
 
 
+def _put_wm_cache(cache: dict, key: tuple, value) -> None:
+    """Insert a watermark-keyed entry, first popping + unpersisting any
+    SUPERSEDED entry for the same (application, dataset, table) prefix
+    (ADVICE r16): in the incremental-append workload these caches
+    exist for, every watermark move would otherwise strand the
+    previous MEMORY_AND_DISK relation until an explicit
+    evict_session_caches call — supersession is detectable exactly at
+    insert time, unlike the generic scalar caches. Scalar values pass
+    through the same path (unpersist() just no-ops via the guard).
+
+    Plan-identity guard: Spark's CacheManager keys cached data by
+    LOGICAL PLAN, not by DataFrame object — if the superseded and the
+    new relation are semantically the same plan (possible when only
+    the watermark key moved), unpersisting the old one would silently
+    drop the NEW registration too, so such entries are popped without
+    an unpersist (nothing is stranded: the cache entry is shared)."""
+    for k in [k for k in cache if k[:3] == key[:3] and k != key]:
+        val = cache.pop(k)
+        try:
+            same = val is value or val._jdf.queryExecution().analyzed().sameResult(
+                value._jdf.queryExecution().analyzed()
+            )
+        except Exception:
+            same = val is value
+        if same:
+            continue
+        try:
+            val.unpersist()
+        except Exception:
+            pass
+    cache[key] = value
+
+
 def _invalidate_index_caches(table: str) -> None:
     """Drop steady-state entries for one index table. Called on the
     REBUILD path of _ensure_findex/_ensure_bindex: a rebuild under an
@@ -1523,7 +1556,7 @@ def _bindex_ok_buckets(spark, sf, t: str, wm: dict):
         .select("sig64")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _BINDEX_OK_BUCKETS_CACHE[key] = ok
+    _put_wm_cache(_BINDEX_OK_BUCKETS_CACHE, key, ok)
     return ok
 
 
@@ -1634,7 +1667,7 @@ def q_dedup_band_index_refresh(spark, sf, table: str | None = None):
     # after a refresh the table holds every posting with doc_id up to
     # the corpus max (the delta slice is [start, corpus max] and the
     # corpus side below `start` was already present)
-    _BINDEX_MAX_CACHE[probe_key] = wm["max_doc_id"]
+    _put_wm_cache(_BINDEX_MAX_CACHE, probe_key, wm["max_doc_id"])
     idx = spark.table(t)
     return (
         idx.groupBy(

@@ -412,18 +412,17 @@ def q_reconciliation_check(spark, sf):
     # the scan's HashPartitioning(l_orderkey) — no exchange — and the
     # header-vs-lines comparison join is key-to-key on two relations
     # ALREADY partitioned on k, so at 100 TB the whole reconciliation
-    # moves zero fact rows across the network. content_wm=True (r15):
-    # a reconciliation CHECK must not trust an mtime/size-preserving
-    # source rewrite, so the copies' parquet footer digests are
-    # verified against the current source too (ADVICE r14). Residual
-    # bound (ADVICE r15): a rewrite preserving size, mtime AND every
-    # footer statistic (fixed-width uncompressed interior edit) is
-    # still invisible — see _footer_digest; force a rebuild if that
-    # adversarial case must be excluded.
+    # moves zero fact rows across the network. content_wm="full"
+    # (r17, r16 verdict item 5): a reconciliation CHECK must not
+    # trust any source rewrite — under FULL_WM_MAX_BYTES the copies
+    # verify md5s of EVERY source byte per call (closing the r15
+    # footer-statistic-preserving residual); above the bound the mode
+    # degrades to the footer digest with a warning — see
+    # ensure_bucketed_fact.
     from data_validator_spark.operators.bucketing import bucketed_fact
 
     li = bucketed_fact(
-        spark, sf, "lineitem", "l_orderkey", content_wm=True
+        spark, sf, "lineitem", "l_orderkey", content_wm="full"
     ).select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
     line_units = F.floor(
         F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)") * F.lit(1000000.0)
@@ -433,7 +432,7 @@ def q_reconciliation_check(spark, sf):
         F.sum(line_units).alias("line_total")
     )
     orders = bucketed_fact(
-        spark, sf, "orders", "o_orderkey", content_wm=True
+        spark, sf, "orders", "o_orderkey", content_wm="full"
     ).select(
         F.col("o_orderkey").alias("k"),
         F.floor(F.col("o_totalprice") * F.lit(1000000.0) + F.lit(0.5))

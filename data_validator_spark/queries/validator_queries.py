@@ -139,16 +139,17 @@ def q_unique_check(spark, sf):
     # exchange disappears (SCALE.md r14 at-scale census). The copy is
     # served only while its sidecar matches the CURRENT source's
     # (relname, size, mtime_ns) set — and, because this is a
-    # data-QUALITY check, content_wm=True additionally verifies the
-    # source's parquet footer digests (r15, ADVICE r14: a same-size
-    # mtime-preserving rewrite is invisible to the stat signature
-    # alone; ADVICE r15: a rewrite that also preserves every footer
-    # statistic evades the digest too — see _footer_digest's residual-
-    # gap note — so drop the copy to force a rebuild in that case). The config-driven validator path (validators/
-    # row_based.py) still reads whatever table the user configured.
+    # data-QUALITY check, content_wm="full" (r17, r16 verdict item 5)
+    # verifies the source bytes end-to-end where the size bound allows
+    # (md5 of every byte, catching even the footer-statistic-
+    # preserving interior rewrite that evaded the r15 footer digest);
+    # above FULL_WM_MAX_BYTES it degrades to the footer check with a
+    # warning — see ensure_bucketed_fact. The config-driven validator
+    # path (validators/row_based.py) still reads whatever table the
+    # user configured.
     from data_validator_spark.operators.bucketing import bucketed_fact
 
-    df = bucketed_fact(spark, sf, "lineitem", "l_orderkey", content_wm=True)
+    df = bucketed_fact(spark, sf, "lineitem", "l_orderkey", content_wm="full")
     dups = (
         df.groupBy("l_orderkey", "l_linenumber")
         .count()

@@ -627,6 +627,11 @@ def test_legacy_copy_sweep_drops_only_pre_rename_orphans(spark):
     )
     ext = plant("dv_bkt_lineitem_ext_tmp_pytest_sweep", {"version": 1, "files": []})
     bare = plant("dv_bkt_events_tmp_pytest_sweep_nosidecar", None)
+    # ADVICE r16: a foreign directory whose name is NOT a valid bare
+    # SQL identifier (hyphen) with a keyless sidecar must neither
+    # raise (it aborted the whole sweep pre-fix via ParseException)
+    # nor spare the sweep of the rest
+    weird = plant("dv_bkt_orders_tmp-pytest-hyphen", {"version": 2, "files": []})
     try:
         removed = drop_legacy_copies(spark)
         assert "dv_bkt_orders_tmp_pytest_sweep" in removed
@@ -634,10 +639,104 @@ def test_legacy_copy_sweep_drops_only_pre_rename_orphans(spark):
         assert os.path.isdir(keyed)
         assert os.path.isdir(ext)
         assert os.path.isdir(bare)
+        # the hyphen-named orphan is removable under the quoted DROP
+        assert "dv_bkt_orders_tmp-pytest-hyphen" in removed
+        assert not os.path.isdir(weird)
         # idempotent: a second sweep finds nothing of ours
         assert "dv_bkt_orders_tmp_pytest_sweep" not in drop_legacy_copies(spark)
     finally:
         import shutil
 
-        for p in (legacy, keyed, ext, bare):
+        for p in (legacy, keyed, ext, bare, weird):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def _swap_interior_custkeys(src, a: int, b: int):
+    """Byte-surgery: swap the PLAIN-encoded int64 values a,b (adjacent
+    in the o_custkey data page) in place — file size, mtime (restored
+    by the caller), row count, and every per-row-group min/max stat
+    survive, so the parquet FOOTER is byte-identical."""
+    import struct
+
+    blob = open(src, "rb").read()
+    pat = struct.pack("<q", a) + struct.pack("<q", b)
+    i = blob.find(pat)
+    assert i != -1, "plain-encoded pair not found"
+    assert blob.find(pat, i + 1) == -1, "pair must be unique in the file"
+    new = blob[:i] + struct.pack("<q", b) + struct.pack("<q", a) + blob[i + 16:]
+    assert len(new) == len(blob)
+    open(src, "wb").write(new)
+
+
+def test_full_content_wm_catches_footer_identical_rewrite(spark, tmp_path):
+    """r17 (r16 verdict item 5): an interior rewrite that preserves
+    size, mtime AND every footer statistic — the documented residual
+    of the r15 footer digest — must be caught by content_wm="full"
+    (per-call md5 over every source byte) and must remain invisible
+    to content_wm=True (that gap is footer mode's documented bound)."""
+    import os as _os
+
+    from data_validator_spark.operators.bucketing import (
+        _footer_signature,
+        ensure_bucketed_fact,
+    )
+    from data_validator_spark.queries import evict_session_caches
+
+    src = tmp_path / "orders.parquet"
+    _plain_parquet(str(src), offset=1000)
+    sf = str(tmp_path)
+
+    def custkey_of(t, orderkey):
+        return (
+            spark.table(t)
+            .where(F.col("o_orderkey") == orderkey)
+            .collect()[0]["o_custkey"]
+        )
+
+    try:
+        t = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey", content_wm="full")
+        assert custkey_of(t, 100) == 1100
+        st = _os.stat(src)
+        footers_before = _footer_signature(str(src))
+        _swap_interior_custkeys(str(src), 1100, 1101)
+        _os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns))
+        assert _os.stat(src).st_size == st.st_size
+        # the construction really is footer-identical (the gap exists)
+        assert _footer_signature(str(src)) == footers_before
+        evict_session_caches(sf)
+        # footer mode serves the stale copy — its documented residual
+        assert (
+            ensure_bucketed_fact(spark, sf, "orders", "o_orderkey", content_wm=True)
+            == t
+        )
+        assert custkey_of(t, 100) == 1100
+        # full mode catches the rewrite and rebuilds
+        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey", content_wm="full")
+        evict_session_caches(sf)
+        assert custkey_of(t, 100) == 1101
+    finally:
+        _drop_fact_tables(spark, sf)
+
+
+def test_full_content_wm_degrades_to_footer_above_size_bound(
+    spark, tmp_path, monkeypatch
+):
+    """content_wm="full" on a source above FULL_WM_MAX_BYTES warns and
+    degrades to the footer check (a full-corpus read per call is the
+    wrong trade at scale) — the copy is still served, not rebuilt."""
+    import data_validator_spark.operators.bucketing as bk
+
+    _plain_parquet(str(tmp_path / "orders.parquet"), offset=0)
+    sf = str(tmp_path)
+    try:
+        t = bk.ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+        monkeypatch.setattr(bk, "FULL_WM_MAX_BYTES", 10)
+        with pytest.warns(RuntimeWarning, match="degrading to the footer"):
+            assert (
+                bk.ensure_bucketed_fact(
+                    spark, sf, "orders", "o_orderkey", content_wm="full"
+                )
+                == t
+            )
+    finally:
+        _drop_fact_tables(spark, sf)

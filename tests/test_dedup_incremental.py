@@ -715,3 +715,57 @@ def test_band_refresh_steady_state_skips_probe_and_append(spark, tmp_path):
     finally:
         _findex_drop(spark, t)
         evict_session_caches(str(tmp_path))
+
+def test_wm_cache_insert_unpersists_superseded_entry(spark, tmp_path):
+    """ADVICE r16: inserting a watermark-keyed steady-state entry pops
+    the superseded entry for the same (application, dataset, table)
+    prefix and unpersists it — EXCEPT when the two relations are the
+    same logical plan, where Spark's CacheManager entry is shared and
+    an unpersist of the old handle would silently drop the new
+    registration too (then the key is popped without an unpersist)."""
+    from pyspark import StorageLevel
+
+    from data_validator_spark.queries import evict_session_caches
+    from data_validator_spark.queries.dedup import (
+        _BINDEX_OK_BUCKETS_CACHE,
+        _bindex_ok_buckets,
+        _ensure_bindex,
+        _put_wm_cache,
+        _wm_key,
+    )
+
+    d = tmp_path / "documents.parquet"
+    rows = [(i, f"supersession text {i % 7}") for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(d)
+    )
+    t = "dv_bindex_pytest_supersede"
+    _findex_drop(spark, t)
+    try:
+        t = _ensure_bindex(spark, str(tmp_path), table=t)
+
+        # regime 1 — DIFFERENT plans under the same prefix: the
+        # superseded relation must be unpersisted on insert
+        old = spark.range(10).withColumnRenamed("id", "sig64")
+        old.persist(StorageLevel.MEMORY_AND_DISK)
+        old.count()
+        k_old = (spark.sparkContext.applicationId, str(tmp_path), t, 40, 39)
+        _BINDEX_OK_BUCKETS_CACHE[k_old] = old
+        wm2 = {"n_docs": 50, "max_doc_id": 49}
+        ok2 = _bindex_ok_buckets(spark, str(tmp_path), t, wm2)
+        assert old.storageLevel == StorageLevel.NONE  # superseded, released
+        assert ok2.storageLevel != StorageLevel.NONE
+        assert k_old not in _BINDEX_OK_BUCKETS_CACHE
+        assert _wm_key(spark, str(tmp_path), t, wm2) in _BINDEX_OK_BUCKETS_CACHE
+
+        # regime 2 — SAME plan under a moved watermark key: the old key
+        # is popped but the shared cache registration survives
+        wm3 = {"n_docs": 60, "max_doc_id": 59}
+        k3 = _wm_key(spark, str(tmp_path), t, wm3)
+        _put_wm_cache(_BINDEX_OK_BUCKETS_CACHE, k3, ok2)
+        assert _wm_key(spark, str(tmp_path), t, wm2) not in _BINDEX_OK_BUCKETS_CACHE
+        assert k3 in _BINDEX_OK_BUCKETS_CACHE
+        assert ok2.storageLevel != StorageLevel.NONE  # still registered
+    finally:
+        _findex_drop(spark, t)
+        evict_session_caches(str(tmp_path))
