@@ -306,94 +306,37 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # === r16 cut. Tier 0a — the 22 below-cut doc-family entries
-    # switched onto the doc_id-bucketed documents copy this round
-    # (SCALE.md r15 "r16 candidates" item 1 — the flag set was
-    # computed against the r15 tree with the new docstring-stripped
-    # hashing and checked to fit the 50-entry budget before the
-    # switch landed, the r15 pattern).
+    # === r17 cut. Tier 0 — the 18 entries the function-level
+    # tripwire flags against the r16 snapshot: the dedup family
+    # rebased onto the doc_id-bucketed documents copy
+    # (_shingle_hashes_df / _lsh_pairs_df / _incremental_index /
+    # _ensure_findex + the confirm-join build-side flips), the
+    # k-means Arrow-kernel assignment with its lockstep oracle
+    # re-quantization, the audit scans riding the bucketed layouts
+    # (_tagged_key_union), and the content_wm="full" opt-ins.
 
-    "bm25_topk",
-    "trigram_lm_score",
-    "quantile_shard",
-    "domain_mix_sample",
-    "heavy_hitters_cms",
-    "repetition_strip",
-    "token_frequencies",
-    "doc_split_sample",
-    "corpus_train_filter",
-    "tokenizer_fertility",
-    "pii_scrub",
-    "stratified_sample",
-    "weighted_sample",
-    "global_shuffle",
-    "dedup_exact",
-    "vocab_growth",
-    "boilerplate_prefix",
-    "pareto_skyline",
-    "rrf_fusion",
-    "inverted_index",
-    "hll_distinct",
-    "pmi_collocations",
-    # Tier 0b — the embeddings family: similarity._vecs (shared by
-    # the first ten) plus kmeans_embeddings and embedding_norm_quant
-    # now read the vec_id-bucketed embeddings copy ("r16 candidates"
-    # item 2).
-
-    "similarity_topk",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "dedup_embedding_cosine",
-    "semdedup",
-    "embedding_outliers",
-    "cluster_purity",
-    "knn_label_noise",
-    "ann_recall_eval",
-    "embedding_rp_jl",
-    "kmeans_embeddings",
-    "embedding_norm_quant",
-    # Tier 0c — index-maintenance steady-state caching (r15 verdict
-    # item 5): the probe/census/append-skip changes in dedup.py.
-
-    "dedup_band_index_refresh",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_incremental_minhash",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_incremental",
     "dedup_index_refresh",
-    # Tier 0d — operator hardening (ADVICE r15): range_count_self's
-    # three-valued-logic count fix and asof_self_join's explicit
-    # right-precedence contract.
-
-    "events_asof_join",
-    "events_range_join",
-    # Tier 0e — the contamination train-gram session cache and its
-    # _ensemble_docs co-consumers (function-level tripwire).
-
-    "ngram_contamination",
-    "quality_ensemble",
-    "quality_calibration",
-    "ccnet_buckets",
-    # Tier 0f — content_wm validator entries (comment-level source
-    # changes documenting the footer-digest residual gap; promoted
-    # conservatively since their source text changed).
-
+    "dedup_band_index_refresh",
+    "minhash_containment",
+    "ngram_novelty",
+    "source_overlap",
+    "streaming_incremental_dedup",
+    "triangle_count",
+    "kmeans_embeddings",
+    "fk_integrity",
+    "key_skew_audit",
     "unique_check",
     "reconciliation_check",
-    # Tier 1 — the three remaining r11-evidence entries, so nothing
-    # in the registry falls below r12 evidence after this round.
+    # Tier 1 — the ENTIRE r12-evidence tier (r16 verdict item 2):
+    # after this round no registry entry's driver evidence is older
+    # than r13.
 
-    "streaming_sessionized",
-    "streaming_join",
-    "events_rolling",
-    # Tier 2 — budget fillers: the two stalest r12-evidence entries
-    # not already flagged (the tiers exactly fill the 50 budget).
-
-    "dedup_simhash",
-    "corr_matrix",
-    # --- driver budget cut (50) falls here ---
-    # Below: stalest-first so r17's cut reads off the top; the FULL
-    # registry is still locally re-proven each round via
-    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
-
-    # r12 evidence:
     "col_stats",
     "col_stats_histogram",
     "column_max_check",
@@ -420,39 +363,36 @@ GRADE_PRIORITY = [
     "streaming_windowed",
     "string_length_check",
     "string_regex_check",
-    # r13 evidence:
+    # Tier 2 — budget fillers: the 6 alphabetically-first r13-evidence
+    # entries not already flagged (the tiers exactly fill the 50).
+
     "benford_check",
     "bloom_filter_semijoin",
     "drift_psi",
     "events_pivot",
-    "fk_integrity",
     "k_anonymity",
-    "key_skew_audit",
     "l_diversity",
+    # --- driver budget cut (50) falls here ---
+    # Below: stalest-first so r18's cut reads off the top; the FULL
+    # registry is still locally re-proven each round via
+    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+
+    # r13 evidence:
     "multimodal_features",
-    "ngram_novelty",
     "q16_parts_supplier",
     "q2_min_cost_supplier",
     "salted_aggregation",
-    "source_overlap",
     "streaming_dedup",
     "streaming_drift",
-    "streaming_incremental_dedup",
     "streaming_seasonality",
-    "triangle_count",
     "user_activity_gini",
     # r14 evidence:
     "col_quantiles",
-    "dedup_clusters",
-    "dedup_incremental",
     "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "events_anomaly",
     "events_json_extract",
     "events_time_weighted",
     "mad_outliers",
-    "minhash_containment",
     "multimodal_frame_sample",
     "multimodal_meta",
     "multimodal_resize",
@@ -500,7 +440,52 @@ GRADE_PRIORITY = [
     "text_quality",
     "tfidf_topk",
     "token_count",
+    # r16 evidence:
+    "ann_recall_eval",
+    "bm25_topk",
+    "boilerplate_prefix",
+    "ccnet_buckets",
+    "cluster_purity",
+    "corpus_train_filter",
+    "corr_matrix",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "doc_split_sample",
+    "domain_mix_sample",
+    "embedding_norm_quant",
+    "embedding_outliers",
+    "embedding_rp_jl",
+    "events_asof_join",
+    "events_range_join",
+    "events_rolling",
+    "global_shuffle",
+    "heavy_hitters_cms",
+    "hll_distinct",
+    "inverted_index",
+    "knn_label_noise",
+    "ngram_contamination",
+    "pareto_skyline",
+    "pii_scrub",
+    "pmi_collocations",
+    "quality_calibration",
+    "quality_ensemble",
+    "quantile_shard",
+    "repetition_strip",
+    "rrf_fusion",
+    "semdedup",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_topk",
+    "stratified_sample",
+    "streaming_join",
+    "streaming_sessionized",
+    "token_frequencies",
+    "tokenizer_fertility",
+    "trigram_lm_score",
+    "vocab_growth",
+    "weighted_sample",
 ]
+
 
 
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:

@@ -170,25 +170,51 @@ FK_RELATIONS = [
 ]
 
 
+# fact tables with an at-rest bucketed layout: the audit scans ride
+# the copy for its SPLIT COUNT alone (32 bucket files vs the raw
+# single-file scan's handful of row-group splits — the r17 fk profile
+# put 1.2s of the 2.6s wall on a 6-task child-scan stage). No exchange
+# changes: the audit's groupBy/join shuffle on (tag, k) either way.
+_AUDIT_SCAN_LAYOUT = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
 def _tagged_key_union(spark, sf, by_table):
     """ONE scan per table: every (tag, key-column) pair fans out
     in-row via an exploded tagged-struct array, so a table carrying
     several audited keys (lineitem carries 3 FK edges / 2 skew keys)
     is still read once. No parallelism spread: the explode is trivial
     per-row work and the downstream groupBy combines map-side
-    (drift_psi rule; fk A/B 2.58s vs 2.09s, r7). Shared by
+    (drift_psi rule; fk A/B 2.58s vs 2.09s, r7) — the split-count
+    gap the spread would have papered over is closed by scanning the
+    bucketed copies instead (_AUDIT_SCAN_LAYOUT, r17). Shared by
     q_fk_integrity (tags = FK edge labels) and q_key_skew_audit
     (tags = table.column names) so the injection-prone f-string
     builder exists exactly once."""
+    from data_validator_spark.operators.bucketing import bucketed_fact
+
     tagged = None
     for table, arms in by_table.items():
+        src = load(spark, sf, table)
+        key = _AUDIT_SCAN_LAYOUT.get(table)
+        if key is not None and key in src.columns:
+            # schema pre-check: an ad-hoc audit corpus (tests, pruned
+            # extracts) may lack the layout key — the audit must keep
+            # working off the raw reader there
+            src = bucketed_fact(spark, sf, table, key)
         arm_sql = ", ".join(
             f"struct('{tag}' AS tag, CAST({col} AS BIGINT) AS k)"
             for tag, col in arms
         )
         part = (
-            load(spark, sf, table)
-            .select(*[col for _, col in arms])
+            src.select(*[col for _, col in arms])
             .select(F.explode(F.expr(f"array({arm_sql})")).alias("e"))
             .select("e.tag", "e.k")
         )
@@ -419,11 +445,11 @@ def q_reconciliation_check(spark, sf):
     # footer-statistic-preserving residual); above the bound the mode
     # degrades to the footer digest with a warning — see
     # ensure_bucketed_fact.
-    from data_validator_spark.operators.bucketing import bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact_full
 
-    li = bucketed_fact(
-        spark, sf, "lineitem", "l_orderkey", content_wm="full"
-    ).select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    li = bucketed_fact_full(spark, sf, "lineitem", "l_orderkey").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
     line_units = F.floor(
         F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)") * F.lit(1000000.0)
         + F.lit(0.5)
@@ -431,9 +457,7 @@ def q_reconciliation_check(spark, sf):
     computed = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.sum(line_units).alias("line_total")
     )
-    orders = bucketed_fact(
-        spark, sf, "orders", "o_orderkey", content_wm="full"
-    ).select(
+    orders = bucketed_fact_full(spark, sf, "orders", "o_orderkey").select(
         F.col("o_orderkey").alias("k"),
         F.floor(F.col("o_totalprice") * F.lit(1000000.0) + F.lit(0.5))
         .cast("long")

@@ -147,9 +147,9 @@ def q_unique_check(spark, sf):
     # warning — see ensure_bucketed_fact. The config-driven validator
     # path (validators/row_based.py) still reads whatever table the
     # user configured.
-    from data_validator_spark.operators.bucketing import bucketed_fact
+    from data_validator_spark.operators.bucketing import bucketed_fact_full
 
-    df = bucketed_fact(spark, sf, "lineitem", "l_orderkey", content_wm="full")
+    df = bucketed_fact_full(spark, sf, "lineitem", "l_orderkey")
     dups = (
         df.groupBy("l_orderkey", "l_linenumber")
         .count()

@@ -679,6 +679,7 @@ def test_full_content_wm_catches_footer_identical_rewrite(spark, tmp_path):
     from data_validator_spark.operators.bucketing import (
         _footer_signature,
         ensure_bucketed_fact,
+        ensure_bucketed_fact_full,
     )
     from data_validator_spark.queries import evict_session_caches
 
@@ -694,7 +695,7 @@ def test_full_content_wm_catches_footer_identical_rewrite(spark, tmp_path):
         )
 
     try:
-        t = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey", content_wm="full")
+        t = ensure_bucketed_fact_full(spark, sf, "orders", "o_orderkey")
         assert custkey_of(t, 100) == 1100
         st = _os.stat(src)
         footers_before = _footer_signature(str(src))
@@ -711,7 +712,7 @@ def test_full_content_wm_catches_footer_identical_rewrite(spark, tmp_path):
         )
         assert custkey_of(t, 100) == 1100
         # full mode catches the rewrite and rebuilds
-        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey", content_wm="full")
+        ensure_bucketed_fact_full(spark, sf, "orders", "o_orderkey")
         evict_session_caches(sf)
         assert custkey_of(t, 100) == 1101
     finally:
@@ -733,9 +734,7 @@ def test_full_content_wm_degrades_to_footer_above_size_bound(
         monkeypatch.setattr(bk, "FULL_WM_MAX_BYTES", 10)
         with pytest.warns(RuntimeWarning, match="degrading to the footer"):
             assert (
-                bk.ensure_bucketed_fact(
-                    spark, sf, "orders", "o_orderkey", content_wm="full"
-                )
+                bk.ensure_bucketed_fact_full(spark, sf, "orders", "o_orderkey")
                 == t
             )
     finally:

@@ -16,41 +16,40 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 DRIVER_GRADE_BUDGET = 50
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-# Tier 0 — r16: every entry the function-level tripwire flags against
-# the r15 tree (recomputed with the docstring-stripped hashing): the
-# 22 doc_id-bucketed-copy switches, the 12-entry embeddings family
-# (similarity._vecs + kmeans + norm_quant on the vec_id copy), the
-# index-maintenance steady-state caches, the asof/range operator
-# hardening, the contamination train-gram cache and its shared-helper
-# co-consumers, and the two content_wm validator entries.
-R16_CHANGED = {
-    "ann_recall_eval", "bm25_topk", "boilerplate_prefix",
-    "ccnet_buckets", "cluster_purity", "corpus_train_filter",
-    "dedup_band_index_refresh", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_incremental_minhash", "dedup_index_refresh", "doc_split_sample",
-    "domain_mix_sample", "embedding_norm_quant", "embedding_outliers",
-    "embedding_rp_jl", "events_asof_join", "events_range_join",
-    "global_shuffle", "heavy_hitters_cms", "hll_distinct",
-    "inverted_index", "kmeans_embeddings", "knn_label_noise",
-    "ngram_contamination", "pareto_skyline", "pii_scrub",
-    "pmi_collocations", "quality_calibration", "quality_ensemble",
-    "quantile_shard", "reconciliation_check", "repetition_strip",
-    "rrf_fusion", "semdedup", "similarity_ann_ivf",
-    "similarity_ann_lsh", "similarity_topk", "stratified_sample",
-    "token_frequencies", "tokenizer_fertility", "trigram_lm_score",
-    "unique_check", "vocab_growth", "weighted_sample",
+# Tier 0 — r17: every entry the function-level tripwire flags against
+# the r16 snapshot: the dedup family rebased onto the doc_id-bucketed
+# documents copy (shingle cache, pairs cache, incremental index,
+# findex builder, confirm-join build-side flips), the k-means
+# Arrow-kernel assignment (lockstep oracle re-quantization), the
+# audit scans riding the bucketed layouts (_tagged_key_union), and
+# the content_wm="full" opt-ins.
+R17_CHANGED = {
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_incremental_minhash",
+    "dedup_simhash", "dedup_clusters", "dedup_incremental",
+    "dedup_index_refresh", "dedup_band_index_refresh",
+    "minhash_containment", "ngram_novelty", "source_overlap",
+    "streaming_incremental_dedup", "triangle_count", "kmeans_embeddings",
+    "fk_integrity", "key_skew_audit", "unique_check", "reconciliation_check",
 }
 
-# Tier 1 — the three remaining r11-evidence entries: after this round
-# no registry entry's driver evidence is older than r12.
-R11_STALE = {
-    "streaming_sessionized", "streaming_join", "events_rolling",
+# Tier 1 — the ENTIRE r12-evidence tier (r16 verdict item 2): after
+# this round no registry entry's driver evidence is older than r13.
+R12_STALE = {
+    "col_stats", "col_stats_histogram", "column_max_check",
+    "column_sum_check", "combined_single_pass", "detailed_errors",
+    "domain_diversity", "drift_ks", "event_seasonality", "events_rollup",
+    "events_windowed", "lang_id_confusion", "negative_check", "null_check",
+    "profile_table", "q11_important_stock", "q15_top_supplier",
+    "q1_pricing_summary", "q20_potential_promotion", "q6_forecast_revenue",
+    "range_check", "row_count", "streaming_enriched", "streaming_windowed",
+    "string_length_check", "string_regex_check",
 }
 
-# Tier 2 — budget fillers: the two stalest r12-evidence entries not
-# already flagged (the tiers exactly fill the 50 budget).
-R12_FILLERS = {
-    "dedup_simhash", "corr_matrix",
+# Tier 2 — budget fillers: the 6 alphabetically-first r13-evidence
+# entries not already flagged (the tiers exactly fill the 50 budget).
+R13_FILLERS = {
+    "benford_check", "bloom_filter_semijoin", "drift_psi",
+    "events_pivot", "k_anonymity", "l_diversity",
 }
 
 # r15: EMPTY (the function-level tripwire makes module-import-only
@@ -74,18 +73,18 @@ def test_priority_list_matches_registry():
 def test_new_and_stale_entries_fit_grading_budget():
     q, _ = build_registry()
     graded = set(list(q)[:DRIVER_GRADE_BUDGET])
-    assert R16_CHANGED <= graded, R16_CHANGED - graded
-    assert R11_STALE <= graded, R11_STALE - graded
-    assert R12_FILLERS <= graded, R12_FILLERS - graded
+    assert R17_CHANGED <= graded, R17_CHANGED - graded
+    assert R12_STALE <= graded, R12_STALE - graded
+    assert R13_FILLERS <= graded, R13_FILLERS - graded
     # the tiers exactly fill the budget — no wasted slot
-    assert len(R16_CHANGED | R11_STALE | R12_FILLERS) == DRIVER_GRADE_BUDGET
+    assert len(R17_CHANGED | R12_STALE | R13_FILLERS) == DRIVER_GRADE_BUDGET
     assert not CHANGED_LOCAL_ONLY & graded  # below the cut by design
 
 
 def test_rotated_out_entries_hold_recent_driver_green():
     """Whatever falls past the grading budget must already hold a
-    driver-green row in CORRECTNESS_r15, r14, r13 or r12 (the
-    freshest evidence tiers; the r11 stragglers are all graded this
+    driver-green row in CORRECTNESS_r16, r15, r14 or r13 (the
+    freshest evidence tiers; the whole r12 tier is graded this
     round), or be explicitly declared local-only."""
     import json
 
@@ -97,10 +96,10 @@ def test_rotated_out_entries_hold_recent_driver_green():
         }
 
     green_recent = (
-        green("CORRECTNESS_r15.json")
+        green("CORRECTNESS_r16.json")
+        | green("CORRECTNESS_r15.json")
         | green("CORRECTNESS_r14.json")
         | green("CORRECTNESS_r13.json")
-        | green("CORRECTNESS_r12.json")
     )
     q, _ = build_registry()
     overflow = list(q)[DRIVER_GRADE_BUDGET:]
@@ -177,7 +176,7 @@ def test_bench_headline_keys_exist_in_registry():
     # (a forgotten HEADLINE row would silently shrink the total)
     assert set(bench.HEADLINE) == set(q), set(q) ^ set(bench.HEADLINE)
     unbenched = [
-        k for k in (R16_CHANGED | R11_STALE | R12_FILLERS | CHANGED_LOCAL_ONLY)
+        k for k in (R17_CHANGED | R12_STALE | R13_FILLERS | CHANGED_LOCAL_ONLY)
         if k not in bench.HEADLINE
     ]
     assert not unbenched, f"priority entries missing from bench: {unbenched}"
@@ -311,23 +310,26 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         # …and the incremental-minhash screen, whose delta spine rides
         # the doc_id copy since the r16 late extension
         "dedup_incremental_minhash",
+        # …plus the r17 adoptions: the dedup family's shingle/pairs/
+        # index relations now build off the doc_id documents copy, and
+        # the fk/skew audits scan the bucketed layouts directly
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_clusters", "dedup_incremental", "dedup_index_refresh",
+        "dedup_band_index_refresh", "minhash_containment",
+        "ngram_novelty", "source_overlap", "streaming_incremental_dedup",
+        "triangle_count", "fk_integrity", "key_skew_audit",
     }
     assert flagged == expected, flagged ^ expected
-    # the r13 false-flag victims that remain NON-consumers (the dedup
-    # family, which only shares modules with callers, plus the two
-    # unswitched events entries) must still NOT appear:
-    assert not flagged & {
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "minhash_containment",
-        "dedup_clusters", "dedup_incremental", "dedup_index_refresh",
-        "events_json_extract", "events_anomaly",
-    }
+    # module-mates that consume NO bucketed machinery must still NOT
+    # appear (the r13 false-flag victims; the dedup family LEFT this
+    # set in r17 when its shared relations moved onto the doc_id copy):
+    assert not flagged & {"events_json_extract", "events_anomaly"}
     # ...yet a write_bucketed change still reaches the index builders
     # THROUGH their call graphs (the dedup pair really calls it):
     w_flagged = {n for n, d in deps.items() if f"{_BK}::write_bucketed" in d}
     assert {"dedup_index_refresh", "dedup_band_index_refresh"} <= w_flagged
     # a module-mate that consumes NO bucketed machinery stays clean
     assert "events_json_extract" not in w_flagged
-    assert "dedup_minhash_lsh" not in w_flagged
 
 
 def test_entry_deps_resolve_known_cross_module_edges():
