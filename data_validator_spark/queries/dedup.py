@@ -404,20 +404,48 @@ def q_dedup_incremental_minhash(spark, sf):
     confirmed candidates (NULL when none — both engines)."""
     pivot = _incremental_pivot(spark, sf)
     t = _ensure_bindex(spark, sf)
+    wm = _corpus_watermark(spark, sf)
     cb = (
         spark.table(t)
         .where(F.col("doc_id") < F.lit(pivot))
         .select(F.col("doc_id").alias("cand_id"), "sig64")
     )
-    db = (
-        _band_df(spark, sf)
-        .where(F.col("doc_id") >= F.lit(pivot))
-        .select("doc_id", _sig64_col().alias("sig64"))
-    )
+    # steady state (r17): when the refresher has already merged the
+    # delta's postings into the index — the production topology, where
+    # dedup_band_index_refresh maintains the table the screen consumes
+    # — the delta's bands come FROM the index ((sig64, doc_id) rows
+    # are byte-identical to the in-session derivation: distinct per
+    # (doc, band) because the band id is hashed into sig64), so the
+    # screen pays zero minhash recomputation AND the candidate join
+    # runs index⨝index colocated on the sig64 bucketing. The probe is
+    # the refresh's own cached max-doc_id scalar (one column-pruned
+    # job per (session, watermark)); a fresh index without the delta
+    # falls back to deriving the bands in-session.
+    probe_key = _wm_key(spark, sf, t, wm)
+    table_max = _BINDEX_MAX_CACHE.get(probe_key)
+    if table_max is None:
+        table_max = int(
+            spark.table(t)
+            .agg(F.coalesce(F.max("doc_id"), F.lit(-1)).alias("m"))
+            .first()["m"]
+        )
+        _put_wm_cache(_BINDEX_MAX_CACHE, probe_key, table_max)
+    if int(table_max) >= wm["max_doc_id"]:
+        db = (
+            spark.table(t)
+            .where(F.col("doc_id") >= F.lit(pivot))
+            .select("doc_id", "sig64")
+        )
+    else:
+        db = (
+            _band_df(spark, sf)
+            .where(F.col("doc_id") >= F.lit(pivot))
+            .select("doc_id", _sig64_col().alias("sig64"))
+        )
     # eligible (non-degenerate) corpus buckets: persisted once per
     # (session, watermark) — repeated screens skip the full-index
     # census (r16, see _bindex_ok_buckets)
-    ok = _bindex_ok_buckets(spark, sf, t, _corpus_watermark(spark, sf))
+    ok = _bindex_ok_buckets(spark, sf, t, wm)
     # one delta-scale shuffle on doc_id serves BOTH the pair-dedup and
     # the confirm join (r17): HashPartitioning(doc_id) satisfies the
     # distinct's ClusteredDistribution(doc_id, cand_id) — same-key rows

@@ -610,6 +610,18 @@ def test_incremental_minhash_reads_persisted_band_index(spark, tmp_path):
     # 18 and 19 near-dup each other, but only corpus doc 3 may match
     for d in (18, 19):
         assert after[d]["near_dup"] == 1 and after[d]["best_match"] == 3
+    # steady state (r17): with the delta postings merged, the screen's
+    # candidate generation serves the DELTA bands from the index too —
+    # the plan's only Python stage is the Jaccard confirm side
+    # (shingle arrays), never a delta minhash recompute; band
+    # derivation (explode of the 16-band struct array) is gone
+    steady_plan = (
+        q_dedup_incremental_minhash(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate explode(array(struct(band" not in steady_plan
 
 
 def test_ngram_novelty_planted(spark, tmp_path):
