@@ -705,8 +705,18 @@ def main() -> int:
         # the ratio alone decides: loadavg right after our OWN first
         # pass is always hot on 32 cores (the probe's documented
         # own-tail blindness), so it cannot gate the clear; a retry
-        # under 0.9x means the flagged slowdown did not reproduce
-        retry_quiet = attempt1["value"] > 0 and retry["value"] < 0.9 * attempt1["value"]
+        # under 0.9x means the flagged slowdown did not reproduce.
+        # Guard: both passes must have succeeded on the SAME query
+        # set — a query that errors in the retry shrinks its total
+        # (results[name] = -1 contributes nothing), which must never
+        # read as "faster" and clear the flag on a shrunken record
+        ok1 = {k for k, v in attempt1["queries"].items() if v >= 0}
+        ok2 = {k for k, v in retry["queries"].items() if v >= 0}
+        retry_quiet = (
+            ok1 == ok2
+            and attempt1["value"] > 0
+            and retry["value"] < 0.9 * attempt1["value"]
+        )
         probe = dict(
             probe,
             retried=True,

@@ -228,6 +228,22 @@ def _fact_watermark(spark: SparkSession, sf: str, name: str, key: str) -> dict:
     }
 
 
+def _fact_identity(spark: SparkSession, sf: str, name: str, key: str) -> tuple:
+    """(table name, warehouse path) of one fact layout — the naming
+    formula ensure_bucketed_fact uses, duplicated here for callers
+    that must inspect the sidecar WITHOUT building (the base function
+    is deliberately byte-stable — see its docstring — so it cannot be
+    refactored to call this). tests/test_bucketing.py pins that the
+    two formulas agree, so a future rename cannot silently diverge."""
+    import os
+    import re
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_").lower()
+    t = f"dv_bkt_{name}_{key}_{tag}"
+    wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+    return t, os.path.join(wh, t)
+
+
 def _read_sidecar(path: str) -> dict | None:
     import json
     import os
@@ -354,7 +370,6 @@ def ensure_bucketed_fact_full(
     reach this function."""
     import json
     import os
-    import re
     import shutil
 
     src_path = os.path.join(str(sf), f"{name}.parquet")
@@ -371,29 +386,32 @@ def ensure_bucketed_fact_full(
             stacklevel=2,
         )
         return ensure_bucketed_fact(spark, sf, name, key, num_buckets, True)
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", str(sf)).strip("_").lower()
-    t = f"dv_bkt_{name}_{key}_{tag}"
-    wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
-    path = os.path.join(wh, t)
+    t, path = _fact_identity(spark, sf, name, key)
     disk = _read_sidecar(path)
     cur_sig = _content_signature(src_path)
     if disk is None or disk.get("content_md5") != cur_sig:
         # unverifiable (stat-only build) or content-diverged copy:
-        # never trust it — drop, rebuild off the current source, and
-        # record the full signature for the next call
+        # never trust it — drop and rebuild off the current source
         spark.sql(f"DROP TABLE IF EXISTS `{t}`")
         shutil.rmtree(path, ignore_errors=True)
-        t = ensure_bucketed_fact(spark, sf, name, key, num_buckets, True)
-        sidecar = _read_sidecar(path) or {}
-        # recompute AFTER the rebuild: the copy derives from the bytes
-        # on disk now, not from the pre-rebuild snapshot
-        sidecar["content_md5"] = _content_signature(src_path)
+    # the base call rebuilds if anything was dropped or stat/footer
+    # stale, and no-ops otherwise
+    t = ensure_bucketed_fact(spark, sf, name, key, num_buckets, True)
+    sidecar = _read_sidecar(path)
+    if sidecar is not None and sidecar.get("content_md5") != cur_sig:
+        # record the signature taken BEFORE the rebuild, never a
+        # post-rebuild re-hash: if the source was rewritten DURING the
+        # rebuild window, the pre-read signature mismatches on the
+        # next call and forces a rebuild (fail-safe), where a
+        # post-rebuild hash would bless a copy built from other bytes
+        # forever. This branch also backfills the signature when the
+        # base call rebuilt for a stat-only change (mtime touch) and
+        # wrote a sidecar without content_md5 — without it the next
+        # full call would drop the fresh copy and rebuild AGAIN.
+        sidecar["content_md5"] = cur_sig
         with open(os.path.join(path, BUCKET_SIDECAR), "w") as f:
             json.dump(sidecar, f)
-        return t
-    # full signature verified end-to-end; the base call re-checks the
-    # stat + footer layers and registers the table if needed
-    return ensure_bucketed_fact(spark, sf, name, key, num_buckets, True)
+    return t
 
 
 def bucketed_fact_full(

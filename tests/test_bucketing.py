@@ -739,3 +739,65 @@ def test_full_content_wm_degrades_to_footer_above_size_bound(
             )
     finally:
         _drop_fact_tables(spark, sf)
+
+
+def test_fact_identity_matches_base_naming(spark, tmp_path):
+    """_fact_identity duplicates ensure_bucketed_fact's naming formula
+    (the base is deliberately byte-stable and cannot be refactored to
+    share a helper — see its docstring); this pin makes a future
+    rename in either place fail loudly instead of silently diverging
+    the full-content wrapper's sidecar reads from the base's writes."""
+    import os as _os
+
+    from data_validator_spark.operators.bucketing import (
+        BUCKET_SIDECAR,
+        _fact_identity,
+        ensure_bucketed_fact,
+    )
+
+    _mini_facts(spark, tmp_path, n=50)
+    sf = str(tmp_path)
+    try:
+        t = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey")
+        t2, path = _fact_identity(spark, sf, "orders", "o_orderkey")
+        assert t2 == t
+        assert _os.path.isfile(_os.path.join(path, BUCKET_SIDECAR))
+    finally:
+        _drop_fact_tables(spark, sf)
+
+
+def test_full_content_wm_backfills_after_stat_only_rebuild(spark, tmp_path):
+    """A stat-only source change (mtime touch, identical bytes) makes
+    the base loader rebuild and write a sidecar WITHOUT content_md5;
+    the full wrapper must backfill the signature in the same call
+    instead of dropping the fresh copy and rebuilding a second time
+    on the next call."""
+    import json as _json
+    import os as _os
+
+    from data_validator_spark.operators.bucketing import (
+        BUCKET_SIDECAR,
+        _fact_identity,
+        ensure_bucketed_fact_full,
+    )
+
+    src = tmp_path / "orders.parquet"
+    _plain_parquet(str(src), offset=0)
+    sf = str(tmp_path)
+    try:
+        t = ensure_bucketed_fact_full(spark, sf, "orders", "o_orderkey")
+        _, path = _fact_identity(spark, sf, "orders", "o_orderkey")
+        _os.utime(src)  # mtime moves, bytes identical
+        from data_validator_spark.queries import evict_session_caches
+
+        evict_session_caches(sf)
+        assert ensure_bucketed_fact_full(spark, sf, "orders", "o_orderkey") == t
+        with open(_os.path.join(path, BUCKET_SIDECAR)) as f:
+            sc = _json.load(f)
+        assert "content_md5" in sc  # backfilled in the SAME call
+        before = _os.stat(_os.path.join(path, BUCKET_SIDECAR)).st_mtime_ns
+        # next full call: verified, no rebuild, sidecar untouched
+        assert ensure_bucketed_fact_full(spark, sf, "orders", "o_orderkey") == t
+        assert _os.stat(_os.path.join(path, BUCKET_SIDECAR)).st_mtime_ns == before
+    finally:
+        _drop_fact_tables(spark, sf)
