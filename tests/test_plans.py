@@ -399,3 +399,37 @@ def test_r16_embeddings_family_rides_vec_bucketed_copy(spark, registry):
     # norm_quant is the pure map case: NO exchange of any kind
     plan = plan_of(spark, registry, "embedding_norm_quant")
     assert "Exchange" not in plan
+
+
+def test_r17_dedup_family_rides_doc_bucketed_documents(spark, registry):
+    """SCALE.md r17, class closure: the near-dup dedup family's shared
+    relations (shingle hashes, LSH pairs, incremental index, simhash
+    scan, source projections) build off the doc_id-bucketed documents
+    copy — no raw-documents scan, no round-robin spread anywhere."""
+    for name in (
+        "dedup_simhash",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "minhash_containment",
+        "ngram_novelty",
+        "source_overlap",
+        "dedup_incremental",
+    ):
+        plan = plan_of(spark, registry, name)
+        assert "dv_bkt_documents_doc_id_" in plan, name
+        assert "Exchange RoundRobinPartitioning" not in plan, name
+
+
+def test_r17_confirm_joins_build_on_candidate_side(spark, registry):
+    """The Jaccard-confirm shuffle-hash joins must build their hash
+    maps over the candidate-scale pair relation (BuildLeft) and
+    stream the corpus-scale shingle relation — never the reverse, and
+    never a broadcast of the corpus side (the one plan that cannot
+    survive 100 TB)."""
+    import re
+
+    for name in ("dedup_ngram_jaccard", "minhash_containment"):
+        plan = plan_of(spark, registry, name)
+        shj = re.findall(r"ShuffledHashJoin \[doc_[ab][^\n]*", plan)
+        assert shj, (name, "expected shuffle-hash confirm joins")
+        assert all("BuildLeft" in ln for ln in shj), (name, shj)
