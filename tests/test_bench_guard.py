@@ -401,3 +401,19 @@ def test_compact_line_carries_contended_not_the_full_probe():
     parsed = json.loads(compact_line(out, "BENCH_FULL.json"))
     assert parsed["contended"] is True
     assert "contention" not in parsed
+
+
+def test_contention_probe_force_hook(monkeypatch, tmp_path):
+    """The r17 retry path's test hook: SPARK_GRAFT_BENCH_FORCE_CONTENDED
+    short-circuits the probe to contended with a named signal, without
+    touching the prime-ratio or loadavg machinery."""
+    from bench import contention_probe
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FORCE_CONTENDED", "1")
+    p = contention_probe((0.1, 0.1, 0.1), 10.0, 0.1, str(tmp_path))
+    assert p["contended"] is True
+    assert any("forced" in s for s in p["signals"])
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE_CONTENDED")
+    # without the hook, a quiet box with no prime reference is quiet
+    p2 = contention_probe((0.1, 0.1, 0.1), 10.0, 0.1, str(tmp_path))
+    assert p2["contended"] is False

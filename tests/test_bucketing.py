@@ -801,3 +801,20 @@ def test_full_content_wm_backfills_after_stat_only_rebuild(spark, tmp_path):
         assert _os.stat(_os.path.join(path, BUCKET_SIDECAR)).st_mtime_ns == before
     finally:
         _drop_fact_tables(spark, sf)
+
+
+def test_content_signature_detects_single_bit_flip(tmp_path):
+    """The full-content watermark's whole-point property: ANY byte
+    change in the source flips the signature, even one that no stat,
+    footer, or row-group statistic could see."""
+    from data_validator_spark.operators.bucketing import _content_signature
+
+    p = tmp_path / "orders.parquet"
+    _plain_parquet(str(p), offset=0)
+    sig1 = _content_signature(str(p))
+    blob = bytearray(open(p, "rb").read())
+    blob[len(blob) // 3] ^= 0x01  # one bit, interior
+    open(p, "wb").write(bytes(blob))
+    sig2 = _content_signature(str(p))
+    assert sig1 != sig2
+    assert [r for r, _ in sig1] == [r for r, _ in sig2]  # same file set

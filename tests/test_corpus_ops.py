@@ -309,3 +309,64 @@ def test_kmeans_centroid_cache_evicts_on_dataset_rewrite(spark, tmp_path):
     write(seed=2)  # same path, same row count — only values change
     evict_session_caches(str(tmp_path))
     assert spark_rows() == oracle_rows()
+
+
+def test_kmeans_assign_kernel_matches_exact_reference(spark):
+    """r17: the Arrow assignment kernel's integer arithmetic must equal
+    an independently-computed exact reference — per-component
+    quantize-then-subtract on the milli-unit grid, argmin ties to the
+    lowest cluster id — including negative components and values that
+    sit exactly on the .5 rounding boundary."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_validator_spark.queries.corpus_ops import _assign
+
+    vecs = [
+        (0, [0.0015, -0.0005, 1.0, -1.0]),     # exact .5 boundaries
+        (1, [0.0014999, -0.00051, 0.9994999, -0.9995]),
+        (2, [0.25, 0.25, 0.25, 0.25]),
+        (3, [-0.75, 0.5, -0.5, 0.75]),
+        (4, [2.0, -2.0, 0.0, 0.0]),
+    ]
+    cents = [(0, [0.0, 0.0, 1.0, -1.0]), (1, [0.25, 0.25, 0.25, 0.25])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["dist"])
+        for r in _assign(df, cents).collect()
+    }
+
+    def q(x):
+        return int(math.floor(x * 1000.0 + 0.5))
+
+    for vid, v in vecs:
+        best = None
+        for cid, c in cents:
+            d = sum((q(a) - q(b)) ** 2 for a, b in zip(v, c))
+            if best is None or d < best[1]:  # strict <: ties keep lowest cid
+                best = (cid, d)
+        assert got[vid] == best, (vid, got[vid], best)
+
+
+def test_kmeans_assign_kernel_scale_invariance_sanity(spark):
+    """A vector exactly AT a centroid must assign there with distance
+    zero, and a distance must be symmetric under swapping vector and
+    centroid values (both quantize on the same grid)."""
+    from data_validator_spark.queries.corpus_ops import _assign
+
+    a = [0.123, -0.456, 0.789, -0.012]
+    b = [-0.3, 0.2, -0.1, 0.4]
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r for r in _assign(df, [(0, a), (1, b)]).collect()}
+    assert got[0]["cluster_id"] == 0 and got[0]["dist"] == 0
+    assert got[1]["cluster_id"] == 1 and got[1]["dist"] == 0
+    # cross distances: d(a as vector, b as centroid) == d(b, a)
+    d_ab = {r["vec_id"]: r["dist"] for r in _assign(df, [(0, b)]).collect()}[0]
+    d_ba = {r["vec_id"]: r["dist"] for r in _assign(df, [(0, a)]).collect()}[1]
+    assert d_ab == d_ba > 0
