@@ -860,16 +860,21 @@ def q_dsir_importance(spark, sf):
     (_dsir_tagged), so the gram explode and the gopher target join run
     ONCE, not once per arm. The bucket model is one map-side-combined
     groupBy(bucket) over it (conditional target sums riding the same
-    aggregate, weighted by the pre-collapsed counts) and broadcasts to
-    the scoring join; scoring collapses per doc with map-side combine.
-    Target membership reuses the graded `gopher_quality`
-    implementation.
+    aggregate, weighted by the pre-collapsed counts); the log-ratio
+    term is then evaluated INSIDE the 4096-row model relation (one
+    crossJoin against the 1-row totals, both broadcast-scale) so the
+    corpus-scale scoring join carries a single pre-rounded decimal per
+    bucket and the per-row work is one decimal multiply — the ln() and
+    the DEC rounding run 4096 times, not once per (doc, bucket) row.
+    Scoring collapses per doc with map-side combine. Target membership
+    reuses the graded `gopher_quality` implementation.
 
     Determinism: each log-ratio term is ln() of exact (int+1)/(int+B)
-    ratios, DEC-rounded per gram and THEN multiplied by the exact
-    integer bucket count — bit-identical to summing the rounded term
-    per gram; the final per-doc mean is one division by the integer
-    gram count.
+    ratios, DEC-rounded per BUCKET and THEN multiplied by the exact
+    integer bucket count — bit-identical to rounding per gram (every
+    gram of a bucket carries the same term, so round-then-multiply
+    commutes with multiply-then-round-per-term); the final per-doc
+    mean is one division by the integer gram count.
     """
     tagged = _dsir_tagged(spark, sf)
     model = tagged.groupBy("b").agg(
@@ -879,18 +884,25 @@ def q_dsir_importance(spark, sf):
     totals = model.agg(
         F.sum("ca").alias("A"), F.sum("ct").alias("T")
     )
-    scored = tagged.join(F.broadcast(model), "b").crossJoin(F.broadcast(totals))
     term = F.log(
         (F.col("ct") + 1).cast("double") / (F.col("T") + DSIR_BUCKETS).cast("double")
     ) - F.log(
         (F.col("ca") + 1).cast("double") / (F.col("A") + DSIR_BUCKETS).cast("double")
     )
+    # 4096-row relation: term folded to one DEC per bucket BEFORE the
+    # corpus-scale join (bit-identical — the term depends only on the
+    # bucket model and the totals, never on the document row).
+    bucket_terms = (
+        model.crossJoin(F.broadcast(totals))
+        .select("b", term.cast(DEC).alias("t_dec"))
+    )
+    scored = tagged.join(F.broadcast(bucket_terms), "b")
     return (
         scored.groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_grams"),
             (
-                F.sum(term.cast(DEC) * F.col("c")).cast("double")
+                F.sum(F.col("t_dec") * F.col("c")).cast("double")
                 / F.sum("c")
             )
             .cast(DEC)

@@ -248,8 +248,12 @@ def q_lang_id_confusion(spark, sf):
 
     Determinism: counts only; ties in the argmax break on language
     code in BOTH engines (array_min struct order here, the
-    GREATEST/CASE mirror in the oracle)."""
-    df = spread(load(spark, sf, "documents"))
+    GREATEST/CASE mirror in the oracle).
+
+    Reads the doc_id-bucketed copy (r18): the stopword-scan struct is
+    the heavy per-row stage and runs on the scan's bucket splits —
+    spread()'s parallelism without its round-robin exchange."""
+    df = load_documents_by_id(spark, sf)
     pred = df.select(
         "lang", lang_best_struct(F.col("text")).alias("b")
     ).select(

@@ -17,7 +17,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import _sql_hash60, load, spread
+from data_validator_spark.queries import _sql_hash60, load_documents_by_id
 
 DECODED_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes int, fake_width int, fake_height int"
@@ -49,8 +49,12 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def media_table(spark, sf):
     """documents re-shaped as a multimodal table: (doc_id, media_type,
     payload: binary, meta: struct). Payload is the utf-8 text bytes —
-    a stand-in for image/audio bytes with identical plumbing."""
-    df = spread(load(spark, sf, "documents"))
+    a stand-in for image/audio bytes with identical plumbing.
+
+    Reads the doc_id-bucketed copy (r18): the Arrow decode kernels
+    downstream run on the scan's bucket splits, and the family's
+    doc_id groupBys/joins inherit HashPartitioning(doc_id) for free."""
+    df = load_documents_by_id(spark, sf)
     return df.select(
         "doc_id",
         F.lit("text/fake-image").alias("media_type"),

@@ -174,8 +174,14 @@ def q_sequence_pack(spark, sf):
     One window (partition lang, order doc_id) = one shuffle on lang,
     then a groupBy on (lang, pack). At 100 TB the window key would be
     (lang, shard) to bound partition width — same two-stage shape.
-    Emitted per pack: size, token load, and the doc-id span."""
-    df = spread(load(spark, sf, "documents"))
+    Emitted per pack: size, token load, and the doc-id span.
+
+    Reads the doc_id-bucketed copy (r18: last members of the raw-scan
+    class — the window re-keys on lang, but the token_count kernel
+    runs pre-shuffle on the scan's 32 splits, which is what spread()
+    bought; the copy gives the same parallelism without the
+    round-robin exchange)."""
+    df = load_documents_by_id(spark, sf)
     toks = token_count(F.col("text"))
     w = (
         Window.partitionBy("lang")
@@ -239,8 +245,12 @@ def q_dedup_keep_best(spark, sf):
     which survives. One shuffle on the fingerprint; the window never
     materializes more than a cluster per task. At 100 TB the
     fingerprint is high-cardinality (no skew) and partial aggregation
-    bounds the shuffle."""
-    df = spread(load(spark, sf, "documents"))
+    bounds the shuffle.
+
+    Reads the doc_id-bucketed copy (r18): the fingerprint kernel runs
+    pre-shuffle on the scan's bucket splits — same parallelism spread()
+    bought, minus its round-robin exchange."""
+    df = load_documents_by_id(spark, sf)
     from data_validator_spark.functions.text import fingerprint60
 
     fp = fingerprint60(F.col("text"))
@@ -375,7 +385,9 @@ def q_split_contamination(spark, sf):
     from data_validator_spark.functions.text import fingerprint60
     from data_validator_spark.queries.textops import split_bucket
 
-    df = spread(load(spark, sf, "documents"))
+    # doc_id-bucketed copy (r18): the fp/split projection is the heavy
+    # per-row stage and runs on the scan splits directly.
+    df = load_documents_by_id(spark, sf)
     bucket = split_bucket()
     split = (
         F.when(bucket < TRAIN_CUT, "train")

@@ -433,3 +433,46 @@ def test_r17_confirm_joins_build_on_candidate_side(spark, registry):
         shj = re.findall(r"ShuffledHashJoin \[doc_[ab][^\n]*", plan)
         assert shj, (name, "expected shuffle-hash confirm joins")
         assert all("BuildLeft" in ln for ln in shj), (name, shj)
+
+
+def test_r18_final_doc_sites_ride_doc_bucketed_documents(spark, registry):
+    """SCALE.md r18, class closure: the LAST spread(load()) doc-family
+    sites — the pipeline_ops trio, lang_id_confusion, and the
+    multimodal family's shared media_table — read the doc_id-bucketed
+    documents copy with no round-robin spread. With this, every
+    corpus-kernel documents scan in the registry rides the copy; the
+    only raw documents reads left are deliberate: watermark/pivot
+    scalar probes (which must observe the SOURCE to guard copy
+    freshness) and incremental delta scans (which read source appends
+    by design)."""
+    for name in (
+        "sequence_pack",
+        "dedup_keep_best",
+        "split_contamination",
+        "lang_id_confusion",
+        "multimodal_meta",
+        "multimodal_resize",
+        "multimodal_frame_sample",
+        "multimodal_features",
+    ):
+        plan = plan_of(spark, registry, name)
+        assert "dv_bkt_documents_doc_id_" in plan, name
+        assert "Exchange RoundRobinPartitioning" not in plan, name
+
+
+def test_r18_dsir_scores_with_per_bucket_term(spark, registry):
+    """The dsir scoring join must carry the pre-rounded per-bucket
+    decimal term (t_dec), not re-derive the ln() ratio per (doc,
+    bucket) row: the corpus-scale side is joined to ONE broadcast
+    (the 4096-row bucket_terms relation) and the plan's only ln()
+    evaluations sit inside that broadcast build side."""
+    plan = plan_of(spark, registry, "dsir_importance")
+    assert "t_dec" in plan
+    # the cross join against the 1-row totals happens at model scale,
+    # inside the broadcast build — the corpus side never cross-joins
+    import re
+
+    # final agg consumes t_dec * c, i.e. no LOG( in the agg projection
+    # above the scoring join (all LOG sites live under BroadcastExchange)
+    head = plan.split("BroadcastExchange", 1)[0]
+    assert "LOG(" not in head and "ln(" not in head.lower()
