@@ -370,6 +370,31 @@ def check_guards(repo: str | None = None) -> list[str]:
     return fails
 
 
+def _judge_retry(attempt1: dict, retry: dict) -> tuple[bool, dict]:
+    """(retry_quiet, published) for a contention-flagged run's retry.
+
+    The flag clears ONLY if the retry genuinely ran faster (<0.9x) on
+    the same successful query set — two equally slow passes stay
+    flagged (a persistent competitor, or a real regression the
+    prime-ratio canary caught). Publication is separate (ADVICE r17 /
+    r17 verdict item 5): of two COMPLETE same-query-set passes the
+    FASTER total is published — contention arriving during the retry
+    window must not make the worse pass the round's record. A pass
+    with errored queries (v < 0 sentinels) never displaces a complete
+    one on "speed": its total is shrunken, not faster."""
+    ok1 = {k for k, v in attempt1["queries"].items() if v >= 0}
+    ok2 = {k for k, v in retry["queries"].items() if v >= 0}
+    retry_quiet = (
+        ok1 == ok2
+        and attempt1["value"] > 0
+        and retry["value"] < 0.9 * attempt1["value"]
+    )
+    published = retry
+    if not retry_quiet and ok1 == ok2 and 0 < attempt1["value"] < retry["value"]:
+        published = attempt1
+    return retry_quiet, published
+
+
 def _loadavg_now() -> tuple:
     try:
         return os.getloadavg()
@@ -691,38 +716,24 @@ def main() -> int:
     # is RETRIED once before publishing — the r16 driver artifact was
     # poisoned by a transient window the detector correctly flagged,
     # yet the flagged numbers still became the round's record. Both
-    # attempts land in BENCH_FULL; the retry publishes. The flag
-    # clears ONLY if the retry genuinely ran faster (<0.9x) under a
-    # quiet loadavg — two equally slow passes stay flagged with the
-    # full diagnosis (a persistent competitor, or a real regression
-    # the prime-ratio canary caught: either way, don't trust silently).
+    # attempts land in BENCH_FULL; the FASTER complete pass publishes
+    # and the flag clears only per _judge_retry (the ratio alone
+    # decides: loadavg right after our OWN first pass is always hot
+    # on 32 cores — the probe's documented own-tail blindness — so it
+    # cannot gate the clear).
     if probe["contended"] and os.environ.get("SPARK_GRAFT_BENCH_RETRY", "1") != "0":
         print("bench contention: retrying the timed loop once", file=sys.stderr)
         load_retry = _loadavg_now()
         retry = timed_pass()
         attempt1 = published
-        published = retry
-        # the ratio alone decides: loadavg right after our OWN first
-        # pass is always hot on 32 cores (the probe's documented
-        # own-tail blindness), so it cannot gate the clear; a retry
-        # under 0.9x means the flagged slowdown did not reproduce.
-        # Guard: both passes must have succeeded on the SAME query
-        # set — a query that errors in the retry shrinks its total
-        # (results[name] = -1 contributes nothing), which must never
-        # read as "faster" and clear the flag on a shrunken record
-        ok1 = {k for k, v in attempt1["queries"].items() if v >= 0}
-        ok2 = {k for k, v in retry["queries"].items() if v >= 0}
-        retry_quiet = (
-            ok1 == ok2
-            and attempt1["value"] > 0
-            and retry["value"] < 0.9 * attempt1["value"]
-        )
+        retry_quiet, published = _judge_retry(attempt1, retry)
         probe = dict(
             probe,
             retried=True,
             retry_load_before=[round(x, 2) for x in load_retry],
             attempt1_total=attempt1["value"],
             retry_total=retry["value"],
+            published_pass="attempt1" if published is attempt1 else "retry",
             contended=not retry_quiet,
         )
         if probe["contended"]:
@@ -761,9 +772,14 @@ def main() -> int:
         "streaming_progress": published["streaming_progress"],
     }
     if attempt1 is not None:
-        # the flagged first pass, in full (r16 verdict item 4: carry
-        # both attempts; the published fields above are the retry's)
+        # carry BOTH attempts in full (r16 verdict item 4). Usually
+        # the published fields above are the retry's and attempt1
+        # rides here; when the faster-pass rule published attempt1
+        # instead (ADVICE r17), the retry rides under its own key so
+        # neither complete pass is ever lost from the artifact.
         out["attempt1"] = attempt1
+        if published is attempt1:
+            out["retry_pass"] = retry
     out["contended"] = probe["contended"]
     out["contention"] = probe
     if guard_failures:

@@ -86,14 +86,24 @@ def drop_legacy_copies(spark: SparkSession) -> list[str]:
             continue  # no readable sidecar -> not provably ours
         if "key" in sidecar:
             continue  # post-rename copy, live
-        # backtick-quoted identifier + per-directory guard (ADVICE r16):
-        # a foreign dv_bkt_* directory whose name is not a valid bare
-        # identifier (e.g. contains a hyphen) must not abort the whole
-        # sweep — bench.py runs this unguarded before timing
+        # backtick-quoted identifier (backticks doubled — the one
+        # character the quoting itself must escape) + per-directory
+        # guard (ADVICE r16/r17): a foreign dv_bkt_* directory whose
+        # name is not a valid identifier must not abort the whole
+        # sweep — bench.py runs this unguarded before timing. Failures
+        # are REPORTED to stderr, not swallowed: a transient
+        # catalog/FS error here leaves a legitimately-ours orphan
+        # unremoved, and a silent continue would hide that forever.
         try:
-            spark.sql(f"DROP TABLE IF EXISTS `{d}`")
+            spark.sql("DROP TABLE IF EXISTS `{}`".format(d.replace("`", "``")))
             shutil.rmtree(path, ignore_errors=True)
             removed.append(d)
-        except Exception:
+        except Exception as e:
+            import sys
+
+            print(
+                f"sweep_orphaned_copies: skipped {d!r} ({type(e).__name__}: {e})",
+                file=sys.stderr,
+            )
             continue
     return removed

@@ -190,18 +190,23 @@ FULL_WM_MAX_BYTES = 256 << 20
 
 
 def _content_signature(path: str) -> list:
-    """Sorted [relname, md5(all file bytes)] for every regular file
+    """Sorted [relname, sha256(all file bytes)] for every regular file
     under ``path`` — the full-content watermark behind
     content_wm="full" (ADVICE r15 residual: a same-size, mtime- and
     footer-statistic-preserving interior rewrite evades both the stat
     signature and the footer digest; hashing every byte is the only
-    signal that closes it). Deliberately uncached, like
-    _footer_digest and for the same reason."""
+    signal that closes it). sha256, not md5 (ADVICE r17): this
+    watermark's contract is defending against ADVERSARIAL source
+    rewrites, and md5 is collision-broken — an adversary who
+    influenced the original bytes could substitute a chosen-prefix
+    collision that passes verification. Same streaming read cost.
+    Deliberately uncached, like _footer_digest and for the same
+    reason."""
     import hashlib
     import os
 
     def h(p):
-        m = hashlib.md5()
+        m = hashlib.sha256()
         with open(p, "rb") as f:
             for chunk in iter(lambda: f.read(1 << 20), b""):
                 m.update(chunk)
@@ -389,7 +394,7 @@ def ensure_bucketed_fact_full(
     t, path = _fact_identity(spark, sf, name, key)
     disk = _read_sidecar(path)
     cur_sig = _content_signature(src_path)
-    if disk is None or disk.get("content_md5") != cur_sig:
+    if disk is None or disk.get("content_sha256") != cur_sig:
         # unverifiable (stat-only build) or content-diverged copy:
         # never trust it — drop and rebuild off the current source
         spark.sql(f"DROP TABLE IF EXISTS `{t}`")
@@ -398,7 +403,7 @@ def ensure_bucketed_fact_full(
     # stale, and no-ops otherwise
     t = ensure_bucketed_fact(spark, sf, name, key, num_buckets, True)
     sidecar = _read_sidecar(path)
-    if sidecar is not None and sidecar.get("content_md5") != cur_sig:
+    if sidecar is not None and sidecar.get("content_sha256") != cur_sig:
         # record the signature taken BEFORE the rebuild, never a
         # post-rebuild re-hash: if the source was rewritten DURING the
         # rebuild window, the pre-read signature mismatches on the
@@ -406,9 +411,12 @@ def ensure_bucketed_fact_full(
         # post-rebuild hash would bless a copy built from other bytes
         # forever. This branch also backfills the signature when the
         # base call rebuilt for a stat-only change (mtime touch) and
-        # wrote a sidecar without content_md5 — without it the next
-        # full call would drop the fresh copy and rebuild AGAIN.
-        sidecar["content_md5"] = cur_sig
+        # wrote a sidecar without content_sha256 — without it the next
+        # full call would drop the fresh copy and rebuild AGAIN. The
+        # key is NEW as of the md5→sha256 switch, so a stale md5-era
+        # sidecar (under key content_md5) fails the get() above and
+        # rebuilds exactly once.
+        sidecar["content_sha256"] = cur_sig
         with open(os.path.join(path, BUCKET_SIDECAR), "w") as f:
             json.dump(sidecar, f)
     return t

@@ -306,79 +306,31 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # === r17 cut. Tier 0 — the 18 entries the function-level
-    # tripwire flags against the r16 snapshot: the dedup family
-    # rebased onto the doc_id-bucketed documents copy
-    # (_shingle_hashes_df / _lsh_pairs_df / _incremental_index /
-    # _ensure_findex + the confirm-join build-side flips), the
-    # k-means Arrow-kernel assignment with its lockstep oracle
-    # re-quantization, the audit scans riding the bucketed layouts
-    # (_tagged_key_union), and the content_wm="full" opt-ins.
-
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_incremental_minhash",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_index_refresh",
+    # === r18 cut. Tier 0 — the 16 entries the function-level
+    # tripwire flags against the r17 snapshot: the dsir per-bucket
+    # term precompute, the final raw-scan class closure (the
+    # pipeline_ops trio + lang_id_confusion + the multimodal family's
+    # media_table onto the doc_id-bucketed copy), the ann_recall_eval
+    # materialized-eval cache, the incremental-index consumers of
+    # _put_wm_cache's comparison-failure fix, the content_wm="full"
+    # sha256 watermark opt-ins, and the CC_AUTO_ROUNDS re-measure.
+    "ann_recall_eval",
     "dedup_band_index_refresh",
-    "minhash_containment",
-    "ngram_novelty",
-    "source_overlap",
-    "streaming_incremental_dedup",
-    "triangle_count",
-    "kmeans_embeddings",
-    "fk_integrity",
-    "key_skew_audit",
-    "unique_check",
-    "reconciliation_check",
-    # Tier 1 — the ENTIRE r12-evidence tier (r16 verdict item 2):
-    # after this round no registry entry's driver evidence is older
-    # than r13.
-
-    "col_stats",
-    "col_stats_histogram",
-    "column_max_check",
-    "column_sum_check",
-    "combined_single_pass",
-    "detailed_errors",
-    "domain_diversity",
-    "drift_ks",
-    "event_seasonality",
-    "events_rollup",
-    "events_windowed",
+    "dedup_clusters",
+    "dedup_incremental_minhash",
+    "dedup_index_refresh",
+    "dedup_keep_best",
+    "dsir_importance",
     "lang_id_confusion",
-    "negative_check",
-    "null_check",
-    "profile_table",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q1_pricing_summary",
-    "q20_potential_promotion",
-    "q6_forecast_revenue",
-    "range_check",
-    "row_count",
-    "streaming_enriched",
-    "streaming_windowed",
-    "string_length_check",
-    "string_regex_check",
-    # Tier 2 — budget fillers: the 6 alphabetically-first r13-evidence
-    # entries not already flagged (the tiers exactly fill the 50).
-
-    "benford_check",
-    "bloom_filter_semijoin",
-    "drift_psi",
-    "events_pivot",
-    "k_anonymity",
-    "l_diversity",
-    # --- driver budget cut (50) falls here ---
-    # Below: stalest-first so r18's cut reads off the top; the FULL
-    # registry is still locally re-proven each round via
-    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
-
-    # r13 evidence:
     "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize",
+    "reconciliation_check",
+    "sequence_pack",
+    "split_contamination",
+    "unique_check",
+    # Tier 1 — the ENTIRE r13-evidence tier (r17 verdict item 3).
     "q16_parts_supplier",
     "q2_min_cost_supplier",
     "salted_aggregation",
@@ -386,27 +338,23 @@ GRADE_PRIORITY = [
     "streaming_drift",
     "streaming_seasonality",
     "user_activity_gini",
-    # r14 evidence:
+    # Tier 2 — the ENTIRE r14-evidence tier: after this round no
+    # registry entry's driver evidence is older than r15.
     "col_quantiles",
-    "dedup_keep_best",
     "events_anomaly",
     "events_json_extract",
     "events_time_weighted",
     "mad_outliers",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_resize",
-    "sequence_pack",
-    "split_contamination",
     "streaming_validation",
-    # r15 evidence:
+    # Tier 3 — budget fillers: the 21 alphabetically-first
+    # r15-evidence entries not already flagged (the tiers exactly
+    # fill the 50).
     "cdc_upsert",
     "char_entropy",
     "conversion_lag",
     "copurchase_similarity",
     "doc_chunk",
     "doc_fingerprint",
-    "dsir_importance",
     "event_transitions",
     "events_funnel",
     "events_gap_fill",
@@ -422,6 +370,12 @@ GRADE_PRIORITY = [
     "q10_returned_items",
     "q12_shipmode_priority",
     "q13_customer_distribution",
+    # --- driver budget cut (50) falls here ---
+    # Below: stalest-first so r19's cut reads off the top; the FULL
+    # registry is still locally re-proven each round via
+    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+
+    # r15 evidence:
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "q18_large_volume",
@@ -441,7 +395,6 @@ GRADE_PRIORITY = [
     "tfidf_topk",
     "token_count",
     # r16 evidence:
-    "ann_recall_eval",
     "bm25_topk",
     "boilerplate_prefix",
     "ccnet_buckets",
@@ -484,6 +437,50 @@ GRADE_PRIORITY = [
     "trigram_lm_score",
     "vocab_growth",
     "weighted_sample",
+    # r17 evidence:
+    "benford_check",
+    "bloom_filter_semijoin",
+    "col_stats",
+    "col_stats_histogram",
+    "column_max_check",
+    "column_sum_check",
+    "combined_single_pass",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "detailed_errors",
+    "domain_diversity",
+    "drift_ks",
+    "drift_psi",
+    "event_seasonality",
+    "events_pivot",
+    "events_rollup",
+    "events_windowed",
+    "fk_integrity",
+    "k_anonymity",
+    "key_skew_audit",
+    "kmeans_embeddings",
+    "l_diversity",
+    "minhash_containment",
+    "negative_check",
+    "ngram_novelty",
+    "null_check",
+    "profile_table",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q20_potential_promotion",
+    "q6_forecast_revenue",
+    "range_check",
+    "row_count",
+    "source_overlap",
+    "streaming_enriched",
+    "streaming_incremental_dedup",
+    "streaming_windowed",
+    "string_length_check",
+    "string_regex_check",
+    "triangle_count",
 ]
 
 

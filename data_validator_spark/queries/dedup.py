@@ -859,11 +859,16 @@ MAX_CC_ITERATIONS = 20  # graph diameter bound; LSH dup clusters are shallow
 # propagation). tests/test_dedup_similarity.py property-checks that
 # all paths emit identical clusters.
 CC_ALGORITHM_CONF = "spark.data_validator.cc_algorithm"
-# auto-mode propagation budget: LSH dup graphs converge in a handful
-# of rounds, so 8 covers every healthy graph; a graph still moving
-# after 8 rounds has a deep component that propagation would crawl
-# through at O(diameter) — the star rewrite finishes it in O(log n).
-CC_AUTO_ROUNDS = 8
+# auto-mode propagation budget (re-measured r18, r17 verdict stretch
+# 8): the REAL banded-LSH graphs converge in 2 rounds at both sf0.01
+# and sf0.1 (fused round 0 + the confirming round), so 4 is 2× the
+# measured healthy depth — while a graph still moving after 4 rounds
+# has a deep component that propagation would crawl through at
+# O(diameter) and the star rewrite finishes in O(log n). The A/B on
+# the 32-deep adversarial chain: budget-8 escape ≈ 11-15s end-to-end
+# vs budget-4 ≈ 9-13s vs direct star ≈ 6-8s — halving the probe
+# bounds the detection overhead at ~2 wasted shuffle-join rounds.
+CC_AUTO_ROUNDS = 4
 
 
 class ConvergenceError(RuntimeError):
@@ -1523,8 +1528,9 @@ def _put_wm_cache(cache: dict, key: tuple, value) -> None:
     exist for, every watermark move would otherwise strand the
     previous MEMORY_AND_DISK relation until an explicit
     evict_session_caches call — supersession is detectable exactly at
-    insert time, unlike the generic scalar caches. Scalar values pass
-    through the same path (unpersist() just no-ops via the guard).
+    insert time, unlike the generic scalar caches. Scalar values are
+    recognized by their missing _jdf (AttributeError, distinguished
+    from comparison failures per ADVICE r17) and just pop.
 
     Plan-identity guard: Spark's CacheManager keys cached data by
     LOGICAL PLAN, not by DataFrame object — if the superseded and the
@@ -1534,12 +1540,26 @@ def _put_wm_cache(cache: dict, key: tuple, value) -> None:
     an unpersist (nothing is stranded: the cache entry is shared)."""
     for k in [k for k in cache if k[:3] == key[:3] and k != key]:
         val = cache.pop(k)
+        if val is value:
+            continue
         try:
-            same = val is value or val._jdf.queryExecution().analyzed().sameResult(
-                value._jdf.queryExecution().analyzed()
+            jdfs = (val._jdf, value._jdf)
+        except AttributeError:
+            # scalar entry (probed count, watermark dict): nothing
+            # persisted, nothing to unpersist
+            continue
+        try:
+            same = jdfs[0].queryExecution().analyzed().sameResult(
+                jdfs[1].queryExecution().analyzed()
             )
         except Exception:
-            same = val is value
+            # comparison itself failed (transient py4j/JVM error):
+            # we cannot PROVE the plans differ, and unpersisting a
+            # same-plan entry would drop the new registration's shared
+            # cache too (the CacheManager keys by logical plan). Skip
+            # the unpersist — leak-safe: worst case one relation stays
+            # pinned until evict_session_caches (ADVICE r17).
+            continue
         if same:
             continue
         try:

@@ -417,3 +417,36 @@ def test_contention_probe_force_hook(monkeypatch, tmp_path):
     # without the hook, a quiet box with no prime reference is quiet
     p2 = contention_probe((0.1, 0.1, 0.1), 10.0, 0.1, str(tmp_path))
     assert p2["contended"] is False
+
+
+def test_judge_retry_publishes_faster_complete_pass():
+    """ADVICE r17 / r17 verdict item 5: of two COMPLETE same-query-set
+    passes, the faster total publishes; the contended flag still
+    clears only on a genuinely faster (<0.9x) retry; an errored pass
+    never displaces a complete one via its shrunken total."""
+    from bench import _judge_retry
+
+    def mk(total, queries):
+        return {"value": total, "queries": queries}
+
+    # retry clearly faster: flag clears, retry publishes
+    a1 = mk(100.0, {"a": 60.0, "b": 40.0})
+    quiet, pub = _judge_retry(a1, mk(80.0, {"a": 50.0, "b": 30.0}))
+    assert quiet is True and pub["value"] == 80.0
+    # retry SLOWER (contention hit the retry window): flag stays,
+    # attempt1 publishes — the faster complete pass
+    quiet, pub = _judge_retry(a1, mk(130.0, {"a": 80.0, "b": 50.0}))
+    assert quiet is False and pub["value"] == 100.0
+    # retry marginally faster (>=0.9x): flag stays, retry publishes
+    # (it is still the faster pass)
+    quiet, pub = _judge_retry(a1, mk(95.0, {"a": 55.0, "b": 40.0}))
+    assert quiet is False and pub["value"] == 95.0
+    # retry "faster" only because a query errored out of its total:
+    # differing ok-sets veto both the clear AND the attempt1 swap
+    quiet, pub = _judge_retry(a1, mk(50.0, {"a": 50.0, "b": -1.0}))
+    assert quiet is False and pub["value"] == 50.0
+    # attempt1 had the error, retry complete but slower-looking total:
+    # ok-sets differ, retry publishes (never the shrunken attempt1)
+    a1e = mk(50.0, {"a": 50.0, "b": -1.0})
+    quiet, pub = _judge_retry(a1e, mk(90.0, {"a": 55.0, "b": 35.0}))
+    assert quiet is False and pub["value"] == 90.0

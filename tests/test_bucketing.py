@@ -768,7 +768,7 @@ def test_fact_identity_matches_base_naming(spark, tmp_path):
 
 def test_full_content_wm_backfills_after_stat_only_rebuild(spark, tmp_path):
     """A stat-only source change (mtime touch, identical bytes) makes
-    the base loader rebuild and write a sidecar WITHOUT content_md5;
+    the base loader rebuild and write a sidecar WITHOUT content_sha256;
     the full wrapper must backfill the signature in the same call
     instead of dropping the fresh copy and rebuilding a second time
     on the next call."""
@@ -794,7 +794,7 @@ def test_full_content_wm_backfills_after_stat_only_rebuild(spark, tmp_path):
         assert ensure_bucketed_fact_full(spark, sf, "orders", "o_orderkey") == t
         with open(_os.path.join(path, BUCKET_SIDECAR)) as f:
             sc = _json.load(f)
-        assert "content_md5" in sc  # backfilled in the SAME call
+        assert "content_sha256" in sc  # backfilled in the SAME call
         before = _os.stat(_os.path.join(path, BUCKET_SIDECAR)).st_mtime_ns
         # next full call: verified, no rebuild, sidecar untouched
         assert ensure_bucketed_fact_full(spark, sf, "orders", "o_orderkey") == t

@@ -16,40 +16,81 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 DRIVER_GRADE_BUDGET = 50
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-# Tier 0 — r17: every entry the function-level tripwire flags against
-# the r16 snapshot: the dedup family rebased onto the doc_id-bucketed
-# documents copy (shingle cache, pairs cache, incremental index,
-# findex builder, confirm-join build-side flips), the k-means
-# Arrow-kernel assignment (lockstep oracle re-quantization), the
-# audit scans riding the bucketed layouts (_tagged_key_union), and
-# the content_wm="full" opt-ins.
-R17_CHANGED = {
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_incremental_minhash",
-    "dedup_simhash", "dedup_clusters", "dedup_incremental",
-    "dedup_index_refresh", "dedup_band_index_refresh",
-    "minhash_containment", "ngram_novelty", "source_overlap",
-    "streaming_incremental_dedup", "triangle_count", "kmeans_embeddings",
-    "fk_integrity", "key_skew_audit", "unique_check", "reconciliation_check",
+# Tier 0 — r18: every entry the function-level tripwire flags against
+# the r17 snapshot: the dsir per-bucket term precompute, the final
+# raw-scan class closure (pipeline_ops trio + lang_id_confusion + the
+# multimodal family's media_table onto the doc_id-bucketed copy), the
+# ann_recall_eval materialized-eval cache, the _put_wm_cache
+# comparison-failure fix's incremental-index consumers, the
+# content_wm="full" sha256 watermark opt-ins, and the CC_AUTO_ROUNDS
+# re-measure (flags dedup_clusters via cluster_labels).
+R18_CHANGED = {
+    "ann_recall_eval",
+    "dedup_band_index_refresh",
+    "dedup_clusters",
+    "dedup_incremental_minhash",
+    "dedup_index_refresh",
+    "dedup_keep_best",
+    "dsir_importance",
+    "lang_id_confusion",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize",
+    "reconciliation_check",
+    "sequence_pack",
+    "split_contamination",
+    "unique_check",
 }
 
-# Tier 1 — the ENTIRE r12-evidence tier (r16 verdict item 2): after
-# this round no registry entry's driver evidence is older than r13.
-R12_STALE = {
-    "col_stats", "col_stats_histogram", "column_max_check",
-    "column_sum_check", "combined_single_pass", "detailed_errors",
-    "domain_diversity", "drift_ks", "event_seasonality", "events_rollup",
-    "events_windowed", "lang_id_confusion", "negative_check", "null_check",
-    "profile_table", "q11_important_stock", "q15_top_supplier",
-    "q1_pricing_summary", "q20_potential_promotion", "q6_forecast_revenue",
-    "range_check", "row_count", "streaming_enriched", "streaming_windowed",
-    "string_length_check", "string_regex_check",
+# Tier 1 — the ENTIRE remaining r13-evidence tier (r17 verdict
+# item 3).
+R13_STALE = {
+    "q16_parts_supplier",
+    "q2_min_cost_supplier",
+    "salted_aggregation",
+    "streaming_dedup",
+    "streaming_drift",
+    "streaming_seasonality",
+    "user_activity_gini",
 }
 
-# Tier 2 — budget fillers: the 6 alphabetically-first r13-evidence
-# entries not already flagged (the tiers exactly fill the 50 budget).
-R13_FILLERS = {
-    "benford_check", "bloom_filter_semijoin", "drift_psi",
-    "events_pivot", "k_anonymity", "l_diversity",
+# Tier 2 — the ENTIRE remaining r14-evidence tier: after this round
+# no registry entry's driver evidence is older than r15.
+R14_STALE = {
+    "col_quantiles",
+    "events_anomaly",
+    "events_json_extract",
+    "events_time_weighted",
+    "mad_outliers",
+    "streaming_validation",
+}
+
+# Tier 3 — budget fillers: the 21 alphabetically-first r15-evidence
+# entries not already flagged (the tiers exactly fill the 50
+# budget).
+R15_FILLERS = {
+    "cdc_upsert",
+    "char_entropy",
+    "conversion_lag",
+    "copurchase_similarity",
+    "doc_chunk",
+    "doc_fingerprint",
+    "event_transitions",
+    "events_funnel",
+    "events_gap_fill",
+    "events_retention",
+    "events_sessionized",
+    "events_user_cap",
+    "fd_check",
+    "gopher_quality",
+    "ivm_agg",
+    "lang_id",
+    "orders_cohort_retention",
+    "pagerank_bipartite",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
 }
 
 # r15: EMPTY (the function-level tripwire makes module-import-only
@@ -73,18 +114,19 @@ def test_priority_list_matches_registry():
 def test_new_and_stale_entries_fit_grading_budget():
     q, _ = build_registry()
     graded = set(list(q)[:DRIVER_GRADE_BUDGET])
-    assert R17_CHANGED <= graded, R17_CHANGED - graded
-    assert R12_STALE <= graded, R12_STALE - graded
-    assert R13_FILLERS <= graded, R13_FILLERS - graded
+    assert R18_CHANGED <= graded, R18_CHANGED - graded
+    assert R13_STALE <= graded, R13_STALE - graded
+    assert R14_STALE <= graded, R14_STALE - graded
+    assert R15_FILLERS <= graded, R15_FILLERS - graded
     # the tiers exactly fill the budget — no wasted slot
-    assert len(R17_CHANGED | R12_STALE | R13_FILLERS) == DRIVER_GRADE_BUDGET
+    assert len(R18_CHANGED | R13_STALE | R14_STALE | R15_FILLERS) == DRIVER_GRADE_BUDGET
     assert not CHANGED_LOCAL_ONLY & graded  # below the cut by design
 
 
 def test_rotated_out_entries_hold_recent_driver_green():
     """Whatever falls past the grading budget must already hold a
-    driver-green row in CORRECTNESS_r16, r15, r14 or r13 (the
-    freshest evidence tiers; the whole r12 tier is graded this
+    driver-green row in CORRECTNESS_r17, r16 or r15 (the freshest
+    evidence tiers; the whole r13 and r14 tiers are graded this
     round), or be explicitly declared local-only."""
     import json
 
@@ -96,10 +138,9 @@ def test_rotated_out_entries_hold_recent_driver_green():
         }
 
     green_recent = (
-        green("CORRECTNESS_r16.json")
+        green("CORRECTNESS_r17.json")
+        | green("CORRECTNESS_r16.json")
         | green("CORRECTNESS_r15.json")
-        | green("CORRECTNESS_r14.json")
-        | green("CORRECTNESS_r13.json")
     )
     q, _ = build_registry()
     overflow = list(q)[DRIVER_GRADE_BUDGET:]
@@ -176,7 +217,7 @@ def test_bench_headline_keys_exist_in_registry():
     # (a forgotten HEADLINE row would silently shrink the total)
     assert set(bench.HEADLINE) == set(q), set(q) ^ set(bench.HEADLINE)
     unbenched = [
-        k for k in (R17_CHANGED | R12_STALE | R13_FILLERS | CHANGED_LOCAL_ONLY)
+        k for k in (R18_CHANGED | R13_STALE | R14_STALE | R15_FILLERS | CHANGED_LOCAL_ONLY)
         if k not in bench.HEADLINE
     ]
     assert not unbenched, f"priority entries missing from bench: {unbenched}"
@@ -318,6 +359,12 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         "dedup_band_index_refresh", "minhash_containment",
         "ngram_novelty", "source_overlap", "streaming_incremental_dedup",
         "triangle_count", "fk_integrity", "key_skew_audit",
+        # …plus the r18 class closure: the final five raw-scan sites
+        # (pipeline_ops trio, lang_id_confusion, the multimodal
+        # family's shared media_table) onto load_documents_by_id
+        "sequence_pack", "dedup_keep_best", "split_contamination",
+        "lang_id_confusion", "multimodal_meta", "multimodal_resize",
+        "multimodal_frame_sample", "multimodal_features",
     }
     assert flagged == expected, flagged ^ expected
     # module-mates that consume NO bucketed machinery must still NOT
