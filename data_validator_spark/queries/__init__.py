@@ -310,7 +310,8 @@ GRADE_PRIORITY = [
     # tripwire flags against the r17 snapshot: the dsir per-bucket
     # term precompute, the final raw-scan class closure (the
     # pipeline_ops trio + lang_id_confusion + the multimodal family's
-    # media_table onto the doc_id-bucketed copy), the ann_recall_eval
+    # media_table onto the doc_id-bucketed copy, plus domain_diversity
+    # closing the census), the ann_recall_eval
     # materialized-eval cache, the incremental-index consumers of
     # _put_wm_cache's comparison-failure fix, the content_wm="full"
     # sha256 watermark opt-ins, and the CC_AUTO_ROUNDS re-measure.
@@ -320,6 +321,7 @@ GRADE_PRIORITY = [
     "dedup_incremental_minhash",
     "dedup_index_refresh",
     "dedup_keep_best",
+    "domain_diversity",
     "dsir_importance",
     "lang_id_confusion",
     "multimodal_features",
@@ -346,7 +348,7 @@ GRADE_PRIORITY = [
     "events_time_weighted",
     "mad_outliers",
     "streaming_validation",
-    # Tier 3 — budget fillers: the 21 alphabetically-first
+    # Tier 3 — budget fillers: the 20 alphabetically-first
     # r15-evidence entries not already flagged (the tiers exactly
     # fill the 50).
     "cdc_upsert",
@@ -369,13 +371,13 @@ GRADE_PRIORITY = [
     "pagerank_bipartite",
     "q10_returned_items",
     "q12_shipmode_priority",
-    "q13_customer_distribution",
     # --- driver budget cut (50) falls here ---
     # Below: stalest-first so r19's cut reads off the top; the FULL
     # registry is still locally re-proven each round via
     # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
 
     # r15 evidence:
+    "q13_customer_distribution",
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "q18_large_volume",
@@ -450,7 +452,6 @@ GRADE_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "detailed_errors",
-    "domain_diversity",
     "drift_ks",
     "drift_psi",
     "event_seasonality",

@@ -29,7 +29,7 @@ from data_validator_spark.functions.text import (
     lang_best_struct,
     normalized_text,
 )
-from data_validator_spark.queries import load, load_documents_by_id, spread
+from data_validator_spark.queries import load_documents_by_id
 from data_validator_spark.queries.textops import SQL_NORM
 
 # -- vocab_growth: Heaps-law vocabulary growth curve -------------------------
@@ -193,9 +193,10 @@ def q_domain_diversity(spark, sf):
     bound — beyond that (real 100 TB runs) the same expressions promote
     to DECIMAL(38,0) sums, a one-line change noted here for the census
     aggregate; the micro-unit floor-div contract is unchanged."""
-    # no parallelism spread: the census combine is the first real
-    # stage (the r7 A/B rule; see spread()'s docstring)
-    df = load(spark, sf, "documents")
+    # doc_id-bucketed copy (r18): same scan cost — the census combine
+    # is still the first real stage (the r7 A/B rule) — but the last
+    # non-deliberate raw documents scan leaves the registry census
+    df = load_documents_by_id(spark, sf)
     cells = df.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
     agg = cells.groupBy("lang").agg(
         F.sum("c").cast("bigint").alias("n_docs"),

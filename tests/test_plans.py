@@ -443,9 +443,12 @@ def test_r18_final_doc_sites_ride_doc_bucketed_documents(spark, registry):
     corpus-kernel documents scan in the registry rides the copy; the
     only raw documents reads left are deliberate: watermark/pivot
     scalar probes (which must observe the SOURCE to guard copy
-    freshness) and incremental delta scans (which read source appends
-    by design)."""
+    freshness), incremental delta scans (which read source appends by
+    design), and string_length_check (a validator validates the
+    SOURCE table; the copy-trusting validators opted in through the
+    content_wm="full" sha256 watermark instead)."""
     for name in (
+        "domain_diversity",
         "sequence_pack",
         "dedup_keep_best",
         "split_contamination",

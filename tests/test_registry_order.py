@@ -22,8 +22,9 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 # multimodal family's media_table onto the doc_id-bucketed copy), the
 # ann_recall_eval materialized-eval cache, the _put_wm_cache
 # comparison-failure fix's incremental-index consumers, the
-# content_wm="full" sha256 watermark opt-ins, and the CC_AUTO_ROUNDS
-# re-measure (flags dedup_clusters via cluster_labels).
+# content_wm="full" sha256 watermark opt-ins, the CC_AUTO_ROUNDS
+# re-measure (flags dedup_clusters via cluster_labels), and
+# domain_diversity closing the raw-scan census.
 R18_CHANGED = {
     "ann_recall_eval",
     "dedup_band_index_refresh",
@@ -31,6 +32,7 @@ R18_CHANGED = {
     "dedup_incremental_minhash",
     "dedup_index_refresh",
     "dedup_keep_best",
+    "domain_diversity",
     "dsir_importance",
     "lang_id_confusion",
     "multimodal_features",
@@ -66,7 +68,7 @@ R14_STALE = {
     "streaming_validation",
 }
 
-# Tier 3 — budget fillers: the 21 alphabetically-first r15-evidence
+# Tier 3 — budget fillers: the 20 alphabetically-first r15-evidence
 # entries not already flagged (the tiers exactly fill the 50
 # budget).
 R15_FILLERS = {
@@ -90,7 +92,6 @@ R15_FILLERS = {
     "pagerank_bipartite",
     "q10_returned_items",
     "q12_shipmode_priority",
-    "q13_customer_distribution",
 }
 
 # r15: EMPTY (the function-level tripwire makes module-import-only
@@ -365,6 +366,7 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         "sequence_pack", "dedup_keep_best", "split_contamination",
         "lang_id_confusion", "multimodal_meta", "multimodal_resize",
         "multimodal_frame_sample", "multimodal_features",
+        "domain_diversity",
     }
     assert flagged == expected, flagged ^ expected
     # module-mates that consume NO bucketed machinery must still NOT
