@@ -600,6 +600,7 @@ def main() -> int:
         "ngram_contamination",    # quality_ops._CONTAM_TRAIN_CACHE (r16)
         "kmeans_embeddings",      # corpus_ops._KMEANS_CENTROIDS_CACHE (r16)
         "similarity_ann_ivf",     # similarity._ASSIGNED_CACHE
+        "ann_recall_eval",        # similarity._ANN_EVAL_CACHE (r18)
         # tpch_ext._EXT_CACHE is keyed per derived relation
         "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
         "q12_shipmode_priority", "q16_parts_supplier",
