@@ -582,6 +582,17 @@ def main() -> int:
     # declared cache builders plus one mapInPandas query to spin the
     # Python-worker pool.)
     PRIME = [
+        # Layout finalization FIRST (r18): the full-content-watermark
+        # validators drop and rebuild a copy whose sidecar lacks the
+        # full-content signature (stat builders never record it), so
+        # they must reach their steady-state layout BEFORE any cache
+        # builder persists a relation over the copy's file listing —
+        # otherwise the first timed unique_check run drops the very
+        # files pagerank/copurchase's primed caches are frozen onto
+        # (observed: both -1 with FAILED_READ_FILE on the pre-rebuild
+        # lineitem parts in the first r18 fresh-warehouse bench run).
+        "unique_check",           # lineitem l_orderkey, full-content-watermark
+        "reconciliation_check",   # + orders o_orderkey, full-content-watermark
         # _SESSION_CACHES builders, one consumer per cache
         "trigram_lm_score",       # corpus_ops._TRIGRAM_MODEL_CACHE
         "dsir_importance",        # corpus_ops._DSIR_CACHE

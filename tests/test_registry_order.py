@@ -22,7 +22,7 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 # multimodal family's media_table onto the doc_id-bucketed copy), the
 # ann_recall_eval materialized-eval cache, the _put_wm_cache
 # comparison-failure fix's incremental-index consumers, the
-# content_wm="full" sha256 watermark opt-ins, the CC_AUTO_ROUNDS
+# full-content-watermark sha256 watermark opt-ins, the CC_AUTO_ROUNDS
 # re-measure (flags dedup_clusters via cluster_labels), and
 # domain_diversity closing the raw-scan census.
 R18_CHANGED = {
@@ -237,6 +237,30 @@ def test_bench_prime_keys_exist_in_registry():
     assert primers, "PRIME list not found"
     missing = [k for k in primers if k not in q]
     assert not missing, f"PRIME keys not in registry: {missing}"
+
+
+def test_bench_prime_finalizes_full_wm_layouts_before_cache_builders():
+    """The full-content-watermark validators drop-and-rebuild a bucketed
+    copy whose sidecar lacks the full-content signature (stat builders
+    never record one), so on a fresh warehouse they MUST run before
+    any prime entry persists a relation over that copy's file listing.
+    r18 regression guard: with unique_check absent from PRIME, its
+    first timed run dropped the lineitem copy out from under the
+    primed pagerank/copurchase caches (FAILED_READ_FILE, both -1)."""
+    import re
+
+    src = (ROOT / "bench.py").read_text()
+    block = re.search(r"PRIME = \[(.*?)\]", src, re.S).group(1)
+    primers = re.findall(r'"(\w+)"', block)
+    full_wm = ["unique_check", "reconciliation_check"]
+    missing = [k for k in full_wm if k not in primers]
+    assert not missing, f"full-watermark validators missing from PRIME: {missing}"
+    first_other = min(i for i, k in enumerate(primers) if k not in full_wm)
+    late = [k for k in full_wm if primers.index(k) > first_other]
+    assert not late, (
+        f"full-watermark validators must precede every cache builder "
+        f"in PRIME (layout finalization before cache priming): {late}"
+    )
 
 
 def test_bench_stdout_line_fits_driver_capture_window():
