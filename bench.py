@@ -436,6 +436,21 @@ def main() -> int:
         # py_worker_probe_sec bracket in BENCH_FULL decides the
         # question either way.
         .config("spark.python.worker.reuse", "true")
+        # r18 (opt round, guide §2.4/§6): recognize the sort order the
+        # at-rest bucketed copies are WRITTEN with (write_bucketed
+        # sortBy + one file per bucket — pinned by
+        # tests/test_bucketing.py::test_bucketed_copies_single_sorted_file_per_bucket),
+        # so colocated SortMergeJoins skip their per-task sorts
+        # (q7/q12 plan: 7 Sort nodes → 5). Off by default since Spark
+        # 3.0 only because the planning-time file listing is not free
+        # on tables with unknown layouts; every bucketed table here is
+        # our own copy program's, whose layout guarantees the check
+        # passes, and the listing rides the session's cached
+        # InMemoryFileIndex. Scale-independent: at any SF the copies
+        # are written one sorted file per bucket (bucket count is the
+        # conf-driven scale knob), and at 100 TB the skipped sort is
+        # terabytes per join.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

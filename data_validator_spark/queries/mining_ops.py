@@ -54,8 +54,25 @@ HLL_SMALL_CUT = repr(2.5 * HLL_M)
 
 def _hll_estimate(vals, metric: str):
     """One HLL sketch over a 1-column ('v') relation plus the exact
-    distinct count for comparison. Returns a 1-row DataFrame."""
-    hashed = vals.select(_hash60(F.col("v")).alias("h")).select(
+    distinct count for comparison. Returns a 1-row DataFrame.
+
+    r18 (opt round): sketch and exact count ride ONE pass. The stream
+    collapses to DISTINCT v first — the corpus-scale shuffle the
+    exact count always required — and the 1024-row register file is
+    built FROM the distinct relation: max(rho) per bucket is
+    duplicate-insensitive, so registers over distinct values are
+    bit-identical to registers over the raw stream, and the exact
+    count falls out of the same reduction as the sum of per-bucket
+    distinct-value counts. The previous shape ran the upstream
+    explode/md5 pipeline TWICE per stream (sketch arm + countDistinct
+    arm — 4 corpus scans for the query, PLANS.md r17) and paid the
+    distinct shuffle anyway inside countDistinct; this halves the
+    corpus passes without touching a single emitted bit. A
+    sketch-ONLY deployment (the 100 TB production shape, which drops
+    the accuracy column) would skip the distinct and keep the old
+    ≤1024-rows-per-partition partial-max shuffle — that property
+    belongs to the sketch, not to this audit query."""
+    hashed = vals.distinct().select(_hash60(F.col("v")).alias("h")).select(
         F.pmod(F.col("h"), F.lit(HLL_M)).alias("bucket"),
         # integer `div`, not `/`: h spans 60 bits, past double's 2^53
         F.expr(f"h div {HLL_M}").alias("w"),
@@ -64,31 +81,32 @@ def _hll_estimate(vals, metric: str):
         F.lit(_HLL_SHIFT) - F.length(F.expr("bin(w)"))
     )
     regs = hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
-        F.max("rho").alias("m")
+        F.max("rho").alias("m"),
+        F.count("*").alias("nv"),
     )
     stats = regs.agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_SHIFT} - m)")).alias(
             "s_present"
         ),
         F.count("*").alias("n_buckets"),
+        # exact distinct = distinct values summed across buckets;
+        # coalesce keeps the empty-input row at 0, countDistinct parity
+        F.coalesce(F.sum("nv"), F.lit(0).cast("bigint")).alias("n_exact"),
     ).select(
         (F.col("s_present") + (F.lit(HLL_M) - F.col("n_buckets")) * F.lit(1 << _HLL_SHIFT)).alias("s"),
         (F.lit(HLL_M) - F.col("n_buckets")).alias("v_empty"),
+        "n_exact",
     )
     raw = F.lit(float(HLL_ALPHA_NUM)) / F.col("s").cast("double")
     est = F.when(
         (F.col("v_empty") > 0) & (raw <= F.lit(float(HLL_SMALL_CUT))),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_empty").cast("double")),
     ).otherwise(raw)
-    exact = vals.agg(F.countDistinct("v").alias("n_exact"))
-    return (
-        stats.crossJoin(F.broadcast(exact))
-        .select(
-            F.lit(metric).alias("metric"),
-            "n_exact",
-            est.cast(DEC).cast("double").alias("n_est"),
-            "v_empty",
-        )
+    return stats.select(
+        F.lit(metric).alias("metric"),
+        "n_exact",
+        est.cast(DEC).cast("double").alias("n_est"),
+        "v_empty",
     )
 
 
@@ -100,12 +118,12 @@ def q_hll_distinct(spark, sf):
     branch) — each next to its exact distinct count.
 
     Scale shape: the sketch is the canonical distributed distinct
-    estimator — per-partition partial max(rho) per bucket means the
-    shuffle carries AT MOST 1024 rows per partition regardless of
-    corpus size (vs countDistinct's full key shuffle); the finished
-    1024-row register file reduces to one row. The exact column (for
-    the accuracy report) is the only corpus-scale shuffle, and a
-    production run at 100 TB would drop it and keep just the sketch.
+    estimator; the exact column (for the accuracy report) is the only
+    corpus-scale shuffle, and a production run at 100 TB would drop
+    it and keep just the sketch (≤1024 shuffled rows per partition —
+    see _hll_estimate). r18: with the exact column declared, sketch +
+    exact share ONE distinct pass per stream — 2 corpus scans and 2
+    corpus-scale shuffles for the whole query, down from 4 and 4.
 
     Determinism: register weights are exact integers 2^(51-M) summed
     in BIGINT (S ≤ 2^61); the estimate is one double division by the
@@ -849,19 +867,37 @@ MAX_BASKET = 64
 MIN_CO_ORDERS = 2
 COPURCHASE_TOPK = 100
 
-# The capped per-order basket-array relation feeds both remaining
-# subplan arms (pair fan-out and part frequencies); without
-# materialization Catalyst re-runs the distinct + collect_list
-# shuffles per arm — the same shape _ASSIGNED_CACHE/_HS_CACHE fix
-# elsewhere, so the same session-keyed persist. One |orders|-sized
-# relation with ≤MAX_BASKET-element arrays — smaller than the
-# distinct (order, part) line relation it replaced (r7).
+# The capped per-order basket-array relation (r18: elements carry
+# their part's order-count) backs the pair fan-out; without
+# materialization Catalyst re-runs the distinct + collect_list +
+# count-attach shuffles per call — the same shape
+# _ASSIGNED_CACHE/_HS_CACHE fix elsewhere, so the same session-keyed
+# persist. One |orders|-sized relation with ≤MAX_BASKET-element
+# struct arrays — smaller than the distinct (order, part) line
+# relation it replaced (r7).
 _BASKET_CACHE: dict = register_session_cache({})
 
 
 def _basket_lines(spark, sf):
-    """Capped baskets: one row per order whose DISTINCT part set has
-    ≤ MAX_BASKET elements, parts sorted ascending in-row."""
+    """Capped baskets with embedded frequencies: one row per order
+    whose DISTINCT part set has ≤ MAX_BASKET elements, as an `items`
+    array of (part, n_orders) structs sorted ascending by part —
+    n_orders is the part's order count over the SAME capped universe.
+
+    r18 (opt round): the per-part order counts moved INTO the basket
+    array at build time. The steady-state pair pass previously joined
+    the pair census back to a part-frequency relation twice (fa/fb),
+    and each join side built its own broadcast — two extra traversals
+    of this relation per call (stage profile: ~0.6s of the 1.4s warm
+    wall at sf0.1). With the counts riding the array elements, the
+    numerator AND both denominators fall out of the single pair
+    groupBy — steady state is one shuffle, zero joins, zero broadcast
+    builds. Build cost: one part-keyed shuffle for the counts and a
+    second map-side pass to re-collect the arrays (no hint on the
+    count join — part frequencies are SF-proportional, the q7 rule;
+    AQE broadcasts them while they fit, an at-scale build runs it as
+    a partkey join) — one-time, amortized like every session cache.
+    """
     key = (spark.sparkContext.applicationId, str(sf))
     cached = _BASKET_CACHE.get(key)
     if cached is not None:
@@ -881,10 +917,29 @@ def _basket_lines(spark, sf):
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    baskets = (
+    sized = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
         .where(F.size("parts") <= MAX_BASKET)
+    )
+    # part order-counts over the capped universe (the oracle's `small`
+    # CTE); computed once at build, never at query time
+    freq = (
+        sized.select(F.explode("parts").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    baskets = (
+        sized.select("l_orderkey", F.explode("parts").alias("p"))
+        .join(freq, "p")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("p").alias("part"), F.col("n").alias("n_orders"))
+                )
+            ).alias("items")
+        )
     )
     from pyspark import StorageLevel
 
@@ -899,22 +954,22 @@ def q_copurchase_similarity(spark, sf):
     parts appearing in the same order, count co-occurrences and score
     Jaccard = co / (n_a + n_b - co); emit the strongest 100 pairs.
 
-    Scale shape: pairs are generated ONLY within an order, and
-    entirely IN-ROW — each order's distinct part set is collected to
-    a sorted ≤MAX_BASKET-element array once (the persisted
-    _basket_lines relation; baskets over the cap are excluded, the
-    standard degenerate-bucket rule) and the quadratic fan-out is a
-    map-side flatten/transform over that array: ≤ C(64,2) structs per
-    order, no self-join, no basket-census join (r7 — this replaced an
-    order-keyed self-join shape and halved the warm cost, 2.4s→1.1s
-    at sf0.1; the only wide exchanges left are the basket build and
-    the (part_a, part_b) pair groupBy). Per-part order counts explode
-    the SAME capped arrays (map-side combine), so numerator and
-    denominators share one universe — Jaccard over the capped
-    universe, not a mixed-universe ratio that would understate parts
-    frequent in large baskets. The final top-k is TakeOrdered over
-    the MIN_CO_ORDERS-filtered pair relation — no global sort
-    materializes.
+    Scale shape: pairs are generated ONLY within an order — each
+    order's distinct part set is collected to a sorted
+    ≤MAX_BASKET-element array once (the persisted _basket_lines
+    relation; baskets over the cap are excluded, the standard
+    degenerate-bucket rule), with each element carrying its
+    order-count (r18 — see _basket_lines), so the quadratic fan-out
+    is a self-explode of that array: ≤ C(64,2) rows per order, no
+    self-join, no basket-census join (r7 replaced an order-keyed
+    self-join shape, 2.4s→1.1s at sf0.1; r18 removed the two
+    part-frequency broadcast joins, 1.4s→0.7s warm). Numerator and
+    both denominators fall out of the ONE pair groupBy — n_orders is
+    constant per part so min() just reads it — making the pair
+    exchange the query's only shuffle; counts share the capped
+    universe, so Jaccard never mixes universes. The final top-k is
+    TakeOrdered over the MIN_CO_ORDERS-filtered pair relation — no
+    global sort materializes.
 
     Determinism: co/n_a/n_b are exact integers; Jaccard is emitted as
     fixed-point floor(x*1e6+0.5) micro-units (int/int rationals can
@@ -922,35 +977,31 @@ def q_copurchase_similarity(spark, sf):
     ordering ties break on (part_a, part_b).
     """
     baskets = _basket_lines(spark, sf)
-    # all i<j pairs of the sorted array, in-row: for element x at
-    # 0-based index i, pair with every later element (1-based slice
-    # start i+2)
-    pair_expr = (
-        "flatten(transform(parts, (x, i) -> "
-        "transform(slice(parts, i + 2, size(parts)), "
-        "y -> struct(x AS part_a, y AS part_b))))"
+    # all a.part < b.part pairs of the sorted array via double
+    # explode: pure codegen (GenerateExec), measured at parity with
+    # the interpreted higher-order transform/slice formulation it
+    # replaces and simpler over struct elements
+    pairs = (
+        baskets.select(F.explode("items").alias("a"), "items")
+        .select("a", F.explode("items").alias("b"))
+        .where(F.col("a.part") < F.col("b.part"))
     )
     co = (
-        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.part_a", "p.part_b")
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("co_orders"))
+        pairs.groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("co_orders"),
+            F.min("a.n_orders").alias("na"),
+            F.min("b.n_orders").alias("nb"),
+        )
         .where(F.col("co_orders") >= MIN_CO_ORDERS)
     )
-    freq = (
-        baskets.select(F.explode("parts").alias("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na"))
-    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb"))
     jac = F.col("co_orders").cast("double") / (
         F.col("na") + F.col("nb") - F.col("co_orders")
     ).cast("double")
     return (
-        co.join(fa, "part_a")
-        .join(fb, "part_b")
-        .select(
+        co.select(
             "part_a",
             "part_b",
             "co_orders",

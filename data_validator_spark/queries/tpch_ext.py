@@ -187,7 +187,7 @@ lineitem_ext AS (
 # probe is pure filesystem metadata (no Spark job). As of r13 the
 # raw-fact copies (operators/bucketing._fact_watermark) share this
 # scheme and its _source_signature helper.
-LINEITEM_EXT_VERSION = 1  # bump when the derivation formula changes
+LINEITEM_EXT_VERSION = 2  # bump when the derivation formula OR file layout changes (2: r18 one-file-per-bucket)
 
 # (applicationId, sf) -> validated catalog table name; skips the
 # sidecar/catalog probes after the first call of a session. Registered
@@ -271,8 +271,17 @@ def ensure_bucketed_lineitem_ext(spark, sf) -> str:
         return t
     elif os.path.isdir(path):
         shutil.rmtree(path, ignore_errors=True)
+    # r18 (guide §6): repartition by the bucket key first — the
+    # repartition hash IS the bucket-id hash (both
+    # pmod(Murmur3, FACT_BUCKETS)), so each task holds exactly one
+    # bucket and writes exactly ONE sorted file (previously every
+    # spread() partition wrote a file per bucket — 1024 files at
+    # sf0.1 — which both multiplied per-file open/listing cost and
+    # silently disabled the sorted-bucket-scan recognition bench.py
+    # now enables; see tests/test_bucketing.py single-file pins)
     write_bucketed(
-        _lineitem_ext_build(spark, sf), t, ["l_orderkey"], FACT_BUCKETS, path=path
+        _lineitem_ext_build(spark, sf).repartition(FACT_BUCKETS, F.col("l_orderkey")),
+        t, ["l_orderkey"], FACT_BUCKETS, path=path,
     )
     with open(os.path.join(path, BUCKET_SIDECAR), "w") as f:
         json.dump(wm, f)
@@ -303,7 +312,7 @@ def part_ext_df(spark, sf):
 # facts adopted this round; copy names carry the key). Watermarks are
 # the shared source-file-signature scheme against the RAW source each
 # derivation reads, plus the derivation-formula version.
-PART_EXT_VERSION = 1  # bump when the p_container formula changes
+PART_EXT_VERSION = 2  # bump when the p_container formula OR file layout changes (2: r18 one-file-per-bucket)
 
 
 def _ensure_bucketed_derived(
@@ -374,7 +383,12 @@ def _ensure_bucketed_derived(
         return t
     elif os.path.isdir(path):
         shutil.rmtree(path, ignore_errors=True)
-    write_bucketed(build_df(spark, sf), t, [key], FACT_BUCKETS, path=path)
+    # one sorted file per bucket — same §6 rationale as
+    # ensure_bucketed_lineitem_ext's write site (r18)
+    write_bucketed(
+        build_df(spark, sf).repartition(FACT_BUCKETS, F.col(key)),
+        t, [key], FACT_BUCKETS, path=path,
+    )
     with open(os.path.join(path, BUCKET_SIDECAR), "w") as f:
         json.dump(wm, f)
     _BKT_EXT_CACHE[ck] = t

@@ -818,3 +818,85 @@ def test_content_signature_detects_single_bit_flip(tmp_path):
     sig2 = _content_signature(str(p))
     assert sig1 != sig2
     assert [r for r, _ in sig1] == [r for r, _ in sig2]  # same file set
+
+
+def test_bucketed_copies_single_sorted_file_per_bucket(spark):
+    """The at-rest copy program lays out at most ONE (sorted) parquet
+    file per bucket — the invariant that lets
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true (bench.py,
+    r18) recognize the written sort order and drop per-task sorts
+    from colocated SMJs. A multi-file bucket would silently disable
+    that recognition (perf-only, never correctness). The base fact
+    writes hold it because the single-parquet sources scan to one
+    split; the DERIVED ext copies (spread() build → one file per
+    bucket PER PARTITION, 1024 files at sf0.1 before r18) hold it via
+    the explicit bucket-key repartition at their write sites, whose
+    hash is the bucket-id hash."""
+    import os
+    import re
+
+    from data_validator_spark.operators.bucketing import ensure_bucketed_fact
+    from data_validator_spark.queries.tpch_ext import (
+        ensure_bucketed_lineitem_ext,
+        ensure_bucketed_lineitem_ext_by_part,
+        ensure_bucketed_part_ext,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tables = [
+        ensure_bucketed_fact(spark, sf, "lineitem", "l_orderkey"),
+        ensure_bucketed_fact(spark, sf, "orders", "o_orderkey"),
+        ensure_bucketed_lineitem_ext(spark, sf),
+        ensure_bucketed_lineitem_ext_by_part(spark, sf),
+        ensure_bucketed_part_ext(spark, sf),
+    ]
+    wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+    for t in tables:
+        d = os.path.join(wh, t)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert files, d
+        buckets = []
+        for f in files:
+            m = re.search(r"_(\d{5})\.c\d+", f)
+            assert m, f"unrecognized bucketed file name {f} in {t}"
+            buckets.append(m.group(1))
+        assert len(buckets) == len(set(buckets)), (
+            f"{t}: bucket with >1 file — sorted-scan recognition "
+            f"silently off ({sorted(files)[:4]}...)"
+        )
+
+
+def test_sorted_bucket_scan_drops_smj_sorts(spark, tmp_path):
+    """With outputOrdering recognition ON (the bench session's r18
+    conf) a colocated SMJ over two single-file-per-bucket sorted
+    copies needs NO per-task Sort; with it OFF the same plan carries
+    two. Pins the conf's effect so a Spark upgrade that changes the
+    recognition rule fails loudly."""
+    left = (
+        spark.range(0, 10_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("a"))
+        .coalesce(1)
+    )
+    right = (
+        spark.range(0, 10_000, 2)
+        .select(F.col("id").alias("k"), (F.col("id") % 11).alias("b"))
+        .coalesce(1)
+    )
+    write_bucketed(left, "bk_sorted_l", ["k"], 8, path=str(tmp_path / "l"))
+    write_bucketed(right, "bk_sorted_r", ["k"], 8, path=str(tmp_path / "r"))
+    conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "true")
+        j = bucketed_join(spark, "bk_sorted_l", "bk_sorted_r", ["k"])
+        assert_colocated(j)
+        plan_on = j._jdf.queryExecution().executedPlan().toString()
+        assert "Sort " not in plan_on, plan_on
+        spark.conf.set(conf, "false")
+        j2 = bucketed_join(spark, "bk_sorted_l", "bk_sorted_r", ["k"])
+        plan_off = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Sort " in plan_off, plan_off
+    finally:
+        spark.conf.set(conf, old)
+        spark.sql("DROP TABLE IF EXISTS bk_sorted_l")
+        spark.sql("DROP TABLE IF EXISTS bk_sorted_r")

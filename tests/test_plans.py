@@ -206,10 +206,13 @@ def test_r14_orderkey_census_queries_ride_bucketed_copies(spark, registry):
 
 def test_copurchase_basket_build_is_shuffle_free(spark):
     """The capped-basket cache build reads the bucketed lineitem copy:
-    both the (orderkey, partkey) DISTINCT and the groupBy(orderkey)
-    collect_list must be satisfied by the scan's partitioning — zero
-    l_orderkey exchanges in the build plan (at 100 TB those two
-    lineitem-scale shuffles WERE the cache-build cost)."""
+    both the (orderkey, partkey) DISTINCT and the first
+    groupBy(orderkey) collect_list must be satisfied by the scan's
+    partitioning (at 100 TB those two lineitem-scale shuffles WERE
+    the cache-build cost). r18: the build additionally attaches
+    per-part order counts (slim part-keyed rows, one-time) and
+    re-collects — at most ONE l_orderkey exchange (the re-collect
+    after the count join), never one under the first collect."""
     from data_validator_spark.queries.mining_ops import _BASKET_CACHE, _basket_lines
 
     for df in _BASKET_CACHE.values():
@@ -217,7 +220,7 @@ def test_copurchase_basket_build_is_shuffle_free(spark):
     _BASKET_CACHE.clear()
     plan = _basket_lines(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "dv_bkt_lineitem_" in plan
-    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert plan.count("Exchange hashpartitioning(l_orderkey") <= 1
 
 
 def test_behavioral_family_rides_user_bucketed_events(spark, registry):

@@ -32,6 +32,9 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # mirror bench.py (r18): recognize the copies' written sort
+        # order so dumped plans match what the bench session runs
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
