@@ -306,28 +306,43 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # === r18 cut. Tier 0 — the 16 entries the function-level
-    # tripwire flags against the r17 snapshot: the dsir per-bucket
-    # term precompute, the final raw-scan class closure (the
-    # pipeline_ops trio + lang_id_confusion + the multimodal family's
-    # media_table onto the doc_id-bucketed copy, plus domain_diversity
-    # closing the census), the ann_recall_eval
-    # materialized-eval cache, the incremental-index consumers of
-    # _put_wm_cache's comparison-failure fix, the content_wm="full"
-    # sha256 watermark opt-ins, and the CC_AUTO_ROUNDS re-measure.
+    # === r18 cut. Tier 0 — the entries the function-level tripwire
+    # flags against the r17 snapshot: the dsir per-bucket term
+    # precompute, the final raw-scan class closure (the pipeline_ops
+    # trio + lang_id_confusion + the multimodal family's media_table
+    # onto the doc_id-bucketed copy, plus domain_diversity closing
+    # the census), the ann_recall_eval materialized-eval cache, the
+    # incremental-index consumers of _put_wm_cache's
+    # comparison-failure fix, the content_wm="full" sha256 watermark
+    # opt-ins, the CC_AUTO_ROUNDS re-measure — plus the late-round
+    # optimization batch: the single-pass/fused HLL, the join-free
+    # copurchase steady state, the one-file-per-bucket derived-copy
+    # writers (q12/q19/q21), drift_ks onto the bucketed lineitem
+    # copy, and boilerplate_prefix onto the widened (…, lang, …)
+    # _ensemble_docs relation (flags its ensemble/calibration
+    # siblings).
     "ann_recall_eval",
+    "boilerplate_prefix",
+    "copurchase_similarity",
     "dedup_band_index_refresh",
     "dedup_clusters",
     "dedup_incremental_minhash",
     "dedup_index_refresh",
     "dedup_keep_best",
     "domain_diversity",
+    "drift_ks",
     "dsir_importance",
+    "hll_distinct",
     "lang_id_confusion",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_meta",
     "multimodal_resize",
+    "q12_shipmode_priority",
+    "q19_discounted_revenue",
+    "q21_waiting_orders",
+    "quality_calibration",
+    "quality_ensemble",
     "reconciliation_check",
     "sequence_pack",
     "split_contamination",
@@ -348,13 +363,14 @@ GRADE_PRIORITY = [
     "events_time_weighted",
     "mad_outliers",
     "streaming_validation",
-    # Tier 3 — budget fillers: the 20 alphabetically-first
+    # Tier 3 — budget fillers: the 11 alphabetically-first
     # r15-evidence entries not already flagged (the tiers exactly
-    # fill the 50).
+    # fill the 50; the late-round tier-0 growth rotated 7 more
+    # r15-proven entries below the cut — rotation rule holds, their
+    # newest driver row is r15).
     "cdc_upsert",
     "char_entropy",
     "conversion_lag",
-    "copurchase_similarity",
     "doc_chunk",
     "doc_fingerprint",
     "event_transitions",
@@ -363,6 +379,12 @@ GRADE_PRIORITY = [
     "events_retention",
     "events_sessionized",
     "events_user_cap",
+    # --- driver budget cut (50) falls here ---
+    # Below: stalest-first so r19's cut reads off the top; the FULL
+    # registry is still locally re-proven each round via
+    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+
+    # r15 evidence:
     "fd_check",
     "gopher_quality",
     "ivm_agg",
@@ -370,19 +392,10 @@ GRADE_PRIORITY = [
     "orders_cohort_retention",
     "pagerank_bipartite",
     "q10_returned_items",
-    "q12_shipmode_priority",
-    # --- driver budget cut (50) falls here ---
-    # Below: stalest-first so r19's cut reads off the top; the FULL
-    # registry is still locally re-proven each round via
-    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
-
-    # r15 evidence:
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "q18_large_volume",
-    "q19_discounted_revenue",
-    "q21_waiting_orders",
     "q22_prospective_customers",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -398,7 +411,6 @@ GRADE_PRIORITY = [
     "token_count",
     # r16 evidence:
     "bm25_topk",
-    "boilerplate_prefix",
     "ccnet_buckets",
     "cluster_purity",
     "corpus_train_filter",
@@ -415,15 +427,12 @@ GRADE_PRIORITY = [
     "events_rolling",
     "global_shuffle",
     "heavy_hitters_cms",
-    "hll_distinct",
     "inverted_index",
     "knn_label_noise",
     "ngram_contamination",
     "pareto_skyline",
     "pii_scrub",
     "pmi_collocations",
-    "quality_calibration",
-    "quality_ensemble",
     "quantile_shard",
     "repetition_strip",
     "rrf_fusion",
@@ -452,7 +461,6 @@ GRADE_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "detailed_errors",
-    "drift_ks",
     "drift_psi",
     "event_seasonality",
     "events_pivot",

@@ -52,64 +52,6 @@ HLL_ALPHA_NUM = repr(0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(2**_
 HLL_SMALL_CUT = repr(2.5 * HLL_M)
 
 
-def _hll_estimate(vals, metric: str):
-    """One HLL sketch over a 1-column ('v') relation plus the exact
-    distinct count for comparison. Returns a 1-row DataFrame.
-
-    r18 (opt round): sketch and exact count ride ONE pass. The stream
-    collapses to DISTINCT v first — the corpus-scale shuffle the
-    exact count always required — and the 1024-row register file is
-    built FROM the distinct relation: max(rho) per bucket is
-    duplicate-insensitive, so registers over distinct values are
-    bit-identical to registers over the raw stream, and the exact
-    count falls out of the same reduction as the sum of per-bucket
-    distinct-value counts. The previous shape ran the upstream
-    explode/md5 pipeline TWICE per stream (sketch arm + countDistinct
-    arm — 4 corpus scans for the query, PLANS.md r17) and paid the
-    distinct shuffle anyway inside countDistinct; this halves the
-    corpus passes without touching a single emitted bit. A
-    sketch-ONLY deployment (the 100 TB production shape, which drops
-    the accuracy column) would skip the distinct and keep the old
-    ≤1024-rows-per-partition partial-max shuffle — that property
-    belongs to the sketch, not to this audit query."""
-    hashed = vals.distinct().select(_hash60(F.col("v")).alias("h")).select(
-        F.pmod(F.col("h"), F.lit(HLL_M)).alias("bucket"),
-        # integer `div`, not `/`: h spans 60 bits, past double's 2^53
-        F.expr(f"h div {HLL_M}").alias("w"),
-    )
-    rho = F.when(F.col("w") == 0, F.lit(_HLL_SHIFT)).otherwise(
-        F.lit(_HLL_SHIFT) - F.length(F.expr("bin(w)"))
-    )
-    regs = hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
-        F.max("rho").alias("m"),
-        F.count("*").alias("nv"),
-    )
-    stats = regs.agg(
-        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_SHIFT} - m)")).alias(
-            "s_present"
-        ),
-        F.count("*").alias("n_buckets"),
-        # exact distinct = distinct values summed across buckets;
-        # coalesce keeps the empty-input row at 0, countDistinct parity
-        F.coalesce(F.sum("nv"), F.lit(0).cast("bigint")).alias("n_exact"),
-    ).select(
-        (F.col("s_present") + (F.lit(HLL_M) - F.col("n_buckets")) * F.lit(1 << _HLL_SHIFT)).alias("s"),
-        (F.lit(HLL_M) - F.col("n_buckets")).alias("v_empty"),
-        "n_exact",
-    )
-    raw = F.lit(float(HLL_ALPHA_NUM)) / F.col("s").cast("double")
-    est = F.when(
-        (F.col("v_empty") > 0) & (raw <= F.lit(float(HLL_SMALL_CUT))),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_empty").cast("double")),
-    ).otherwise(raw)
-    return stats.select(
-        F.lit(metric).alias("metric"),
-        "n_exact",
-        est.cast(DEC).cast("double").alias("n_est"),
-        "v_empty",
-    )
-
-
 def q_hll_distinct(spark, sf):
     """HyperLogLog distinct-count sketch (p=10, 1024 registers) over
     two document streams — the token stream (small cardinality, hits
@@ -120,10 +62,23 @@ def q_hll_distinct(spark, sf):
     Scale shape: the sketch is the canonical distributed distinct
     estimator; the exact column (for the accuracy report) is the only
     corpus-scale shuffle, and a production run at 100 TB would drop
-    it and keep just the sketch (≤1024 shuffled rows per partition —
-    see _hll_estimate). r18: with the exact column declared, sketch +
-    exact share ONE distinct pass per stream — 2 corpus scans and 2
-    corpus-scale shuffles for the whole query, down from 4 and 4.
+    it and keep just the sketch (≤1024-row register files shuffled
+    per partition). r18, two steps: (1) sketch and exact count share
+    ONE DISTINCT pass per stream — max(rho) per bucket is
+    duplicate-insensitive, so registers over distinct values are
+    bit-identical to registers over the raw stream, and the exact
+    count is the sum of per-bucket distinct-value counts (the old
+    shape ran each stream's explode/md5 pipeline twice: sketch arm +
+    countDistinct arm — 4 corpus scans, and paid the distinct shuffle
+    anyway inside countDistinct); (2) the two streams fuse into ONE
+    corpus scan — each doc emits its token structs plus its
+    fingerprint struct from a single tagged in-row array, and every
+    downstream stage keys on (stream, …), so the whole query is 1
+    corpus scan + 1 distinct shuffle + the register reduction, down
+    from 4 scans + 4 corpus-scale shuffles in r17. The 2-row stream
+    spine left-join keeps the empty-input semantics of the old
+    per-stream global aggregates (a stream with no values still
+    emits its row: n_exact 0, all registers empty).
 
     Determinism: register weights are exact integers 2^(51-M) summed
     in BIGINT (S ≤ 2^61); the estimate is one double division by the
@@ -135,12 +90,81 @@ def q_hll_distinct(spark, sf):
     # column only to feed split/md5 work the register groupBy already
     # combines map-side (A/B 1.23s vs 0.78s at sf0.1, r7)
     df = load_documents_by_id(spark, sf)
-    toks = df.select(
-        F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).alias("v")
-    ).where(F.length("v") > 0)
-    fps = df.select(F.md5(F.encode(normalized_text(F.col("text")), "utf-8")).alias("v"))
-    return _hll_estimate(toks, "tokens").unionAll(
-        _hll_estimate(fps, "fingerprints")
+    tagged = df.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.filter(
+                        F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"),
+                        lambda v: F.length(v) > 0,
+                    ),
+                    lambda v: F.struct(F.lit(0).alias("s"), v.alias("v")),
+                ),
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("s"),
+                        F.md5(
+                            F.encode(normalized_text(F.col("text")), "utf-8")
+                        ).alias("v"),
+                    )
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.s").alias("stream"), F.col("e.v").alias("v"))
+    hashed = tagged.distinct().select(
+        "stream", _hash60(F.col("v")).alias("h")
+    ).select(
+        "stream",
+        F.pmod(F.col("h"), F.lit(HLL_M)).alias("bucket"),
+        # integer `div`, not `/`: h spans 60 bits, past double's 2^53
+        F.expr(f"h div {HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_SHIFT)).otherwise(
+        F.lit(_HLL_SHIFT) - F.length(F.expr("bin(w)"))
+    )
+    regs = (
+        hashed.select("stream", "bucket", rho.alias("rho"))
+        .groupBy("stream", "bucket")
+        .agg(F.max("rho").alias("m"), F.count("*").alias("nv"))
+    )
+    per_stream = regs.groupBy("stream").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_SHIFT} - m)")).alias(
+            "s_present"
+        ),
+        F.count("*").alias("n_buckets"),
+        F.sum("nv").alias("nv_sum"),
+    )
+    spine = spark.range(2).select(F.col("id").cast("int").alias("stream"))
+    stats = (
+        spine.join(F.broadcast(per_stream), "stream", "left")
+        .select(
+            "stream",
+            # s_present stays NULL for an absent stream — exactly the
+            # old global-agg semantics (sum over zero rows), so the
+            # estimate degrades to NULL identically on empty input
+            (
+                F.col("s_present")
+                + (F.lit(HLL_M) - F.coalesce("n_buckets", F.lit(0)))
+                * F.lit(1 << _HLL_SHIFT)
+            ).alias("s"),
+            (F.lit(HLL_M) - F.coalesce("n_buckets", F.lit(0))).alias("v_empty"),
+            # countDistinct parity: empty stream counts 0
+            F.coalesce(F.col("nv_sum"), F.lit(0).cast("bigint")).alias("n_exact"),
+        )
+    )
+    raw = F.lit(float(HLL_ALPHA_NUM)) / F.col("s").cast("double")
+    est = F.when(
+        (F.col("v_empty") > 0) & (raw <= F.lit(float(HLL_SMALL_CUT))),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / F.col("v_empty").cast("double")),
+    ).otherwise(raw)
+    return stats.select(
+        F.when(F.col("stream") == 0, F.lit("tokens"))
+        .otherwise(F.lit("fingerprints"))
+        .alias("metric"),
+        "n_exact",
+        est.cast(DEC).cast("double").alias("n_est"),
+        "v_empty",
     ).orderBy("metric")
 
 

@@ -644,6 +644,13 @@ def q_drift_ks(spark, sf):
     by the price domain (cents within a fixed business range), not by
     corpus size, so the single-partition cumulative window is
     constant-bounded at any SF (the pareto_skyline justification).
+    r18: the scan reads the at-rest bucketed lineitem copy — same
+    rows, but laid out as one file per bucket, so the scan+partial-agg
+    stage parallelizes across the bucket files instead of running as
+    ONE task over the single-file source (the r7 spread() A/B
+    correctly rejected a round-robin exchange here — 1.58s vs 1.03s —
+    but the copy gives the parallelism without any exchange: measured
+    1.03-1.42s → 0.82-0.83s warm at sf0.1).
 
     Determinism: cumulative counts are exact integers; each ECDF
     difference is two exact int/int divisions and one subtraction,
@@ -652,9 +659,11 @@ def q_drift_ks(spark, sf):
     """
     from pyspark.sql import Window
 
-    # no parallelism spread — same trivial-work rule as drift_psi
-    # (A/B 1.58s vs 1.03s at sf0.1, r7)
-    li = load(spark, sf, "lineitem").select("l_extendedprice", "l_shipdate")
+    from data_validator_spark.operators.bucketing import bucketed_fact
+
+    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey").select(
+        "l_extendedprice", "l_shipdate"
+    )
     cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
     is_ref = F.col("l_shipdate") < F.lit(PSI_PIVOT)
     dist = (
@@ -729,7 +738,7 @@ ENSEMBLE_ENT_NORM = 4.0  # entropy ceiling used to normalize into [0,1]
 
 
 # The ensemble's three signal arms (gopher, entropy, trigram-LM) all
-# derive from the same (doc_id, text, norm) projection, and the
+# derive from the same (doc_id, lang, text, norm) projection, and the
 # trigram arm alone consumes it three times — without materialization
 # Catalyst re-scans documents.parquet and recomputes norm per arm (7
 # scans total, the r5 plan audit's finding). Same session-keyed
@@ -744,8 +753,12 @@ def _ensemble_docs(spark, sf):
     cached = _ENSEMBLE_DOCS_CACHE.get(key)
     if cached is not None:
         return cached
+    # lang rides along since r18: boilerplate_prefix groups its
+    # shared-prefix census by language off this same relation, and a
+    # short lang code widens the cached rows by a few bytes while
+    # saving that query a full normalized_text recompute of the corpus
     df = load_documents_by_id(spark, sf).select(
-        "doc_id", "text", normalized_text(F.col("text")).alias("norm")
+        "doc_id", "lang", "text", normalized_text(F.col("text")).alias("norm")
     )
     from pyspark import StorageLevel
 
@@ -765,7 +778,7 @@ def q_quality_ensemble(spark, sf):
     components.
 
     Scale shape: the three signal arms all read ONE session-persisted
-    (doc_id, text, norm) relation (_ensemble_docs) — one parquet scan
+    (doc_id, lang, text, norm) relation (_ensemble_docs) — one parquet scan
     and one norm computation total instead of a re-scan per arm (the
     r5 plan audit counted 7). Each arm is map-side combined before
     its shuffle; the composition is two doc-keyed joins that AQE

@@ -24,9 +24,23 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 # comparison-failure fix's incremental-index consumers, the
 # full-content-watermark sha256 watermark opt-ins, the CC_AUTO_ROUNDS
 # re-measure (flags dedup_clusters via cluster_labels), and
-# domain_diversity closing the raw-scan census.
+# domain_diversity closing the raw-scan census — plus the late-round
+# optimization batch: the fused single-pass HLL, the join-free
+# copurchase steady state, the one-file-per-bucket derived-copy
+# writers (q12/q19/q21), drift_ks onto the bucketed lineitem copy,
+# and boilerplate_prefix onto the widened _ensemble_docs relation
+# (flags quality_ensemble/quality_calibration).
 R18_CHANGED = {
     "ann_recall_eval",
+    "boilerplate_prefix",
+    "copurchase_similarity",
+    "drift_ks",
+    "hll_distinct",
+    "q12_shipmode_priority",
+    "q19_discounted_revenue",
+    "q21_waiting_orders",
+    "quality_calibration",
+    "quality_ensemble",
     "dedup_band_index_refresh",
     "dedup_clusters",
     "dedup_incremental_minhash",
@@ -68,14 +82,15 @@ R14_STALE = {
     "streaming_validation",
 }
 
-# Tier 3 — budget fillers: the 20 alphabetically-first r15-evidence
-# entries not already flagged (the tiers exactly fill the 50
-# budget).
+# Tier 3 — budget fillers: the 11 alphabetically-first r15-evidence
+# entries not already flagged (the tiers exactly fill the 50 budget;
+# the late-round tier-0 growth rotated 7 more r15-proven entries
+# below the cut — the rotation rule holds, their newest driver row
+# is r15).
 R15_FILLERS = {
     "cdc_upsert",
     "char_entropy",
     "conversion_lag",
-    "copurchase_similarity",
     "doc_chunk",
     "doc_fingerprint",
     "event_transitions",
@@ -84,14 +99,6 @@ R15_FILLERS = {
     "events_retention",
     "events_sessionized",
     "events_user_cap",
-    "fd_check",
-    "gopher_quality",
-    "ivm_agg",
-    "lang_id",
-    "orders_cohort_retention",
-    "pagerank_bipartite",
-    "q10_returned_items",
-    "q12_shipmode_priority",
 }
 
 # r15: EMPTY (the function-level tripwire makes module-import-only
@@ -355,6 +362,9 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         # watermark helper through tpch_ext._ensure_bucketed_derived
         # (its partkey-bucketed DERIVED ext copies)
         "q19_discounted_revenue",
+        # …plus drift_ks (r18: its scan rides the l_orderkey lineitem
+        # copy for exchange-free scan parallelism)
+        "drift_ks",
         # …plus the r16 adoptions: the 22 below-cut doc-family
         # switches onto load_documents_by_id…
         "bm25_topk", "trigram_lm_score", "quantile_shard",
