@@ -436,23 +436,16 @@ def main() -> int:
         # py_worker_probe_sec bracket in BENCH_FULL decides the
         # question either way.
         .config("spark.python.worker.reuse", "true")
-        # r18 (opt round, guide §2.4/§6): recognize the sort order the
-        # at-rest bucketed copies are WRITTEN with (write_bucketed
-        # sortBy + one file per bucket — pinned by
-        # tests/test_bucketing.py::test_bucketed_copies_single_sorted_file_per_bucket),
-        # so colocated SortMergeJoins skip their per-task sorts
-        # (q7/q12 plan: 7 Sort nodes → 5). Off by default since Spark
-        # 3.0 only because the planning-time file listing is not free
-        # on tables with unknown layouts; every bucketed table here is
-        # our own copy program's, whose layout guarantees the check
-        # passes, and the listing rides the session's cached
-        # InMemoryFileIndex. Scale-independent: at any SF the copies
-        # are written one sorted file per bucket (bucket count is the
-        # conf-driven scale knob), and at 100 TB the skipped sort is
-        # terabytes per join.
-        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .getOrCreate()
     )
+    # Engine-required confs (sorted-bucket-scan recognition — rationale
+    # in data_validator_spark/session.py, where r19 homed them per the
+    # r18 verdict item 1; in r18 this was a bench-only .config(),
+    # leaving production cli/pipeline sessions paying the per-task SMJ
+    # Sorts the one-file-per-bucket layout exists to avoid).
+    from data_validator_spark.session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
     from data_validator_spark.queries import TABLES, build_registry, load, spread

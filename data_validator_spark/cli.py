@@ -68,11 +68,18 @@ def main(argv: Optional[list[str]] = None) -> int:
         print(f"DATA_VALIDATOR_CONFIG={'INVALID' if errs else 'OK'}")
         return 1 if errs else 0
 
+    from data_validator_spark.session import apply_engine_confs, ensure_engine_confs
+
     spark = (
-        SparkSession.builder.appName("data-validator-spark")
-        .config("spark.sql.adaptive.enabled", "true")
+        apply_engine_confs(
+            SparkSession.builder.appName("data-validator-spark").config(
+                "spark.sql.adaptive.enabled", "true"
+            )
+        )
         .getOrCreate()
     )
+    # getOrCreate ignores builder confs on session reuse; set them live
+    ensure_engine_confs(spark)
     try:
         config = load_config(args.config, spark, parse_vars(args.vars))
         for out in config.outputs:

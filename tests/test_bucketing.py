@@ -884,10 +884,14 @@ def test_sorted_bucket_scan_drops_smj_sorts(spark, tmp_path):
     )
     write_bucketed(left, "bk_sorted_l", ["k"], 8, path=str(tmp_path / "l"))
     write_bucketed(right, "bk_sorted_r", ["k"], 8, path=str(tmp_path / "r"))
+    from data_validator_spark.session import ENGINE_CONFS, ensure_engine_confs
+
     conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    assert ENGINE_CONFS.get(conf) == "true"  # homed in the engine (r19)
     old = spark.conf.get(conf)
     try:
-        spark.conf.set(conf, "true")
+        ensure_engine_confs(spark)  # flips the conf on, as every entry point does
+        assert spark.conf.get(conf) == "true"
         j = bucketed_join(spark, "bk_sorted_l", "bk_sorted_r", ["k"])
         assert_colocated(j)
         plan_on = j._jdf.queryExecution().executedPlan().toString()

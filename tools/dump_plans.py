@@ -32,12 +32,14 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # mirror bench.py (r18): recognize the copies' written sort
-        # order so dumped plans match what the bench session runs
-        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # engine confs (sorted-bucket-scan recognition) so dumped plans
+    # match every engine session — shared home since r19
+    from data_validator_spark.session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
 
     from data_validator_spark.queries import build_registry
 
