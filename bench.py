@@ -402,6 +402,37 @@ def _loadavg_now() -> tuple:
         return ()
 
 
+def _run_conditions(cpus: str, sf: float) -> dict:
+    """Provenance stamp for a bench artifact (r19, verdict item 7):
+    the run's core count, SF, and the code identity it measured —
+    git HEAD plus a dirty flag. A reader (or the guard test) can now
+    reject a BENCH_FULL.json whose conditions don't match the record
+    it is being compared to, instead of discovering the mismatch from
+    implausible numbers."""
+    import subprocess
+
+    cond = {"cpus": int(cpus), "sf": sf}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=15,
+        )
+        if head.returncode == 0:
+            cond["git_head"] = head.stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", repo, "diff", "--name-only", "HEAD"],
+            capture_output=True, text=True, timeout=15,
+        )
+        if dirty.returncode == 0:
+            cond["tree_dirty"] = bool(
+                [f for f in dirty.stdout.split("\n") if f and f != "BENCH_FULL.json"]
+            )
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return cond
+
+
 def main() -> int:
     try:
         load_before = os.getloadavg()  # BEFORE any Spark work
@@ -802,6 +833,14 @@ def main() -> int:
             out["retry_pass"] = retry
     out["contended"] = probe["contended"]
     out["contention"] = probe
+    # Artifact provenance stamp (r18 verdict item 4 / r19 item 7): a
+    # BENCH_FULL.json is only comparable at matching (cpus, sf, code);
+    # the r18 round twice mistook a stale or low-core overwrite for the
+    # round's 32-core record. Stamp the run conditions + code identity
+    # INTO the artifact, and ALSO write a run-stamped copy whose
+    # filename carries them, so the canonical name can be overwritten
+    # freely without losing any run's record.
+    out["run_conditions"] = _run_conditions(cpus, sf)
     if guard_failures:
         out["guard_failures"] = guard_failures
     if os.environ.get("SPARK_GRAFT_CC_BENCH", "1") != "0":
@@ -815,10 +854,15 @@ def main() -> int:
     # field comes back null (BENCH_r06/r08 both lost structured
     # timings this way — r8 verdict item 4). The repo-root file is
     # committed each round, so nothing is lost by compacting stdout.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(repo_dir, "BENCH_FULL.json")
     with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    stamped = os.path.join(
+        repo_dir,
+        f"BENCH_FULL_c{cpus}_sf{str(sf).replace('.', 'p')}.json",
+    )
+    with open(stamped, "w") as f:
         json.dump(out, f, indent=1)
     print(compact_line(out, "BENCH_FULL.json"))
     # nonzero rc on guard failure (AFTER emitting the artifact, so a

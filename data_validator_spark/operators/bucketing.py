@@ -396,7 +396,19 @@ def ensure_bucketed_fact_full(
     cur_sig = _content_signature(src_path)
     if disk is None or disk.get("content_sha256") != cur_sig:
         # unverifiable (stat-only build) or content-diverged copy:
-        # never trust it — drop and rebuild off the current source
+        # never trust it — drop and rebuild off the current source.
+        # Library-level guard (ADVICE r18): if the copy being dropped
+        # EXISTED, any session cache persisted over its file listing
+        # (pagerank / copurchase / drift consumers) would die with
+        # FAILED_READ_FILE on next materialization — evict them so
+        # they rebuild over the fresh layout. One-time cost per layout
+        # upgrade; bench avoids even that by priming the full-wm
+        # validators first, but CLI / plan-audit / ad-hoc session
+        # shapes get the same safety here.
+        if disk is not None and os.path.isdir(path):
+            from data_validator_spark.queries import evict_session_caches
+
+            evict_session_caches(sf)
         spark.sql(f"DROP TABLE IF EXISTS `{t}`")
         shutil.rmtree(path, ignore_errors=True)
     # the base call rebuilds if anything was dropped or stat/footer

@@ -306,85 +306,28 @@ def _sql_hash60(expr: str) -> str:
 # registry is still locally re-proven via tools/oracle_check.py each
 # round (ORACLE_LOCAL_r{N}.txt).
 GRADE_PRIORITY = [
-    # === r18 cut. Tier 0 — the entries the function-level tripwire
-    # flags against the r17 snapshot: the dsir per-bucket term
-    # precompute, the final raw-scan class closure (the pipeline_ops
-    # trio + lang_id_confusion + the multimodal family's media_table
-    # onto the doc_id-bucketed copy, plus domain_diversity closing
-    # the census), the ann_recall_eval materialized-eval cache, the
-    # incremental-index consumers of _put_wm_cache's
-    # comparison-failure fix, the content_wm="full" sha256 watermark
-    # opt-ins, the CC_AUTO_ROUNDS re-measure — plus the late-round
-    # optimization batch: the single-pass/fused HLL, the join-free
-    # copurchase steady state, the one-file-per-bucket derived-copy
-    # writers (q12/q19/q21), drift_ks onto the bucketed lineitem
-    # copy, and boilerplate_prefix onto the widened (…, lang, …)
-    # _ensemble_docs relation (flags its ensemble/calibration
-    # siblings).
-    "ann_recall_eval",
-    "boilerplate_prefix",
-    "copurchase_similarity",
-    "dedup_band_index_refresh",
-    "dedup_clusters",
-    "dedup_incremental_minhash",
-    "dedup_index_refresh",
-    "dedup_keep_best",
-    "domain_diversity",
-    "drift_ks",
-    "dsir_importance",
+    # === r19 cut. Tier 0 — the entries the function-level tripwire
+    # flags against the r18 snapshot: the r19 bucketed-copy scan class
+    # (q1/q20/col_stats/profile_table/drift_psi/benford_check/
+    # bloom_filter_semijoin ride their at-rest copies instead of
+    # spread(load()) / few-split raw scans), corpus_train_filter onto
+    # the shared _ensemble_docs normalized-text relation, the
+    # hll_distinct deliberate NULL-text semantics (ADVICE r18), and
+    # the full-watermark drop path's cache-eviction guard (flags its
+    # two validator consumers).
+    "benford_check",
+    "bloom_filter_semijoin",
+    "col_stats",
+    "corpus_train_filter",
+    "drift_psi",
     "hll_distinct",
-    "lang_id_confusion",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_resize",
-    "q12_shipmode_priority",
-    "q19_discounted_revenue",
-    "q21_waiting_orders",
-    "quality_calibration",
-    "quality_ensemble",
+    "profile_table",
+    "q1_pricing_summary",
+    "q20_potential_promotion",
     "reconciliation_check",
-    "sequence_pack",
-    "split_contamination",
     "unique_check",
-    # Tier 1 — the ENTIRE r13-evidence tier (r17 verdict item 3).
-    "q16_parts_supplier",
-    "q2_min_cost_supplier",
-    "salted_aggregation",
-    "streaming_dedup",
-    "streaming_drift",
-    "streaming_seasonality",
-    "user_activity_gini",
-    # Tier 2 — the ENTIRE r14-evidence tier: after this round no
-    # registry entry's driver evidence is older than r15.
-    "col_quantiles",
-    "events_anomaly",
-    "events_json_extract",
-    "events_time_weighted",
-    "mad_outliers",
-    "streaming_validation",
-    # Tier 3 — budget fillers: the 11 alphabetically-first
-    # r15-evidence entries not already flagged (the tiers exactly
-    # fill the 50; the late-round tier-0 growth rotated 7 more
-    # r15-proven entries below the cut — rotation rule holds, their
-    # newest driver row is r15).
-    "cdc_upsert",
-    "char_entropy",
-    "conversion_lag",
-    "doc_chunk",
-    "doc_fingerprint",
-    "event_transitions",
-    "events_funnel",
-    "events_gap_fill",
-    "events_retention",
-    "events_sessionized",
-    "events_user_cap",
-    # --- driver budget cut (50) falls here ---
-    # Below: stalest-first so r19's cut reads off the top; the FULL
-    # registry is still locally re-proven each round via
-    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
-
-    # r15 evidence:
+    # Tier 1 — the ENTIRE r15-evidence tier: after this round no
+    # registry entry's driver evidence is older than r16.
     "fd_check",
     "gopher_quality",
     "ivm_agg",
@@ -409,11 +352,12 @@ GRADE_PRIORITY = [
     "text_quality",
     "tfidf_topk",
     "token_count",
-    # r16 evidence:
+    # Tier 2 — budget fillers: the 15 alphabetically-first
+    # r16-evidence entries not already flagged (the tiers exactly
+    # fill the 50).
     "bm25_topk",
     "ccnet_buckets",
     "cluster_purity",
-    "corpus_train_filter",
     "corr_matrix",
     "dedup_embedding_cosine",
     "dedup_exact",
@@ -426,6 +370,12 @@ GRADE_PRIORITY = [
     "events_range_join",
     "events_rolling",
     "global_shuffle",
+    # --- driver budget cut (50) falls here ---
+    # Below: stalest-first so r20's cut reads off the top; the FULL
+    # registry is still locally re-proven each round via
+    # tools/oracle_check.py (ORACLE_LOCAL_r{N}.txt / SFSWEEP).
+
+    # r16 evidence:
     "heavy_hitters_cms",
     "inverted_index",
     "knn_label_noise",
@@ -449,9 +399,6 @@ GRADE_PRIORITY = [
     "vocab_growth",
     "weighted_sample",
     # r17 evidence:
-    "benford_check",
-    "bloom_filter_semijoin",
-    "col_stats",
     "col_stats_histogram",
     "column_max_check",
     "column_sum_check",
@@ -461,7 +408,6 @@ GRADE_PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "detailed_errors",
-    "drift_psi",
     "event_seasonality",
     "events_pivot",
     "events_rollup",
@@ -475,11 +421,8 @@ GRADE_PRIORITY = [
     "negative_check",
     "ngram_novelty",
     "null_check",
-    "profile_table",
     "q11_important_stock",
     "q15_top_supplier",
-    "q1_pricing_summary",
-    "q20_potential_promotion",
     "q6_forecast_revenue",
     "range_check",
     "row_count",
@@ -490,6 +433,54 @@ GRADE_PRIORITY = [
     "string_length_check",
     "string_regex_check",
     "triangle_count",
+    # r18 evidence:
+    "ann_recall_eval",
+    "boilerplate_prefix",
+    "cdc_upsert",
+    "char_entropy",
+    "col_quantiles",
+    "conversion_lag",
+    "copurchase_similarity",
+    "dedup_band_index_refresh",
+    "dedup_clusters",
+    "dedup_incremental_minhash",
+    "dedup_index_refresh",
+    "dedup_keep_best",
+    "doc_chunk",
+    "doc_fingerprint",
+    "domain_diversity",
+    "drift_ks",
+    "dsir_importance",
+    "event_transitions",
+    "events_anomaly",
+    "events_funnel",
+    "events_gap_fill",
+    "events_json_extract",
+    "events_retention",
+    "events_sessionized",
+    "events_time_weighted",
+    "events_user_cap",
+    "lang_id_confusion",
+    "mad_outliers",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_resize",
+    "q12_shipmode_priority",
+    "q16_parts_supplier",
+    "q19_discounted_revenue",
+    "q21_waiting_orders",
+    "q2_min_cost_supplier",
+    "quality_calibration",
+    "quality_ensemble",
+    "salted_aggregation",
+    "sequence_pack",
+    "split_contamination",
+    "streaming_dedup",
+    "streaming_drift",
+    "streaming_seasonality",
+    "streaming_validation",
+    "user_activity_gini",
 ]
 
 

@@ -32,25 +32,29 @@ from data_validator_spark.queries import (
     load_lineitem_by_part,
     load_orders_by_cust,
     load_part_by_key,
-    spread,
     sql_dsum,
 )
 
 
 # -- q1: pricing summary (TPC-H Q1 shape) ----------------------------------
 def q1_pricing_summary(spark, sf):
-    # project to the 6 agg columns BEFORE spread: the decimal(30,6)
-    # partial sums are the CPU cost here, and the small parquet's scan
-    # has only ~3 splits — a narrow round-robin shuffle (6 cols) buys
-    # 32-way parallel partials for ~0.3s of shuffle (measured 1.9s →
-    # 1.1s at sf0.1; at real scale spread is a no-op and the plan is
-    # the plain scan + partial agg)
-    li = load(spark, sf, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01"))
-    li = spread(
-        li.select(
-            "l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount", "l_tax",
-        )
+    # r19: the scan rides the at-rest l_orderkey-bucketed lineitem copy
+    # (drift_ks's r18 class) — 32 bucket files give the partial-agg
+    # stage its parallelism directly, so the spread() round-robin
+    # exchange (and its sort-before-repartition, SPARK-23207) is gone
+    # along with the 8 MB shuffle of the 6 agg columns. Same rows, one
+    # less exchange; A/B at sf0.1: 1.05s → 0.43s best-of-5, identical
+    # output. At real scale the raw scan has thousands of splits and
+    # spread() was already a no-op — the copy is simply the at-rest
+    # layout the rest of the lineitem family reads.
+    from data_validator_spark.operators.bucketing import bucketed_fact
+
+    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01")
+    )
+    li = li.select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

@@ -90,15 +90,28 @@ def q_hll_distinct(spark, sf):
     # column only to feed split/md5 work the register groupBy already
     # combines map-side (A/B 1.23s vs 0.78s at sf0.1, r7)
     df = load_documents_by_id(spark, sf)
+    # NULL-text semantics are DELIBERATE here (ADVICE r18): the oracle
+    # emits a NULL fingerprint row for a NULL-text doc (md5(NULL) in
+    # SQL_HLL_FPS), which its register GROUP BY keeps as a NULL bucket
+    # — occupying one COUNT(*) slot while contributing nothing to the
+    # register sum or COUNT(DISTINCT v). Without the coalesce below,
+    # concat's NULL propagation silently dropped the doc from BOTH
+    # streams (zero rows), so estimates would drift the moment NULL
+    # text appears. The coalesced empty token array keeps the token
+    # stream empty (matching the oracle's unnest of an empty split)
+    # while letting the NULL fingerprint struct through.
     tagged = df.select(
         F.explode(
             F.concat(
-                F.transform(
-                    F.filter(
-                        F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"),
-                        lambda v: F.length(v) > 0,
+                F.coalesce(
+                    F.transform(
+                        F.filter(
+                            F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"),
+                            lambda v: F.length(v) > 0,
+                        ),
+                        lambda v: F.struct(F.lit(0).alias("s"), v.alias("v")),
                     ),
-                    lambda v: F.struct(F.lit(0).alias("s"), v.alias("v")),
+                    F.array().cast("array<struct<s:int,v:string>>"),
                 ),
                 F.array(
                     F.struct(
@@ -115,6 +128,7 @@ def q_hll_distinct(spark, sf):
         "stream", _hash60(F.col("v")).alias("h")
     ).select(
         "stream",
+        "h",
         F.pmod(F.col("h"), F.lit(HLL_M)).alias("bucket"),
         # integer `div`, not `/`: h spans 60 bits, past double's 2^53
         F.expr(f"h div {HLL_M}").alias("w"),
@@ -123,9 +137,13 @@ def q_hll_distinct(spark, sf):
         F.lit(_HLL_SHIFT) - F.length(F.expr("bin(w)"))
     )
     regs = (
-        hashed.select("stream", "bucket", rho.alias("rho"))
+        # nv counts h, not *, so the NULL row never inflates n_exact —
+        # COUNT(DISTINCT v) parity (the NULL bucket still occupies its
+        # n_buckets slot via the count(*) one level up, like the
+        # oracle's GROUP BY)
+        hashed.select("stream", "bucket", rho.alias("rho"), "h")
         .groupBy("stream", "bucket")
-        .agg(F.max("rho").alias("m"), F.count("*").alias("nv"))
+        .agg(F.max("rho").alias("m"), F.count("h").alias("nv"))
     )
     per_stream = regs.groupBy("stream").agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_SHIFT} - m)")).alias(

@@ -32,6 +32,7 @@ from data_validator_spark.queries import (
     DEC,
     dsum,
     load,
+    load_lineitem_by_part,
     register_session_cache,
     spread,
     sql_dsum,
@@ -839,7 +840,13 @@ def q20_potential_promotion(spark, sf):
     (partkey, suppkey); partsupp joins it shuffle-to-shuffle on the
     same key, part/nation broadcast, and the final supplier pick is a
     left-semi join — no row explosion anywhere."""
-    li = spread(load(spark, sf, "lineitem"))
+    # r19: ride the l_partkey-bucketed copy (q14/q17's layout) instead
+    # of spread(load()): the 32 bucket files parallelize the scan with
+    # no round-robin exchange, and HashPartitioning(l_partkey)
+    # satisfies the (l_partkey, l_suppkey) groupBy's clustering, so
+    # the shipped aggregate plans exchange-free. A/B at sf0.1:
+    # 1.22s → 0.69s best-of-5, identical output.
+    li = load_lineitem_by_part(spark, sf)
     start, end = F.to_date(F.lit(Q20_YEAR_START)), F.to_date(F.lit(Q20_YEAR_END))
     shipped = (
         li.where((F.to_date("l_shipdate") >= start) & (F.to_date("l_shipdate") < end))

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_validator_spark.queries import DEC, dsum, load, spread, sql_dsum
+from data_validator_spark.queries import DEC, dsum, load, sql_dsum
 from data_validator_spark.validators.column_based import ColumnMaxCheck, ColumnSumCheck
 from data_validator_spark.validators.row_based import (
     NegativeCheck,
@@ -173,12 +173,21 @@ def q_col_stats(spark, sf):
     independent of aggregation order; stddev uses the sample formula
     (n-1) like the reference's FirstPassStats.
 
-    Single-column projection BEFORE spread: the decimal partial sums
-    are the CPU cost and the small parquet scans in ~3 splits, so a
-    one-column round-robin shuffle buys 32-way parallel partials
-    (measured 1.1s → 0.8s at sf0.1; a no-op at real scale).
+    r19: the scan rides the l_orderkey-bucketed copy — 32 bucket files
+    feed the decimal partial sums directly, replacing the spread()
+    round-robin exchange (and its local sort) the ~3-split raw scan
+    needed for parallelism. A/B at sf0.1: 0.67s → 0.21s best-of-5,
+    identical output; at real scale the raw scan already has thousands
+    of splits and both shapes are the plain scan + partial agg.
+    Copy-trusting validator policy (r15): opts in through the
+    per-call footer-digest verification (content_wm=True), like
+    unique_check/reconciliation_check.
     """
-    df = spread(load(spark, sf, "lineitem").select("l_extendedprice"))
+    from data_validator_spark.operators.bucketing import bucketed_fact
+
+    df = bucketed_fact(spark, sf, "lineitem", "l_orderkey", content_wm=True).select(
+        "l_extendedprice"
+    )
     c = F.col("l_extendedprice")
     agg = df.agg(
         F.count(c).alias("cnt"),
@@ -426,8 +435,16 @@ def q_profile_table(spark, sf):
     At 100 TB set ``spark.data_validator.approx_profile=true`` to swap
     in `approx_count_distinct` (HLL++ sketch): one true scan, a fixed
     few-KB sketch per column, same output schema
-    (tests/test_approx_profile.py asserts the Expand-free plan)."""
-    df = load(spark, sf, "lineitem")
+    (tests/test_approx_profile.py asserts the Expand-free plan).
+
+    r19: the scan rides the l_orderkey-bucketed copy (32-way parallel
+    pair fan-out + partial collapse instead of the raw file's ~3
+    splits; A/B at sf0.1 1.01s → 0.67s best-of-5, identical output),
+    opting into the copy-trusting validator policy via the per-call
+    footer-digest verification (content_wm=True)."""
+    from data_validator_spark.operators.bucketing import bucketed_fact
+
+    df = bucketed_fact(spark, sf, "lineitem", "l_orderkey", content_wm=True)
     if _approx_enabled(spark):
         aggs = []
         for c in _PROFILE_COLS:

@@ -450,3 +450,26 @@ def test_judge_retry_publishes_faster_complete_pass():
     a1e = mk(50.0, {"a": 50.0, "b": -1.0})
     quiet, pub = _judge_retry(a1e, mk(90.0, {"a": 55.0, "b": 35.0}))
     assert quiet is False and pub["value"] == 90.0
+
+
+def test_run_conditions_stamp_carries_code_identity():
+    """r19 (r18 verdict item 4 / item 7): every bench artifact must
+    carry the run's (cpus, sf) and the code identity it measured, so
+    a low-core or stale-tree BENCH_FULL.json can never masquerade as
+    the round's 32-core record."""
+    from bench import _run_conditions
+
+    cond = _run_conditions("8", 0.1)
+    assert cond["cpus"] == 8 and cond["sf"] == 0.1
+    assert len(cond.get("git_head", "")) == 40
+    assert isinstance(cond.get("tree_dirty"), bool)
+
+
+def test_bench_writes_stamped_artifact_copy():
+    """Source pin: main() stamps run_conditions into the artifact and
+    writes the BENCH_FULL_c{cpus}_sf{sf} copy alongside the canonical
+    (overwritable) BENCH_FULL.json."""
+    src = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")).read()
+    assert 'out["run_conditions"] = _run_conditions(cpus, sf)' in src
+    assert "BENCH_FULL_c{cpus}_sf" in src

@@ -904,3 +904,41 @@ def test_sorted_bucket_scan_drops_smj_sorts(spark, tmp_path):
         spark.conf.set(conf, old)
         spark.sql("DROP TABLE IF EXISTS bk_sorted_l")
         spark.sql("DROP TABLE IF EXISTS bk_sorted_r")
+
+
+def test_full_wm_drop_evicts_dependent_session_caches(spark, tmp_path):
+    """ADVICE r18 library guard: when ensure_bucketed_fact_full drops
+    a previously-existing copy (stat-only sidecar, no content_sha256),
+    session caches persisted over the old file listing must be evicted
+    — otherwise any consumer whose cached relation froze the dropped
+    files dies with FAILED_READ_FILE. The bench dodges this by prime
+    ordering; the library now guarantees it for every session shape."""
+    from data_validator_spark.operators.bucketing import (
+        ensure_bucketed_fact,
+        ensure_bucketed_fact_full,
+    )
+    from data_validator_spark.queries import evict_session_caches, register_session_cache
+
+    p = tmp_path / "orders.parquet"
+    _plain_parquet(str(p), offset=0)
+    sf = str(tmp_path)
+    evict_session_caches(sf)
+    # stat-only build: records footers but no content_sha256
+    t = ensure_bucketed_fact(spark, sf, "orders", "o_orderkey", 4)
+    probe_cache = register_session_cache({})
+    probe_cache[(spark.sparkContext.applicationId, sf)] = spark.range(1)
+    try:
+        t2 = ensure_bucketed_fact_full(spark, sf, "orders", "o_orderkey", 4)
+        assert t2 == t
+        assert not probe_cache, (
+            "full-wm drop/rebuild left a session cache frozen on dropped files"
+        )
+        # second call: sidecar now carries content_sha256 -> no drop,
+        # so a fresh cache entry must SURVIVE
+        probe_cache[(spark.sparkContext.applicationId, sf)] = spark.range(1)
+        ensure_bucketed_fact_full(spark, sf, "orders", "o_orderkey", 4)
+        assert probe_cache, "verified-current copy must not evict caches"
+    finally:
+        probe_cache.clear()
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        evict_session_caches(sf)

@@ -194,3 +194,41 @@ def test_char_entropy_orders_quality(spark, doc_dir):
     for r in rows.values():
         assert r["entropy"] >= 0
         assert r["keep"] in (0, 1)
+
+
+def test_hll_null_text_matches_oracle(spark, tmp_path):
+    """NULL-text semantics are deliberate (ADVICE r18): the oracle's
+    fingerprint branch emits md5(NULL) = NULL for a NULL-text doc,
+    whose register GROUP BY keeps a NULL bucket — one n_buckets slot,
+    nothing added to the register sum or COUNT(DISTINCT v). Before
+    r19, concat's NULL propagation silently dropped the doc from BOTH
+    Spark streams, so estimates would have drifted the moment NULL
+    text appeared. Full engine-vs-DuckDB parity on a corpus WITH a
+    NULL-text doc pins the alignment."""
+    import duckdb
+
+    from data_validator_spark.queries import build_registry, evict_session_caches
+    from data_validator_spark.queries.mining_ops import q_hll_distinct
+
+    rows = [
+        (0, "alpha beta gamma", "en", "s0", 16),
+        (1, "beta gamma delta epsilon", "en", "s0", 24),
+        (2, None, "en", "s0", 0),          # the NULL-text doc
+        (3, "", "en", "s0", 0),            # and the empty-text doc
+        (4, "alpha beta", "en", "s0", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    try:
+        got = sorted(tuple(r) for r in q_hll_distinct(spark, str(tmp_path)).collect())
+        _, oracles = build_registry()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/documents.parquet/*.parquet')"
+        )
+        want = sorted(tuple(r) for r in con.execute(oracles["hll_distinct"]).fetchall())
+        assert got == want
+    finally:
+        evict_session_caches(str(tmp_path))

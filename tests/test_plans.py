@@ -482,3 +482,47 @@ def test_r18_dsir_scores_with_per_bucket_term(spark, registry):
     # above the scoring join (all LOG sites live under BroadcastExchange)
     head = plan.split("BroadcastExchange", 1)[0]
     assert "LOG(" not in head and "ln(" not in head.lower()
+
+
+def test_r19_lineitem_scan_rides_ride_copies(spark, registry):
+    """r19 bucketed-copy scan class: the remaining timed spread(load())
+    sites (q1, q20, col_stats, bloom_filter_semijoin) plus the
+    r18-prototyped drift_psi/benford_check and profile_table switch to
+    their at-rest bucketed copies — bucket-file parallelism with no
+    round-robin exchange. Row-identical by construction (same rows,
+    different at-rest layout); the A/B seconds live in
+    OPTIMIZATION_r19.md."""
+    expect = {
+        "q1_pricing_summary": "dv_bkt_lineitem_l_orderkey_",
+        "drift_psi": "dv_bkt_lineitem_l_orderkey_",
+        "benford_check": "dv_bkt_lineitem_l_orderkey_",
+        "col_stats": "dv_bkt_lineitem_l_orderkey_",
+        "profile_table": "dv_bkt_lineitem_l_orderkey_",
+        "q20_potential_promotion": "dv_bkt_lineitem_l_partkey_",
+        "bloom_filter_semijoin": "dv_bkt_orders_o_orderkey_",
+    }
+    for name, copy_prefix in expect.items():
+        plan = plan_of(spark, registry, name)
+        assert copy_prefix in plan, name
+        if name == "q20_potential_promotion":
+            # q20 joins the session-cached partsupp relation, whose
+            # ONE-TIME build plan (spread() included) is re-printed
+            # inside the InMemoryTableScan subtree — steady state
+            # reads the cache; only the lineitem arm is pinned here
+            continue
+        assert "Exchange RoundRobinPartitioning" not in plan, name
+
+
+def test_r19_corpus_train_filter_rides_ensemble_docs(spark, registry):
+    """corpus_train_filter reads the session-persisted (doc_id, lang,
+    text, norm) relation (_ensemble_docs) and fingerprints off the
+    cached norm — its plan must hold an InMemoryTableScan and ZERO
+    normalization regexes above it (the md5 is the only fingerprint
+    work left per call)."""
+    from data_validator_spark.queries.quality_ops import _ensemble_docs
+
+    _ensemble_docs(spark, SF).count()  # prime, as the bench prime pass does
+    plan = plan_of(spark, registry, "corpus_train_filter")
+    assert "InMemoryTableScan" in plan
+    head = plan.split("InMemoryTableScan", 1)[0]
+    assert "regexp_replace" not in head

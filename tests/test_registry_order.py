@@ -16,89 +16,75 @@ from data_validator_spark.queries import GRADE_PRIORITY, build_registry
 DRIVER_GRADE_BUDGET = 50
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-# Tier 0 — r18: every entry the function-level tripwire flags against
-# the r17 snapshot: the dsir per-bucket term precompute, the final
-# raw-scan class closure (pipeline_ops trio + lang_id_confusion + the
-# multimodal family's media_table onto the doc_id-bucketed copy), the
-# ann_recall_eval materialized-eval cache, the _put_wm_cache
-# comparison-failure fix's incremental-index consumers, the
-# full-content-watermark sha256 watermark opt-ins, the CC_AUTO_ROUNDS
-# re-measure (flags dedup_clusters via cluster_labels), and
-# domain_diversity closing the raw-scan census — plus the late-round
-# optimization batch: the fused single-pass HLL, the join-free
-# copurchase steady state, the one-file-per-bucket derived-copy
-# writers (q12/q19/q21), drift_ks onto the bucketed lineitem copy,
-# and boilerplate_prefix onto the widened _ensemble_docs relation
-# (flags quality_ensemble/quality_calibration).
-R18_CHANGED = {
-    "ann_recall_eval",
-    "boilerplate_prefix",
-    "copurchase_similarity",
-    "drift_ks",
+# Tier 0 — r19: every entry the function-level tripwire flags
+# against the r18 snapshot: the r19 bucketed-copy scan class (q1,
+# q20, col_stats, profile_table, drift_psi, benford_check,
+# bloom_filter_semijoin onto their at-rest copies),
+# corpus_train_filter onto the shared _ensemble_docs relation, the
+# hll_distinct deliberate NULL-text semantics, and the full-watermark
+# drop path's session-cache eviction guard (flags unique_check +
+# reconciliation_check).
+R19_CHANGED = {
+    "benford_check",
+    "bloom_filter_semijoin",
+    "col_stats",
+    "corpus_train_filter",
+    "drift_psi",
     "hll_distinct",
-    "q12_shipmode_priority",
-    "q19_discounted_revenue",
-    "q21_waiting_orders",
-    "quality_calibration",
-    "quality_ensemble",
-    "dedup_band_index_refresh",
-    "dedup_clusters",
-    "dedup_incremental_minhash",
-    "dedup_index_refresh",
-    "dedup_keep_best",
-    "domain_diversity",
-    "dsir_importance",
-    "lang_id_confusion",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_resize",
+    "profile_table",
+    "q1_pricing_summary",
+    "q20_potential_promotion",
     "reconciliation_check",
-    "sequence_pack",
-    "split_contamination",
     "unique_check",
 }
 
-# Tier 1 — the ENTIRE remaining r13-evidence tier (r17 verdict
-# item 3).
-R13_STALE = {
-    "q16_parts_supplier",
-    "q2_min_cost_supplier",
-    "salted_aggregation",
-    "streaming_dedup",
-    "streaming_drift",
-    "streaming_seasonality",
-    "user_activity_gini",
+# Tier 1 — the ENTIRE remaining r15-evidence tier: after this round
+# no registry entry's driver evidence is older than r16.
+R15_STALE = {
+    "fd_check",
+    "gopher_quality",
+    "ivm_agg",
+    "lang_id",
+    "orders_cohort_retention",
+    "pagerank_bipartite",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q22_prospective_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rfm_segments",
+    "scd2_intervals",
+    "substring_dedup",
+    "text_quality",
+    "tfidf_topk",
+    "token_count",
 }
 
-# Tier 2 — the ENTIRE remaining r14-evidence tier: after this round
-# no registry entry's driver evidence is older than r15.
-R14_STALE = {
-    "col_quantiles",
-    "events_anomaly",
-    "events_json_extract",
-    "events_time_weighted",
-    "mad_outliers",
-    "streaming_validation",
-}
-
-# Tier 3 — budget fillers: the 11 alphabetically-first r15-evidence
-# entries not already flagged (the tiers exactly fill the 50 budget;
-# the late-round tier-0 growth rotated 7 more r15-proven entries
-# below the cut — the rotation rule holds, their newest driver row
-# is r15).
-R15_FILLERS = {
-    "cdc_upsert",
-    "char_entropy",
-    "conversion_lag",
-    "doc_chunk",
-    "doc_fingerprint",
-    "event_transitions",
-    "events_funnel",
-    "events_gap_fill",
-    "events_retention",
-    "events_sessionized",
-    "events_user_cap",
+# Tier 2 — budget fillers: the 15 alphabetically-first r16-evidence
+# entries not already flagged (the tiers exactly fill the 50 budget).
+R16_FILLERS = {
+    "bm25_topk",
+    "ccnet_buckets",
+    "cluster_purity",
+    "corr_matrix",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "doc_split_sample",
+    "domain_mix_sample",
+    "embedding_norm_quant",
+    "embedding_outliers",
+    "embedding_rp_jl",
+    "events_asof_join",
+    "events_range_join",
+    "events_rolling",
+    "global_shuffle",
 }
 
 # r15: EMPTY (the function-level tripwire makes module-import-only
@@ -122,20 +108,19 @@ def test_priority_list_matches_registry():
 def test_new_and_stale_entries_fit_grading_budget():
     q, _ = build_registry()
     graded = set(list(q)[:DRIVER_GRADE_BUDGET])
-    assert R18_CHANGED <= graded, R18_CHANGED - graded
-    assert R13_STALE <= graded, R13_STALE - graded
-    assert R14_STALE <= graded, R14_STALE - graded
-    assert R15_FILLERS <= graded, R15_FILLERS - graded
+    assert R19_CHANGED <= graded, R19_CHANGED - graded
+    assert R15_STALE <= graded, R15_STALE - graded
+    assert R16_FILLERS <= graded, R16_FILLERS - graded
     # the tiers exactly fill the budget — no wasted slot
-    assert len(R18_CHANGED | R13_STALE | R14_STALE | R15_FILLERS) == DRIVER_GRADE_BUDGET
+    assert len(R19_CHANGED | R15_STALE | R16_FILLERS) == DRIVER_GRADE_BUDGET
     assert not CHANGED_LOCAL_ONLY & graded  # below the cut by design
 
 
 def test_rotated_out_entries_hold_recent_driver_green():
     """Whatever falls past the grading budget must already hold a
-    driver-green row in CORRECTNESS_r17, r16 or r15 (the freshest
-    evidence tiers; the whole r13 and r14 tiers are graded this
-    round), or be explicitly declared local-only."""
+    driver-green row in CORRECTNESS_r18, r17 or r16 (the freshest
+    evidence tiers; the whole r15 tier is graded this round), or be
+    explicitly declared local-only."""
     import json
 
     def green(fname):
@@ -146,9 +131,9 @@ def test_rotated_out_entries_hold_recent_driver_green():
         }
 
     green_recent = (
-        green("CORRECTNESS_r17.json")
+        green("CORRECTNESS_r18.json")
+        | green("CORRECTNESS_r17.json")
         | green("CORRECTNESS_r16.json")
-        | green("CORRECTNESS_r15.json")
     )
     q, _ = build_registry()
     overflow = list(q)[DRIVER_GRADE_BUDGET:]
@@ -225,7 +210,7 @@ def test_bench_headline_keys_exist_in_registry():
     # (a forgotten HEADLINE row would silently shrink the total)
     assert set(bench.HEADLINE) == set(q), set(q) ^ set(bench.HEADLINE)
     unbenched = [
-        k for k in (R18_CHANGED | R13_STALE | R14_STALE | R15_FILLERS | CHANGED_LOCAL_ONLY)
+        k for k in (R19_CHANGED | R15_STALE | R16_FILLERS | CHANGED_LOCAL_ONLY)
         if k not in bench.HEADLINE
     ]
     assert not unbenched, f"priority entries missing from bench: {unbenched}"
@@ -401,6 +386,13 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         "lang_id_confusion", "multimodal_meta", "multimodal_resize",
         "multimodal_frame_sample", "multimodal_features",
         "domain_diversity",
+        # …plus the r19 bucketed-copy scan class: q1/col_stats/
+        # profile_table/drift_psi/benford_check on the l_orderkey
+        # lineitem copy, q20 via load_lineitem_by_part, and
+        # bloom_filter_semijoin on the o_orderkey orders copy
+        "q1_pricing_summary", "col_stats", "profile_table",
+        "drift_psi", "benford_check", "q20_potential_promotion",
+        "bloom_filter_semijoin",
     }
     assert flagged == expected, flagged ^ expected
     # module-mates that consume NO bucketed machinery must still NOT

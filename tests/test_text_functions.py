@@ -108,3 +108,107 @@ def test_doc_split_sample_is_deterministic_and_complete(spark):
     assert sum(a.values()) == total  # every doc lands in exactly one split
     train = sum(n for (_, s), n in a.items() if s == "train")
     assert 0.9 * total <= train <= total  # ~98% nominal
+
+
+def test_quality_and_token_count_match_vectorized_reference(spark):
+    """Pins the JVM quality_score / token_count semantics against an
+    independent vectorized byte-level reference (the r19 fused-Arrow
+    kernel experiment: built for corpus_train_filter per the r18
+    verdict, proven bit-identical here and on all sf0.1 docs, then NOT
+    shipped — the same-boot A/B showed the Python boundary round-trip
+    offsets the expression saving at bench SF; OPTIMIZATION_r19.md has
+    the numbers). Doubles compare by bit pattern: any engine change
+    that moves quality_score by one ulp — or token_count by one token
+    on trim/split edge cases — fails here before it can drift the
+    oracle."""
+    import struct as st
+
+    import numpy as np
+    import pyarrow as pa
+
+    from data_validator_spark.functions.text import quality_score
+
+    def reference(texts):
+        """quality (f64), n_tokens (int|None) per text — byte-level."""
+        ws = np.zeros(256, np.bool_); ws[[0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D]] = True
+        sp3 = np.zeros(256, np.bool_); sp3[[0x20, 0x09, 0x0A]] = True
+        al = np.zeros(256, np.bool_)
+        al[list(range(0x41, 0x5B)) + list(range(0x61, 0x7B))] = True
+
+        arr = pa.array(texts, type=pa.large_string())
+        n = len(arr)
+        null_mask = np.asarray(arr.is_null()) if arr.null_count else np.zeros(n, np.bool_)
+        bufs = arr.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1).copy()
+        nbytes = int(offsets[-1])
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8, count=nbytes)
+            if bufs[2] is not None and nbytes
+            else np.zeros(0, np.uint8)
+        )
+
+        def rowsum(mask):
+            cs = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+            return cs[offsets[1:]] - cs[offsets[:-1]]
+
+        n_chars = rowsum((data & 0xC0) != 0x80)   # codepoints
+        n_alpha = rowsum(al[data])
+        n_sp3 = rowsum(sp3[data])
+
+        if nbytes:
+            idx = np.arange(nbytes, dtype=np.int64)
+            nonspace = data != 0x20               # trim() strips ' ' only
+            starts = np.minimum(offsets[:-1], nbytes - 1)
+            fns = np.minimum.reduceat(np.where(nonspace, idx, np.int64(nbytes + 1)), starts)
+            lns = np.maximum.reduceat(np.where(nonspace, idx, np.int64(-1)), starts) + 1
+            empty = offsets[:-1] >= offsets[1:]
+            fns = np.where(empty, offsets[:-1], np.minimum(fns, offsets[1:]))
+            lns = np.where(empty, offsets[:-1], np.maximum(lns, offsets[:-1]))
+            trimmed_len = np.maximum(lns - fns, 0)
+            wsm = ws[data]
+            prev = np.empty_like(wsm); prev[0] = False; prev[1:] = wsm[:-1]
+            rs = (wsm & ~prev).copy()
+            ne = trimmed_len > 0
+            pos = fns[ne]
+            rs[pos] = wsm[pos]                    # row-local run boundary
+            cs = np.concatenate(([0], np.cumsum(rs, dtype=np.int64)))
+            runs = np.zeros(n, np.int64)
+            runs[ne] = cs[lns[ne]] - cs[fns[ne]]
+            n_tokens = np.where(trimmed_len > 0, runs + 1, 0)
+        else:
+            n_tokens = np.zeros(n, np.int64)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_tok = (n_chars - n_sp3).astype(np.float64) / n_tokens.astype(np.float64)
+            alpha_ratio = np.where(
+                n_chars > 0, n_alpha.astype(np.float64) / n_chars.astype(np.float64), 0.0
+            )
+        len_ok = ((n_chars >= 50) & (n_chars <= 100000)).astype(np.float64)
+        tok_ok = ((n_tokens > 0) & (mean_tok >= 2.0) & (mean_tok <= 12.0)).astype(np.float64)
+        quality = np.where(null_mask, 0.0, (len_ok + tok_ok + alpha_ratio * 2.0) / 4.0)
+        return [
+            (float(quality[j]), None if null_mask[j] else int(n_tokens[j]))
+            for j in range(n)
+        ]
+
+    cases = [
+        None, "", " ", "   ", "\t", " \t", "\t ", "a", " a ", "  a  b  ",
+        "\ta b\t", " \ta", "a\t ", "\x0b\x0c\r", "héllo wörld", "日本語 テスト",
+        "a" * 49, "a" * 50, ("word " * 20).strip(), "x" * 100001, "1 2 3\n4\t5",
+        "mixed  \t\n ws   runs", "trailing space ", " leading", "éé éé éé",
+        "\r\n\r\n", "a b", "ab", "  \t  ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "id int, text string")
+    jvm = {
+        r.id: (r.q, r.t)
+        for r in df.select(
+            "id",
+            quality_score(F.col("text")).alias("q"),
+            token_count(F.col("text")).alias("t"),
+        ).collect()
+    }
+    ref = reference(cases)
+    for i, (rq, rt) in enumerate(ref):
+        jq, jt = jvm[i]
+        assert st.pack("d", jq) == st.pack("d", rq), (i, cases[i], jq, rq)
+        assert jt == rt, (i, cases[i], jt, rt)
