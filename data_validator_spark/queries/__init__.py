@@ -308,13 +308,15 @@ def _sql_hash60(expr: str) -> str:
 GRADE_PRIORITY = [
     # === r19 cut. Tier 0 — the entries the function-level tripwire
     # flags against the r18 snapshot: the r19 bucketed-copy scan class
-    # (q1/q20/col_stats/profile_table/drift_psi/benford_check/
-    # bloom_filter_semijoin ride their at-rest copies instead of
-    # spread(load()) / few-split raw scans), corpus_train_filter onto
-    # the shared _ensemble_docs normalized-text relation, the
-    # hll_distinct deliberate NULL-text semantics (ADVICE r18), and
-    # the full-watermark drop path's cache-eviction guard (flags its
-    # two validator consumers).
+    # (q1/q20/col_stats/profile_table/bloom_filter_semijoin ride
+    # their at-rest copies instead of spread(load()) / few-split raw
+    # scans; drift_psi/benford_check measured the same ride under the
+    # driver methodology and REVERTED — trivial-per-row class, their
+    # entry sources still changed), corpus_train_filter onto the
+    # shared _ensemble_docs normalized-text relation, the hll_distinct
+    # deliberate NULL-text semantics (ADVICE r18), and the
+    # full-watermark drop path's cache-eviction guard (flags its two
+    # validator consumers).
     "benford_check",
     "bloom_filter_semijoin",
     "col_stats",

@@ -69,17 +69,15 @@ def q_drift_psi(spark, sf):
     # no parallelism spread: the per-row work (one multiply + one
     # compare) is trivial, so the map-side combine IS the first real
     # stage — a round-robin exchange here costs more than it unblocks
-    # (A/B measured 1.27s vs 0.54s at sf0.1, r7). r19: the scan rides
-    # the at-rest l_orderkey-bucketed copy instead (drift_ks's r18
-    # class) — 32 bucket files parallelize both fused-agg passes with
-    # NO added exchange; A/B at sf0.1 0.67s → 0.51s best-of-5,
-    # row-identical (also measured row-identical in the r18 prototype,
-    # deferred then for grading-budget seats).
-    from data_validator_spark.operators.bucketing import bucketed_fact
-
-    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey").select(
-        "l_extendedprice", "l_shipdate"
-    )
+    # (A/B measured 1.27s vs 0.54s at sf0.1, r7). r19 ALSO measured
+    # and REJECTED the bucketed-copy scan ride here: a probe-session
+    # A/B looked favorable (0.67→0.51s), but under the driver's own
+    # bench methodology the switch ran 0.45→0.75-0.78s across four
+    # runs in two sessions — two sequential trivial-per-row passes
+    # each pay the ~0.1s/task shuffle-free stage floor on 32 bucket
+    # files, where the raw 1-split scan pays it once (the
+    # col_quantiles/mad_outliers class, OPTIMIZATION_r19.md §3).
+    li = load(spark, sf, "lineitem").select("l_extendedprice", "l_shipdate")
     cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
     is_ref = F.col("l_shipdate") < F.lit(PSI_PIVOT)
     base = li.select(cents.alias("cents"), is_ref.alias("is_ref"))
@@ -354,13 +352,11 @@ def q_benford_check(spark, sf):
     """
     # no parallelism spread — trivial per-row work, the digit groupBy
     # combines map-side (drift_psi rule; A/B 0.98s vs 0.43s, r7).
-    # r19: the scan rides the l_orderkey-bucketed copy — 32-way
-    # parallel scan+combine with no added exchange (A/B at sf0.1
-    # 0.53s → 0.44s best-of-5, row-identical; the r18 prototype
-    # measured the same, deferred then for grading-budget seats).
-    from data_validator_spark.operators.bucketing import bucketed_fact
-
-    li = bucketed_fact(spark, sf, "lineitem", "l_orderkey").select("l_extendedprice")
+    # r19 measured and REJECTED the bucketed-copy ride here too:
+    # driver-methodology runs went 0.415→0.44s (single trivial
+    # per-row pass pays the 32-task stage floor once; the raw 1-split
+    # scan is cheaper — drift_psi's class, see OPTIMIZATION_r19.md §3).
+    li = load(spark, sf, "lineitem").select("l_extendedprice")
     cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
     digits = (
         li.select(cents.alias("cents"))

@@ -486,16 +486,16 @@ def test_r18_dsir_scores_with_per_bucket_term(spark, registry):
 
 def test_r19_lineitem_scan_rides_ride_copies(spark, registry):
     """r19 bucketed-copy scan class: the remaining timed spread(load())
-    sites (q1, q20, col_stats, bloom_filter_semijoin) plus the
-    r18-prototyped drift_psi/benford_check and profile_table switch to
-    their at-rest bucketed copies — bucket-file parallelism with no
-    round-robin exchange. Row-identical by construction (same rows,
-    different at-rest layout); the A/B seconds live in
-    OPTIMIZATION_r19.md."""
+    sites (q1, q20, col_stats, bloom_filter_semijoin) plus
+    profile_table switch to their at-rest bucketed copies —
+    bucket-file parallelism with no round-robin exchange.
+    Row-identical by construction (same rows, different at-rest
+    layout); the A/B seconds live in OPTIMIZATION_r19.md.
+    drift_psi/benford_check were measured on the same ride and
+    REVERTED (trivial-per-row passes lose to the 32-task stage floor
+    under the driver methodology — same doc)."""
     expect = {
         "q1_pricing_summary": "dv_bkt_lineitem_l_orderkey_",
-        "drift_psi": "dv_bkt_lineitem_l_orderkey_",
-        "benford_check": "dv_bkt_lineitem_l_orderkey_",
         "col_stats": "dv_bkt_lineitem_l_orderkey_",
         "profile_table": "dv_bkt_lineitem_l_orderkey_",
         "q20_potential_promotion": "dv_bkt_lineitem_l_partkey_",

@@ -387,12 +387,12 @@ def test_tripwire_flags_only_real_bucketed_copy_consumers():
         "multimodal_frame_sample", "multimodal_features",
         "domain_diversity",
         # …plus the r19 bucketed-copy scan class: q1/col_stats/
-        # profile_table/drift_psi/benford_check on the l_orderkey
-        # lineitem copy, q20 via load_lineitem_by_part, and
-        # bloom_filter_semijoin on the o_orderkey orders copy
+        # profile_table on the l_orderkey lineitem copy, q20 via
+        # load_lineitem_by_part, and bloom_filter_semijoin on the
+        # o_orderkey orders copy (drift_psi/benford_check measured
+        # the same ride and reverted — trivial-per-row class)
         "q1_pricing_summary", "col_stats", "profile_table",
-        "drift_psi", "benford_check", "q20_potential_promotion",
-        "bloom_filter_semijoin",
+        "q20_potential_promotion", "bloom_filter_semijoin",
     }
     assert flagged == expected, flagged ^ expected
     # module-mates that consume NO bucketed machinery must still NOT
